@@ -3,36 +3,1041 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query ids map 1:1 onto SURVEY.md §2's operator inventory (R* reference
+operators, E* extended surface). Every aggregated double is rounded to
+6 dp on BOTH sides (SURVEY.md §7.3 float-determinism note); every
+computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
+from nyc_tlc_trip_data_pipelines_spark.operators import relational as R
+from nyc_tlc_trip_data_pipelines_spark.operators import scalars as S
+from nyc_tlc_trip_data_pipelines_spark.operators import sorts as O
+from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+from nyc_tlc_trip_data_pipelines_spark.operators import udf as U
+from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+from nyc_tlc_trip_data_pipelines_spark.operators import windows as W
+from nyc_tlc_trip_data_pipelines_spark.session import configure_session
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape, SURVEY.md §2B E10) on sf0.001."""
+    configure_session(spark)
+    return q_agg_basic(spark, SF_SMOKE)
+
+
+# --------------------------------------------------------------------------
+# Reference-core queries (SURVEY.md §2A)
+# --------------------------------------------------------------------------
+
+
+def q_count(spark: SparkSession, sf: str) -> DataFrame:
+    """R12: count action (``pasta1_etl/src/main.py:167,188,216,231``)."""
+    li = load_table(spark, sf, "lineitem")
+    return spark.createDataFrame([(agg.count_rows(li),)], "n_rows bigint")
+
+
+def q_cast_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """R4: declared-schema cast-on-ingest (``pasta1_etl/src/main.py:170-172``)."""
+    li = load_table(spark, sf, "lineitem")
+    cast = R.cast_to_schema(
+        li,
+        {
+            "l_orderkey": "string",
+            "l_linenumber": "long",
+            "l_quantity": "double",
+            "l_shipdate": "date",
+        },
+    )
+    return cast.select(
+        F.col("l_orderkey").alias("orderkey_str"),
+        F.col("l_linenumber").alias("linenumber_long"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_shipdate").alias("ship_date"),
+    )
+
+
+def q_filter_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """R5+R6: half-open timestamp interval [lo, hi)
+    (``pasta1_etl/src/main.py:180-186``)."""
+    ev = load_table(spark, sf, "events")
+    out = R.filter_time_range(ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return out.select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+
+
+def q_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """R2: partition-range pruning as a partition-derived predicate
+    (``pasta1_etl/src/main.py:156-163``)."""
+    li = load_table(spark, sf, "lineitem")
+    pruned = R.filter_rows(
+        R.derive_year_month(li, "l_shipdate", "ship_year", "ship_month"),
+        (F.col("ship_year") == 1995) & (F.col("ship_month").between(1, 6)),
+    )
+    return agg.group_agg(
+        pruned, ["ship_year", "ship_month"], {"n_rows": F.count(F.lit(1))}
+    )
+
+
+def q_project_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """R9: projection by column drop (``pasta1_etl/src/main.py:218-223``)."""
+    li = load_table(spark, sf, "lineitem")
+    return R.drop_columns(
+        li, ["l_partkey", "l_suppkey", "l_comment", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"]
+    )
+
+
+def q_derive_year_month(spark: SparkSession, sf: str) -> DataFrame:
+    """R10: derived partition columns (``pasta1_etl/src/main.py:227-228``)."""
+    o = load_table(spark, sf, "orders")
+    return R.derive_year_month(o, "o_orderdate", "pickup_year", "pickup_month").select(
+        "o_orderkey", "pickup_year", "pickup_month"
+    )
+
+
+def q_groupby_avg_orderby(spark: SparkSession, sf: str) -> DataFrame:
+    """R15 — reference Q1 (``pasta2_analytics/src/main.py:18-25``):
+    AVG per (year, month), ordered."""
+    ev = load_table(spark, sf, "events")
+    monthly = R.derive_year_month(ev, "ts", "y", "m")
+    out = agg.group_agg(monthly, ["y", "m"], {"avg_value": F.round(F.avg("value"), 6)})
+    return O.sort(out, ["y", "m"])
+
+
+def q_window_avg_two_grains(spark: SparkSession, sf: str) -> DataFrame:
+    """R16-R20 — reference Q2 (``pasta2_analytics/src/main.py:33-50``):
+    two partitioned window AVGs at day/hour grain, deduped by
+    GROUP-BY-all-columns, 4-column ORDER BY."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        S.year("ts").alias("y"),
+        S.month("ts").alias("m"),
+        S.day("ts").alias("d"),
+        S.hour("ts").alias("h"),
+        F.col("value"),
+    )
+    windowed = W.window_avg_multi_grain(
+        base,
+        "value",
+        {"avg_day": ["y", "m", "d"], "avg_hour": ["y", "m", "d", "h"]},
+    ).select(
+        "y", "m", "d", "h", F.round("avg_day", 6).alias("avg_day"), F.round("avg_hour", 6).alias("avg_hour")
+    )
+    deduped = windowed.groupBy("y", "m", "d", "h", "avg_day", "avg_hour").agg(F.lit(1).alias("__one")).drop("__one")
+    return O.sort(deduped, ["y", "m", "d", "h"])
+
+
+def q_date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """R24: month rollover + tolerance arithmetic pushed into Spark
+    (``pasta1_etl/src/utils.py:87-116``)."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        S.first_day_of_next_month("o_orderdate").cast("date").alias("next_month_start"),
+        S.ts_minus_hours("o_orderdate", 1).alias("with_tolerance"),
+    )
+
+
+def q_source_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """R1: source discovery — enumerate + sort data files (engine analog
+    of the paginated S3 listing, ``pasta1_etl/src/utils.py:16-66``)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import discover_files
+
+    files = discover_files(sf)
+    names = [(os.path.splitext(os.path.basename(f))[0],) for f in files]
+    return spark.createDataFrame(names, "table_name string").orderBy("table_name")
+
+
+def q_sink_append(spark: SparkSession, sf: str) -> DataFrame:
+    """R7: append sink + readback (``pasta1_etl/src/main.py:191-194``)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import append_table, read_parquet
+
+    ev = load_table(spark, sf, "events")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bronze")
+        half1 = ev.filter(F.col("event_id") % 2 == 0)
+        half2 = ev.filter(F.col("event_id") % 2 == 1)
+        append_table(half1, path)
+        append_table(half2, path)
+        back = read_parquet(spark, path)
+        n = back.count()
+    return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
+def q_sink_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """R11: partitioned sink + single-partition readback
+    (``pasta1_etl/src/main.py:235-239``)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import read_parquet, write_partitioned
+
+    ev = load_table(spark, sf, "events")
+    gold = R.derive_year_month(ev, "ts", "y", "m")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "gold")
+        write_partitioned(gold, path, ["y", "m"], mode="overwrite")
+        back = read_parquet(spark, path).filter(F.col("m") == 1)
+        out = back.groupBy("y", "m").agg(F.count(F.lit(1)).alias("n_rows")).collect()
+    return spark.createDataFrame(out, "y int, m int, n_rows bigint").orderBy("y", "m")
+
+
+def q_sink_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """R21: headered CSV sink + readback (``pasta2_analytics/src/main.py:26,51``)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import read_csv, write_csv
+
+    out = q_groupby_avg_orderby(spark, sf)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "avg_value_csv")
+        write_csv(out, path)
+        back = read_csv(spark, path).collect()
+    return spark.createDataFrame(back, "y int, m int, avg_value double").orderBy("y", "m")
+
+
+def q_ddl_create(spark: SparkSession, sf: str) -> DataFrame:
+    """R13/R14: typed table DDL + insert + readback
+    (``pasta1_etl/src/main.py:109-132``, ``pasta1_etl/sql/*.sql``)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import create_table_ddl
+
+    spark.sql("DROP TABLE IF EXISTS q_ddl_demo")
+    create_table_ddl(
+        spark,
+        "q_ddl_demo",
+        [("id", "BIGINT"), ("name", "STRING"), ("amount", "DOUBLE")],
+    )
+    spark.sql("INSERT INTO q_ddl_demo VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    out = spark.table("q_ddl_demo").orderBy("id").collect()
+    spark.sql("DROP TABLE IF EXISTS q_ddl_demo")
+    return spark.createDataFrame(out, "id bigint, name string, amount double")
+
+
+# --------------------------------------------------------------------------
+# Extended relational surface (SURVEY.md §2B E1-E25)
+# --------------------------------------------------------------------------
+
+
+def q_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """E1: compound predicates — AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL."""
+    li = load_table(spark, sf, "lineitem")
+    pred = (
+        (F.col("l_quantity").between(5, 45))
+        & (F.col("l_returnflag").isin("A", "R"))
+        & (F.col("l_linestatus") == "F")
+        & (~F.col("l_shipdate").isNull())
+        & ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.04))
+    )
+    return R.filter_rows(li, pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+
+
+def q_project_case(spark: SparkSession, sf: str) -> DataFrame:
+    """E2: expression projection with arithmetic + CASE WHEN."""
+    li = load_table(spark, sf, "lineitem")
+    return R.project(
+        li,
+        [
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.when(F.col("l_quantity") >= 30, F.lit("bulk"))
+            .when(F.col("l_quantity") >= 10, F.lit("mid"))
+            .otherwise(F.lit("small"))
+            .alias("size_class"),
+        ],
+    )
+
+
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    """E3: inner equi-join orders⋈customer, aggregated per market segment."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    joined = J.inner_join(o, c, on=[o.o_custkey == c.c_custkey])
+    return O.sort(
+        agg.group_agg(
+            joined,
+            ["c_mktsegment"],
+            {"n_orders": F.count(F.lit(1)), "sum_total": F.round(F.sum("o_totalprice"), 6)},
+        ),
+        ["c_mktsegment"],
+    )
+
+
+def q_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """E4: left outer join — customers incl. those with zero orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    joined = J.left_join(c, o, on=[c.c_custkey == o.o_custkey])
+    return O.sort(
+        joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders")),
+        ["c_custkey"],
+    )
+
+
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """E5a: left semi join — customers having ≥1 urgent order."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return O.sort(
+        J.semi_join(c, o, on=[c.c_custkey == o.o_custkey]).select("c_custkey", "c_name"),
+        ["c_custkey"],
+    )
+
+
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """E5b: left anti join — customers with no orders at all."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return O.sort(
+        J.anti_join(c, o, on=[c.c_custkey == o.o_custkey]).select("c_custkey", "c_name"),
+        ["c_custkey"],
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """E6: broadcast hash join — fact lineitem ⋈ small dim part; no
+    shuffle of the fact side (map-side join)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    joined = J.broadcast_join(li, p, on=[li.l_partkey == p.p_partkey])
+    return O.sort(
+        agg.group_agg(
+            joined,
+            ["p_brand"],
+            {"n_items": F.count(F.lit(1)), "sum_qty": F.round(F.sum("l_quantity"), 6)},
+        ),
+        ["p_brand"],
+    )
+
+
+def q_join_star(spark: SparkSession, sf: str) -> DataFrame:
+    """E7: multi-way star join lineitem⋈orders⋈customer⋈nation⋈region —
+    revenue per region; all dims broadcast so the fact shuffles once
+    (for the final aggregate only)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    star = J.star_join(
+        li,
+        [
+            (o, li.l_orderkey == o.o_orderkey),
+            (c, o.o_custkey == c.c_custkey),
+            (n, c.c_nationkey == n.n_nationkey),
+            (r, n.n_regionkey == r.r_regionkey),
+        ],
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return O.sort(
+        agg.group_agg(star, ["r_name"], {"revenue": F.round(rev, 4), "n_items": F.count(F.lit(1))}),
+        ["r_name"],
+    )
+
+
+def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """E8: non-equi (range) join — events bucketed into value intervals
+    defined by a small broadcast dimension."""
+    ev = load_table(spark, sf, "events")
+    buckets = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 50.0), ("big", 50.0, 200.0), ("huge", 200.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    joined = J.range_join(
+        ev, F.broadcast(buckets), (ev.value >= buckets.lo) & (ev.value < buckets.hi)
+    )
+    return O.sort(
+        agg.group_agg(joined, ["bucket"], {"n_events": F.count(F.lit(1)), "avg_value": F.round(F.avg("value"), 6)}),
+        ["bucket"],
+    )
+
+
+def q_join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """E9: cross join region × nation (tiny × tiny)."""
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    return O.sort(
+        J.cross_join(r.select("r_name"), n.select("n_name")),
+        ["r_name", "n_name"],
+    )
+
+
+def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
+    """E10 (TPC-H Q1 shape): multi-aggregate groupBy on lineitem.
+    Map-side partial aggregation → shuffle carries keys, not rows."""
+    li = load_table(spark, sf, "lineitem")
+    out = agg.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 4),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 4),
+            "sum_disc_price": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4),
+            "sum_charge": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ),
+            "avg_qty": F.round(F.avg("l_quantity"), 6),
+            "avg_price": F.round(F.avg("l_extendedprice"), 6),
+            "avg_disc": F.round(F.avg("l_discount"), 6),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+    return O.sort(out, ["l_returnflag", "l_linestatus"])
+
+
+def q_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """E11: exact COUNT(DISTINCT) per key."""
+    o = load_table(spark, sf, "orders")
+    return O.sort(
+        agg.count_distinct_agg(o, ["o_orderstatus"], "o_custkey", "n_customers"),
+        ["o_orderstatus"],
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """E12: HLL++ approximate distinct (no oracle — sketch is approximate;
+    driver records rows-only). Scale path for E11 at 100 TB."""
+    ev = load_table(spark, sf, "events")
+    return O.sort(
+        agg.approx_count_distinct_agg(ev, ["event_type"], "user_id", "approx_users"),
+        ["event_type"],
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """E13: ROLLUP grouping sets over (status, priority)."""
+    o = load_table(spark, sf, "orders")
+    out = agg.rollup_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": F.count(F.lit(1)), "sum_total": F.round(F.sum("o_totalprice"), 4)},
+    )
+    return O.sort(out, [F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()])
+
+
+def q_agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    """E14: HAVING — post-aggregation filter."""
+    li = load_table(spark, sf, "lineitem")
+    grouped = agg.group_agg(
+        li, ["l_partkey"], {"n_items": F.count(F.lit(1)), "sum_qty": F.round(F.sum("l_quantity"), 6)}
+    )
+    return O.sort(agg.having(grouped, F.col("n_items") >= 2), ["l_partkey"])
+
+
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """E15: ranking window — top-3 orders per customer by totalprice
+    (orderkey tie-break for determinism)."""
+    o = load_table(spark, sf, "orders")
+    top = W.top_n_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        n=3,
+        keep_rank=True,
+    )
+    return O.sort(
+        top.select("o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("totalprice"), F.col("rn").alias("rank_in_cust")),
+        ["o_custkey", "rank_in_cust"],
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """E16: lag/lead — per-user event value deltas in time order."""
+    ev = load_table(spark, sf, "events")
+    out = W.lag_lead(
+        ev,
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "value",
+        lag_alias="prev_value",
+        lead_alias="next_value",
+    )
+    return O.sort(
+        out.select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round("prev_value", 6).alias("prev_value"),
+            F.round("next_value", 6).alias("next_value"),
+        ),
+        ["user_id", "event_id"],
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """E17: frame-spec window — running order total per customer."""
+    o = load_table(spark, sf, "orders")
+    out = W.running_agg(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        F.sum("o_totalprice"),
+        "running_total",
+    )
+    return O.sort(
+        out.select("o_custkey", "o_orderkey", F.round("running_total", 4).alias("running_total")),
+        ["o_custkey", "o_orderkey"],
+    )
+
+
+def q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """E18: ORDER BY + LIMIT → TakeOrderedAndProject (per-partition heaps,
+    no global sort). Unique orderkey tie-break keeps it deterministic."""
+    o = load_table(spark, sf, "orders")
+    return O.top_k(
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("totalprice")),
+        [F.col("totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """E19: UNION / INTERSECT / EXCEPT over customer vs supplier nations."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    tagged = (
+        O.union_distinct(c, s).withColumn("op", F.lit("union"))
+        .unionByName(O.intersect(c, s).withColumn("op", F.lit("intersect")))
+        .unionByName(O.except_(c, s).withColumn("op", F.lit("except")))
+    )
+    return O.sort(tagged.select("op", "nationkey"), ["op", "nationkey"])
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """E20: exact dedup on a key subset (hash groupBy semantics)."""
+    ev = load_table(spark, sf, "events")
+    return O.sort(
+        O.dedup_exact(ev.select("user_id", "event_type"), ["user_id", "event_type"]),
+        ["user_id", "event_type"],
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """E21: string scalar surface — upper/substr/concat/split/regexp/length."""
+    p = load_table(spark, sf, "part")
+    return O.sort(
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_brand", 1, 5).alias("brand_prefix"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+            F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("type_last_caps"),
+            F.length("p_name").alias("name_len"),
+        ),
+        ["p_partkey"],
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """E22: date scalar surface — trunc/extract/datediff/date_add."""
+    o = load_table(spark, sf, "orders")
+    return O.sort(
+        o.select(
+            "o_orderkey",
+            S.date_truncate("o_orderdate", "month").cast("date").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.dayofmonth("o_orderdate").alias("order_dom"),
+            F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_1998"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        ),
+        ["o_orderkey"],
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """E23: math scalar surface — round/abs/ceil/floor/pow/ln/sqrt."""
+    li = load_table(spark, sf, "lineitem")
+    return O.sort(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("price_round1"),
+            F.abs(F.col("l_discount") - 0.05).cast("double").alias("disc_center_raw"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.round(F.pow(F.col("l_quantity"), 2), 6).alias("qty_sq"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+            F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        ).withColumn("disc_center", F.round("disc_center_raw", 6)).drop("disc_center_raw"),
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_array_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """E24: array surface — size + element stats via explode."""
+    em = load_table(spark, sf, "embeddings")
+    exploded = em.select("vec_id", F.size("embedding").alias("dim"), F.explode("embedding").alias("x"))
+    return O.sort(
+        exploded.groupBy("vec_id", "dim").agg(
+            F.round(F.avg("x"), 6).alias("avg_x"),
+            F.round(F.min("x").cast("double"), 6).alias("min_x"),
+            F.round(F.max("x").cast("double"), 6).alias("max_x"),
+        ),
+        ["vec_id"],
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """E25: JSON extraction from a string props column, then aggregate."""
+    ev = load_table(spark, sf, "events")
+    k = S.json_get("props", "k").cast("int")
+    return O.sort(
+        ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        ),
+        ["event_type"],
+    )
+
+
+def q_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """E26: Arrow-batched scalar pandas UDF (revenue); oracle is the
+    equivalent SQL expression — verifies the UDF matches codegen math."""
+    li = load_table(spark, sf, "lineitem")
+    return O.sort(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(U.revenue_pandas_udf()("l_extendedprice", "l_discount"), 6).alias("revenue"),
+        ),
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_udaf_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """E27: grouped-agg pandas UDF (weighted average of price by quantity)."""
+    li = load_table(spark, sf, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.round(U.weighted_avg_udaf()(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("wavg_price")
+    )
+    return O.sort(out, ["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
+# Text analysis / dedup / similarity (E28-E30 + north star)
+# --------------------------------------------------------------------------
+
+
+def q_text_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    """E28: corpus word count (tokenize → explode → groupBy)."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(TX.word_count(docs), ["word"])
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: heuristic quality scoring per document."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(
+        TX.quality_score(docs).select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "alpha_ratio"),
+        ["doc_id"],
+    )
+
+
+def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: whitespace + BPE-ish token counting."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(
+        docs.select(
+            "doc_id",
+            TX.token_count("text").alias("ws_tokens"),
+            TX.token_count("text", bpe_like=True).alias("bpe_tokens"),
+        ),
+        ["doc_id"],
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: 64-bit document fingerprint for exact-dup detection
+    (no oracle — hash function is engine-specific; rows-only check)."""
+    docs = load_table(spark, sf, "documents")
+    fp = docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+    dups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    return O.sort(dups.filter(F.col("n_docs") >= 1).select("first_doc", "n_docs"), ["first_doc"])
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: heuristic language ID vs the labeled lang column
+    (no SQL oracle — marker argmax is engine logic; rows-only)."""
+    docs = load_table(spark, sf, "documents")
+    out = TX.language_id(docs)
+    return O.sort(
+        out.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs")),
+        ["lang", "lang_pred"],
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """E29: MinHash+LSH near-dup candidate pairs (no oracle — LSH is
+    probabilistic; deterministic seeds make re-runs stable; rows-only)."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(TX.minhash_near_duplicates(docs, jaccard_threshold=0.4), ["id_a", "id_b"])
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: exact n-gram Jaccard dedup via inverted-index join."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(TX.jaccard_ngram_pairs(docs, n=3, threshold=0.8), ["id_a", "id_b"])
+
+
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """E30: brute-force cosine top-k against a fixed query vector."""
+    em = load_table(spark, sf, "embeddings")
+    query = [1.0] * 64
+    return V.cosine_topk(em, query, k=20)
+
+
+def q_similarity_pairwise(spark: SparkSession, sf: str) -> DataFrame:
+    """E30b: per-query top-k via broadcast crossJoin + window (ANN
+    baseline for a batch of queries)."""
+    em = load_table(spark, sf, "embeddings")
+    queries = em.filter(F.col("vec_id") < 3)
+    return O.sort(V.pairwise_cosine_topk(em, queries, k=5), ["query_id", "cosine", "vec_id"])
+
+
+# --------------------------------------------------------------------------
+# Contract
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference core (2A)
+        "q_count": q_count,
+        "q_cast_schema": q_cast_schema,
+        "q_filter_time_range": q_filter_time_range,
+        "q_partition_prune": q_partition_prune,
+        "q_project_drop": q_project_drop,
+        "q_derive_year_month": q_derive_year_month,
+        "q_groupby_avg_orderby": q_groupby_avg_orderby,
+        "q_window_avg_two_grains": q_window_avg_two_grains,
+        "q_date_arithmetic": q_date_arithmetic,
+        "q_source_discovery": q_source_discovery,
+        "q_sink_append": q_sink_append,
+        "q_sink_partitioned": q_sink_partitioned,
+        "q_sink_csv": q_sink_csv,
+        "q_ddl_create": q_ddl_create,
+        # extended relational (2B)
+        "q_filter_predicates": q_filter_predicates,
+        "q_project_case": q_project_case,
+        "q_join_inner": q_join_inner,
+        "q_join_outer": q_join_outer,
+        "q_join_semi": q_join_semi,
+        "q_join_anti": q_join_anti,
+        "q_join_broadcast": q_join_broadcast,
+        "q_join_star": q_join_star,
+        "q_join_range": q_join_range,
+        "q_join_cross": q_join_cross,
+        "q_agg_basic": q_agg_basic,
+        "q_agg_count_distinct": q_agg_count_distinct,
+        "q_agg_approx_distinct": q_agg_approx_distinct,
+        "q_agg_rollup": q_agg_rollup,
+        "q_agg_having": q_agg_having,
+        "q_window_rank": q_window_rank,
+        "q_window_lag_lead": q_window_lag_lead,
+        "q_window_running_sum": q_window_running_sum,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_dedup_exact": q_dedup_exact,
+        "q_string_funcs": q_string_funcs,
+        "q_date_funcs": q_date_funcs,
+        "q_math_funcs": q_math_funcs,
+        "q_array_explode": q_array_explode,
+        "q_json_extract": q_json_extract,
+        "q_udf_scalar": q_udf_scalar,
+        "q_udaf_grouped": q_udaf_grouped,
+        # text / dedup / similarity (north star)
+        "q_text_wordcount": q_text_wordcount,
+        "q_text_quality": q_text_quality,
+        "q_text_token_count": q_text_token_count,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_lang_id": q_lang_id,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_similarity_topk": q_similarity_topk,
+        "q_similarity_pairwise": q_similarity_pairwise,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
+        "q_cast_schema": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+                   CAST(l_linenumber AS BIGINT) AS linenumber_long,
+                   CAST(l_quantity AS DOUBLE) AS quantity,
+                   CAST(l_shipdate AS DATE) AS ship_date
+            FROM lineitem
+        """,
+        "q_filter_time_range": """
+            SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "q_partition_prune": """
+            SELECT YEAR(l_shipdate)::INT AS ship_year, MONTH(l_shipdate)::INT AS ship_month,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE YEAR(l_shipdate) = 1995 AND MONTH(l_shipdate) BETWEEN 1 AND 6
+            GROUP BY 1, 2
+        """,
+        "q_project_drop": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+            FROM lineitem
+        """,
+        "q_derive_year_month": """
+            SELECT o_orderkey, YEAR(o_orderdate)::INT AS pickup_year, MONTH(o_orderdate)::INT AS pickup_month
+            FROM orders
+        """,
+        "q_groupby_avg_orderby": """
+            SELECT YEAR(ts)::INT AS y, MONTH(ts)::INT AS m, ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_window_avg_two_grains": """
+            WITH w AS (
+                SELECT YEAR(ts)::INT AS y, MONTH(ts)::INT AS m, DAY(ts)::INT AS d, HOUR(ts)::INT AS h,
+                       ROUND(AVG(value) OVER (PARTITION BY YEAR(ts), MONTH(ts), DAY(ts)), 6) AS avg_day,
+                       ROUND(AVG(value) OVER (PARTITION BY YEAR(ts), MONTH(ts), DAY(ts), HOUR(ts)), 6) AS avg_hour
+                FROM events
+            )
+            SELECT y, m, d, h, avg_day, avg_hour FROM w
+            GROUP BY y, m, d, h, avg_day, avg_hour
+            ORDER BY y, m, d, h
+        """,
+        "q_date_arithmetic": """
+            SELECT o_orderkey,
+                   CAST(DATE_TRUNC('month', o_orderdate) + INTERVAL 1 MONTH AS DATE) AS next_month_start,
+                   o_orderdate - INTERVAL 1 HOUR AS with_tolerance
+            FROM orders
+        """,
+        # q_source_discovery / q_sink_* / q_ddl_create: no oracle (filesystem
+        # & DDL side effects aren't DuckDB-expressible) → rows-only check.
+        "q_filter_predicates": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+            FROM lineitem
+            WHERE l_quantity BETWEEN 5 AND 45
+              AND l_returnflag IN ('A', 'R')
+              AND l_linestatus = 'F'
+              AND l_shipdate IS NOT NULL
+              AND (l_discount > 0.05 OR l_tax < 0.04)
+        """,
+        "q_project_case": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue,
+                   CASE WHEN l_quantity >= 30 THEN 'bulk'
+                        WHEN l_quantity >= 10 THEN 'mid'
+                        ELSE 'small' END AS size_class
+            FROM lineitem
+        """,
+        "q_join_inner": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 6) AS sum_total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q_join_outer": """
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        "q_join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "q_join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "q_join_broadcast": """
+            SELECT p_brand, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 6) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q_join_star": """
+            SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_join_range": """
+            WITH buckets(bucket, lo, hi) AS (
+                VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 50.0),
+                       ('big', 50.0, 200.0), ('huge', 200.0, 1000000000.0)
+            )
+            SELECT bucket, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value
+            FROM events JOIN buckets ON value >= lo AND value < hi
+            GROUP BY bucket ORDER BY bucket
+        """,
+        "q_join_cross": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+        """,
+        "q_agg_basic": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_agg_count_distinct": """
+            SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "q_agg_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS sum_total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "q_agg_having": """
+            SELECT l_partkey, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 6) AS sum_qty
+            FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 2 ORDER BY l_partkey
+        """,
+        "q_window_rank": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, totalprice, CAST(rank_in_cust AS INT) AS rank_in_cust
+            FROM ranked WHERE rank_in_cust <= 3 ORDER BY o_custkey, rank_in_cust
+        """,
+        "q_window_lag_lead": """
+            SELECT user_id, event_id, ROUND(value, 6) AS value,
+                   ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_value,
+                   ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS next_value
+            FROM events ORDER BY user_id, event_id
+        """,
+        "q_window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "q_topk": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS totalprice
+            FROM orders ORDER BY totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q_set_ops": """
+            SELECT 'union' AS op, nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'intersect', nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'except', nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT SELECT s_nationkey FROM supplier)
+            ORDER BY op, nationkey
+        """,
+        "q_dedup_exact": """
+            SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+        """,
+        "q_string_funcs": """
+            SELECT p_partkey,
+                   UPPER(p_name) AS name_upper,
+                   SUBSTRING(p_brand, 1, 5) AS brand_prefix,
+                   CONCAT_WS('/', p_brand, p_type) AS brand_type,
+                   STRING_SPLIT(p_type, ' ')[1] AS type_first_word,
+                   COALESCE(REGEXP_EXTRACT(p_type, '([A-Z]+)$', 1), '') AS type_last_caps,
+                   LENGTH(p_name)::INT AS name_len
+            FROM part ORDER BY p_partkey
+        """,
+        "q_date_funcs": """
+            SELECT o_orderkey,
+                   CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+                   YEAR(o_orderdate)::INT AS order_year,
+                   DAY(o_orderdate)::INT AS order_dom,
+                   DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')::INT AS days_to_1998,
+                   CAST(o_orderdate AS DATE) + 30 AS due_date
+            FROM orders ORDER BY o_orderkey
+        """,
+        "q_math_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice, 1) AS price_round1,
+                   CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+                   ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+                   ROUND(LN(l_extendedprice + 1), 6) AS ln_price,
+                   ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+                   ROUND(ABS(l_discount - 0.05), 6) AS disc_center
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "q_array_explode": """
+            SELECT vec_id, LEN(embedding)::INT AS dim,
+                   ROUND(AVG(CAST(x AS DOUBLE)), 6) AS avg_x,
+                   ROUND(MIN(CAST(x AS DOUBLE)), 6) AS min_x,
+                   ROUND(MAX(CAST(x AS DOUBLE)), 6) AS max_x
+            FROM embeddings, UNNEST(embedding) AS t(x)
+            GROUP BY vec_id, dim ORDER BY vec_id
+        """,
+        "q_json_extract": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_udf_scalar": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "q_udaf_grouped": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_text_wordcount": """
+            SELECT word, COUNT(*) AS cnt FROM (
+                SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS word
+                FROM documents
+            ) WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "q_text_token_count": """
+            SELECT doc_id,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), t -> t <> ''))::INT AS ws_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))::INT AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "q_similarity_topk": """
+            SELECT vec_id,
+                   ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), q) /
+                         (SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                          SQRT(LIST_DOT_PRODUCT(q, q))), 6) AS cosine
+            FROM embeddings, (SELECT [1.0 FOR _ IN RANGE(64)]::DOUBLE[] AS q)
+            ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark()
+    entry(spark).show()

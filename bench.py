@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Methodology: one shared SparkSession (JVM startup excluded), one warmup
+pass of a trivial action to settle codegen/JIT, then each query timed
+end-to-end (plan → execute → collect). Queries span the operator
+families: scan-agg, joins (broadcast + star), windows, top-k, text,
+vectors — the mix a 100 TB deployment would run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_basic",
+    "q_join_star",
+    "q_join_broadcast",
+    "q_window_avg_two_grains",
+    "q_window_rank",
+    "q_topk",
+    "q_groupby_avg_orderby",
+    "q_text_wordcount",
+    "q_dedup_minhash",
+    "q_similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as E
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = E.queries()
+
+    # warmup: JVM/codegen settle + parquet footer caching
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if hasattr(df, "count") else 0
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

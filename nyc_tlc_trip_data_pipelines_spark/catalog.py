@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,9 +31,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects (PARQUET_TYPE_ILLEGAL). With
+# ``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as long
+# nanoseconds; the catalog converts them back to timestamps (µs
+# truncation — matches DuckDB's µs TIMESTAMP, SURVEY.md §7.3 tz note).
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _ensure_compat(spark: SparkSession) -> None:
+    """Session confs required for correctness parity, applied even when
+    the caller (e.g. the driver harness) built its own SparkSession and
+    never went through ``session.get_spark``: non-ANSI casts (reference
+    R4 NULL-coercion), UTC session tz (tz-naive oracle parity), and the
+    nanos-as-long parquet shim."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one driver table (reference R3)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    _ensure_compat(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer division keeps full precision (float64 can't hold
+            # int64 nanos); truncation-to-µs matches the oracle engine
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

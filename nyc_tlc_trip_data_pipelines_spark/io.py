@@ -1,0 +1,158 @@
+"""Sources and sinks (reference R1/R2/R3/R7/R8/R11/R21/R22).
+
+The reference's source layer lists an S3 bucket with boto3 pagination
+(``pasta1_etl/src/utils.py:16-66``), prunes files by a filename-encoded
+month range (``pasta1_etl/src/main.py:156-163``), reads parquet
+(``main.py:166``), and appends into Delta tables — unpartitioned bronze
+(``main.py:191-194``) and year/month-partitioned gold (``main.py:235-239``);
+analytics results land as headered CSV (``pasta2_analytics/src/main.py:26,51``).
+
+Here the same capabilities are re-expressed storage-agnostically over
+plain Parquet (delta-spark is absent in this environment — SURVEY.md §7.3
+"Delta gap"): append + partitioned layout semantics are preserved, ACID
+log semantics are out of scope. All paths work identically for local
+paths and ``s3a://`` URIs (Spark's Hadoop FS layer handles both).
+
+100 TB notes:
+- Partitioned writes give dynamic partition pruning on read — a query
+  filtered to one month reads one directory, not the lake.
+- ``write_bucketed`` pre-shuffles once at write time; repeated joins or
+  aggregations on the bucket key then run with NO exchange.
+- ``maxRecordsPerFile`` guards against giant output files; AQE coalesce
+  handles the small-file side.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import re
+from collections.abc import Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --- sources ---------------------------------------------------------------
+
+_MONTH_RE = re.compile(r"(\d{4})-(\d{2})")
+
+
+def discover_files(root: str, suffix: str = ".parquet", pattern: str = "*") -> list[str]:
+    """Source discovery (R1): enumerate + sort data files under a root.
+
+    The reference pages an S3 listing and keeps ``*.parquet``
+    (``pasta1_etl/src/utils.py:16-43,46-66``); the engine analog is a
+    filesystem glob — on a real cluster, prefer a catalog/manifest over
+    raw listing (S3 LIST at 100 TB is itself a bottleneck).
+    """
+    return sorted(p for p in _glob.glob(os.path.join(root, pattern)) if p.endswith(suffix))
+
+
+def prune_files_by_month(files: Sequence[str], start: str | None, end: str | None) -> list[str]:
+    """Coarse partition pruning by filename-encoded month (R2,
+    ``pasta1_etl/src/main.py:156-163``): keep files whose ``YYYY-MM``
+    (parsed from the name) lies in [start, end]. String comparison is
+    correct for zero-padded ISO months.
+    """
+    kept = []
+    for f in files:
+        m = _MONTH_RE.search(os.path.basename(f))
+        if not m:
+            continue
+        ym = f"{m.group(1)}-{m.group(2)}"
+        if (start is None or ym >= start) and (end is None or ym <= end):
+            kept.append(f)
+    return kept
+
+
+def read_parquet(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
+    """Columnar parquet scan (R3/R8): vectorized reader, filter/column
+    pushdown handled by Catalyst."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.parquet(*paths)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+# --- sinks -----------------------------------------------------------------
+
+
+def append_table(df: DataFrame, path: str, max_records_per_file: int | None = None) -> None:
+    """Append sink (R7, ``pasta1_etl/src/main.py:191-194``) over parquet."""
+    w = df.write.mode("append")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "append",
+) -> None:
+    """Partitioned sink (R11, ``pasta1_etl/src/main.py:235-239``): one
+    directory per partition tuple → dynamic partition pruning on read."""
+    df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled on ``bucket_by`` so downstream
+    equi-joins/aggs on that key need no exchange. The 100 TB co-location
+    strategy (SURVEY.md §4.3)."""
+    w = df.write.bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.mode(mode).format("parquet").saveAsTable(table_name)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (R21, ``pasta2_analytics/src/main.py:26,51``)."""
+    df.write.format("csv").option("header", str(header).lower()).mode(mode).save(path)
+
+
+def write_run_manifest(path: str, processed: Sequence[str], failed: Sequence[str]) -> str:
+    """Run-log sink (R22): the reference writes processed/failed file
+    lists as dated text blobs to S3 (``pasta1_etl/src/main.py:253-267``,
+    ``utils.py:69-84``); engine analog is a local JSON manifest."""
+    os.makedirs(path, exist_ok=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+    out = os.path.join(path, f"run_{stamp}.json")
+    with open(out, "w") as fh:
+        json.dump({"processed": list(processed), "failed": list(failed)}, fh, indent=2)
+    return out
+
+
+# --- DDL (R13/R14) ----------------------------------------------------------
+
+
+def create_table_ddl(
+    spark: SparkSession,
+    name: str,
+    columns: Sequence[tuple[str, str]],
+    location: str | None = None,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Typed, optionally-partitioned table creation (R13 —
+    ``DeltaTable.create().addColumn()...`` at ``pasta1_etl/src/main.py:109-132``
+    re-expressed as ``CREATE TABLE ... USING parquet``; external-location
+    variant mirrors the Hive DDLs R14, ``pasta1_etl/sql/*.sql``)."""
+    cols = ", ".join(f"`{c}` {t}" for c, t in columns)
+    parts = f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet{parts}{loc}")

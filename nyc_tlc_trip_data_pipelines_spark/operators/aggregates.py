@@ -1,0 +1,68 @@
+"""Aggregation operators (reference R12/R15; SURVEY.md §2B E10-E14).
+
+Reference parity: R15 is ``SELECT y, m, AVG(Total_amount) ... GROUP BY
+y, m ORDER BY y, m`` (``pasta2_analytics/src/main.py:18-25``); R12 is the
+logging ``df.count()`` (``pasta1_etl/src/main.py:167,188,216,231``).
+
+Everything here is a hash aggregate with map-side partial aggregation —
+Spark computes partial aggregates before the shuffle, so the exchange
+carries one row per (partition, key), not per input row. That is the
+core 100 TB property: shuffle volume scales with key cardinality, not
+data volume. COUNT(DISTINCT) is the exception (expands rows); prefer
+``approx_count_distinct`` (HLL++, constant memory per key) at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_agg(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """groupBy + named aggregates. ``aggs`` maps output alias → agg column,
+    so result column names are deterministic (oracle contract)."""
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def count_rows(df: DataFrame) -> int:
+    """Reference R12 count action."""
+    return df.count()
+
+
+def having(df_agged: DataFrame, predicate: Column | str) -> DataFrame:
+    """Post-aggregation filter (E14). A plain filter above the aggregate —
+    Catalyst will NOT push it below (it references agg outputs)."""
+    return df_agged.filter(predicate)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Mapping[str, Column]) -> DataFrame:
+    """ROLLUP grouping sets (E13): totals at every key prefix + grand total."""
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    return df.rollup(*keys).agg(*exprs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Mapping[str, Column]) -> DataFrame:
+    """CUBE grouping sets (E13): totals at every key subset."""
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    return df.cube(*keys).agg(*exprs)
+
+
+def count_distinct_agg(df: DataFrame, keys: Sequence[str], col: str, alias: str) -> DataFrame:
+    """Exact COUNT(DISTINCT col) per key (E11). Exact distinct requires a
+    full expansion shuffle — at 100 TB prefer :func:`approx_count_distinct_agg`."""
+    return df.groupBy(*keys).agg(F.countDistinct(col).alias(alias))
+
+
+def approx_count_distinct_agg(
+    df: DataFrame, keys: Sequence[str], col: str, alias: str, rsd: float = 0.05
+) -> DataFrame:
+    """HLL++ approximate distinct (E12): constant memory per key, single
+    shuffle of sketches, mergeable across partitions — the scale path."""
+    return df.groupBy(*keys).agg(F.approx_count_distinct(col, rsd=rsd).alias(alias))

@@ -1,0 +1,124 @@
+"""Join operators (SURVEY.md §2B E3-E9).
+
+The reference contains no joins (grep-verified, SURVEY.md §2A note); these
+generalize its implicit partition-alignment into the full relational join
+family, expressed declaratively so Catalyst + AQE pick the physical
+strategy (broadcast-hash vs shuffled-hash vs sort-merge, skew splitting).
+
+100 TB notes:
+- ``broadcast_join`` forces a broadcast hash join for dimension tables —
+  no shuffle of the fact side at all. On a 1000-executor cluster this is
+  the difference between a full lineitem shuffle and a map-side join.
+- Large-large equi-joins shuffle on the key; pre-bucketing both sides on
+  the join key (``io.write_bucketed``) removes the exchange entirely.
+- ``range_join`` is a non-equi join; Spark plans BroadcastNestedLoop when
+  one side is small. Always pair it with an equi-prefix when possible so
+  the planner can hash on that prefix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+JoinOn = str | Sequence[str] | Column
+
+
+def join(left: DataFrame, right: DataFrame, on: JoinOn, how: str = "inner") -> DataFrame:
+    """Equi/theta join; ``how`` in inner/left/right/full/left_semi/left_anti/cross."""
+    return left.join(right, on=on, how=how)
+
+
+def inner_join(left: DataFrame, right: DataFrame, on: JoinOn) -> DataFrame:
+    return left.join(right, on=on, how="inner")
+
+
+def left_join(left: DataFrame, right: DataFrame, on: JoinOn) -> DataFrame:
+    return left.join(right, on=on, how="left")
+
+
+def full_join(left: DataFrame, right: DataFrame, on: JoinOn) -> DataFrame:
+    return left.join(right, on=on, how="full")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: JoinOn) -> DataFrame:
+    """Rows of ``left`` with a match in ``right`` (no right columns).
+
+    At scale prefer this over ``inner + dropDuplicates``: semi joins
+    short-circuit on first match and never multiply rows.
+    """
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: JoinOn) -> DataFrame:
+    """Rows of ``left`` with no match in ``right``."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def broadcast_join(fact: DataFrame, dim: DataFrame, on: JoinOn, how: str = "inner") -> DataFrame:
+    """Map-side hash join with the (small) ``dim`` side broadcast.
+
+    Use when dim fits in executor memory (region/nation/part-scale).
+    Avoids shuffling the fact table entirely.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def star_join(fact: DataFrame, dims: Sequence[tuple[DataFrame, JoinOn]], broadcast_dims: bool = True) -> DataFrame:
+    """Chained fact ⋈ dim1 ⋈ dim2 ... (E7). Dims broadcast by default so
+    the fact table is never shuffled for the dimension lookups."""
+    out = fact
+    for dim, on in dims:
+        out = out.join(F.broadcast(dim) if broadcast_dims else dim, on=on, how="inner")
+    return out
+
+
+def range_join(left: DataFrame, right: DataFrame, condition: Column, how: str = "inner") -> DataFrame:
+    """Non-equi (theta/range) join, e.g. point-in-interval (E8).
+
+    Include any available equi-conjunct in ``condition`` — Catalyst
+    extracts it as the hash key and only the residual range predicate is
+    evaluated per candidate pair.
+    """
+    return left.join(right, on=condition, how=how)
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cartesian product (E9). At scale: only with a tiny side, ideally
+    broadcast (Spark plans BroadcastNestedLoop when one side is small)."""
+    return left.crossJoin(right)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_left: str,
+    ts_right: str,
+    by: Sequence[str] = (),
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row at-or-before
+    its timestamp (``backward``) or earliest at-or-after (``forward``),
+    optionally within ``by`` equality groups.
+
+    Spark has no native as-of join; this composes range-join + window
+    top-1 — fully shuffle-based, no driver loop, scales with the key
+    cardinality. (Composition strategy per SURVEY.md §4.3.)
+    """
+    from pyspark.sql import Window
+
+    lcols = [F.col(c) for c in left.columns]
+    l = left.withColumn("__asof_id", F.monotonically_increasing_id())
+    cond = [l[c] == right[c] for c in by]
+    if direction == "backward":
+        cond.append(l[ts_left] >= right[ts_right])
+        order = F.col(ts_right).desc()
+    else:
+        cond.append(l[ts_left] <= right[ts_right])
+        order = F.col(ts_right).asc()
+    joined = l.join(right, on=cond if cond else None, how="left")
+    w = Window.partitionBy("__asof_id").orderBy(order)
+    ranked = joined.withColumn("__asof_rn", F.row_number().over(w))
+    return ranked.filter(F.col("__asof_rn") == 1).drop("__asof_rn", "__asof_id")

@@ -1,0 +1,57 @@
+"""Sorts, top-k, set operations, exact dedup (R19/R20; E18-E20).
+
+Reference parity: the 4-column global ORDER BY (R20,
+``pasta2_analytics/src/main.py:48``) and GROUP-BY-all-columns dedup (R19,
+``:45-47``).
+
+100 TB notes: a global sort is a range exchange (sampled boundaries) —
+fine for final, small-ish results; never sort a full fact table just to
+take k rows. ``orderBy().limit(k)`` compiles to TakeOrderedAndProject:
+per-partition top-k heaps, then a k-row merge on the driver — no global
+sort ever materializes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+
+
+def sort(df: DataFrame, by: Sequence[str | Column]) -> DataFrame:
+    """Global multi-column sort (R20): range-partitioned sort exchange."""
+    return df.orderBy(*by)
+
+def top_k(df: DataFrame, by: Sequence[Column | str], k: int) -> DataFrame:
+    """Sort + LIMIT (E18) → TakeOrderedAndProject (per-partition heaps,
+    driver merges k rows; no global sort)."""
+    return df.orderBy(*by).limit(k)
+
+
+def limit(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup (E20, and reference R19's GROUP-BY-all semantics):
+    hash-partition on the subset, keep one row per key. Map-side partial
+    dedup happens first, so shuffle volume ≈ distinct keys."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def union_all(a: DataFrame, b: DataFrame, by_name: bool = True) -> DataFrame:
+    """UNION ALL (E19) — no shuffle at all, just concatenated partitions."""
+    return a.unionByName(b) if by_name else a.union(b)
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL UNION: concat + hash dedup."""
+    return a.unionByName(b).dropDuplicates()
+
+
+def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.intersectAll(b) if keep_duplicates else a.intersect(b)
+
+
+def except_(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.exceptAll(b) if keep_duplicates else a.subtract(b)

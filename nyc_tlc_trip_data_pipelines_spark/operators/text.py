@@ -1,0 +1,266 @@
+"""Text-analysis operators for training-data pipelines (E28-E29 + north star).
+
+Tokenization, word counts, n-grams, language ID, quality scoring, token
+counting, fingerprinting, and near-duplicate detection (MinHash-LSH,
+SimHash, n-gram Jaccard). All hot paths are built-in column expressions
+(JVM-side, whole-stage codegen); nothing here drops to per-row Python.
+
+100 TB notes:
+- MinHash signatures are computed per-document with higher-order array
+  functions (transform/aggregate) — embarrassingly parallel, no shuffle.
+- LSH banding turns near-dup search from O(n²) pairs into a groupBy on
+  band keys: shuffle volume = n_docs × n_bands rows, then candidate
+  pairs only within buckets. This is the published MinHash-LSH scheme
+  (Broder; Leskovec et al., "Mining of Massive Datasets" ch.3).
+- Exact-dup first (cheap hash groupBy) shrinks the near-dup input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "\\s+"
+
+# Deterministic hash seeds (SURVEY.md §7.3: fixed so driver re-runs match).
+_MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne
+_MINHASH_A = [1 + 2 * i for i in range(128)]  # odd multipliers
+_MINHASH_B = [7 * i + 3 for i in range(128)]
+
+
+def tokenize(text: str | Column, pattern: str = TOKEN_PATTERN, lowercase: bool = True) -> Column:
+    """Whitespace/regex tokenizer → array<string>, empty tokens removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    toks = F.split(F.trim(c), pattern)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def word_count(df: DataFrame, text_col: str = "text", word_alias: str = "word", count_alias: str = "cnt") -> DataFrame:
+    """Corpus word count (E28): tokenize → explode → groupBy.count.
+    Partial aggregation makes the shuffle ~vocabulary-sized, not corpus-sized."""
+    return (
+        df.select(F.explode(tokenize(text_col)).alias(word_alias))
+        .groupBy(word_alias)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+
+
+def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
+    """Token n-grams (shingles) via slide-free higher-order expression:
+    transform over positions, JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), sep),
+    )
+
+
+def char_shingles(text: str | Column, k: int = 5) -> Column:
+    """Character k-shingles of a (lowercased) document."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(0))),
+        lambda i: F.substring(c, i, k),
+    )
+
+
+def token_count(text: str | Column, bpe_like: bool = False) -> Column:
+    """Token counting: whitespace tokens, or a BPE-ish estimate splitting
+    on word boundaries + punctuation (regex) — both pure column exprs."""
+    if bpe_like:
+        # alnum runs + individual punctuation marks — a lookaround-free
+        # pattern (portable across Java regex and RE2-based engines)
+        c = F.col(text) if isinstance(text, str) else text
+        return F.size(F.regexp_extract_all(c, F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), F.lit(0)))
+    return F.size(tokenize(text))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")) -> DataFrame:
+    """Heuristic document quality metrics (north-star text analysis):
+    length, mean word length, punctuation ratio, stopword ratio,
+    alpha ratio. All codegen expressions; one pass."""
+    toks = tokenize(text_col)
+    n_tok = F.size(toks)
+    text = F.col(text_col)
+    n_char = F.length(text)
+    sw = F.array([F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_punct = n_char - F.length(F.regexp_replace(text, "[^\\w\\s]", ""))
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_word_len": F.round((n_char - n_tok + 1).cast("double") / F.greatest(n_tok, F.lit(1)), 6),
+            "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_char, F.lit(1)), 6),
+            "stopword_ratio": F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6),
+            "alpha_ratio": F.round(n_alpha.cast("double") / F.greatest(n_char, F.lit(1)), 6),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> DataFrame:
+    """N-gram-free heuristic language ID over stopword evidence.
+
+    Scores each candidate language by the fraction of tokens in its tiny
+    marker set; argmax wins. A real deployment would swap in a trained
+    n-gram profile table (broadcast join) — the plumbing is identical.
+    """
+    markers = {
+        "en": ("the", "and", "of", "to", "is"),
+        "es": ("el", "la", "de", "que", "y"),
+        "fr": ("le", "la", "et", "les", "des"),
+        "de": ("der", "die", "und", "das", "nicht"),
+        "zh": ("的", "是", "了", "在", "我"),
+    }
+    toks = tokenize(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in markers.items():
+        arr = F.array([F.lit(w) for w in words])
+        frac = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("double") / n
+        scores.append(F.struct(frac.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(alias, best["lang"]).withColumn(f"{alias}_score", F.round(best["score"], 6))
+
+
+def fingerprint(text: str | Column, window: int = 8) -> Column:
+    """Document fingerprint: 64-bit hash of the document (xxhash64) —
+    stable across runs; used for exact-dup detection at scale where
+    comparing full text would shuffle the corpus."""
+    return F.xxhash64(F.col(text) if isinstance(text, str) else text)
+
+
+def minhash_signature(tokens_or_shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as array<bigint>, computed with higher-order
+    functions: sig[i] = min over shingles of (a_i * h(s) + b_i) mod P.
+
+    Deterministic (fixed a/b tables, xxhash64 seed 42). No UDF, no
+    shuffle — per-row expression work only.
+    """
+    hashes = F.transform(tokens_or_shingles, lambda s: F.pmod(F.xxhash64(s, F.lit(42)), F.lit(_MINHASH_PRIME)))
+    sigs = [
+        F.array_min(F.transform(hashes, lambda h: F.pmod(h * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_PRIME))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures via the aggregation formulation: explode
+    distinct shingles, hash each ONCE, then ``groupBy(id).agg(min(perm_i))``
+    per permutation.
+
+    This is the 100 TB shape: each permutation is a trivial agg
+    expression over one shared hash column, partial aggregation
+    combines map-side (shuffle = one row per doc per partition), and no
+    giant per-row expression tree is ever built (the array-expression
+    variant :func:`minhash_signature` duplicates the shingle pipeline
+    per hash — fine for a handful, pathological for 32+).
+    """
+    sh = df.select(F.col(id_col), F.explode(F.array_distinct(char_shingles(text_col, shingle_k))).alias("shingle"))
+    h = sh.select(id_col, F.pmod(F.xxhash64("shingle", F.lit(42)), F.lit(_MINHASH_PRIME)).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_PRIME))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return h.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs (E29): shingle → signature → band →
+    bucket-join → verify estimated Jaccard.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b. The band
+    groupBy-join is the scale path: candidate generation is linear in
+    corpus size × bands, never O(n²).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # One `sig` reference per output row: explode band ids, slice the
+    # signature dynamically. (Building per-band struct literals instead
+    # makes Catalyst's projection collapse inline the signature expression
+    # once PER BAND — a codegen blow-up measured in minutes at 500 docs.)
+    banded = (
+        sig.select(id_col, "sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+        .withColumn("bucket", F.xxhash64(F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col(f"a.band") == F.col("b.band"), F.col("a.bucket") == F.col("b.bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)).cast("double") / F.lit(num_hashes)
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash per document (Charikar 2002): sign-sum of per-token hash
+    bits, packed into one long. Documents with small Hamming distance
+    are near-duplicates.
+
+    Aggregation formulation (same scale rationale as
+    :func:`minhash_signatures`): explode tokens, hash each once, then
+    one tiny SUM per bit position with map-side partial aggregation.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    h = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agged = h.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseXOR(bit)
+    return agged.select(id_col, packed.alias("simhash"))
+
+
+def jaccard_ngram_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode distinct shingles → self-join on shingle → count common /
+    (|A| + |B| − common). Shuffle = postings list, not pairs."""
+    shingled = df.select(
+        F.col(id_col), F.array_distinct(ngrams(tokenize(text_col), n)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    posts = shingled.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    a, b = posts.alias("a"), posts.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return common.withColumn("jaccard", F.round(jac, 6)).filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

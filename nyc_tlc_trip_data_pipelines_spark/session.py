@@ -44,6 +44,7 @@ def get_spark(app_name: str = "nyc_tlc_trip_data_pipelines_spark") -> SparkSessi
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
@@ -59,6 +60,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet TIMESTAMP(NANOS) (e.g. events.ts, written by pandas/arrow as
+    # ns) is unsupported by Spark's reader; read as raw long nanos and let
+    # the catalog convert (catalog.NANOS_TS_COLS shim).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,144 @@
+"""Structured Streaming operators (SURVEY.md §2B E31-E35).
+
+The reference is batch-only; streams are the north-star extension. All
+operators follow the standard Structured Streaming shapes: readStream →
+transform → writeStream, watermarks for state cleanup, windowed and
+session aggregations, stateful dedup.
+
+Correctness strategy (SURVEY.md §5.2 item 5): batch-stream equivalence —
+each streaming transform has the same semantics when applied to a static
+DataFrame of the full input, so tests replay the ``events`` table as a
+file stream and compare against the batch result.
+
+100 TB notes: watermarks bound state size (without one, windowed state
+grows forever); ``availableNow`` triggers give batch-like backfill with
+streaming semantics; state-store ops (dedup, session windows) shuffle by
+key — same skew rules as batch groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-based replay source: each micro-batch picks up new files.
+    Used by tests to replay the events table as a stream."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "1 hour") -> DataFrame:
+    """E34: late-data bound. Rows later than max(event time) − delay are
+    dropped from stateful ops; state older than the watermark is evicted."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_size: str = "1 hour",
+    keys: tuple[str, ...] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """E31: non-overlapping event-time windows."""
+    return (
+        df.groupBy(F.window(ts_col, window_size), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: tuple[str, ...] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """E32: overlapping windows — each row lands in size/slide windows."""
+    return (
+        df.groupBy(F.window(ts_col, window_size, slide), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """E33: data-driven windows that close after ``gap`` of inactivity
+    per key. State-store backed in streaming mode."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str | None = None, delay: str = "1 hour") -> DataFrame:
+    """E35: stateful streaming dedup. With a watermark column the state
+    is bounded (``dropDuplicatesWithinWatermark``); without, state grows
+    with distinct keys (batch semantics = plain dropDuplicates)."""
+    if df.isStreaming and ts_col is not None:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a stream to completion over all currently-available input
+    (availableNow trigger) and return the result as a static DataFrame.
+    The batch-stream-equivalence test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,67 @@
+"""Join/aggregate/window operator tests, incl. plan-shape assertions
+(the 100 TB contract: broadcasts actually broadcast, filters push)."""
+
+from pyspark.sql import functions as F
+
+from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
+from nyc_tlc_trip_data_pipelines_spark.operators import sorts as O
+from nyc_tlc_trip_data_pipelines_spark.operators import windows as W
+from nyc_tlc_trip_data_pipelines_spark.plans import node_count, plan_string, uses_broadcast_join
+
+
+def test_semi_anti_partition_left(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = J.semi_join(c, o, on=[c.c_custkey == o.o_custkey])
+    anti = J.anti_join(c, o, on=[c.c_custkey == o.o_custkey])
+    assert semi.count() + anti.count() == c.count()
+    assert set(semi.columns) == set(c.columns)
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = J.broadcast_join(li, p, on=[li.l_partkey == p.p_partkey])
+    assert uses_broadcast_join(joined)
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    star = J.star_join(li, [(o, li.l_orderkey == o.o_orderkey), (c, o.o_custkey == c.c_custkey)])
+    assert node_count(star, "BroadcastHashJoin") == 2
+
+
+def test_as_of_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)], "sym string, t long, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", 4), ("A", 6), ("B", 2), ("B", 9)], "sym string, t long"
+    )
+    out = J.as_of_join(trades, quotes.withColumnRenamed("t", "qt"), "t", "qt", by=["sym"])
+    got = {(r.sym, r.t): r.px for r in out.collect()}
+    assert got == {("A", 4): 10.0, ("A", 6): 11.0, ("B", 2): None, ("B", 9): 20.0}
+
+
+def test_top_n_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    top2 = W.top_n_per_group(o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], n=2)
+    counts = top2.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    plan = plan_string(O.top_k(o, [F.col("o_totalprice").desc()], 5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_group_by_all_equals_drop_duplicates(spark, sf_dir):
+    # reference R19 semantic equivalence (SURVEY.md §5.2 item 4)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    via_group = ev.groupBy("user_id", "event_type").agg(F.lit(1)).drop("1")
+    via_dedup = ev.dropDuplicates()
+    assert via_group.count() == via_dedup.count()

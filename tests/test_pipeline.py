@@ -1,0 +1,135 @@
+"""Reference-semantics medallion pipeline test (SURVEY.md §5.2 item 3).
+
+Synthesizes yellow-taxi-shaped monthly files with injected temporal
+outliers per FIXTURES.md §B, runs bronze→gold→Q1/Q2, and asserts the
+half-open `[month_start − tolerance, next_month)` rule and query outputs
+against a pandas recomputation.
+"""
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from nyc_tlc_trip_data_pipelines_spark.pipeline import (
+    analytics_q1,
+    analytics_q2,
+    build_gold,
+    ingest_bronze,
+)
+from nyc_tlc_trip_data_pipelines_spark.schema import YELLOW_TRIP_BRONZE
+
+
+def _make_month_rows(year, month, n=50):
+    base = datetime(year, month, 15)
+    rows = []
+    for i in range(n):
+        pickup = base + timedelta(minutes=i * 7)
+        rows.append(_row(pickup, total=10.0 + i % 5, passengers=1 + i % 3))
+    # outliers: within tolerance (kept), beyond tolerance (dropped),
+    # far past (dropped), next month (dropped from this file)
+    rows.append(_row(datetime(year, month, 1) - timedelta(minutes=30), total=99.0, passengers=1))
+    rows.append(_row(datetime(year, month, 1) - timedelta(hours=3), total=99.0, passengers=1))
+    rows.append(_row(datetime(2008, 12, 31, 23, 0), total=99.0, passengers=1))
+    next_m = datetime(year + (month == 12), month % 12 + 1, 2)
+    rows.append(_row(next_m, total=99.0, passengers=1))
+    return rows
+
+
+def _row(pickup, total, passengers):
+    return (
+        1,  # VendorID
+        pickup,
+        pickup + timedelta(minutes=20),
+        passengers,
+        2.5,  # Trip_distance
+        10,  # PULocationID
+        20,  # DOLocationID
+        1.0,  # RateCodeID
+        "N",
+        1,  # Payment_type
+        total - 2.0,
+        0.5,
+        0.5,
+        0.3,
+        0.5,
+        0.2,
+        total,
+        0.0,
+        None,  # Airport_fee
+    )
+
+
+@pytest.fixture(scope="module")
+def taxi_dirs(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("taxi_src"))
+    work = str(tmp_path_factory.mktemp("taxi_work"))
+    schema = YELLOW_TRIP_BRONZE.to_struct_type()
+    for ym in [(2023, 1), (2023, 2)]:
+        df = spark.createDataFrame(_make_month_rows(*ym), schema)
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"tmp_{ym[0]}-{ym[1]:02d}"))
+    # rename to the reference's flat monthly-file convention
+    final_src = os.path.join(src, "flat")
+    os.makedirs(final_src)
+    import glob as g
+    import shutil
+
+    for ym in [(2023, 1), (2023, 2)]:
+        part = g.glob(os.path.join(src, f"tmp_{ym[0]}-{ym[1]:02d}", "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(final_src, f"yellow_tripdata_{ym[0]}-{ym[1]:02d}.parquet"))
+    return final_src, work
+
+
+def test_bronze_filters_outliers(spark, taxi_dirs):
+    src, work = taxi_dirs
+    bronze = os.path.join(work, "bronze")
+    res = ingest_bronze(spark, src, bronze, tolerance_hours=1, manifest_dir=work)
+    assert len(res.processed) == 2 and not res.failed
+    got = spark.read.parquet(bronze)
+    # per month: 50 in-month + 1 within-tolerance kept; 3 outliers dropped
+    assert got.count() == 2 * 51
+    jan = got.filter("tpep_pickup_datetime < timestamp'2023-02-01'")
+    assert jan.filter("tpep_pickup_datetime < timestamp'2023-01-01'").count() == 1
+    assert res.manifest_path and os.path.exists(res.manifest_path)
+
+
+def test_gold_and_analytics(spark, taxi_dirs):
+    src, work = taxi_dirs
+    bronze = os.path.join(work, "bronze")
+    gold = os.path.join(work, "gold")
+    if not os.path.exists(bronze):
+        ingest_bronze(spark, src, bronze, tolerance_hours=1)
+    build_gold(spark, bronze, gold)
+    gdf = spark.read.parquet(gold)
+    assert set(gdf.columns) == {
+        "tpep_pickup_datetime", "tpep_dropoff_datetime", "Passenger_count",
+        "Trip_distance", "Total_amount", "pickup_year", "pickup_month",
+    }
+    # partition layout exists
+    assert any(p.startswith("pickup_year=") for p in os.listdir(gold))
+
+    q1 = analytics_q1(spark, gold).collect()
+    import pandas as pd
+
+    pdf = gdf.toPandas()
+    expect = pdf.groupby(["pickup_year", "pickup_month"])["Total_amount"].mean()
+    for r in q1:
+        assert abs(r.avg_total_amount - expect[(r.pickup_year, r.pickup_month)]) < 1e-9
+
+    q2 = analytics_q2(spark, gold)
+    # dedup semantics: one row per (y, m, day, hour)
+    assert q2.count() == q2.select("pickup_year", "pickup_month", "pickup_day", "pickup_hour").distinct().count()
+
+
+def test_error_isolation_bad_file(spark, taxi_dirs, tmp_path):
+    src, _ = taxi_dirs
+    import shutil
+
+    bad_src = str(tmp_path / "src")
+    shutil.copytree(src, bad_src)
+    with open(os.path.join(bad_src, "yellow_tripdata_2023-03.parquet"), "w") as fh:
+        fh.write("not a parquet file")
+    bronze = str(tmp_path / "bronze")
+    res = ingest_bronze(spark, bad_src, bronze, tolerance_hours=1)
+    assert len(res.processed) == 2
+    assert len(res.failed) == 1 and "2023-03" in res.failed[0]

@@ -1,0 +1,73 @@
+"""Streaming tests via batch-stream equivalence (SURVEY.md §5.2 item 5):
+replay the events table as a file stream, compare against the batch
+result of the same transformation."""
+
+import os
+
+import pytest
+
+from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    """events split into several files so the stream sees multiple batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch_df(spark, replay_dir):
+    return spark.read.parquet(replay_dir)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_window_batch_stream_equivalence(spark, replay_dir):
+    schema = _batch_df(spark, replay_dir).schema
+    stream = ST.read_file_stream(spark, replay_dir, schema, max_files_per_trigger=2)
+    agg_stream = ST.tumbling_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours")
+    got = ST.run_to_memory_sink(agg_stream, "tumbling_test")
+    expect = ST.tumbling_window_agg(_batch_df(spark, replay_dir), "ts", "6 hours")
+    cols = ["window_start", "window_end", "n_events", "avg_value"]
+    assert _rows(got, cols) == _rows(expect, cols)
+
+
+def test_sliding_window_batch_stream_equivalence(spark, replay_dir):
+    schema = _batch_df(spark, replay_dir).schema
+    stream = ST.read_file_stream(spark, replay_dir, schema, max_files_per_trigger=2)
+    agg_stream = ST.sliding_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours", "2 hours")
+    got = ST.run_to_memory_sink(agg_stream, "sliding_test")
+    expect = ST.sliding_window_agg(_batch_df(spark, replay_dir), "ts", "6 hours", "2 hours")
+    cols = ["window_start", "window_end", "n_events", "avg_value"]
+    assert _rows(got, cols) == _rows(expect, cols)
+
+
+def test_session_window_batch_stream_equivalence(spark, replay_dir):
+    schema = _batch_df(spark, replay_dir).schema
+    stream = ST.read_file_stream(spark, replay_dir, schema, max_files_per_trigger=2)
+    agg_stream = ST.session_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "2 hours")
+    got = ST.run_to_memory_sink(agg_stream, "session_test")
+    expect = ST.session_window_agg(_batch_df(spark, replay_dir), "ts", "2 hours")
+    cols = ["session_start", "session_end", "user_id", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(expect, cols)
+
+
+def test_stream_dedup(spark, replay_dir):
+    schema = _batch_df(spark, replay_dir).schema
+    stream = ST.read_file_stream(spark, replay_dir, schema, max_files_per_trigger=2)
+    dedup = ST.stream_dedup(stream.select("user_id", "event_type", "ts"), ["user_id", "event_type"], ts_col="ts")
+    got = ST.run_to_memory_sink(dedup, "dedup_test", output_mode="append")
+    expect = _batch_df(spark, replay_dir).select("user_id", "event_type").dropDuplicates()
+    assert got.select("user_id", "event_type").distinct().count() == expect.count()
+
+
+def test_watermark_is_set(spark, replay_dir):
+    schema = _batch_df(spark, replay_dir).schema
+    stream = ST.read_file_stream(spark, replay_dir, schema)
+    wm = ST.with_watermark(stream, "ts", "30 minutes")
+    assert wm.isStreaming

@@ -1,0 +1,113 @@
+"""Text-analysis, dedup, and vector-similarity operator tests."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+
+def test_tokenize_and_ngrams(spark):
+    df = spark.createDataFrame([("The quick  brown fox",)], "text string")
+    toks = df.select(TX.tokenize("text").alias("t")).collect()[0].t
+    assert toks == ["the", "quick", "brown", "fox"]
+    grams = df.select(TX.ngrams(TX.tokenize("text"), 2).alias("g")).collect()[0].g
+    assert grams == ["the quick", "quick brown", "brown fox"]
+
+
+def test_word_count_matches_naive(spark):
+    df = spark.createDataFrame([("a b a",), ("b c",)], "text string")
+    got = {r.word: r.cnt for r in TX.word_count(df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_minhash_detects_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark shuffles and parquet files " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in TX.minhash_near_duplicates(df, jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_deterministic(spark):
+    df = spark.createDataFrame([(1, "abcdefghij klmnop qrstuv"),], "doc_id long, text string")
+    s1 = df.select(TX.minhash_signature(TX.char_shingles("text"), 8).alias("s")).collect()[0].s
+    s2 = df.select(TX.minhash_signature(TX.char_shingles("text"), 8).alias("s")).collect()[0].s
+    assert s1 == s2
+
+
+def test_simhash_close_for_near_dups(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the sleepy dog"
+    c = "shuffle exchange partition broadcast codegen catalyst tungsten arrow"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    h = {r.doc_id: r.simhash for r in TX.simhash_signatures(df).collect()}
+    near = bin(h[1] ^ h[2]).count("1")
+    far = bin(h[1] ^ h[3]).count("1")
+    assert near <= 16  # near-dups have small Hamming distance
+    assert near < far
+
+
+def test_simhash_deterministic(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    a = TX.simhash_signatures(df).collect()[0].simhash
+    b = TX.simhash_signatures(df).collect()[0].simhash
+    assert a == b
+
+
+def test_jaccard_ngram_pairs_exact(spark):
+    a = "w1 w2 w3 w4 w5 w6"
+    df = spark.createDataFrame([(1, a), (2, a), (3, "x1 x2 x3 x4")], "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in TX.jaccard_ngram_pairs(df, n=2, threshold=0.0).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = [1.0] * 64
+    got = V.cosine_topk(em, q, k=5).collect()
+    pdf = em.toPandas()
+    qv = np.ones(64)
+    sims = pdf.embedding.map(
+        lambda e: float(np.dot(e, qv) / (np.linalg.norm(e) * np.linalg.norm(qv)))
+    )
+    expect = sorted(zip(pdf.vec_id, sims), key=lambda t: (-round(t[1], 6), t[0]))[:5]
+    assert [r.vec_id for r in got] == [int(v) for v, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert math.isclose(r.cosine, round(s, 6), abs_tol=1e-6)
+
+
+def test_lsh_recall_reasonable(spark, sf_dir):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(4, 64).tolist()
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 7).collect()[0].embedding
+    exact = {r.vec_id for r in V.cosine_topk(em, q, k=10).collect()}
+    approx = {r.vec_id for r in V.lsh_cosine_topk(em, q, planes, k=10).collect()}
+    # probabilistic (4 planes keep ~1/16 of the corpus as candidates),
+    # but the query's own vector hashes to its own bucket by definition
+    assert 7 in approx
+    assert len(exact & approx) >= 1
+    assert len(approx) <= 10
+
+
+def test_language_id_accuracy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.language_id(docs).select("lang", "lang_pred")
+    agree = out.filter(F.col("lang") == F.col("lang_pred")).count()
+    # heuristic on synthetic text: just assert it does something plausible
+    assert agree >= 0  # smoke: runs end-to-end; accuracy asserted on en below
+    en = out.filter(F.col("lang") == "en")
+    # documents are generated from english-ish tokens; most should map to en
+    assert en.filter(F.col("lang_pred") == "en").count() >= en.count() // 2

@@ -1,0 +1,116 @@
+"""Local correctness harness mimicking the driver's oracle comparison.
+
+For every ``queries()`` entry: run the Spark query; if ``oracle_sql()``
+has a twin, run it in DuckDB over the same parquet tables and compare
+row count + column-name set + order-insensitive normalized values.
+Queries without an oracle get a rows-only sanity run.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return normalize(v.item())
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
+    return v
+
+
+def df_to_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    passed = failed = skipped = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            skipped += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
+            failed += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if not problems:
+            s_norm = df_to_rows(scols, srows)
+            o_norm = df_to_rows(ocols, orows)
+            if s_norm != o_norm:
+                diffs = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failed += 1
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            passed += 1
+    print(f"\n{passed} ok, {failed} fail, {skipped} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
