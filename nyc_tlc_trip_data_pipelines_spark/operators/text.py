@@ -183,6 +183,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs (E29): shingle → signature → band →
     bucket-join → verify estimated Jaccard.
@@ -190,9 +191,17 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b. The band
     groupBy-join is the scale path: candidate generation is linear in
     corpus size × bands, never O(n²).
+
+    ``persist_signatures`` materializes the signature table before the
+    LSH self-join — otherwise both join sides recompute the full
+    shingle-explode-aggregate pipeline (measured 7.5× slower at sf0.1).
+    At 100 TB the equivalent is writing signatures to a table once and
+    joining from that.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    if persist_signatures:
+        sig = sig.persist()
     # One `sig` reference per output row: explode band ids, slice the
     # signature dynamically. (Building per-band struct literals instead
     # makes Catalyst's projection collapse inline the signature expression
