@@ -631,6 +631,21 @@ def q_udaf_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """E26 (UDTF): lateral table-function expansion — tokens with
+    position and length for short documents."""
+    U.register_tokenize_udtf(spark)
+    docs = load_table(spark, sf, "documents")
+    docs.filter(F.col("n_chars") < 120).createOrReplaceTempView("short_docs")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos, t.word_len
+        FROM short_docs d, LATERAL tokenize_words(d.text) t
+        """
+    )
+    return O.sort(out, ["doc_id", "pos"])
+
+
 def q_text_wordcount(spark: SparkSession, sf: str) -> DataFrame:
     """E28: corpus word count (tokenize → explode → groupBy)."""
     docs = load_table(spark, sf, "documents")
@@ -707,6 +722,167 @@ def q_similarity_pairwise(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(V.pairwise_cosine_topk(em, queries, k=5), ["query_id", "cosine", "vec_id"])
 
 
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """E13b: CUBE grouping sets over (returnflag, linestatus)."""
+    li = load_table(spark, sf, "lineitem")
+    out = agg.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"n_items": F.count(F.lit(1)), "sum_qty": F.round(F.sum("l_quantity"), 4)},
+    )
+    return O.sort(out, [F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()])
+
+
+def q_window_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """E31 (batch form): tumbling event-time windows via F.window —
+    oracle-checkable against DuckDB time_bucket."""
+    from nyc_tlc_trip_data_pipelines_spark.streaming import tumbling_window_agg
+
+    ev = load_table(spark, sf, "events")
+    out = tumbling_window_agg(ev, "ts", "6 hours")
+    return O.sort(out, ["window_start"])
+
+
+# --------------------------------------------------------------------------
+# Streaming (E31-E35): events replayed as a file stream, availableNow →
+# memory sink. No SQL oracle (DuckDB has no streams); the driver records
+# rows-only, and batch-stream equivalence is asserted in tests/.
+# --------------------------------------------------------------------------
+
+
+def _replay_events(spark: SparkSession, sf: str, parts: int = 4):
+    from nyc_tlc_trip_data_pipelines_spark.streaming import read_file_stream
+
+    ev = load_table(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="events_replay_")
+    path = os.path.join(d, "events")
+    ev.repartition(parts).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    return read_file_stream(spark, path, static.schema, max_files_per_trigger=2)
+
+
+def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    aggd = ST.tumbling_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours")
+    return O.sort(ST.run_to_memory_sink(aggd, "q_stream_tumbling_sink"), ["window_start"])
+
+
+def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    aggd = ST.sliding_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours", "2 hours")
+    return O.sort(ST.run_to_memory_sink(aggd, "q_stream_sliding_sink"), ["window_start", "window_end"])
+
+
+def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    aggd = ST.session_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "2 hours")
+    return O.sort(ST.run_to_memory_sink(aggd, "q_stream_session_sink"), ["user_id", "session_start"])
+
+
+def q_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """E34: watermarked append-mode windows — only windows the watermark
+    has passed are emitted (late-data drop semantics)."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    aggd = ST.tumbling_window_agg(ST.with_watermark(stream, "ts", "30 minutes"), "ts", "6 hours")
+    out = ST.run_to_memory_sink(aggd, "q_stream_watermark_sink", output_mode="append")
+    return O.sort(out, ["window_start"])
+
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    dd = ST.stream_dedup(stream.select("user_id", "event_type", "ts"), ["user_id", "event_type"], ts_col="ts")
+    out = ST.run_to_memory_sink(dd, "q_stream_dedup_sink", output_mode="append")
+    return O.sort(out.select("user_id", "event_type").distinct(), ["user_id", "event_type"])
+
+
+# --------------------------------------------------------------------------
+# Remaining north-star surface: simhash dedup, ANN, embedding near-dup,
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: SimHash near-dup buckets — docs sharing an identical
+    64-bit simhash (hamming 0). Hash values are engine-specific →
+    rows-only check."""
+    docs = load_table(spark, sf, "documents")
+    sigs = TX.simhash_signatures(docs)
+    groups = sigs.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+    return O.sort(groups.filter(F.col("n_docs") >= 2).select("first_doc", "n_docs"), ["first_doc"])
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """E30c: hyperplane-LSH approximate top-k (rows-only; probabilistic
+    recall, deterministic given the fixed seed)."""
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings")
+    planes = np.random.RandomState(42).randn(4, 64).tolist()
+    return V.lsh_cosine_topk(em, [1.0] * 64, planes, k=10)
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """E30d: IVF-flat approximate top-k with fixed seeded centroids."""
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings")
+    centroids = np.random.RandomState(7).randn(8, 64).tolist()
+    return V.ivf_topk(em, [1.0] * 64, centroids, n_probe=3, k=10)
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: embedding-cosine near-dup via LSH bucketing (bucket
+    join, then exact cosine within buckets — never O(n²)). The driver
+    corpus is random vectors with no true near-dups (max pairwise cosine
+    ≈0.51), so this returns the top-50 most-similar bucketed pairs —
+    same plan shape a real dedup (cosine ≥ 0.95 filter) would run."""
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings")
+    planes = np.random.RandomState(11).randn(6, 64).tolist()
+    bucketed = em.select(
+        "vec_id", "embedding", V.random_hyperplane_buckets("embedding", planes).alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.vec_id") < F.col("b.vec_id")]
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(S.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cosine"),
+    )
+    return O.top_k(pairs, [F.col("cosine").desc(), F.col("id_a"), F.col("id_b")], 50)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: multimodal plumbing — binary payloads through the
+    Arrow mapInPandas feature extractor (decode kernel stubbed:
+    deterministic fake features; see operators/multimodal.py)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    # repartition to a few substantial Arrow batches — 32 near-empty
+    # partitions would each pay a Python-worker round trip
+    media = MM.make_fake_media(spark, n=200).repartition(4)
+    feats = MM.extract_features(media, dim=8)
+    return O.sort(
+        feats.select("media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")),
+        ["media_id"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -758,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_udf_scalar": q_udf_scalar,
         "q_udaf_grouped": q_udaf_grouped,
+        "q_udtf_tokenize": q_udtf_tokenize,
         # text / dedup / similarity (north star)
         "q_text_wordcount": q_text_wordcount,
         "q_text_quality": q_text_quality,
@@ -768,6 +945,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_pairwise": q_similarity_pairwise,
+        # grouping sets + batch tumbling windows
+        "q_agg_cube": q_agg_cube,
+        "q_window_tumbling_batch": q_window_tumbling_batch,
+        # streaming (E31-E35)
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_session": q_stream_session,
+        "q_stream_watermark": q_stream_watermark,
+        "q_stream_dedup": q_stream_dedup,
+        # remaining north-star surface
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_multimodal_features": q_multimodal_features,
     }
 
 
@@ -1013,13 +1205,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
+        "q_udtf_tokenize": r"""
+            SELECT doc_id, words[g] AS word, (g - 1)::INT AS pos,
+                   LENGTH(words[g])::INT AS word_len
+            FROM (
+                SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS words
+                FROM documents WHERE n_chars < 120
+            ), UNNEST(GENERATE_SERIES(1, LEN(words))) AS s(g)
+        """,
         "q_text_wordcount": """
             SELECT word, COUNT(*) AS cnt FROM (
                 SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS word
                 FROM documents
             ) WHERE word <> '' GROUP BY word ORDER BY word
         """,
-        "q_text_token_count": """
+        "q_text_token_count": r"""
             SELECT doc_id,
                    LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), t -> t <> ''))::INT AS ws_tokens,
                    LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))::INT AS bpe_tokens
@@ -1032,6 +1233,19 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(LIST_DOT_PRODUCT(q, q))), 6) AS cosine
             FROM embeddings, (SELECT [1.0 FOR _ IN RANGE(64)]::DOUBLE[] AS q)
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "q_agg_cube": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "q_window_tumbling_batch": """
+            SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+                   time_bucket(INTERVAL 6 HOURS, ts) + INTERVAL 6 HOURS AS window_end,
+                   COUNT(*) AS n_events,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1
         """,
     }
 

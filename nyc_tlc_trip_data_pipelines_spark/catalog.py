@@ -48,6 +48,9 @@ def _ensure_compat(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -89,6 +89,10 @@ def extract_features(df: DataFrame, dim: int = 8, batch_hint: int = 1024) -> Dat
     Arrow-batched, one Python roundtrip per batch, output drops the
     payload immediately (never shuffle raw bytes)."""
 
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(

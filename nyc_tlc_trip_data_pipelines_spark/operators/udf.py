@@ -49,3 +49,23 @@ def revenue_builtin(extendedprice: str = "l_extendedprice", discount: str = "l_d
     """The codegen twin of :func:`revenue_pandas_udf` — what production
     plans should use."""
     return F.col(extendedprice) * (F.lit(1.0) - F.col(discount))
+
+
+def register_tokenize_udtf(spark, name: str = "tokenize_words"):
+    """Python UDTF (E26, table function): one output row per token with
+    its position and length. Registered as a SQL TVF for LATERAL joins.
+
+    UDTFs are row-at-a-time Python — acceptable for control-plane /
+    low-volume expansion; hot-path tokenization uses the codegen
+    ``text.tokenize`` instead.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int, word_len: int")
+    class TokenizeWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").lower().split()):
+                yield w, i, len(w)
+
+    spark.udtf.register(name, TokenizeWords)
+    return TokenizeWords

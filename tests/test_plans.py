@@ -1,0 +1,98 @@
+"""Physical-plan shape tests — the 100 TB contract, asserted (SURVEY.md §4).
+
+Correctness says the operator computes the right rows; these say it
+computes them with the plan you'd want on a 1000-executor cluster:
+pruned scans, pushed filters, broadcast dims, no redundant exchanges,
+bucketing eliminating the join shuffle entirely.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+from nyc_tlc_trip_data_pipelines_spark.io import write_bucketed
+from nyc_tlc_trip_data_pipelines_spark.plans import (
+    exchange_count,
+    node_count,
+    plan_string,
+    scan_read_schema,
+)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(li)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
+    assert any("l_quantity" in s for s in schemas)
+
+
+def test_agg_has_partial_and_final(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    # partial (map-side) + final hash aggregate around one exchange
+    assert node_count(out, "HashAggregate") == 2
+    assert exchange_count(out) == 1
+
+
+def test_window_shared_grain_reuses_exchange(spark, sf_dir):
+    # two windows over the same partition spec must not add a second shuffle
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    out = ev.select(
+        "event_id", F.avg("value").over(w).alias("a"), F.max("value").over(w).alias("b")
+    )
+    assert exchange_count(out) == 1
+    assert node_count(out, "Window") == 1
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", ["l_orderkey"], 8)
+    write_bucketed(o, "ord_bucketed", ["o_orderkey"], 8)
+    with_aqe_off = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        lb = spark.table("li_bucketed")
+        ob = spark.table("ord_bucketed")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        # bucketed on the join key both sides: no shuffle exchange at all
+        assert exchange_count(joined) == 0
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", with_aqe_off)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(o, on=["l_orderkey"]).count()
+    salted = salted_join(li, o, on=["l_orderkey"], salt_buckets=8).count()
+    assert salted == plain
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    top = li.orderBy(F.col("l_extendedprice").desc()).limit(7)
+    p = plan_string(top, "simple")
+    assert "TakeOrderedAndProject" in p
+    # a global Sort node would mean a range exchange of the full table
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_entry_queries_have_pruned_scans(spark):
+    """Spot-check flagship: TPC-H Q1 shape reads only the 7 needed cols."""
+    import __spark_entry__ as E
+
+    df = E.q_agg_basic(spark, "/root/testdata/sf0.001")
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_partkey" not in s for s in schemas)
