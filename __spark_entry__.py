@@ -733,6 +733,45 @@ def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, [F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()])
 
 
+def q_agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """E13c: pivot (long→wide) — order counts per priority, one column
+    per status. Explicit pivot values (no discovery scan)."""
+    o = load_table(spark, sf, "orders")
+    out = agg.pivot_agg(o, ["o_orderpriority"], "o_orderstatus", ["F", "O", "P"], F.count(F.lit(1)))
+    out = out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+    return O.sort(out, ["o_orderpriority"])
+
+
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """E10b: statistical aggregates (stddev/variance, sample)."""
+    li = load_table(spark, sf, "lineitem")
+    return O.sort(agg.stats_agg(li, ["l_returnflag"], "l_extendedprice"), ["l_returnflag"])
+
+
+def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """E10c: exact percentiles with linear interpolation."""
+    o = load_table(spark, sf, "orders")
+    return O.sort(
+        agg.percentile_agg(o, ["o_orderstatus"], "o_totalprice", (0.25, 0.5, 0.9)),
+        ["o_orderstatus"],
+    )
+
+
+def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """E12b: sketch-based approximate percentiles (no oracle — sketch;
+    rows-only). The 100 TB path for quantiles."""
+    o = load_table(spark, sf, "orders")
+    return O.sort(
+        agg.approx_percentile_agg(o, ["o_orderstatus"], "o_totalprice", (0.5,)),
+        ["o_orderstatus"],
+    )
+
+
 def q_window_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
     """E31 (batch form): tumbling event-time windows via F.window —
     oracle-checkable against DuckDB time_bucket."""
@@ -945,8 +984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_pairwise": q_similarity_pairwise,
-        # grouping sets + batch tumbling windows
+        # grouping sets + batch tumbling windows + agg extensions
         "q_agg_cube": q_agg_cube,
+        "q_agg_pivot": q_agg_pivot,
+        "q_agg_stats": q_agg_stats,
+        "q_agg_percentile": q_agg_percentile,
+        "q_agg_approx_percentile": q_agg_approx_percentile,
         "q_window_tumbling_batch": q_window_tumbling_batch,
         # streaming (E31-E35)
         "q_stream_tumbling": q_stream_tumbling,
@@ -1239,6 +1282,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "q_agg_pivot": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_agg_stats": """
+            SELECT l_returnflag,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 6) AS stddev_v,
+                   ROUND(VAR_SAMP(l_extendedprice), 6) AS var_v,
+                   ROUND(MIN(l_extendedprice), 6) AS min_v,
+                   ROUND(MAX(l_extendedprice), 6) AS max_v
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_agg_percentile": """
+            SELECT o_orderstatus,
+                   ROUND(QUANTILE_CONT(o_totalprice, 0.25), 6) AS p25,
+                   ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS p50,
+                   ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "q_window_tumbling_batch": """
             SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,

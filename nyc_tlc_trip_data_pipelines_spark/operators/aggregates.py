@@ -60,6 +60,59 @@ def count_distinct_agg(df: DataFrame, keys: Sequence[str], col: str, alias: str)
     return df.groupBy(*keys).agg(F.countDistinct(col).alias(alias))
 
 
+def pivot_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg_expr: Column,
+) -> DataFrame:
+    """Pivot (long → wide): one output column per pivot value.
+
+    ``pivot_values`` is explicit — at scale, never let Spark run the
+    extra distinct-scan to discover them (and unbounded value sets make
+    unbounded schemas).
+    """
+    return df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).agg(agg_expr)
+
+
+def stats_agg(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance (sample), skew-free
+    single pass — all partial-aggregable, shuffle = key cardinality."""
+    return df.groupBy(*keys).agg(
+        F.round(F.stddev(col), 6).alias("stddev_v"),
+        F.round(F.var_samp(col), 6).alias("var_v"),
+        F.round(F.min(col), 6).alias("min_v"),
+        F.round(F.max(col), 6).alias("max_v"),
+    )
+
+
+def percentile_agg(
+    df: DataFrame, keys: Sequence[str], col: str, percentiles: Sequence[float] = (0.5,)
+) -> DataFrame:
+    """Exact percentiles (linear interpolation). Exact percentile is a
+    full-sort-per-key operator; the 100 TB path is
+    :func:`approx_percentile_agg` (mergeable t-digest-style sketch)."""
+    out = df.groupBy(*keys)
+    aggs = [
+        F.round(F.percentile(col, F.lit(p)), 6).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return out.agg(*aggs)
+
+
+def approx_percentile_agg(
+    df: DataFrame, keys: Sequence[str], col: str, percentiles: Sequence[float] = (0.5,), accuracy: int = 10000
+) -> DataFrame:
+    """Approximate percentiles: constant-memory mergeable sketch — the
+    scale path for quantiles."""
+    aggs = [
+        F.round(F.percentile_approx(col, F.lit(p), F.lit(accuracy)), 6).alias(f"ap{int(p * 100)}")
+        for p in percentiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def approx_count_distinct_agg(
     df: DataFrame, keys: Sequence[str], col: str, alias: str, rsd: float = 0.05
 ) -> DataFrame:
