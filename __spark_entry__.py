@@ -707,6 +707,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(TX.jaccard_ngram_pairs(docs, n=3, threshold=0.8), ["id_a", "id_b"])
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: dedup keeping the preferred copy per group — here the
+    longest (then lowest-id) document per (lang, source) group."""
+    docs = load_table(spark, sf, "documents")
+    out = TX.dedup_keep_best(
+        docs,
+        ["lang", "source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return O.sort(out.select("lang", "source", "doc_id", "n_chars"), ["lang", "source"])
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: seeded stratified sampling per language — training-mix
+    rebalancing. Sampling is engine-specific (rows-only); determinism
+    across re-runs comes from the fixed seed."""
+    docs = load_table(spark, sf, "documents")
+    fractions = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.2, "zh": 0.1}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return O.sort(
+        sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")), ["lang"]
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """E30: brute-force cosine top-k against a fixed query vector."""
     em = load_table(spark, sf, "embeddings")
@@ -982,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_sample_stratified": q_sample_stratified,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_pairwise": q_similarity_pairwise,
         # grouping sets + batch tumbling windows + agg extensions
@@ -1265,9 +1291,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_text_token_count": r"""
             SELECT doc_id,
-                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), t -> t <> ''))::INT AS ws_tokens,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'), t -> t <> ''))::INT AS ws_tokens,
                    LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))::INT AS bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "q_dedup_keep_best": """
+            SELECT lang, source, doc_id, n_chars FROM (
+                SELECT lang, source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang, source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn = 1 ORDER BY lang, source
         """,
         "q_similarity_topk": """
             SELECT vec_id,

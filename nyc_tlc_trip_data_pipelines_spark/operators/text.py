@@ -255,19 +255,66 @@ def simhash_signatures(
     return agged.select(id_col, packed.alias("simhash"))
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    group_cols: Sequence[str] | Column,
+    order_by: Sequence[Column],
+    tmp_col: str = "__rn",
+) -> DataFrame:
+    """Dedup keeping the preferred row per duplicate group — the shape a
+    training-data pipeline actually needs (keep the highest-quality copy,
+    not an arbitrary one like ``dropDuplicates``).
+
+    ``group_cols`` may be a fingerprint expression (e.g.
+    :func:`fingerprint`) so grouping shuffles 8-byte hashes, not full
+    text. One hash exchange + per-group sort; no global sort.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, Column):
+        df = df.withColumn("__group", group_cols)
+        part = ["__group"]
+    else:
+        part = list(group_cols)
+    w = Window.partitionBy(*part).orderBy(*order_by)
+    out = df.withColumn(tmp_col, F.row_number().over(w)).filter(F.col(tmp_col) == 1).drop(tmp_col)
+    return out.drop("__group") if isinstance(group_cols, Column) else out
+
+
 def jaccard_ngram_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, threshold: float = 0.3
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join:
     explode distinct shingles → self-join on shingle → count common /
-    (|A| + |B| − common). Shuffle = postings list, not pairs."""
+    (|A| + |B| − common). Shuffle = postings list, not pairs.
+
+    Two exact prunings (standard set-similarity-join techniques, cf.
+    PPJoin, Xiao et al. 2008):
+    - postings are persisted before the self-join (both sides otherwise
+      recompute shingling);
+    - length filter inside the join condition — Jaccard(A,B) ≥ t forces
+      t·|B| ≤ |A| (for |A| ≤ |B|), so size-incompatible pairs never
+      reach the aggregate. Hashing shingles to 64-bit before the join
+      keeps the shuffle rows fixed-width.
+    """
     shingled = df.select(
         F.col(id_col), F.array_distinct(ngrams(tokenize(text_col), n)).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    posts = shingled.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    posts = shingled.select(
+        id_col, "n_sh", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle")
+    ).persist()
     a, b = posts.alias("a"), posts.alias("b")
     common = (
-        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                # length filter: min/max sizes must be Jaccard-compatible
+                F.least("a.n_sh", "b.n_sh").cast("double")
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh"),
+            ],
+        )
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
