@@ -807,6 +807,99 @@ def q_window_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQL surface: classic TPC-H-shaped queries via spark.sql over the
+# registered catalog views (adapted to the driver tables' columns). The
+# engine's SQL front-end is Spark SQL itself; these prove the views +
+# session semantics compose (R18 CTEs, joins, aggregation in pure SQL).
+# --------------------------------------------------------------------------
+
+
+def _register(spark: SparkSession, sf: str) -> None:
+    from nyc_tlc_trip_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf)
+
+
+def q_sql_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority), adapted: top-10 unshipped
+    orders by revenue for one market segment."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               CAST(o_orderdate AS DATE) AS orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+def q_sql_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume), adapted: revenue per
+    nation for orders in one year, grouped by supplier nation (co-nationality
+    dropped: the 10-supplier driver table makes it empty)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+def q_sql_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — scan-heavy single-table
+    filter + aggregate; the pushdown showcase."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+def q_sql_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / priority classes), adapted to
+    the available columns: per linestatus, urgent vs non-urgent order
+    counts with a late-shipment filter — CASE-in-aggregate in pure SQL."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 90 DAYS
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming (E31-E35): events replayed as a file stream, availableNow →
 # memory sink. No SQL oracle (DuckDB has no streams); the driver records
 # rows-only, and batch-stream equivalence is asserted in tests/.
@@ -857,6 +950,19 @@ def q_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
     aggd = ST.tumbling_window_agg(ST.with_watermark(stream, "ts", "30 minutes"), "ts", "6 hours")
     out = ST.run_to_memory_sink(aggd, "q_stream_watermark_sink", output_mode="append")
     return O.sort(out, ["window_start"])
+
+
+def q_stream_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    """E35 (full form): custom stateful operator (applyInPandasWithState
+    running totals); final per-key update == batch aggregate."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    updates = ST.stateful_running_totals(stream, "user_id", "value")
+    out = ST.run_to_memory_sink(updates, "q_stream_stateful_sink", output_mode="update")
+    # last update per key = final running totals
+    final = W.top_n_per_group(out, ["key"], [F.col("n_events").desc()], n=1)
+    return O.sort(final, ["key"])
 
 
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1017,12 +1123,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_percentile": q_agg_percentile,
         "q_agg_approx_percentile": q_agg_approx_percentile,
         "q_window_tumbling_batch": q_window_tumbling_batch,
+        # SQL surface (TPC-H shapes over registered views)
+        "q_sql_tpch_q3": q_sql_tpch_q3,
+        "q_sql_tpch_q5": q_sql_tpch_q5,
+        "q_sql_tpch_q6": q_sql_tpch_q6,
+        "q_sql_tpch_q12": q_sql_tpch_q12,
         # streaming (E31-E35)
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_sliding": q_stream_sliding,
         "q_stream_session": q_stream_session,
         "q_stream_watermark": q_stream_watermark,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_stateful": q_stream_stateful,
         # remaining north-star surface
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_lsh": q_ann_lsh,
@@ -1316,6 +1428,51 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "q_sql_tpch_q3": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(o_orderdate AS DATE) AS orderdate
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q_sql_tpch_q5": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "q_sql_tpch_q6": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q_sql_tpch_q12": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= o_orderdate
+              AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
         """,
         "q_agg_pivot": """
             SELECT o_orderpriority,

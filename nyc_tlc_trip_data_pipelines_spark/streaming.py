@@ -18,6 +18,7 @@ key — same skew rules as batch groupBy.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -127,6 +128,47 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str | None = None, dela
     if df.isStreaming and ts_col is not None:
         return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def stateful_running_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """E35 (full form): custom stateful operator via
+    ``applyInPandasWithState`` — per-key running (count, sum) carried in
+    a GroupState across micro-batches, one update row emitted per key
+    per batch it appears in.
+
+    Batch equivalence: the per-key LAST update equals the batch
+    ``groupBy(key).agg(count, sum)`` (asserted in tests). State is one
+    (long, double) pair per key — bounded by key cardinality; pair with
+    a timeout in production for unbounded key spaces.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]})
+
+    if df.isStreaming:
+        from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+        ensure_package_on_executors(df.sparkSession)
+        return df.groupBy(key_col).applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    # batch twin: same output contract, computed with a plain aggregate
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum(value_col), 6).alias("sum_value")
+    )
 
 
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:

@@ -66,6 +66,24 @@ def test_stream_dedup(spark, replay_dir):
     assert got.select("user_id", "event_type").distinct().count() == expect.count()
 
 
+def test_stateful_running_totals_batch_equivalence(spark, replay_dir):
+    from pyspark.sql import functions as F
+
+    schema = _batch_df(spark, replay_dir).schema
+    stream = ST.read_file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+    updates = ST.stateful_running_totals(stream, "user_id", "value")
+    got = ST.run_to_memory_sink(updates, "stateful_test", output_mode="update")
+    # last (largest-count) update per key == plain batch aggregate
+    final = (
+        got.groupBy("key")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("key", "s.n_events", "s.sum_value")
+    )
+    expect = ST.stateful_running_totals(_batch_df(spark, replay_dir), "user_id", "value")
+    cols = ["key", "n_events", "sum_value"]
+    assert _rows(final, cols) == _rows(expect, cols)
+
+
 def test_watermark_is_set(spark, replay_dir):
     schema = _batch_df(spark, replay_dir).schema
     stream = ST.read_file_stream(spark, replay_dir, schema)
