@@ -32,7 +32,10 @@ HEADLINE = [
     "q_groupby_avg_orderby",
     "q_text_wordcount",
     "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
     "q_similarity_topk",
+    "q_sql_tpch_q3",
+    "q_sql_tpch_q6",
 ]
 
 

@@ -41,7 +41,20 @@ def exchange_count(df: DataFrame) -> int:
     driver. Lower is better; bucketing/broadcasting exist to remove these.
     Counted on the simple plan (formatted mode prints each node twice)."""
     s = plan_string(df, "simple")
-    return sum(1 for line in s.splitlines() if "Exchange" in line and "Reused" not in line)
+    return sum(
+        1
+        for line in s.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line and "Reused" not in line
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen stages (the ``*(n)`` markers in the simple
+    plan). Zero on an un-finalized AQE plan is normal — check after an
+    action or on subtrees."""
+    import re
+
+    return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple"))))
 
 
 def node_count(df: DataFrame, node: str) -> int:
