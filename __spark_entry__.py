@@ -575,6 +575,54 @@ def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_null_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """E21b: null-handling scalars — coalesce, nullif, greatest, least,
+    isnull arithmetic."""
+    li = load_table(spark, sf, "lineitem")
+    return O.sort(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag_or_none"),
+            F.round(F.greatest("l_discount", "l_tax"), 6).alias("max_rate"),
+            F.round(F.least("l_discount", "l_tax"), 6).alias("min_rate"),
+            F.when(F.col("l_quantity").isNull(), 0).otherwise(1).alias("qty_present"),
+        ),
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """E25b: typed JSON parsing (from_json → struct) + map construction
+    and element access."""
+    ev = load_table(spark, sf, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k INT").alias("p"),
+        F.create_map(F.lit("type"), F.col("event_type")).alias("m"),
+    )
+    return O.sort(
+        parsed.select(
+            "event_id",
+            F.col("p.k").alias("k_typed"),
+            F.element_at("m", "type").alias("type_from_map"),
+        ),
+        ["event_id"],
+    )
+
+
+def q_array_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    """E24b: positional explode — element index survives the expansion."""
+    em = load_table(spark, sf, "embeddings")
+    out = em.filter(F.col("vec_id") < 10).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    return O.sort(
+        out.select("vec_id", "pos", F.round(F.col("x").cast("double"), 6).alias("x")),
+        ["vec_id", "pos"],
+    )
+
+
 def q_array_explode(spark: SparkSession, sf: str) -> DataFrame:
     """E24: array surface — size + element stats via explode."""
     em = load_table(spark, sf, "embeddings")
@@ -1100,7 +1148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_funcs": q_date_funcs,
         "q_math_funcs": q_math_funcs,
         "q_array_explode": q_array_explode,
+        "q_array_posexplode": q_array_posexplode,
         "q_json_extract": q_json_extract,
+        "q_null_funcs": q_null_funcs,
+        "q_map_funcs": q_map_funcs,
         "q_udf_scalar": q_udf_scalar,
         "q_udaf_grouped": q_udaf_grouped,
         "q_udtf_tokenize": q_udtf_tokenize,
@@ -1369,6 +1420,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(CAST(x AS DOUBLE)), 6) AS max_x
             FROM embeddings, UNNEST(embedding) AS t(x)
             GROUP BY vec_id, dim ORDER BY vec_id
+        """,
+        "q_null_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+                   ROUND(GREATEST(l_discount, l_tax), 6) AS max_rate,
+                   ROUND(LEAST(l_discount, l_tax), 6) AS min_rate,
+                   CASE WHEN l_quantity IS NULL THEN 0 ELSE 1 END AS qty_present
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "q_map_funcs": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+                   event_type AS type_from_map
+            FROM events ORDER BY event_id
+        """,
+        "q_array_posexplode": """
+            SELECT vec_id, (g - 1)::INT AS pos,
+                   ROUND(CAST(embedding[g] AS DOUBLE), 6) AS x
+            FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS s(g)
+            WHERE vec_id < 10 ORDER BY vec_id, pos
         """,
         "q_json_extract": """
             SELECT event_type, COUNT(*) AS n_events,

@@ -49,20 +49,31 @@ def word_count(df: DataFrame, text_col: str = "text", word_alias: str = "word", 
 
 def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
     """Token n-grams (shingles) via slide-free higher-order expression:
-    transform over positions, JVM-side."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), sep),
-    )
+    transform over positions, JVM-side.
+
+    Guarded for short inputs: Spark's ``sequence(a, b)`` counts DOWN
+    when b < a, which would fabricate bogus grams for len(tokens) < n.
+    """
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_shingles(text: str | Column, k: int = 5) -> Column:
-    """Character k-shingles of a (lowercased) document."""
+    """Character k-shingles of a (lowercased) document. Documents shorter
+    than k yield an empty array (see ngrams note on sequence direction)."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(0))),
-        lambda i: F.substring(c, i, k),
-    )
+    return F.when(
+        F.length(c) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - k + 1),
+            lambda i: F.substring(c, i, k),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(text: str | Column, bpe_like: bool = False) -> Column:
