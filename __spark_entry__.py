@@ -755,6 +755,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(TX.jaccard_ngram_pairs(docs, n=3, threshold=0.8), ["id_a", "id_b"])
 
 
+def q_text_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: token-budgeted document packing (training-batch
+    construction) — running-sum window over token counts."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(
+        TX.pack_documents(docs, token_budget=2000).select("doc_id", "n_tokens", "pack_id"),
+        ["doc_id"],
+    )
+
+
+def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """E-merge: upsert semantics (anti-join + union) — customer balances
+    overridden by a derived updates set."""
+    c = load_table(spark, sf, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 6)
+    )
+    merged = O.upsert(c, updates, ["c_custkey"])
+    return O.sort(
+        merged.select("c_custkey", F.round("c_acctbal", 6).alias("acctbal")),
+        ["c_custkey"],
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """North star: dedup keeping the preferred copy per group — here the
     longest (then lowest-id) document per (lang, source) group."""
@@ -1165,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_sample_stratified": q_sample_stratified,
+        "q_text_pack": q_text_pack,
+        "q_upsert": q_upsert,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_pairwise": q_similarity_pairwise,
         # grouping sets + batch tumbling windows + agg extensions
@@ -1477,6 +1503,22 @@ def oracle_sql() -> dict[str, str]:
                    LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'), t -> t <> ''))::INT AS ws_tokens,
                    LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))::INT AS bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "q_text_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'), x -> x <> ''))::INT AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS pack_id
+            FROM t ORDER BY doc_id
+        """,
+        "q_upsert": """
+            SELECT c_custkey,
+                   ROUND(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END, 6) AS acctbal
+            FROM customer ORDER BY c_custkey
         """,
         "q_dedup_keep_best": """
             SELECT lang, source, doc_id, n_chars FROM (

@@ -39,6 +39,26 @@ def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame
     return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
 
 
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Merge/upsert semantics without a transactional table format:
+    rows from ``updates`` replace same-key rows in ``base``; unmatched
+    rows pass through (SQL ``MERGE ... WHEN MATCHED UPDATE WHEN NOT
+    MATCHED INSERT``). Pure DataFrame formulation: anti-join + union —
+    one shuffle on the key, no driver-side row handling.
+
+    At 100 TB: partition both sides on the key at write time so the
+    anti-join co-locates; with a transactional format (Delta/Iceberg)
+    this becomes a native MERGE with file-level pruning.
+    """
+    keys = list(keys)
+    kept = base.join(updates.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
 def union_all(a: DataFrame, b: DataFrame, by_name: bool = True) -> DataFrame:
     """UNION ALL (E19) — no shuffle at all, just concatenated partitions."""
     return a.unionByName(b) if by_name else a.union(b)

@@ -266,6 +266,50 @@ def simhash_signatures(
     return agged.select(id_col, packed.alias("simhash"))
 
 
+def pack_documents(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Token-budgeted document packing: assign each doc a ``pack_id`` so
+    cumulative token counts within a pack stay ≤ budget (greedy in
+    deterministic id order) — the batch-construction primitive of a
+    training-data pipeline.
+
+    Packing is a running-sum window: cum_tokens over doc order, pack =
+    floor((cum - tokens) / budget) is NOT exact greedy; instead we use
+    the standard approximation pack = floor(cum_before / budget), which
+    can overflow a pack by < one doc — the accepted distributed
+    formulation (exact greedy is inherently sequential). Deterministic
+    given the ordering.
+
+    At scale, partition the window by a shard column (e.g.
+    ``pmod(hash(id), n_shards)``) so no single task sorts the corpus;
+    packs are then unique per (shard, pack_id).
+    """
+    from pyspark.sql import Window
+
+    toks = token_count(text_col).alias("n_tokens")
+    base = df.select(F.col(id_col), toks)
+    if shard_col is None:
+        w = Window.orderBy(id_col)
+        shard = F.lit(0)
+    else:
+        base = base.withColumn("__shard", shard_col)
+        w = Window.partitionBy("__shard").orderBy(id_col)
+        shard = F.col("__shard")
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    out = base.select(
+        id_col,
+        "n_tokens",
+        shard.alias("shard"),
+        F.floor(F.coalesce(cum, F.lit(0)) / F.lit(token_budget)).cast("long").alias("pack_id"),
+    )
+    return out
+
+
 def dedup_keep_best(
     df: DataFrame,
     group_cols: Sequence[str] | Column,
