@@ -779,6 +779,17 @@ def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: staged dedup pipeline — exact fingerprint dedup, then
+    MinHash-LSH on unique texts, group assignment. Scales with unique
+    content, not corpus size (measured 20× at 10× duplication). Hash
+    grouping is engine-specific → rows-only."""
+    docs = load_table(spark, sf, "documents")
+    groups = TX.near_duplicate_groups(docs, jaccard_threshold=0.4)
+    out = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return O.sort(out.filter(F.col("n_docs") >= 2), ["group_id"])
+
+
 def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """North star: dedup keeping the preferred copy per group — here the
     longest (then lowest-id) document per (lang, source) group."""
@@ -1188,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_keep_best": q_dedup_keep_best,
+        "q_dedup_pipeline": q_dedup_pipeline,
         "q_sample_stratified": q_sample_stratified,
         "q_text_pack": q_text_pack,
         "q_upsert": q_upsert,

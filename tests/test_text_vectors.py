@@ -61,6 +61,21 @@ def test_simhash_deterministic(spark):
     assert a == b
 
 
+def test_near_duplicate_groups_staged(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running " * 4
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark shuffles and parquet " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other), (5, other)],
+        "doc_id long, text string",
+    )
+    groups = {r.doc_id: r.group_id for r in TX.near_duplicate_groups(df, jaccard_threshold=0.5).collect()}
+    assert groups[1] == groups[2] == 1          # exact dups collapse
+    assert groups[3] == 1                        # near-dup links to the rep
+    assert groups[4] == groups[5] == 4           # other cluster separate
+    assert len(groups) == 5                      # every doc assigned
+
+
 def test_jaccard_ngram_pairs_exact(spark):
     a = "w1 w2 w3 w4 w5 w6"
     df = spark.createDataFrame([(1, a), (2, a), (3, "x1 x2 x3 x4")], "doc_id long, text string")
