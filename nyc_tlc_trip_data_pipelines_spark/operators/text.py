@@ -244,6 +244,7 @@ def near_duplicate_groups(
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
+    transitive: bool = False,
 ) -> DataFrame:
     """Production dedup pipeline: exact-dedup FIRST, then MinHash-LSH on
     unique texts only. Returns (doc_id, group_id) where group_id is the
@@ -258,8 +259,9 @@ def near_duplicate_groups(
     grows at 100 TB.
 
     Near-dup links are resolved one level (group = min over direct
-    neighbors); full transitive closure is iterative connected
-    components (future work — needs a loop, same join primitive).
+    neighbors) by default; pass ``transitive=True`` for full connected
+    components (iterative min-label propagation,
+    ``operators.graph.connected_components``).
     """
     fp = df.select(F.col(id_col), F.col(text_col), fingerprint(text_col).alias("__fp"))
     reps = fp.groupBy("__fp").agg(
@@ -274,11 +276,19 @@ def near_duplicate_groups(
         shingle_k=shingle_k,
         jaccard_threshold=jaccard_threshold,
     )
-    # representative -> smallest linked representative (one resolution step)
-    links = pairs.select(F.col("id_b").alias("rep_id"), F.col("id_a").alias("linked"))
-    rep_group = reps.select("__fp", "rep_id").join(links, on="rep_id", how="left").groupBy(
-        "__fp", "rep_id"
-    ).agg(F.least(F.min("linked"), F.first("rep_id")).alias("group_id"))
+    if transitive:
+        from nyc_tlc_trip_data_pipelines_spark.operators.graph import connected_components
+
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        rep_group = reps.select("__fp", "rep_id").join(
+            comp, reps.rep_id == comp.node, "left"
+        ).select("__fp", "rep_id", F.coalesce("component", "rep_id").alias("group_id"))
+    else:
+        # representative -> smallest linked representative (one resolution step)
+        links = pairs.select(F.col("id_b").alias("rep_id"), F.col("id_a").alias("linked"))
+        rep_group = reps.select("__fp", "rep_id").join(links, on="rep_id", how="left").groupBy(
+            "__fp", "rep_id"
+        ).agg(F.least(F.min("linked"), F.first("rep_id")).alias("group_id"))
     return fp.join(rep_group, on="__fp").select(id_col, "group_id")
 
 

@@ -76,6 +76,32 @@ def test_near_duplicate_groups_staged(spark):
     assert len(groups) == 5                      # every doc assigned
 
 
+def test_connected_components_chain(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 plus isolated pair 10-11: two components
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_near_duplicate_groups_transitive(spark):
+    # measured est_jaccard: a~b 0.75, b~c 0.78, a~c 0.656 — threshold 0.7
+    # gives the chain a-b-c with no direct a-c edge
+    base = "alpha beta gamma delta epsilon zeta kappa theta iota mu "
+    a = base * 4
+    b = (base.replace("beta", "bXta")) * 4
+    c = (base.replace("beta", "bXta").replace("kappa", "kXppa")) * 4
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    flat = {r.doc_id: r.group_id for r in TX.near_duplicate_groups(df, jaccard_threshold=0.7).collect()}
+    trans = {r.doc_id: r.group_id for r in TX.near_duplicate_groups(df, jaccard_threshold=0.7, transitive=True).collect()}
+    assert trans[1] == trans[2] == trans[3] == 1
+    assert len(flat) == 3  # flat mode still assigns everyone
+
+
 def test_jaccard_ngram_pairs_exact(spark):
     a = "w1 w2 w3 w4 w5 w6"
     df = spark.createDataFrame([(1, a), (2, a), (3, "x1 x2 x3 x4")], "doc_id long, text string")
