@@ -1119,6 +1119,39 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return O.top_k(pairs, [F.col("cosine").desc(), F.col("id_a"), F.col("id_b")], 50)
 
 
+def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (iterative algorithm): connected components over the
+    MinHash near-dup pair graph — component sizes. Iterative joins are
+    not SQL-expressible → rows-only."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = TX.minhash_near_duplicates(docs, jaccard_threshold=0.4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    out = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    return O.sort(out, ["component"])
+
+
+def q_stream_foreach_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """E35b: foreachBatch parquet sink — batch-id-stamped appends,
+    readback row count must equal the source."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    d = tempfile.mkdtemp(prefix="fbsink_")
+    q = ST.foreach_batch_parquet_sink(
+        stream.select("event_id", "user_id", "value"),
+        os.path.join(d, "out"),
+        os.path.join(d, "ckpt"),
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(d, "out"))
+    return spark.createDataFrame(
+        [(back.count(), back.select("__batch_id").distinct().count() > 0)],
+        "n_rows bigint, has_batches boolean",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """North star: multimodal plumbing — binary payloads through the
     Arrow mapInPandas feature extractor (decode kernel stubbed:
@@ -1224,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_watermark": q_stream_watermark,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_stateful": q_stream_stateful,
+        "q_stream_foreach_batch": q_stream_foreach_batch,
+        "q_graph_components": q_graph_components,
         # remaining north-star surface
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_lsh": q_ann_lsh,

@@ -171,6 +171,27 @@ def stateful_running_totals(
     )
 
 
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+) -> "StreamingQuery":  # noqa: F821
+    """Production-shaped sink: ``foreachBatch`` appends each micro-batch
+    to a parquet table (the hook where real deployments do merges,
+    multi-sink fan-out, or idempotent upserts keyed on batch_id).
+    Runs with availableNow and returns the started query."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a stream to completion over all currently-available input
     (availableNow trigger) and return the result as a static DataFrame.
