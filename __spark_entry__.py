@@ -1169,6 +1169,347 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-series operators (north star: events/log pipeline surface).
+# Sessionization / as-of / gap-fill — single-shuffle formulations
+# (operators/timeseries.py), not nested-loop range joins.
+# --------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization: 30-min-gap sessions per user over events,
+    collapsed to per-session stats. One shuffle on user_id; both window
+    passes share the (user_id, ts) spec."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf, "events")
+    sess = TS.sessionize(ev, "user_id", "ts", 1800, tiebreak_cols=("event_id",))
+    return TS.session_stats(sess, "user_id", "ts")
+
+
+def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (latest prior purchase per click) via the union-merge
+    window formulation — O(n log n), one shuffle, vs DuckDB ASOF LEFT JOIN."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = TS.asof_join(clicks, purchases, "user_id", "ts", "ts", "last_purchase_ts")
+    return out.select(
+        "event_id", "user_id", F.col("ts").alias("click_ts"), "last_purchase_ts"
+    )
+
+
+def q_time_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly spine left-joined with aggregated facts, gaps
+    zero-filled. Spine and aggregated facts are both bucket-sized, so the
+    join is broadcast — the fact table shuffles only for its own groupBy."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf, "events")
+    spine = TS.time_spine(
+        spark, "2024-01-01 00:00:00", "2024-01-30 23:00:00", "1 hour", "bucket_ts"
+    )
+    facts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return TS.gapfill(spine, facts, "bucket_ts", ["n_events", "sum_value"])
+
+
+# --------------------------------------------------------------------------
+# Window/aggregate surface extensions
+# --------------------------------------------------------------------------
+
+
+def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """E15b: distribution windows — percent_rank, cume_dist, ntile(4) per
+    nation ordered by account balance (unique tie-break on custkey)."""
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def q_agg_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """E10d: conditional + correlation aggregates — count_if, bool_or,
+    median, corr, covar_samp per order priority."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.round(F.median("o_totalprice"), 6).alias("med_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("covar_price_cust"),
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """E13b: explicit GROUPING SETS with grouping() indicator columns
+    (finer-grained than ROLLUP/CUBE — exactly the requested sets)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational completion: unpivot/melt wide aggregates to long form
+    (Spark ``DataFrame.unpivot``; oracle is the UNION ALL expansion)."""
+    li = load_table(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram binning on price (floor-div bucketing) —
+    the scalable binning shape: one map-side projection + hash agg."""
+    li = load_table(spark, sf, "lineitem")
+    bucket = (F.floor(F.col("l_extendedprice") / 5000) * 5000).cast("long")
+    return li.select(bucket.alias("price_bucket")).groupBy("price_bucket").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar / array surface extensions
+# --------------------------------------------------------------------------
+
+
+def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """E24b: array functions beyond explode — size, min/max, element_at,
+    slice + higher-order aggregate (dot-product building block)."""
+    e = load_table(spark, sf, "embeddings")
+    head4_sum = F.aggregate(
+        F.slice(F.col("embedding"), 1, 4),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("arr_max"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("arr_min"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("head"),
+        F.round(head4_sum, 6).alias("head4_sum"),
+    )
+
+
+def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """E21b: string-distance functions — levenshtein edit distance
+    (fuzzy-matching building block for entity resolution)."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.lower("p_brand"), F.lower("p_type")).cast("long").alias("lev_brand_type"),
+        F.levenshtein(F.lower("p_name"), F.lower("p_brand")).cast("long").alias("lev_name_brand"),
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (text analysis): TF-IDF top-5 terms per document.
+    Corpus size enters via a broadcast one-row crossJoin (no driver
+    collect); ranking tie-broken on (rounded score, term) so the result
+    is deterministic on both engines."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+def q_text_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (text analysis): corpus bigram counts via the
+    higher-order ngrams expression (JVM-side, no Python UDF)."""
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(F.explode(TX.ngrams(TX.tokenize("text"), 2)).alias("bigram"))
+    return grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_window_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """E16b: first_value / last_value / nth_value over an explicit
+    unbounded frame (the frame spec is the point — last_value under the
+    default frame would be the current row)."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+def q_agg_collect_list(spark: SparkSession, sf: str) -> DataFrame:
+    """E11b: grouped array construction — array_sort(collect_list) so the
+    result is set-deterministic despite Spark's unordered aggregation."""
+    c = load_table(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL surface: subqueries + more TPC-H shapes
+# --------------------------------------------------------------------------
+
+
+def q_subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery in WHERE (price above global mean).
+    Threshold rounded to cents on both sides for float determinism."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+def q_sql_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted to available
+    columns: correlated EXISTS — orders with a line shipped within 30
+    days of the order date."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate < o_orderdate + INTERVAL 30 DAYS
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_sql_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    returned revenue in a quarter — 3-way join + agg + deterministic top-k."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+def q_sql_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregate ratio over a
+    fact⋈dim join — Catalyst broadcasts the part side."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT ROUND(
+                 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+        """
+    )
+
+
+def q_sql_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): IN-subquery with HAVING over
+    a grouped aggregate, then join + re-aggregate."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+               ROUND(o_totalprice, 4) AS totalprice,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
+
+
+def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.py salted_join): result must
+    equal the plain equi-join — oracle is the unsalted SQL. At 100 TB this
+    is the fallback when AQE skew-splitting isn't enough."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import skew
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    j = skew.salted_join(o, c, ["o_custkey"], salt_buckets=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
 
@@ -1259,6 +1600,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stateful": q_stream_stateful,
         "q_stream_foreach_batch": q_stream_foreach_batch,
         "q_graph_components": q_graph_components,
+        # time-series surface
+        "q_sessionize": q_sessionize,
+        "q_join_asof": q_join_asof,
+        "q_time_gapfill": q_time_gapfill,
+        # window/agg extensions (round 1b)
+        "q_window_distribution": q_window_distribution,
+        "q_agg_conditional": q_agg_conditional,
+        "q_agg_grouping_sets": q_agg_grouping_sets,
+        "q_unpivot": q_unpivot,
+        "q_histogram": q_histogram,
+        "q_array_funcs": q_array_funcs,
+        "q_string_distance": q_string_distance,
+        # text + window/agg extensions (round 1b, part 2)
+        "q_text_tfidf": q_text_tfidf,
+        "q_text_bigrams": q_text_bigrams,
+        "q_window_first_last": q_window_first_last,
+        "q_agg_collect_list": q_agg_collect_list,
+        # SQL subqueries + TPC-H shapes (round 1b)
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_sql_tpch_q4": q_sql_tpch_q4,
+        "q_sql_tpch_q10": q_sql_tpch_q10,
+        "q_sql_tpch_q14": q_sql_tpch_q14,
+        "q_sql_tpch_q18": q_sql_tpch_q18,
+        "q_join_salted": q_join_salted,
         # remaining north-star surface
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_lsh": q_ann_lsh,
@@ -1662,6 +2027,223 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(AVG(value), 6) AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY 1
+        """,
+        "q_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR (CAST(floor(epoch(ts)) AS BIGINT)
+                                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                     - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "q_join_asof": """
+            SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS last_purchase_ts
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q_time_gapfill": """
+            WITH spine AS (
+                SELECT generate_series AS bucket_ts
+                FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                     TIMESTAMP '2024-01-30 23:00:00',
+                                     INTERVAL 1 HOUR)
+            ), facts AS (
+                SELECT date_trunc('hour', ts) AS bucket_ts,
+                       COUNT(*) AS n_events,
+                       ROUND(SUM(value), 6) AS sum_value
+                FROM events GROUP BY 1
+            )
+            SELECT s.bucket_ts,
+                   COALESCE(f.n_events, 0) AS n_events,
+                   COALESCE(f.sum_value, 0) AS sum_value
+            FROM spine s LEFT JOIN facts f USING (bucket_ts)
+        """,
+        "q_window_distribution": """
+            SELECT c_custkey, c_nationkey,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS cume,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        """,
+        "q_agg_conditional": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+                   bool_or(o_orderstatus = 'F') AS any_f,
+                   ROUND(MEDIAN(o_totalprice), 6) AS med_price,
+                   ROUND(CORR(o_totalprice, o_custkey), 6) AS corr_price_cust,
+                   ROUND(COVAR_SAMP(o_totalprice, o_custkey), 2) AS covar_price_cust
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_agg_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q_unpivot": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       ROUND(SUM(l_quantity), 4) AS sum_qty,
+                       ROUND(SUM(l_extendedprice), 4) AS sum_price,
+                       ROUND(SUM(l_discount), 4) AS sum_disc
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS val FROM wide
+        """,
+        "q_histogram": """
+            SELECT CAST(FLOOR(l_extendedprice / 5000) * 5000 AS BIGINT) AS price_bucket,
+                   COUNT(*) AS n_items
+            FROM lineitem GROUP BY 1
+        """,
+        "q_array_funcs": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS arr_max,
+                   ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS arr_min,
+                   ROUND(CAST(embedding[1] AS DOUBLE), 6) AS head,
+                   ROUND(list_aggregate(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+                                        'sum'), 6) AS head4_sum
+            FROM embeddings
+        """,
+        "q_string_distance": """
+            SELECT p_partkey,
+                   CAST(levenshtein(lower(p_brand), lower(p_type)) AS BIGINT) AS lev_brand_type,
+                   CAST(levenshtein(lower(p_name), lower(p_brand)) AS BIGINT) AS lev_name_brand
+            FROM part
+        """,
+        "q_subquery_scalar": """
+            SELECT o_orderstatus, COUNT(*) AS n_above
+            FROM orders
+            WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) FROM orders)
+            GROUP BY o_orderstatus
+        """,
+        "q_sql_tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q_sql_tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q_sql_tpch_q14": """
+            SELECT ROUND(
+                     100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+        """,
+        "q_sql_tpch_q18": """
+            SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+                   ROUND(o_totalprice, 4) AS totalprice,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+            )
+            GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """,
+        "q_join_salted": """
+            SELECT c_nationkey, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "q_text_tfidf": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT COUNT(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf FROM (
+                SELECT doc_id, term, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 5
+        """,
+        "q_text_bigrams": r"""
+            WITH t AS (
+                SELECT LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM t WHERE LEN(toks) >= 2
+            )
+            SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+        """,
+        "q_window_first_last": """
+            SELECT o_orderkey, o_orderstatus,
+                   first_value(o_orderkey) OVER w AS first_key,
+                   last_value(o_orderkey) OVER w AS last_key,
+                   nth_value(o_orderkey, 2) OVER w AS second_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "q_agg_collect_list": """
+            SELECT c_nationkey,
+                   LIST_SORT(LIST(c_custkey)) AS custkeys,
+                   COUNT(*) AS n_cust
+            FROM customer GROUP BY c_nationkey
         """,
     }
 

@@ -1,0 +1,105 @@
+"""Time-series operators: sessionize, as-of join, time spine / gap-fill.
+
+Edge cases exercised on tiny inline frames: gap exactly at the
+threshold (no new session), gap one second over (new session), as-of
+tie at equal timestamps (inclusive), probe with no prior build row
+(NULL), spine buckets with no facts (zero-filled).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1),
+        (1, _ts("2024-01-01 10:30:00"), 2),   # gap == 1800s → same session
+        (1, _ts("2024-01-01 11:00:01"), 3),   # gap 1801s → new session
+        (2, _ts("2024-01-01 09:00:00"), 4),   # other entity independent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = TS.sessionize(df, "user_id", "ts", 1800, tiebreak_cols=("event_id",))
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got[1] == 1 and got[2] == 1
+    assert got[3] == 2
+    assert got[4] == 1
+
+
+def test_session_stats_duration(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1),
+        (1, _ts("2024-01-01 10:10:00"), 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    sess = TS.sessionize(df, "user_id", "ts", 1800, tiebreak_cols=("event_id",))
+    stats = TS.session_stats(sess, "user_id", "ts").collect()
+    assert len(stats) == 1
+    assert stats[0]["n_events"] == 2
+    assert stats[0]["duration_s"] == 600
+
+
+def test_asof_join_inclusive_and_null(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100),  # tie with build at 10:00 → matched
+            (1, _ts("2024-01-01 12:00:00"), 101),  # after both builds → latest (11:00)
+            (2, _ts("2024-01-01 10:00:00"), 102),  # entity with no build rows → NULL
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    build = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 11:00:00"))],
+        "user_id long, ts timestamp",
+    )
+    out = TS.asof_join(probe, build, "user_id", "ts", "ts", "asof_ts")
+    got = {r["event_id"]: r["asof_ts"] for r in out.collect()}
+    assert got[100] == _ts("2024-01-01 10:00:00")   # inclusive (>=)
+    assert got[101] == _ts("2024-01-01 11:00:00")   # latest prior, not first
+    assert got[102] is None
+
+
+def test_asof_join_no_row_explosion(spark):
+    # as-of must return exactly one row per probe row, even with many builds
+    probe = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), i) for i in range(5)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(f"2024-01-01 10:0{i}:00")) for i in range(6)],
+        "user_id long, ts timestamp",
+    )
+    out = TS.asof_join(probe, build, "user_id", "ts", "ts", "asof_ts")
+    assert out.count() == 5
+
+
+def test_time_spine_and_gapfill(spark):
+    spine = TS.time_spine(
+        spark, "2024-01-01 00:00:00", "2024-01-01 03:00:00", "1 hour", "bucket_ts"
+    )
+    assert spine.count() == 4  # inclusive bounds
+    facts = spark.createDataFrame(
+        [(_ts("2024-01-01 01:00:00"), 7)], "bucket_ts timestamp, n long"
+    )
+    out = TS.gapfill(spine, facts, "bucket_ts", ["n"]).orderBy("bucket_ts")
+    vals = [r["n"] for r in out.collect()]
+    assert vals == [0, 7, 0, 0]
+
+
+def test_gapfill_plan_is_broadcast(spark):
+    spine = TS.time_spine(
+        spark, "2024-01-01 00:00:00", "2024-01-01 03:00:00", "1 hour", "bucket_ts"
+    )
+    facts = spark.createDataFrame(
+        [(_ts("2024-01-01 01:00:00"), 7)], "bucket_ts timestamp, n long"
+    )
+    plan = TS.gapfill(spine, facts, "bucket_ts", ["n"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
