@@ -1325,6 +1325,49 @@ def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_vector_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (similarity): per-label centroid — elementwise mean via
+    posexplode + (label, pos) hash agg. This is the k-means/IVF update
+    step: fully distributed, shuffle sized by labels × dim, never by rows."""
+    e = load_table(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+    return (
+        ex.withColumn("pos", (F.col("pos0") + 1).cast("long"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+    )
+
+
+def q_vector_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (similarity): L2 norm per vector via higher-order
+    aggregate — JVM-side, sequential accumulation (bit-identical to the
+    oracle's list_sum)."""
+    e = load_table(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select("vec_id", F.round(F.sqrt(sq_sum), 6).alias("l2_norm"))
+
+
+def q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """E35c: stream-static equi-join (events stream ⋈ customer dim) +
+    running aggregate. The static side is re-broadcast per micro-batch;
+    no state store needed for the join itself."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = stream.join(F.broadcast(cust), "user_id")
+    aggd = joined.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_events"))
+    return O.sort(
+        ST.run_to_memory_sink(aggd, "q_stream_static_join_sink"), ["c_nationkey"]
+    )
+
+
 def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """North star (text analysis): TF-IDF top-5 terms per document.
     Corpus size enters via a broadcast one-row crossJoin (no driver
@@ -1333,10 +1376,12 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window over term — ONE derivation of tf
+    # (a separate groupBy would re-scan + re-aggregate the whole corpus)
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1613,6 +1658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_string_distance": q_string_distance,
         # text + window/agg extensions (round 1b, part 2)
+        "q_vector_centroid": q_vector_centroid,
+        "q_vector_norms": q_vector_norms,
+        "q_stream_static_join": q_stream_static_join,
         "q_text_tfidf": q_text_tfidf,
         "q_text_bigrams": q_text_bigrams,
         "q_window_first_last": q_window_first_last,
@@ -2192,6 +2240,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, COUNT(*) AS n_orders,
                    ROUND(SUM(o_totalprice), 4) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "q_vector_centroid": """
+            SELECT label, CAST(pos AS BIGINT) AS pos,
+                   ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS mean_val
+            FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(pos)
+            GROUP BY label, pos
+        """,
+        "q_vector_norms": """
+            SELECT vec_id,
+                   ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+            FROM embeddings
+        """,
+        "q_stream_static_join": """
+            SELECT c_nationkey, COUNT(*) AS n_events
+            FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_nationkey
         """,
         "q_text_tfidf": r"""

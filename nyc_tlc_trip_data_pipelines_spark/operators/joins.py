@@ -106,6 +106,12 @@ def as_of_join(
     Spark has no native as-of join; this composes range-join + window
     top-1 — fully shuffle-based, no driver loop, scales with the key
     cardinality. (Composition strategy per SURVEY.md §4.3.)
+
+    Scale note: the join inflates to |left|×|right| rows per ``by``
+    group before the top-1 filter, so hot keys go quadratic. For large
+    same-key histories prefer ``operators.timeseries.asof_join`` — the
+    union-merge window formulation is O(n log n) with one shuffle
+    (backward/inclusive semantics only).
     """
     from pyspark.sql import Window
 

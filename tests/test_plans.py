@@ -96,3 +96,35 @@ def test_entry_queries_have_pruned_scans(spark):
     df = E.q_agg_basic(spark, "/root/testdata/sf0.001")
     schemas = scan_read_schema(df)
     assert schemas and all("l_partkey" not in s for s in schemas)
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # sessionize = lag flag + running sum over the SAME (entity, ts) spec:
+    # one shuffle on the entity key, both passes in shared Window nodes
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.sessionize(ev, "user_id", "ts", 1800, tiebreak_cols=("event_id",))
+    assert exchange_count(out) == 1
+
+
+def test_asof_join_single_exchange_no_join_node(spark, sf_dir):
+    # union-merge as-of: one shuffle on the entity key and NO join operator
+    # (the naive formulation would be a BroadcastNestedLoopJoin)
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = TS.asof_join(clicks, purchases, "user_id", "ts", "ts")
+    assert exchange_count(out) == 1
+    plan = plan_string(out)
+    assert "Join" not in plan
+
+
+def test_tfidf_broadcasts_small_sides(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.q_text_tfidf(spark, sf_dir)
+    plan = plan_string(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
