@@ -1325,6 +1325,66 @@ def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """E3b: join over BUCKETED tables — both sides pre-shuffled on the
+    join key at write time, so the join itself needs no exchange (the
+    100 TB co-location strategy; plan asserted in tests/test_plans.py).
+    Result must equal the plain-join oracle."""
+    from nyc_tlc_trip_data_pipelines_spark.io import write_bucketed
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    spark.sql("DROP TABLE IF EXISTS q_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS q_ord_bucketed")
+    write_bucketed(li, "q_li_bucketed", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    write_bucketed(o, "q_ord_bucketed", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    j = spark.table("q_li_bucketed").join(
+        spark.table("q_ord_bucketed"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+def q_sink_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink + schema-declared readback; the readback aggregate
+    must equal the direct-query oracle (exact double round-trip)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import read_json, write_json
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "events_json")
+        write_json(ev, p)
+        back = read_json(spark, p, "event_id bigint, event_type string, value double")
+        rows = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(rows, "event_type string, n bigint, sum_value double")
+
+
+def q_sink_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink + readback (second columnar format beside parquet)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import read_orc, write_orc
+
+    li = load_table(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "lineitem_orc")
+        write_orc(li, p)
+        rows = (
+            read_orc(spark, p)
+            .groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+            .collect()
+        )
+    return spark.createDataFrame(rows, "l_returnflag string, sum_qty double")
+
+
 def q_vector_centroid(spark: SparkSession, sf: str) -> DataFrame:
     """North star (similarity): per-label centroid — elementwise mean via
     posexplode + (label, pos) hash agg. This is the k-means/IVF update
@@ -1657,6 +1717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_array_funcs": q_array_funcs,
         "q_string_distance": q_string_distance,
+        # io + bucketing (round 1b, part 2)
+        "q_join_bucketed": q_join_bucketed,
+        "q_sink_json": q_sink_json,
+        "q_sink_orc": q_sink_orc,
         # text + window/agg extensions (round 1b, part 2)
         "q_vector_centroid": q_vector_centroid,
         "q_vector_norms": q_vector_norms,
@@ -2241,6 +2305,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 4) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "q_join_bucketed": """
+            SELECT o_orderstatus, COUNT(*) AS n_lines,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "q_sink_json": """
+            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "q_sink_orc": """
+            SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q_vector_centroid": """
             SELECT label, CAST(pos AS BIGINT) AS pos,

@@ -82,7 +82,31 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
     return reader.csv(path)
 
 
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Always pass a schema in production — schema
+    inference is a full extra pass over the data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source: columnar, vectorized, predicate-pushdown like parquet."""
+    return spark.read.orc(path)
+
+
 # --- sinks -----------------------------------------------------------------
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink. Doubles round-trip exactly (shortest-repr)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink."""
+    df.write.mode(mode).orc(path)
 
 
 def append_table(df: DataFrame, path: str, max_records_per_file: int | None = None) -> None:
