@@ -1325,6 +1325,42 @@ def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """E17b: time-based RANGE frame — trailing 1-hour average/count per
+    user over epoch-second ordering (rangeBetween, not rowsBetween: the
+    frame is defined by value distance, so same-second ties are all in)."""
+    ev = load_table(spark, sf, "events")
+    epoch = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (event analytics): ordered funnel signup → click →
+    purchase per user via conditional min-timestamps — one shuffle on
+    user_id, then a singleton aggregate."""
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    step1 = F.col("t_signup").isNotNull()
+    step2 = step1 & (F.col("t_click") > F.col("t_signup"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return per_user.agg(
+        flag(step1).alias("n_signup"),
+        flag(step2).alias("n_click_after"),
+        flag(step3).alias("n_purchase_after"),
+    )
+
+
 def q_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """E3b: join over BUCKETED tables — both sides pre-shuffled on the
     join key at write time, so the join itself needs no exchange (the
@@ -1718,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_string_distance": q_string_distance,
         # io + bucketing (round 1b, part 2)
+        "q_window_time_range": q_window_time_range,
+        "q_funnel": q_funnel,
         "q_join_bucketed": q_join_bucketed,
         "q_sink_json": q_sink_json,
         "q_sink_orc": q_sink_orc,
@@ -2305,6 +2343,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 4) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "q_window_time_range": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER w, 6) AS avg_1h,
+                   COUNT(*) OVER w AS n_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "q_funnel": """
+            WITH per_user AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                       MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT
+                CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+                CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                               AND t_purchase > t_click
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+            FROM per_user
         """,
         "q_join_bucketed": """
             SELECT o_orderstatus, COUNT(*) AS n_lines,
