@@ -1152,6 +1152,33 @@ def q_stream_foreach_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_framesample(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: video frame-sampling plan — metadata-driven explode of
+    frame timestamps (decode of each frame stays stubbed; the explode →
+    per-frame-process shape is the real scale pattern)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    media = MM.make_fake_media(spark, n=120)
+    frames = MM.sample_video_frames(media, every_ms=1000)
+    return O.sort(
+        frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames")),
+        ["media_id"],
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """North star: image resize through Arrow mapInPandas (stub kernel;
+    real plumbing — only image rows reach Python, batched)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    media = MM.make_fake_media(spark, n=120).repartition(4)
+    resized = MM.resize_images(media, 16, 8)
+    return O.sort(
+        resized.select("media_id", "out_width", "out_height", F.length("payload").alias("n_bytes")),
+        ["media_id"],
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """North star: multimodal plumbing — binary payloads through the
     Arrow mapInPandas feature extractor (decode kernel stubbed:
@@ -1780,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_dedup_embedding": q_dedup_embedding,
         "q_multimodal_features": q_multimodal_features,
+        "q_multimodal_framesample": q_multimodal_framesample,
+        "q_multimodal_resize": q_multimodal_resize,
     }
 
 

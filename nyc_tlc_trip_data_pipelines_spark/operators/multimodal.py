@@ -116,3 +116,52 @@ def sample_video_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
     )
     return frames
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize kernel (no PIL in this container): deterministic
+    truncate/cycle of the source bytes to w*h length. Swap for a real
+    ``PIL.Image.resize`` without touching the Spark plumbing.
+
+    Raises NotImplementedError for non-positive targets the way a real
+    codec would reject a bad geometry.
+    """
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("real codec required for degenerate geometry")
+    need = w * h
+    if not payload:
+        return b"\x00" * need
+    reps = need // len(payload) + 1
+    return (payload * reps)[:need]
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image rows to (width, height) via Arrow-batched
+    mapInPandas — bytes cross the JVM boundary once per batch. Only
+    ``kind == 'image'`` rows are sent to Python (filter pushed to the
+    scan); payload size is metadata-checked downstream, not decoded."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "payload": pdf["payload"].map(
+                        lambda b: resize_image_stub(b, width, height)
+                    ),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(_resize, RESIZED_SCHEMA)

@@ -44,3 +44,22 @@ def test_video_frame_sampling(spark):
     # every video contributes duration/500 + 1 frames
     vids = {r.media_id for r in rows}
     assert vids == {i for i in range(9) if i % 3 == 2}
+
+
+def test_resize_images_shape_and_determinism(spark):
+    df = MM.make_fake_media(spark, n=9)
+    out = MM.resize_images(df, 16, 8).collect()
+    # only image rows pass through, payload resized to exactly w*h bytes
+    assert {r.media_id for r in out} == {i for i in range(9) if i % 3 == 0}
+    assert all(len(r.payload) == 16 * 8 for r in out)
+    again = MM.resize_images(df, 16, 8).collect()
+    assert {r.media_id: bytes(r.payload) for r in out} == {
+        r.media_id: bytes(r.payload) for r in again
+    }
+
+
+def test_resize_stub_rejects_bad_geometry():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MM.resize_image_stub(b"abc", 0, 8)
