@@ -139,6 +139,19 @@ def write_bucketed(
     """Bucketed managed table: pre-shuffled on ``bucket_by`` so downstream
     equi-joins/aggs on that key need no exchange. The 100 TB co-location
     strategy (SURVEY.md §4.3)."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        # a previous session's managed-table directory with no catalog
+        # entry makes saveAsTable fail with LOCATION_ALREADY_EXISTS —
+        # clear the orphaned location (local warehouses only)
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            shutil.rmtree(
+                os.path.join(wh.path, table_name.lower()), ignore_errors=True
+            )
     w = df.write.bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
