@@ -1352,6 +1352,66 @@ def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """E4b: full outer join — keys unique to either side survive with
+    NULLs on the other (suppliers vs customers per nation)."""
+    c = load_table(spark, sf, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = load_table(spark, sf, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    j = J.join(c, s, on=[c.c_nationkey == s.s_nationkey], how="full")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def q_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    """E19b: multiset set ops — UNION ALL / INTERSECT ALL / EXCEPT ALL
+    keep duplicate multiplicity (vs the distinct variants in q_set_ops)."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    tagged = (
+        c.unionAll(s).withColumn("op", F.lit("union_all"))
+        .unionByName(c.intersectAll(s).withColumn("op", F.lit("intersect_all")))
+        .unionByName(c.exceptAll(s).withColumn("op", F.lit("except_all")))
+    )
+    return tagged.groupBy("op", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_string_funcs2(spark: SparkSession, sf: str) -> DataFrame:
+    """E21c: second string batch — lpad/rpad, regexp_replace, repeat,
+    reverse, left/right substrings."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 3).alias("name_left3"),
+    )
+
+
+def q_date_extract2(spark: SparkSession, sf: str) -> DataFrame:
+    """E22b: extended calendar extraction — quarter, ISO week, day-of-week
+    (aligned conventions: Spark dayofweek is 1=Sunday, DuckDB dow is
+    0=Sunday), last day of month, months_between."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofweek("o_orderdate").alias("dow1"),  # 1=Sunday
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).alias("plus_2mo"),
+    )
+
+
 def q_window_time_range(spark: SparkSession, sf: str) -> DataFrame:
     """E17b: time-based RANGE frame — trailing 1-hour average/count per
     user over epoch-second ordering (rangeBetween, not rowsBetween: the
@@ -1780,6 +1840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_array_funcs": q_array_funcs,
         "q_string_distance": q_string_distance,
+        # relational completions (round 1b, part 3)
+        "q_join_full_outer": q_join_full_outer,
+        "q_set_ops_all": q_set_ops_all,
+        "q_string_funcs2": q_string_funcs2,
+        "q_date_extract2": q_date_extract2,
         # io + bucketing (round 1b, part 2)
         "q_window_time_range": q_window_time_range,
         "q_funnel": q_funnel,
@@ -2372,6 +2437,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 4) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "q_join_full_outer": """
+            WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+                 s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+            SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust,
+                   COALESCE(n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        """,
+        "q_set_ops_all": """
+            WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+                 s AS (SELECT s_nationkey AS nationkey FROM supplier),
+            tagged AS (
+                SELECT 'union_all' AS op, nationkey FROM (SELECT * FROM c UNION ALL SELECT * FROM s)
+                UNION ALL
+                SELECT 'intersect_all' AS op, nationkey FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s)
+                UNION ALL
+                SELECT 'except_all' AS op, nationkey FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s)
+            )
+            SELECT op, nationkey, COUNT(*) AS n FROM tagged GROUP BY op, nationkey
+        """,
+        "q_string_funcs2": """
+            SELECT p_partkey,
+                   LPAD(p_brand, 12, '*') AS brand_lpad,
+                   RPAD(p_brand, 12, '.') AS brand_rpad,
+                   REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+                   REPEAT('ab', 3) AS rep,
+                   REVERSE(p_brand) AS brand_rev,
+                   SUBSTRING(p_name, 1, 3) AS name_left3
+            FROM part
+        """,
+        "q_date_extract2": """
+            SELECT o_orderkey,
+                   CAST(QUARTER(o_orderdate) AS INT) AS q,
+                   CAST(WEEKOFYEAR(o_orderdate) AS INT) AS iso_week,
+                   CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow1,
+                   CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end,
+                   CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo
+            FROM orders
         """,
         "q_window_time_range": """
             SELECT event_id, user_id,
