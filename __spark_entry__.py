@@ -2438,6 +2438,50 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
         """,
+        "q_dedup_ngram_jaccard": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+                FROM t WHERE LEN(toks) >= 3
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       LEN(LIST_INTERSECT(a.sh, b.sh)) AS common,
+                       LEN(a.sh) AS na, LEN(b.sh) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+            FROM pairs
+            WHERE common > 0
+              AND ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "q_text_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(LEN(toks) AS INT) AS n_tokens,
+                   ROUND(CAST(LENGTH(text)
+                              - LENGTH(REGEXP_REPLACE(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                         / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+                   ROUND(CAST(LEN(LIST_FILTER(toks,
+                              x -> LIST_CONTAINS(['the','a','of','and','to','in'], x)))
+                              AS DOUBLE)
+                         / GREATEST(LEN(toks), 1), 6) AS stopword_ratio,
+                   ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
+            FROM t ORDER BY doc_id
+        """,
         "q_join_full_outer": """
             WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
                  s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
