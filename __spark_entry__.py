@@ -732,8 +732,9 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """North star: heuristic language ID vs the labeled lang column
-    (no SQL oracle — marker argmax is engine logic; rows-only)."""
+    """North star: heuristic language ID vs the labeled lang column.
+    Oracle-checked: the DuckDB twin replays the marker-fraction argmax
+    (tie-break = max (score, lang), matching array_max struct order)."""
     docs = load_table(spark, sf, "documents")
     out = TX.language_id(docs)
     return O.sort(
@@ -2437,6 +2438,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 4) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "q_lang_id": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, lang,
+                  CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','and','of','to','is'], x))) AS DOUBLE) / GREATEST(LEN(toks),1) AS s_en,
+                  CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','de','que','y'], x))) AS DOUBLE) / GREATEST(LEN(toks),1) AS s_es,
+                  CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','et','les','des'], x))) AS DOUBLE) / GREATEST(LEN(toks),1) AS s_fr,
+                  CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['der','die','und','das','nicht'], x))) AS DOUBLE) / GREATEST(LEN(toks),1) AS s_de,
+                  CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['的','是','了','在','我'], x))) AS DOUBLE) / GREATEST(LEN(toks),1) AS s_zh
+                FROM t
+            ), pred AS (
+                SELECT doc_id, lang, u.s.lang_name AS lang_pred,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY u.s.score DESC, u.s.lang_name DESC) AS rn
+                FROM scored, UNNEST([
+                    {'score': s_en, 'lang_name': 'en'},
+                    {'score': s_es, 'lang_name': 'es'},
+                    {'score': s_fr, 'lang_name': 'fr'},
+                    {'score': s_de, 'lang_name': 'de'},
+                    {'score': s_zh, 'lang_name': 'zh'}]) AS u(s)
+            )
+            SELECT lang, lang_pred, COUNT(*) AS n_docs
+            FROM pred WHERE rn = 1 GROUP BY lang, lang_pred ORDER BY lang, lang_pred
         """,
         "q_dedup_ngram_jaccard": r"""
             WITH t AS (
