@@ -2439,6 +2439,52 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
         """,
+        "q_similarity_pairwise": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv)
+                             / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))
+                                * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cosine
+                FROM embeddings e, q
+            ), ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rn
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 5
+            ORDER BY query_id, cosine, vec_id
+        """,
+        "q_sink_append": """
+            SELECT COUNT(*) AS n_rows FROM events
+        """,
+        "q_sink_partitioned": """
+            SELECT YEAR(ts)::INT AS y, MONTH(ts)::INT AS m, COUNT(*) AS n_rows
+            FROM events WHERE MONTH(ts) = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_sink_csv": """
+            SELECT YEAR(ts)::INT AS y, MONTH(ts)::INT AS m, ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_ddl_create": """
+            SELECT CAST(id AS BIGINT) AS id, name, CAST(amount AS DOUBLE) AS amount
+            FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5)) t(id, name, amount)
+        """,
+        "q_udf_scalar": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "q_udaf_grouped": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "q_lang_id": r"""
             WITH t AS (
                 SELECT doc_id, lang,
