@@ -103,3 +103,32 @@ def test_gapfill_plan_is_broadcast(spark):
     )
     plan = TS.gapfill(spine, facts, "bucket_ts", ["n"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_formulations_agree(spark):
+    # the O(n log n) union-merge formulation and the range-join + top-1
+    # formulation are independent implementations of the same semantics;
+    # they must agree on random data (backward / inclusive)
+    import random
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
+
+    rng = random.Random(7)
+    probe_rows = [
+        (rng.randint(1, 5), _ts(f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00"), i)
+        for i in range(40)
+    ]
+    build_rows = [
+        (rng.randint(1, 5), _ts(f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00"))
+        for _ in range(40)
+    ]
+    probe = spark.createDataFrame(probe_rows, "user_id long, pt timestamp, event_id long")
+    build = spark.createDataFrame(build_rows, "user_id long, bt timestamp")
+
+    merge = TS.asof_join(probe, build, "user_id", "pt", "bt", "asof_ts")
+    got_merge = {r["event_id"]: r["asof_ts"] for r in merge.collect()}
+
+    ranged = J.as_of_join(probe, build, "pt", "bt", by=["user_id"], direction="backward")
+    got_range = {r["event_id"]: r["bt"] for r in ranged.collect()}
+
+    assert got_merge == got_range
