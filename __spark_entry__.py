@@ -1353,6 +1353,26 @@ def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-grain time rollup (SURVEY §4.3 custom-op
+    list): day and day+hour aggregates from ONE scan via GROUPING SETS
+    on time buckets — the continuous-aggregate shape without a second
+    pass over the fact table."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day_bucket,
+               CAST(date_trunc('HOUR', ts) AS TIMESTAMP) AS hour_bucket,
+               CAST(grouping(date_trunc('HOUR', ts)) AS INT) AS g_hour,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('DAY', ts)),
+                                (date_trunc('DAY', ts), date_trunc('HOUR', ts)))
+        """
+    )
+
+
 def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     """E4b: full outer join — keys unique to either side survive with
     NULLs on the other (suppliers vs customers per nation)."""
@@ -1842,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_string_distance": q_string_distance,
         # relational completions (round 1b, part 3)
+        "q_rollup_time": q_rollup_time,
         "q_join_full_outer": q_join_full_outer,
         "q_set_ops_all": q_set_ops_all,
         "q_string_funcs2": q_string_funcs2,
@@ -2556,6 +2577,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                          / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
             FROM t ORDER BY doc_id
+        """,
+        "q_rollup_time": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+                   CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                                    (date_trunc('day', ts), date_trunc('hour', ts)))
         """,
         "q_join_full_outer": """
             WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
