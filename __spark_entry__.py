@@ -1353,6 +1353,30 @@ def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
+    """E27b: grouped-map applyInPandas — per-user z-score normalization.
+    Completes the pandas API family (scalar pandas_udf, grouped-agg,
+    mapInPandas, applyInPandasWithState, grouped-map). Arrow ships each
+    user's rows to Python once; oracle is the window-SQL z-score."""
+    import pandas as pd
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        if sd and sd > 0:
+            z = ((pdf["value"] - m) / sd).round(6)
+        else:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z}
+        )
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id bigint, user_id bigint, z double"
+    )
+
+
 def q_rollup_time(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style multi-grain time rollup (SURVEY §4.3 custom-op
     list): day and day+hour aggregates from ONE scan via GROUPING SETS
@@ -1862,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_string_distance": q_string_distance,
         # relational completions (round 1b, part 3)
+        "q_grouped_map": q_grouped_map,
         "q_rollup_time": q_rollup_time,
         "q_join_full_outer": q_join_full_outer,
         "q_set_ops_all": q_set_ops_all,
@@ -2577,6 +2602,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                          / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
             FROM t ORDER BY doc_id
+        """,
+        "q_grouped_map": """
+            WITH s AS (
+                SELECT event_id, user_id, value,
+                       AVG(value) OVER (PARTITION BY user_id) AS m,
+                       STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN sd > 0 THEN ROUND((value - m) / sd, 6) END AS z
+            FROM s
         """,
         "q_rollup_time": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
