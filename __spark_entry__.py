@@ -1765,6 +1765,58 @@ def q_sql_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations per year — double nation join (supplier vs customer side)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 4) AS revenue
+        FROM (
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem  ON s_suppkey = l_suppkey
+            JOIN orders    ON o_orderkey = l_orderkey
+            JOIN customer  ON c_custkey = o_custkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+              AND nc.n_name IN ('NATION_1', 'NATION_2')
+              AND ns.n_name <> nc.n_name
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+def q_sql_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted to available
+    columns (no partsupp): profit = revenue − 10% retail-price cost,
+    for parts matching a name pattern, by supplier nation and year."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        """
+    )
+
+
 def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-mitigated join (operators/skew.py salted_join): result must
     equal the plain equi-join — oracle is the unsalted SQL. At 100 TB this
@@ -1912,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_tpch_q10": q_sql_tpch_q10,
         "q_sql_tpch_q14": q_sql_tpch_q14,
         "q_sql_tpch_q18": q_sql_tpch_q18,
+        "q_sql_tpch_q7": q_sql_tpch_q7,
+        "q_sql_tpch_q9": q_sql_tpch_q9,
         "q_join_salted": q_join_salted,
         # remaining north-star surface
         "q_dedup_simhash": q_dedup_simhash,
@@ -2478,6 +2532,41 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
             )
             GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """,
+        "q_sql_tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND(SUM(volume), 4) AS revenue
+            FROM (
+                SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM supplier
+                JOIN lineitem  ON s_suppkey = l_suppkey
+                JOIN orders    ON o_orderkey = l_orderkey
+                JOIN customer  ON c_custkey = o_custkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+                  AND nc.n_name IN ('NATION_1', 'NATION_2')
+                  AND ns.n_name <> nc.n_name
+            ) shipping
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q_sql_tpch_q9": """
+            SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+            FROM (
+                SELECT n_name AS nation,
+                       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                       l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity AS amount
+                FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                WHERE p_name LIKE '%red%'
+            ) profit
+            GROUP BY nation, o_year
         """,
         "q_join_salted": """
             SELECT c_nationkey, COUNT(*) AS n_orders,
