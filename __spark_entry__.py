@@ -1353,6 +1353,28 @@ def q_string_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB pattern: incremental aggregation — per-ingest-batch partial
+    aggregates merged by RE-aggregation (counts and sums add; the mean is
+    derived at the end — never an average of averages). The result must
+    equal the direct single-pass aggregate (the oracle)."""
+    ev = load_table(spark, sf, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day_bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+
+    batch1 = partial(ev.filter(F.col("event_id") % 2 == 0))
+    batch2 = partial(ev.filter(F.col("event_id") % 2 == 1))
+    merged = batch1.unionByName(batch2).groupBy("day_bucket").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sv"), 6).alias("sum_value"),
+        F.round(F.sum("sv") / F.sum("n"), 6).alias("avg_value"),
+    )
+    return merged
+
+
 def q_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
     """E27b: grouped-map applyInPandas — per-user z-score normalization.
     Completes the pandas API family (scalar pandas_udf, grouped-agg,
@@ -1938,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_string_distance": q_string_distance,
         # relational completions (round 1b, part 3)
+        "q_incremental_agg": q_incremental_agg,
         "q_grouped_map": q_grouped_map,
         "q_rollup_time": q_rollup_time,
         "q_join_full_outer": q_join_full_outer,
@@ -2691,6 +2714,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                          / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio
             FROM t ORDER BY doc_id
+        """,
+        "q_incremental_agg": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+            FROM events GROUP BY 1
         """,
         "q_grouped_map": """
             WITH s AS (
