@@ -1839,6 +1839,50 @@ def q_sql_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    regional revenue per year — conditional-sum ratio over a 6-way join."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (
+            SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   ns.n_name AS nation
+            FROM lineitem
+            JOIN supplier  ON s_suppkey = l_suppkey
+            JOIN orders    ON o_orderkey = l_orderkey
+            JOIN customer  ON c_custkey = o_custkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region    ON nc.n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ) all_nations
+        GROUP BY o_year
+        """
+    )
+
+
+def q_agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """E10e: SQL FILTER clause on aggregates (per-aggregate predicates
+    without CASE scaffolding) — identical syntax on both engines."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
+                 AS urgent_value
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
 def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-mitigated join (operators/skew.py salted_join): result must
     equal the plain equi-join — oracle is the unsalted SQL. At 100 TB this
@@ -1988,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_tpch_q14": q_sql_tpch_q14,
         "q_sql_tpch_q18": q_sql_tpch_q18,
         "q_sql_tpch_q7": q_sql_tpch_q7,
+        "q_sql_tpch_q8": q_sql_tpch_q8,
+        "q_agg_filter_clause": q_agg_filter_clause,
         "q_sql_tpch_q9": q_sql_tpch_q9,
         "q_join_salted": q_join_salted,
         # remaining north-star surface
@@ -2555,6 +2601,34 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
             )
             GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """,
+        "q_sql_tpch_q8": """
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                         / SUM(volume), 6) AS mkt_share
+            FROM (
+                SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       ns.n_name AS nation
+                FROM lineitem
+                JOIN supplier  ON s_suppkey = l_suppkey
+                JOIN orders    ON o_orderkey = l_orderkey
+                JOIN customer  ON c_custkey = o_custkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region    ON nc.n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ) all_nations
+            GROUP BY o_year
+        """,
+        "q_agg_filter_clause": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+                   ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
+                     AS urgent_value
+            FROM orders
+            GROUP BY o_orderstatus
         """,
         "q_sql_tpch_q7": """
             SELECT supp_nation, cust_nation, l_year,
