@@ -296,9 +296,11 @@ def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
-    """E5b: left anti join — customers with no orders at all."""
+    """E5b: left anti join — customers with no URGENT order. The right
+    side is filtered so the result is non-empty at every SF (round 1's
+    unfiltered variant matched vacuously on 0 rows)."""
     c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return O.sort(
         J.anti_join(c, o, on=[c.c_custkey == o.o_custkey]).select("c_custkey", "c_name"),
         ["c_custkey"],
@@ -406,13 +408,25 @@ def q_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """E12: HLL++ approximate distinct (no oracle — sketch is approximate;
-    driver records rows-only). Scale path for E11 at 100 TB."""
+    """E12: HLL++ approximate distinct, oracle-checked via a tolerance
+    verdict: ``|approx − exact| / exact ≤ 0.05`` with rsd=0.01 (a 5σ
+    bound, so a healthy sketch virtually never fails it). The sketch
+    value itself is engine-specific, so the hashable output carries the
+    exact count plus the boolean — the oracle emits TRUE."""
     ev = load_table(spark, sf, "events")
-    return O.sort(
-        agg.approx_count_distinct_agg(ev, ["event_type"], "user_id", "approx_users"),
-        ["event_type"],
+    agged = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("__approx"),
     )
+    out = agged.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users")) / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("approx_ok"),
+    )
+    return O.sort(out, ["event_type"])
 
 
 def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -744,10 +758,13 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """E29: MinHash+LSH near-dup candidate pairs (no oracle — LSH is
-    probabilistic; deterministic seeds make re-runs stable; rows-only)."""
+    """E29: MinHash-LSH near-dup with exact-Jaccard verification of the
+    candidates (the production dedup shape: LSH prunes, exact verify
+    decides). Deterministic output — oracle is the all-pairs exact
+    char-5-shingle Jaccard ≥ 0.8 in DuckDB; LSH recall loss is bounded
+    at ~3e-8 per true pair (see ``minhash_verified_pairs``)."""
     docs = load_table(spark, sf, "documents")
-    return O.sort(TX.minhash_near_duplicates(docs, jaccard_threshold=0.4), ["id_a", "id_b"])
+    return O.sort(TX.minhash_verified_pairs(docs, threshold=0.8), ["id_a", "id_b"])
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -758,10 +775,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_text_pack(spark: SparkSession, sf: str) -> DataFrame:
     """North star: token-budgeted document packing (training-batch
-    construction) — running-sum window over token counts."""
+    construction) — running-sum window over token counts, SHARDED so no
+    single task ever sorts the corpus (packs are unique per
+    (shard, pack_id)). The shard column is ``doc_id % 8`` here so the
+    DuckDB oracle can reproduce it; at 100 TB use
+    ``pmod(xxhash64(id), n_shards)`` for skew safety."""
     docs = load_table(spark, sf, "documents")
+    packed = TX.pack_documents(
+        docs, token_budget=2000, shard_col=F.pmod(F.col("doc_id"), F.lit(8))
+    )
     return O.sort(
-        TX.pack_documents(docs, token_budget=2000).select("doc_id", "n_tokens", "pack_id"),
+        packed.select("doc_id", "n_tokens", "shard", "pack_id"),
         ["doc_id"],
     )
 
@@ -805,14 +829,31 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """North star: seeded stratified sampling per language — training-mix
-    rebalancing. Sampling is engine-specific (rows-only); determinism
-    across re-runs comes from the fixed seed."""
+    rebalancing. The draw is engine-specific, but the STATISTICS are
+    checkable: per-stratum sampled count must sit within a 6σ binomial
+    band around f·N (plus a +2 slack for tiny strata). Output carries
+    the exact stratum totals plus the verdict; the oracle emits TRUE."""
     docs = load_table(spark, sf, "documents")
     fractions = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.2, "zh": 0.1}
     sampled = docs.sampleBy("lang", fractions, seed=42)
-    return O.sort(
-        sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")), ["lang"]
+    counts = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    totals = (
+        docs.filter(F.col("lang").isin(list(fractions)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"))
     )
+    frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    f_col = frac[F.col("lang")]
+    j = totals.join(counts, "lang", "left").withColumn(
+        "n_sampled", F.coalesce("n_sampled", F.lit(0))
+    )
+    bound = F.lit(6.0) * F.sqrt(f_col * (1 - f_col) * F.col("n_total")) + F.lit(2.0)
+    out = j.select(
+        "lang",
+        "n_total",
+        (F.abs(F.col("n_sampled") - f_col * F.col("n_total")) <= bound).alias("sample_ok"),
+    )
+    return O.sort(out, ["lang"])
 
 
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -871,13 +912,25 @@ def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
-    """E12b: sketch-based approximate percentiles (no oracle — sketch;
-    rows-only). The 100 TB path for quantiles."""
+    """E12b: sketch-based approximate percentiles (KLL-style
+    ``approx_percentile``), oracle-checked via a tolerance verdict
+    against the exact interpolated median (``percentile`` in Spark ≡
+    ``quantile_cont`` in DuckDB): relative error ≤ 5% with accuracy
+    10000 (rank error ≤ n/10000 rows). The 100 TB path for quantiles."""
     o = load_table(spark, sf, "orders")
-    return O.sort(
-        agg.approx_percentile_agg(o, ["o_orderstatus"], "o_totalprice", (0.5,)),
-        ["o_orderstatus"],
+    agged = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("__exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("__approx"),
     )
+    out = agged.select(
+        "o_orderstatus",
+        F.round("__exact", 6).alias("exact_p50"),
+        (
+            F.abs(F.col("__approx") - F.col("__exact")) / F.abs(F.col("__exact"))
+            <= F.lit(0.05)
+        ).alias("approx_ok"),
+    )
+    return O.sort(out, ["o_orderstatus"])
 
 
 def q_window_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
@@ -1906,8 +1959,96 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness budget covers a prefix
+    # of this dict (round 1: exactly the first 50 keys). Keys are ordered
+    # so never-driver-checked, oracle-bearing queries come first; queries
+    # that went green in CORRECTNESS_r01.json come last (they stay
+    # covered by tools/check.py locally). Round 3+: rotate again.
     return {
-        # reference core (2A)
+        # — round-2 fixes / newly-oracled (were vacuous or rows-only) —
+        "q_join_anti": q_join_anti,
+        "q_agg_approx_distinct": q_agg_approx_distinct,
+        "q_agg_approx_percentile": q_agg_approx_percentile,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_pack": q_text_pack,
+        # — LLM-data-pipeline surface (dedup / similarity / text), oracled —
+        "q_lang_id": q_lang_id,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_upsert": q_upsert,
+        "q_similarity_topk": q_similarity_topk,
+        "q_similarity_pairwise": q_similarity_pairwise,
+        "q_text_tfidf": q_text_tfidf,
+        "q_text_bigrams": q_text_bigrams,
+        "q_vector_centroid": q_vector_centroid,
+        "q_vector_norms": q_vector_norms,
+        "q_stream_static_join": q_stream_static_join,
+        # — SQL surface: TPC-H shapes + subqueries, oracled —
+        "q_sql_tpch_q3": q_sql_tpch_q3,
+        "q_sql_tpch_q5": q_sql_tpch_q5,
+        "q_sql_tpch_q6": q_sql_tpch_q6,
+        "q_sql_tpch_q12": q_sql_tpch_q12,
+        "q_sql_tpch_q4": q_sql_tpch_q4,
+        "q_sql_tpch_q10": q_sql_tpch_q10,
+        "q_sql_tpch_q14": q_sql_tpch_q14,
+        "q_sql_tpch_q18": q_sql_tpch_q18,
+        "q_sql_tpch_q7": q_sql_tpch_q7,
+        "q_sql_tpch_q8": q_sql_tpch_q8,
+        "q_sql_tpch_q9": q_sql_tpch_q9,
+        "q_agg_filter_clause": q_agg_filter_clause,
+        "q_subquery_scalar": q_subquery_scalar,
+        # — time-series surface, oracled —
+        "q_sessionize": q_sessionize,
+        "q_join_asof": q_join_asof,
+        "q_time_gapfill": q_time_gapfill,
+        "q_window_time_range": q_window_time_range,
+        "q_funnel": q_funnel,
+        "q_rollup_time": q_rollup_time,
+        "q_window_tumbling_batch": q_window_tumbling_batch,
+        # — agg/window extensions, oracled —
+        "q_agg_cube": q_agg_cube,
+        "q_agg_pivot": q_agg_pivot,
+        "q_agg_stats": q_agg_stats,
+        "q_agg_percentile": q_agg_percentile,
+        "q_window_distribution": q_window_distribution,
+        "q_agg_conditional": q_agg_conditional,
+        "q_agg_grouping_sets": q_agg_grouping_sets,
+        "q_unpivot": q_unpivot,
+        "q_histogram": q_histogram,
+        "q_array_funcs": q_array_funcs,
+        "q_string_distance": q_string_distance,
+        "q_incremental_agg": q_incremental_agg,
+        "q_grouped_map": q_grouped_map,
+        # ——— driver-budget boundary was ~here (50) in round 1 ———
+        "q_window_first_last": q_window_first_last,
+        "q_agg_collect_list": q_agg_collect_list,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_bucketed": q_join_bucketed,
+        "q_join_salted": q_join_salted,
+        "q_set_ops_all": q_set_ops_all,
+        "q_string_funcs2": q_string_funcs2,
+        "q_date_extract2": q_date_extract2,
+        "q_sink_json": q_sink_json,
+        "q_sink_orc": q_sink_orc,
+        # — no-oracle tail (probabilistic / engine-specific / streaming / stubs) —
+        "q_dedup_pipeline": q_dedup_pipeline,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_graph_components": q_graph_components,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_session": q_stream_session,
+        "q_stream_watermark": q_stream_watermark,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_stateful": q_stream_stateful,
+        "q_stream_foreach_batch": q_stream_foreach_batch,
+        "q_multimodal_features": q_multimodal_features,
+        "q_multimodal_framesample": q_multimodal_framesample,
+        "q_multimodal_resize": q_multimodal_resize,
+        # — green in CORRECTNESS_r01.json (still gated by tools/check.py) —
         "q_count": q_count,
         "q_cast_schema": q_cast_schema,
         "q_filter_time_range": q_filter_time_range,
@@ -1922,20 +2063,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_partitioned": q_sink_partitioned,
         "q_sink_csv": q_sink_csv,
         "q_ddl_create": q_ddl_create,
-        # extended relational (2B)
         "q_filter_predicates": q_filter_predicates,
         "q_project_case": q_project_case,
         "q_join_inner": q_join_inner,
         "q_join_outer": q_join_outer,
         "q_join_semi": q_join_semi,
-        "q_join_anti": q_join_anti,
         "q_join_broadcast": q_join_broadcast,
         "q_join_star": q_join_star,
         "q_join_range": q_join_range,
         "q_join_cross": q_join_cross,
         "q_agg_basic": q_agg_basic,
         "q_agg_count_distinct": q_agg_count_distinct,
-        "q_agg_approx_distinct": q_agg_approx_distinct,
         "q_agg_rollup": q_agg_rollup,
         "q_agg_having": q_agg_having,
         "q_window_rank": q_window_rank,
@@ -1955,95 +2093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udf_scalar": q_udf_scalar,
         "q_udaf_grouped": q_udaf_grouped,
         "q_udtf_tokenize": q_udtf_tokenize,
-        # text / dedup / similarity (north star)
         "q_text_wordcount": q_text_wordcount,
         "q_text_quality": q_text_quality,
         "q_text_token_count": q_text_token_count,
         "q_text_fingerprint": q_text_fingerprint,
-        "q_lang_id": q_lang_id,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "q_dedup_keep_best": q_dedup_keep_best,
-        "q_dedup_pipeline": q_dedup_pipeline,
-        "q_sample_stratified": q_sample_stratified,
-        "q_text_pack": q_text_pack,
-        "q_upsert": q_upsert,
-        "q_similarity_topk": q_similarity_topk,
-        "q_similarity_pairwise": q_similarity_pairwise,
-        # grouping sets + batch tumbling windows + agg extensions
-        "q_agg_cube": q_agg_cube,
-        "q_agg_pivot": q_agg_pivot,
-        "q_agg_stats": q_agg_stats,
-        "q_agg_percentile": q_agg_percentile,
-        "q_agg_approx_percentile": q_agg_approx_percentile,
-        "q_window_tumbling_batch": q_window_tumbling_batch,
-        # SQL surface (TPC-H shapes over registered views)
-        "q_sql_tpch_q3": q_sql_tpch_q3,
-        "q_sql_tpch_q5": q_sql_tpch_q5,
-        "q_sql_tpch_q6": q_sql_tpch_q6,
-        "q_sql_tpch_q12": q_sql_tpch_q12,
-        # streaming (E31-E35)
-        "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_sliding": q_stream_sliding,
-        "q_stream_session": q_stream_session,
-        "q_stream_watermark": q_stream_watermark,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_stateful": q_stream_stateful,
-        "q_stream_foreach_batch": q_stream_foreach_batch,
-        "q_graph_components": q_graph_components,
-        # time-series surface
-        "q_sessionize": q_sessionize,
-        "q_join_asof": q_join_asof,
-        "q_time_gapfill": q_time_gapfill,
-        # window/agg extensions (round 1b)
-        "q_window_distribution": q_window_distribution,
-        "q_agg_conditional": q_agg_conditional,
-        "q_agg_grouping_sets": q_agg_grouping_sets,
-        "q_unpivot": q_unpivot,
-        "q_histogram": q_histogram,
-        "q_array_funcs": q_array_funcs,
-        "q_string_distance": q_string_distance,
-        # relational completions (round 1b, part 3)
-        "q_incremental_agg": q_incremental_agg,
-        "q_grouped_map": q_grouped_map,
-        "q_rollup_time": q_rollup_time,
-        "q_join_full_outer": q_join_full_outer,
-        "q_set_ops_all": q_set_ops_all,
-        "q_string_funcs2": q_string_funcs2,
-        "q_date_extract2": q_date_extract2,
-        # io + bucketing (round 1b, part 2)
-        "q_window_time_range": q_window_time_range,
-        "q_funnel": q_funnel,
-        "q_join_bucketed": q_join_bucketed,
-        "q_sink_json": q_sink_json,
-        "q_sink_orc": q_sink_orc,
-        # text + window/agg extensions (round 1b, part 2)
-        "q_vector_centroid": q_vector_centroid,
-        "q_vector_norms": q_vector_norms,
-        "q_stream_static_join": q_stream_static_join,
-        "q_text_tfidf": q_text_tfidf,
-        "q_text_bigrams": q_text_bigrams,
-        "q_window_first_last": q_window_first_last,
-        "q_agg_collect_list": q_agg_collect_list,
-        # SQL subqueries + TPC-H shapes (round 1b)
-        "q_subquery_scalar": q_subquery_scalar,
-        "q_sql_tpch_q4": q_sql_tpch_q4,
-        "q_sql_tpch_q10": q_sql_tpch_q10,
-        "q_sql_tpch_q14": q_sql_tpch_q14,
-        "q_sql_tpch_q18": q_sql_tpch_q18,
-        "q_sql_tpch_q7": q_sql_tpch_q7,
-        "q_sql_tpch_q8": q_sql_tpch_q8,
-        "q_agg_filter_clause": q_agg_filter_clause,
-        "q_sql_tpch_q9": q_sql_tpch_q9,
-        "q_join_salted": q_join_salted,
-        # remaining north-star surface
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_ann_lsh": q_ann_lsh,
-        "q_ann_ivf": q_ann_ivf,
-        "q_dedup_embedding": q_dedup_embedding,
-        "q_multimodal_features": q_multimodal_features,
-        "q_multimodal_framesample": q_multimodal_framesample,
-        "q_multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -2134,8 +2187,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_anti": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
+        """,
+        "q_agg_approx_distinct": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_agg_approx_percentile": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+                   TRUE AS approx_ok
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "q_sample_stratified": """
+            SELECT lang, COUNT(*) AS n_total, TRUE AS sample_ok
+            FROM documents WHERE lang IN ('en', 'es', 'fr', 'de', 'zh')
+            GROUP BY lang ORDER BY lang
+        """,
+        "q_dedup_minhash": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, LENGTH(LOWER(text)) - 4),
+                               i -> SUBSTRING(LOWER(text), i, 5)))
+                       ELSE CAST([] AS VARCHAR[]) END AS sh
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       LEN(LIST_INTERSECT(a.sh, b.sh)) AS common,
+                       LEN(a.sh) AS na, LEN(b.sh) AS nb
+                FROM s a JOIN s b
+                  ON a.doc_id < b.doc_id
+                 AND LEAST(LEN(a.sh), LEN(b.sh)) >= 0.8 * GREATEST(LEN(a.sh), LEN(b.sh))
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+            FROM p
+            WHERE common > 0
+              AND ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
+            ORDER BY id_a, id_b
         """,
         "q_join_broadcast": """
             SELECT p_brand, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 6) AS sum_qty
@@ -2333,11 +2426,13 @@ def oracle_sql() -> dict[str, str]:
         "q_text_pack": r"""
             WITH t AS (
                 SELECT doc_id,
-                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'), x -> x <> ''))::INT AS n_tokens
+                       LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'), x -> x <> ''))::INT AS n_tokens,
+                       doc_id % 8 AS shard
                 FROM documents
             )
-            SELECT doc_id, n_tokens,
+            SELECT doc_id, n_tokens, shard,
                    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY shard
                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS pack_id
             FROM t ORDER BY doc_id
         """,
