@@ -42,11 +42,23 @@ def discover_files(root: str, suffix: str = ".parquet", pattern: str = "*") -> l
     """Source discovery (R1): enumerate + sort data files under a root.
 
     The reference pages an S3 listing and keeps ``*.parquet``
-    (``pasta1_etl/src/utils.py:16-43,46-66``); the engine analog is a
-    filesystem glob — on a real cluster, prefer a catalog/manifest over
-    raw listing (S3 LIST at 100 TB is itself a bottleneck).
+    (``pasta1_etl/src/utils.py:16-43,46-66``); here the listing goes
+    through the :mod:`objectstore` scheme layer, which preserves the S3
+    semantics (recursive keys, string prefix, lexicographic order,
+    pagination) over a local tree. ``pattern`` other than ``"*"`` keeps
+    the legacy glob path. On a real cluster, prefer a catalog/manifest
+    over raw listing (S3 LIST at 100 TB is itself a bottleneck).
     """
-    return sorted(p for p in _glob.glob(os.path.join(root, pattern)) if p.endswith(suffix))
+    if pattern != "*":
+        return sorted(
+            p for p in _glob.glob(os.path.join(root, pattern)) if p.endswith(suffix)
+        )
+    from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+    keys = [k for k in objectstore.list_objects(root) if k.endswith(suffix)]
+    # R1 returns one flat sorted list of full paths; keys exclude nested
+    # sink dirs the glob never matched, so keep only top-level keys.
+    return sorted(os.path.join(root, k) for k in keys if "/" not in k)
 
 
 def prune_files_by_month(files: Sequence[str], start: str | None, end: str | None) -> list[str]:
@@ -115,6 +127,42 @@ def append_table(df: DataFrame, path: str, max_records_per_file: int | None = No
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def append_idempotent(
+    df: DataFrame, path: str, job_id: str, job_col: str = "__job_id"
+) -> None:
+    """Idempotent append — the plain-parquet approximation of the
+    reference's Delta transactional append (``pasta1_etl/src/main.py:191-194``,
+    where a failed-then-retried month can't double-write because Delta's
+    commit log is atomic).
+
+    Without a commit log, a naive ``mode("append")`` retry duplicates
+    every row of the failed attempt. The Spark-native fix: stamp each
+    batch with its ``job_id`` as a PARTITION column and write with
+    dynamic partition overwrite — a retry replaces exactly its own
+    partition directory and nothing else (the same idea as Delta's
+    ``txnAppId``/``replaceWhere`` dedup, expressed in layout). Readers
+    ``spark.read.parquet(path)`` as usual and may drop ``job_col``.
+
+    100 TB note: one directory per ingest batch also gives free
+    batch-level pruning/rollback (delete one directory), at the cost of
+    a growing partition count — compact periodically.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn(job_col, F.lit(job_id))
+            .write.partitionBy(job_col)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_partitioned(

@@ -128,3 +128,67 @@ def test_tfidf_broadcasts_small_sides(spark, sf_dir):
     out = E.q_text_tfidf(spark, sf_dir)
     plan = plan_string(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_text_pack_window_is_sharded_not_global(spark, sf_dir):
+    """VERDICT r1 #3: the contract pack query must run a PARTITIONED
+    running-sum window — a global (single-partition) sort of the corpus
+    is the one 100 TB scale-killer found in round 1."""
+    import __spark_entry__ as E
+
+    out = E.q_text_pack(spark, sf_dir)
+    plan = plan_string(out)
+    # the pack window itself must shuffle by shard...
+    assert "hashpartitioning(__shard" in plan
+    # ...and nothing below the final presentation sort may funnel the
+    # data through one partition (the final orderBy is fine: Spark plans
+    # it as rangepartitioning, not SinglePartition)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_unsharded_pack_keeps_explicit_escape_hatch(spark, sf_dir):
+    # shard_col=None stays available for small inputs, and IS global
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.pack_documents(docs, token_budget=2000)
+    assert "SinglePartition" in plan_string(out, "simple")
+
+
+def test_dedup_pipeline_exchange_ceiling(spark, sf_dir):
+    """VERDICT r1 #8: regression fence for the staged dedup pipeline —
+    PLANS.md recorded 10 exchanges in round 1; a regression (e.g. losing
+    the persisted-signature reuse or a join reshuffle) shows up here as
+    a count blowout long before it shows up as a 100 TB incident."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.near_duplicate_groups(docs, jaccard_threshold=0.4)
+    # 12 as of round 2 (sig-join refactor added two cheap id joins); the
+    # displayed count includes the persisted signature subtree once per
+    # reference, so a blowout here means a lost persist or a new shuffle
+    assert exchange_count(out) <= 12
+
+
+def test_minhash_core_exchange_ceiling(spark, sf_dir):
+    # the un-persisted LSH core is where exchange counting is honest
+    # (persisted plans re-display cached subtrees per reference): shingle
+    # agg + band bucket self-join + pair groupBy + 2 sig re-joins
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.minhash_near_duplicates(docs, persist_signatures=False)
+    assert exchange_count(out) <= 8
+
+
+def test_minhash_verified_broadcasts_candidates(spark, sf_dir):
+    # verified pairs: candidate set is broadcast back onto the corpus
+    # (left_semi) so the shingle table is never shuffled for the verify,
+    # and the candidate subtree is cache-reused, not recomputed
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.minhash_verified_pairs(docs, threshold=0.8)
+    plan = plan_string(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
