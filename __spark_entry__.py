@@ -806,11 +806,14 @@ def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """North star: staged dedup pipeline — exact fingerprint dedup, then
-    MinHash-LSH on unique texts, group assignment. Scales with unique
-    content, not corpus size (measured 20× at 10× duplication). Hash
-    grouping is engine-specific → rows-only."""
+    MinHash-LSH + exact-Jaccard verify on unique texts, one-step group
+    assignment. Scales with unique content, not corpus size (measured
+    20× at 10× duplication). With ``verified=True`` the whole output is
+    deterministic, so the DuckDB oracle replays the full pipeline
+    (group-by-text reps → exact pair jaccard ≥ 0.8 → min-neighbor
+    groups → copy-weighted group sizes)."""
     docs = load_table(spark, sf, "documents")
-    groups = TX.near_duplicate_groups(docs, jaccard_threshold=0.4)
+    groups = TX.near_duplicate_groups(docs, jaccard_threshold=0.8, verified=True)
     out = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_docs"))
     return O.sort(out.filter(F.col("n_docs") >= 2), ["group_id"])
 
@@ -1058,7 +1061,9 @@ def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     from nyc_tlc_trip_data_pipelines_spark import streaming as ST
 
     stream = _replay_events(spark, sf)
-    aggd = ST.tumbling_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours")
+    aggd = ST.tumbling_window_agg(
+        ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours", value_agg="sum"
+    )
     return O.sort(ST.run_to_memory_sink(aggd, "q_stream_tumbling_sink"), ["window_start"])
 
 
@@ -1066,7 +1071,9 @@ def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     from nyc_tlc_trip_data_pipelines_spark import streaming as ST
 
     stream = _replay_events(spark, sf)
-    aggd = ST.sliding_window_agg(ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours", "2 hours")
+    aggd = ST.sliding_window_agg(
+        ST.with_watermark(stream, "ts", "1 hour"), "ts", "6 hours", "2 hours", value_agg="sum"
+    )
     return O.sort(ST.run_to_memory_sink(aggd, "q_stream_sliding_sink"), ["window_start", "window_end"])
 
 
@@ -1080,11 +1087,16 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
     """E34: watermarked append-mode windows — only windows the watermark
-    has passed are emitted (late-data drop semantics)."""
+    has passed are emitted (late-data drop semantics). availableNow runs
+    a final flush batch after the last data batch, so the emitted set is
+    exactly the windows with ``window_end <= max(ts) - delay`` — which
+    is what the oracle computes (verified stable across replays)."""
     from nyc_tlc_trip_data_pipelines_spark import streaming as ST
 
     stream = _replay_events(spark, sf)
-    aggd = ST.tumbling_window_agg(ST.with_watermark(stream, "ts", "30 minutes"), "ts", "6 hours")
+    aggd = ST.tumbling_window_agg(
+        ST.with_watermark(stream, "ts", "30 minutes"), "ts", "6 hours", value_agg="sum"
+    )
     out = ST.run_to_memory_sink(aggd, "q_stream_watermark_sink", output_mode="append")
     return O.sort(out, ["window_start"])
 
@@ -1097,9 +1109,13 @@ def q_stream_stateful(spark: SparkSession, sf: str) -> DataFrame:
     stream = _replay_events(spark, sf)
     updates = ST.stateful_running_totals(stream, "user_id", "value")
     out = ST.run_to_memory_sink(updates, "q_stream_stateful_sink", output_mode="update")
-    # last update per key = final running totals
+    # last update per key = final running totals == the batch aggregate,
+    # which is exactly what the oracle computes (6dp-rounded sum)
     final = W.top_n_per_group(out, ["key"], [F.col("n_events").desc()], n=1)
-    return O.sort(final, ["key"])
+    return O.sort(
+        final.select("key", "n_events", F.round("sum_value", 6).alias("sum_value")),
+        ["key"],
+    )
 
 
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1175,12 +1191,14 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     """North star (iterative algorithm): connected components over the
-    MinHash near-dup pair graph — component sizes. Iterative joins are
-    not SQL-expressible → rows-only."""
+    VERIFIED near-dup pair graph — component sizes. The pair set is
+    exact (LSH + exact-Jaccard verify), so the min-label components are
+    deterministic and the oracle replays them with a recursive CTE
+    (DuckDB WITH RECURSIVE reachability + MIN per node)."""
     from nyc_tlc_trip_data_pipelines_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf, "documents")
-    pairs = TX.minhash_near_duplicates(docs, jaccard_threshold=0.4)
+    pairs = TX.minhash_verified_pairs(docs, threshold=0.8)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     out = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
     return O.sort(out, ["component"])
@@ -2021,6 +2039,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_grouped_map": q_grouped_map,
         # ——— driver-budget boundary was ~here (50) in round 1 ———
+        "q_dedup_pipeline": q_dedup_pipeline,
+        # streaming: availableNow drains → final result == batch oracle
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_session": q_stream_session,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_stateful": q_stream_stateful,
+        "q_stream_watermark": q_stream_watermark,
+        "q_stream_foreach_batch": q_stream_foreach_batch,
+        "q_graph_components": q_graph_components,
         "q_window_first_last": q_window_first_last,
         "q_agg_collect_list": q_agg_collect_list,
         "q_join_full_outer": q_join_full_outer,
@@ -2032,19 +2060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_json": q_sink_json,
         "q_sink_orc": q_sink_orc,
         # — no-oracle tail (probabilistic / engine-specific / streaming / stubs) —
-        "q_dedup_pipeline": q_dedup_pipeline,
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_dedup_embedding": q_dedup_embedding,
-        "q_graph_components": q_graph_components,
-        "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_sliding": q_stream_sliding,
-        "q_stream_session": q_stream_session,
-        "q_stream_watermark": q_stream_watermark,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_stateful": q_stream_stateful,
-        "q_stream_foreach_batch": q_stream_foreach_batch,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_framesample": q_multimodal_framesample,
         "q_multimodal_resize": q_multimodal_resize,
@@ -2205,6 +2224,135 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_total, TRUE AS sample_ok
             FROM documents WHERE lang IN ('en', 'es', 'fr', 'de', 'zh')
             GROUP BY lang ORDER BY lang
+        """,
+        # Streaming queries drain ALL available input (availableNow) into
+        # complete/update/append sinks, so the final materialized result
+        # equals the batch computation — which is what these oracles run.
+        "q_stream_tumbling": """
+            SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+                   time_bucket(INTERVAL 6 HOURS, ts) + INTERVAL 6 HOURS AS window_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1
+        """,
+        "q_stream_sliding": """
+            WITH e AS (
+                SELECT ts, value,
+                       time_bucket(INTERVAL 2 HOURS, ts) - (k * INTERVAL 2 HOURS) AS window_start
+                FROM events, (SELECT UNNEST([0, 1, 2]) AS k)
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 6 HOURS AS window_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_stream_session": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) >= 7200
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), islands AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                FROM flagged
+            )
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 2 HOURS AS session_end,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM islands GROUP BY user_id, sess
+            ORDER BY user_id, session_start
+        """,
+        "q_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type
+        """,
+        "q_stream_watermark": """
+            WITH w AS (
+                SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+                       time_bucket(INTERVAL 6 HOURS, ts) + INTERVAL 6 HOURS AS window_end,
+                       COUNT(*) AS n_events,
+                       ROUND(SUM(value), 6) AS sum_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT * FROM w
+            WHERE window_end <= (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
+            ORDER BY window_start
+        """,
+        "q_stream_stateful": """
+            SELECT user_id AS key, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY user_id ORDER BY key
+        """,
+        "q_stream_foreach_batch": """
+            SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
+        """,
+        "q_graph_components": """
+            WITH RECURSIVE s AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, LENGTH(LOWER(text)) - 4),
+                               i -> SUBSTRING(LOWER(text), i, 5)))
+                       ELSE CAST([] AS VARCHAR[]) END AS sh
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM s a JOIN s b
+                  ON a.doc_id < b.doc_id
+                 AND LEAST(LEN(a.sh), LEN(b.sh)) >= 0.8 * GREATEST(LEN(a.sh), LEN(b.sh))
+                WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
+                  AND ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6) >= 0.8
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+            ), comp AS (
+                SELECT node, MIN(r) AS component FROM reach GROUP BY node
+            )
+            SELECT component, COUNT(*) AS n_docs
+            FROM comp GROUP BY component ORDER BY component
+        """,
+        "q_dedup_pipeline": """
+            WITH reps AS (
+                SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+                FROM documents GROUP BY text
+            ), s AS (
+                SELECT rep_id,
+                       CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, LENGTH(LOWER(text)) - 4),
+                               i -> SUBSTRING(LOWER(text), i, 5)))
+                       ELSE CAST([] AS VARCHAR[]) END AS sh
+                FROM reps
+            ), pairs AS (
+                SELECT a.rep_id AS id_a, b.rep_id AS id_b
+                FROM s a JOIN s b
+                  ON a.rep_id < b.rep_id
+                 AND LEAST(LEN(a.sh), LEN(b.sh)) >= 0.8 * GREATEST(LEN(a.sh), LEN(b.sh))
+                WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
+                  AND ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6) >= 0.8
+            ), grp AS (
+                SELECT r.rep_id, r.n_copies,
+                       LEAST(COALESCE(MIN(p.id_a), r.rep_id), r.rep_id) AS group_id
+                FROM reps r LEFT JOIN pairs p ON p.id_b = r.rep_id
+                GROUP BY r.rep_id, r.n_copies
+            )
+            SELECT group_id, CAST(SUM(n_copies) AS BIGINT) AS n_docs
+            FROM grp GROUP BY group_id
+            HAVING CAST(SUM(n_copies) AS BIGINT) >= 2
+            ORDER BY group_id
         """,
         "q_dedup_minhash": """
             WITH s AS (

@@ -336,6 +336,7 @@ def near_duplicate_groups(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     transitive: bool = False,
+    verified: bool = False,
 ) -> DataFrame:
     """Production dedup pipeline: exact-dedup FIRST, then MinHash-LSH on
     unique texts only. Returns (doc_id, group_id) where group_id is the
@@ -353,20 +354,36 @@ def near_duplicate_groups(
     neighbors) by default; pass ``transitive=True`` for full connected
     components (iterative min-label propagation,
     ``operators.graph.connected_components``).
+
+    ``verified=True`` swaps the probabilistic est-Jaccard pair stage for
+    :func:`minhash_verified_pairs` (LSH candidates + exact verify) —
+    the whole pipeline output then becomes deterministic and
+    oracle-checkable, at the cost of the verify joins.
     """
     fp = df.select(F.col(id_col), F.col(text_col), fingerprint(text_col).alias("__fp"))
     reps = fp.groupBy("__fp").agg(
         F.min(id_col).alias("rep_id"), F.first(text_col).alias(text_col)
     )
-    pairs = minhash_near_duplicates(
-        reps.select(F.col("rep_id").alias(id_col), text_col),
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-        jaccard_threshold=jaccard_threshold,
-    )
+    rep_docs = reps.select(F.col("rep_id").alias(id_col), text_col)
+    if verified:
+        pairs = minhash_verified_pairs(
+            rep_docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            threshold=jaccard_threshold,
+        )
+    else:
+        pairs = minhash_near_duplicates(
+            rep_docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+        )
     if transitive:
         from nyc_tlc_trip_data_pipelines_spark.operators.graph import connected_components
 

@@ -53,20 +53,31 @@ def tumbling_window_agg(
     window_size: str = "1 hour",
     keys: tuple[str, ...] = (),
     value_col: str = "value",
+    avg_decimals: int = 6,
+    value_agg: str = "avg",
 ) -> DataFrame:
-    """E31: non-overlapping event-time windows."""
+    """E31: non-overlapping event-time windows.
+
+    ``value_agg="sum"`` emits a rounded SUM instead of AVG: averages of
+    finite-decimal data routinely land exactly on round-half boundaries
+    (sum/n), where micro-batch accumulation order can flip the rounded
+    digit vs a single-pass batch oracle. Sums of ≤6-decimal values have
+    no such boundary at 6dp, so the streamed result is bit-stable
+    against the batch twin — stream contract queries use "sum"."""
+    val = (
+        F.round(F.sum(value_col), avg_decimals).alias("sum_value")
+        if value_agg == "sum"
+        else F.round(F.avg(value_col), avg_decimals).alias("avg_value")
+    )
     return (
         df.groupBy(F.window(ts_col, window_size), *keys)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_events"), val)
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             *keys,
             "n_events",
-            "avg_value",
+            "sum_value" if value_agg == "sum" else "avg_value",
         )
     )
 
@@ -78,20 +89,25 @@ def sliding_window_agg(
     slide: str = "15 minutes",
     keys: tuple[str, ...] = (),
     value_col: str = "value",
+    avg_decimals: int = 6,
+    value_agg: str = "avg",
 ) -> DataFrame:
-    """E32: overlapping windows — each row lands in size/slide windows."""
+    """E32: overlapping windows — each row lands in size/slide windows.
+    See :func:`tumbling_window_agg` for ``value_agg``/``avg_decimals``."""
+    val = (
+        F.round(F.sum(value_col), avg_decimals).alias("sum_value")
+        if value_agg == "sum"
+        else F.round(F.avg(value_col), avg_decimals).alias("avg_value")
+    )
     return (
         df.groupBy(F.window(ts_col, window_size, slide), *keys)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_events"), val)
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             *keys,
             "n_events",
-            "avg_value",
+            "sum_value" if value_agg == "sum" else "avg_value",
         )
     )
 
