@@ -2049,6 +2049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_watermark": q_stream_watermark,
         "q_stream_foreach_batch": q_stream_foreach_batch,
         "q_graph_components": q_graph_components,
+        # ANN: seeded-literal planes/centroids → DuckDB replays the probe
+        "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
+        "q_dedup_embedding": q_dedup_embedding,
         "q_window_first_last": q_window_first_last,
         "q_agg_collect_list": q_agg_collect_list,
         "q_join_full_outer": q_join_full_outer,
@@ -2059,11 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_extract2": q_date_extract2,
         "q_sink_json": q_sink_json,
         "q_sink_orc": q_sink_orc,
-        # — no-oracle tail (probabilistic / engine-specific / streaming / stubs) —
+        # — no-oracle tail (engine-specific hashes / filesystem / stubs) —
         "q_dedup_simhash": q_dedup_simhash,
-        "q_ann_lsh": q_ann_lsh,
-        "q_ann_ivf": q_ann_ivf,
-        "q_dedup_embedding": q_dedup_embedding,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_framesample": q_multimodal_framesample,
         "q_multimodal_resize": q_multimodal_resize,
@@ -2117,6 +2118,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_token_count": q_text_token_count,
         "q_text_fingerprint": q_text_fingerprint,
     }
+
+
+def _sql_vec(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+_COS = (
+    "ROUND(LIST_DOT_PRODUCT(e, {q}) / "
+    "(SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT({q}, {q}))), 6)"
+)
+
+
+def _ann_lsh_oracle() -> str:
+    """Replay of q_ann_lsh: the hyperplanes are seeded LITERALS, so the
+    oracle recomputes the sign-bit bucket per vector and the query's
+    bucket, then brute-forces cosine top-k inside that bucket — the
+    exact same restriction the LSH probe makes. Dot products accumulate
+    left-to-right in float64 on both engines, so sign bits agree."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(4, 64)
+    q = [1.0] * 64
+    qb = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(q, p)) >= 0)
+    bits = " + ".join(
+        f"(CASE WHEN LIST_DOT_PRODUCT(e, {_sql_vec(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    qs = _sql_vec(q)
+    cos = _COS.format(q=qs)
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        bb AS (SELECT vec_id, e, {bits} AS bucket FROM b)
+        SELECT vec_id, {cos} AS cosine
+        FROM bb WHERE bucket = {qb}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """Replay of q_ann_ivf: centroid literals → per-vector nearest
+    centroid (first-argmax, matching Spark's array_position formulation)
+    → probe the n_probe centroids nearest the query (computed here the
+    same way ivf_topk does) → cosine top-k within probed cells."""
+    import numpy as np
+
+    centroids = np.random.RandomState(7).randn(8, 64)
+    q = np.asarray([1.0] * 64)
+    sims = []
+    for i, c in enumerate(centroids):
+        denom = float(np.linalg.norm(q) * np.linalg.norm(c)) or 1.0
+        sims.append((float(np.dot(q, c)) / denom, i))
+    probe = sorted(i for _, i in sorted(sims, reverse=True)[:3])
+    cent_sims = ", ".join(
+        f"LIST_DOT_PRODUCT(e, {_sql_vec(c)}) / "
+        f"(SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT({_sql_vec(c)}, {_sql_vec(c)})))"
+        for c in centroids
+    )
+    cos = _COS.format(q=_sql_vec([1.0] * 64))
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        a AS (SELECT vec_id, e,
+                     LIST_POSITION(s, LIST_MAX(s)) - 1 AS cent
+              FROM (SELECT vec_id, e, [{cent_sims}] AS s FROM b))
+        SELECT vec_id, {cos} AS cosine
+        FROM a WHERE cent IN ({", ".join(str(i) for i in probe)})
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _dedup_embedding_oracle() -> str:
+    """Replay of q_dedup_embedding: 6-plane sign buckets, same-bucket
+    pair join, exact pairwise cosine, global top-50 with (cosine desc,
+    id_a, id_b) tie-break."""
+    import numpy as np
+
+    planes = np.random.RandomState(11).randn(6, 64)
+    bits = " + ".join(
+        f"(CASE WHEN LIST_DOT_PRODUCT(e, {_sql_vec(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        bb AS (SELECT vec_id, e, {bits} AS bucket FROM b)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(LIST_DOT_PRODUCT(a.e, b.e) /
+                     (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) AS cosine
+        FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ORDER BY cosine DESC, id_a, id_b LIMIT 50
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2273,6 +2363,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type
         """,
+        "q_ann_lsh": _ann_lsh_oracle(),
+        "q_ann_ivf": _ann_ivf_oracle(),
+        "q_dedup_embedding": _dedup_embedding_oracle(),
         "q_stream_watermark": """
             WITH w AS (
                 SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
