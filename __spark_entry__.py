@@ -1937,6 +1937,233 @@ def q_sql_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated-min join over a
+    derived per-part price table + region-filtered supplier lookup.
+    Adapted (no partsupp): unit price = l_extendedprice / l_quantity from
+    lineitem; exact double equality against the per-part MIN is
+    deterministic because both engines divide the same parquet values."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT DISTINCT s_suppkey, s_name, p_partkey, p_name,
+               ROUND(pc.min_price, 4) AS min_price
+        FROM part
+        JOIN (
+            SELECT l_partkey, MIN(l_extendedprice / l_quantity) AS min_price
+            FROM lineitem GROUP BY l_partkey
+        ) pc ON pc.l_partkey = p_partkey
+        JOIN lineitem ON lineitem.l_partkey = p_partkey
+             AND l_extendedprice / l_quantity = pc.min_price
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+        """
+    )
+
+
+def q_sql_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): group aggregate kept only when
+    it exceeds a FRACTION OF THE GLOBAL TOTAL (scalar subquery in
+    HAVING). Adapted: per-part sales value by one nation's suppliers."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING SUM(l_extendedprice * (1 - l_discount)) > (
+            SELECT 0.001 * SUM(l_extendedprice * (1 - l_discount))
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        """
+    )
+
+
+def q_sql_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): LEFT join with an
+    ON-clause filter so zero-order customers survive, then a histogram
+    of the per-customer counts (two-level aggregation)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """
+    )
+
+
+def q_sql_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): CTE revenue view + scalar-MAX subquery
+    selecting the argmax supplier(s)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+def q_sql_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    per attribute tuple with a NOT IN anti-subquery on the counted key.
+    Adapted: suppliers seen in lineitem; negative-balance suppliers
+    excluded (in lieu of the complaints comment filter)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+def q_sql_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    AVG subquery per part. l_quantity is integral, so the per-part AVG
+    is the exact ratio of exact sums on both engines — the comparison
+    has no float-accumulation ambiguity."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+def q_sql_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunction of conjunctive
+    brand/size/quantity blocks — the OR-of-ANDs predicate-pushdown
+    stress shape."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 5 AND l_quantity <= 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 10 AND l_quantity <= 50)
+        """
+    )
+
+
+def q_sql_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (part promotion): nested IN chains — suppliers of
+    name-matched parts shipped in volume during one year."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+            )
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 50
+          )
+        """
+    )
+
+
+def q_sql_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+    NOT EXISTS self-correlations on lineitem. Adapted (no receipt/commit
+    dates): "late" = shipped > 60 days after the order date; the
+    supplier was the ONLY late one on a multi-supplier finished order."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders   ON o_orderkey = l1.l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY s_name
+        """
+    )
+
+
+def q_sql_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): substring bucketing,
+    scalar-AVG threshold subquery, and NOT EXISTS anti-correlation.
+    Adapted: bucket = first digit of the customer key; anti-join is
+    against URGENT orders (every customer has SOME order, so the
+    literal Q22 anti-join would be vacuous on this corpus)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+        FROM (
+            SELECT SUBSTRING(CAST(c_custkey AS STRING), 1, 1) AS cntrycode, c_acctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+            )
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+              )
+        ) custsale
+        GROUP BY cntrycode
+        """
+    )
+
+
 def q_agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
     """E10e: SQL FILTER clause on aggregates (per-aggregate predicates
     without CASE scaffolding) — identical syntax on both engines."""
@@ -2040,6 +2267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_map": q_grouped_map,
         # ——— driver-budget boundary was ~here (50) in round 1 ———
         "q_dedup_pipeline": q_dedup_pipeline,
+        # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
+        "q_sql_tpch_q2": q_sql_tpch_q2,
+        "q_sql_tpch_q11": q_sql_tpch_q11,
+        "q_sql_tpch_q13": q_sql_tpch_q13,
+        "q_sql_tpch_q15": q_sql_tpch_q15,
+        "q_sql_tpch_q16": q_sql_tpch_q16,
+        "q_sql_tpch_q17": q_sql_tpch_q17,
+        "q_sql_tpch_q19": q_sql_tpch_q19,
+        "q_sql_tpch_q20": q_sql_tpch_q20,
+        "q_sql_tpch_q21": q_sql_tpch_q21,
+        "q_sql_tpch_q22": q_sql_tpch_q22,
         # streaming: availableNow drains → final result == batch oracle
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_sliding": q_stream_sliding,
@@ -2362,6 +2600,143 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type
+        """,
+        "q_sql_tpch_q2": """
+            SELECT DISTINCT s_suppkey, s_name, p_partkey, p_name,
+                   ROUND(pc.min_price, 4) AS min_price
+            FROM part
+            JOIN (
+                SELECT l_partkey, MIN(l_extendedprice / l_quantity) AS min_price
+                FROM lineitem GROUP BY l_partkey
+            ) pc ON pc.l_partkey = p_partkey
+            JOIN lineitem ON lineitem.l_partkey = p_partkey
+                 AND l_extendedprice / l_quantity = pc.min_price
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+            ORDER BY s_suppkey, p_partkey
+        """,
+        "q_sql_tpch_q11": """
+            SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+            HAVING SUM(l_extendedprice * (1 - l_discount)) > (
+                SELECT 0.001 * SUM(l_extendedprice * (1 - l_discount))
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+            )
+            ORDER BY l_partkey
+        """,
+        "q_sql_tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            ) c_orders
+            GROUP BY c_count ORDER BY c_count
+        """,
+        "q_sql_tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q_sql_tpch_q16": """
+            SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY p_brand, p_type, p_size
+        """,
+        "q_sql_tpch_q17": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#3'
+              AND l_quantity < (
+                SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = p_partkey
+              )
+        """,
+        "q_sql_tpch_q19": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity >= 1 AND l_quantity <= 30)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity >= 5 AND l_quantity <= 40)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity >= 10 AND l_quantity <= 50)
+        """,
+        "q_sql_tpch_q20": """
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                )
+                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey
+                HAVING SUM(l_quantity) > 50
+              )
+            ORDER BY s_suppkey
+        """,
+        "q_sql_tpch_q21": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders   ON o_orderkey = l1.l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY s_name ORDER BY s_name
+        """,
+        "q_sql_tpch_q22": """
+            SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+            FROM (
+                SELECT SUBSTRING(CAST(c_custkey AS VARCHAR), 1, 1) AS cntrycode, c_acctbal
+                FROM customer
+                WHERE c_acctbal > (
+                    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+                )
+                  AND NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+                  )
+            ) custsale
+            GROUP BY cntrycode ORDER BY cntrycode
         """,
         "q_ann_lsh": _ann_lsh_oracle(),
         "q_ann_ivf": _ann_ivf_oracle(),
