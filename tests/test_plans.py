@@ -181,6 +181,29 @@ def test_minhash_core_exchange_ceiling(spark, sf_dir):
     assert exchange_count(out) <= 8
 
 
+def test_tpch_q19_or_of_ands_pushes_scan_filters(spark):
+    """Q19's OR-of-ANDs must still prune at the scan: Catalyst extracts
+    the common brand/size disjunction into parquet pushed filters."""
+    import __spark_entry__ as E
+
+    df = E.q_sql_tpch_q19(spark, "/root/testdata/sf0.001")
+    plan = plan_string(df)
+    assert "PushedFilters: [" in plan
+    # the part-side scan must carry an Or() pushdown, not a bare scan
+    assert "Or(" in plan
+
+
+def test_tpch_q21_self_correlations_stay_hash_joins(spark):
+    """Q21's EXISTS/NOT EXISTS self-correlations must plan as hash
+    semi/anti joins (never BroadcastNestedLoop over lineitem)."""
+    import __spark_entry__ as E
+
+    df = E.q_sql_tpch_q21(spark, "/root/testdata/sf0.001")
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 def test_minhash_verified_broadcasts_candidates(spark, sf_dir):
     # verified pairs: candidate set is broadcast back onto the corpus
     # (left_semi) so the shingle table is never shuffled for the verify,
