@@ -1204,6 +1204,83 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """E35d: stream-STREAM interval join — purchases matched to clicks
+    of the same user within 1 hour, counted per user. Two independent
+    replay streams; inner-join matches are emitted as both sides drain
+    (availableNow), so the final result equals the batch interval join
+    the oracle runs."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    s1 = _replay_events(spark, sf)
+    s2 = _replay_events(spark, sf)
+    clicks = s1.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = s2.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    # Replay files are not time-ordered, so one stream's watermark can
+    # outrun the other and silently drop "late" rows mid-replay. For the
+    # batch-equivalence contract the watermark must cover the whole
+    # replayed span (events span ~30 days); production streams with
+    # near-ordered arrival use real delays instead.
+    joined = ST.stream_stream_interval_join(
+        clicks,
+        purchases,
+        "c_user",
+        "p_user",
+        "click_ts",
+        "purchase_ts",
+        "1 hour",
+        watermark_delay="40 days",
+    )
+    out = ST.run_to_memory_sink(
+        joined.select("c_user", "click_ts", "purchase_ts"),
+        "q_stream_stream_join_sink",
+        output_mode="append",
+    )
+    return O.sort(
+        out.groupBy(F.col("c_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_matches")
+        ),
+        ["user_id"],
+    )
+
+
+def q_vector_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (storage path): int8 scalar quantization fidelity —
+    per-vector cosine between dequantized and original embedding, plus
+    a ≥0.999 verdict. Element-ordered float64 arithmetic replays
+    exactly in the DuckDB twin."""
+    em = load_table(spark, sf, "embeddings")
+    return O.sort(V.scalar_quantize_cosine(em), ["vec_id"])
+
+
+def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale diagnostics: key-skew profile of the lineitem join key —
+    top-10 heaviest keys with their share vs a perfectly uniform
+    distribution (the number that decides salting / AQE skew-join
+    thresholds; pairs with q_join_salted)."""
+    li = load_table(spark, sf, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n_rows").alias("total")
+    )
+    top = O.top_k(
+        counts.crossJoin(F.broadcast(stats)).select(
+            "l_orderkey",
+            "n_rows",
+            F.round(F.col("n_rows") * F.col("n_keys") / F.col("total"), 6).alias(
+                "skew_factor"
+            ),
+        ),
+        [F.col("n_rows").desc(), F.col("l_orderkey")],
+        10,
+    )
+    return top
+
+
 def q_stream_foreach_batch(spark: SparkSession, sf: str) -> DataFrame:
     """E35b: foreachBatch parquet sink — batch-id-stamped appends,
     readback row count must equal the source."""
@@ -2285,8 +2362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stream_stateful": q_stream_stateful,
         "q_stream_watermark": q_stream_watermark,
+        "q_stream_stream_join": q_stream_stream_join,
         "q_stream_foreach_batch": q_stream_foreach_batch,
         "q_graph_components": q_graph_components,
+        "q_vector_quantize": q_vector_quantize,
+        "q_skew_profile": q_skew_profile,
         # ANN: seeded-literal planes/centroids → DuckDB replays the probe
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
@@ -2737,6 +2817,44 @@ def oracle_sql() -> dict[str, str]:
                   )
             ) custsale
             GROUP BY cntrycode ORDER BY cntrycode
+        """,
+        "q_stream_stream_join": """
+            SELECT c.user_id, COUNT(*) AS n_matches
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        "q_vector_quantize": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), q AS (
+                SELECT vec_id, e,
+                       LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) / 127.0 AS scale
+                FROM v
+            ), d AS (
+                SELECT vec_id, e,
+                       LIST_TRANSFORM(e, x -> ROUND(x / scale, 0) * scale) AS deq
+                FROM q
+            )
+            SELECT vec_id,
+                   ROUND(LIST_DOT_PRODUCT(deq, e) /
+                         (SQRT(LIST_DOT_PRODUCT(deq, deq)) * SQRT(LIST_DOT_PRODUCT(e, e))), 4) AS cos_q,
+                   ROUND(LIST_DOT_PRODUCT(deq, e) /
+                         (SQRT(LIST_DOT_PRODUCT(deq, deq)) * SQRT(LIST_DOT_PRODUCT(e, e))), 4) >= 0.999 AS quant_ok
+            FROM d ORDER BY vec_id
+        """,
+        "q_skew_profile": """
+            WITH counts AS (
+                SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey
+            ), stats AS (
+                SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total FROM counts
+            )
+            SELECT l_orderkey, n_rows,
+                   ROUND(n_rows * n_keys / CAST(total AS DOUBLE), 6) AS skew_factor
+            FROM counts, stats
+            ORDER BY n_rows DESC, l_orderkey LIMIT 10
         """,
         "q_ann_lsh": _ann_lsh_oracle(),
         "q_ann_ivf": _ann_ivf_oracle(),

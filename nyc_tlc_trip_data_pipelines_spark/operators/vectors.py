@@ -109,6 +109,35 @@ def lsh_cosine_topk(
     return cosine_topk(cand, query, vec_col, id_col, k)
 
 
+def scalar_quantize_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Int8-style scalar quantization fidelity check (the storage-
+    compression step of a vector pipeline: 4× smaller than float32,
+    16× smaller than float64). Per vector: symmetric scale =
+    max(|v|)/(2^(bits-1) − 1), q_i = round(v_i / scale), and the
+    output is the cosine between the dequantized and the original
+    vector — the direct measure of recall loss. All arithmetic is
+    element-ordered float64, so a SQL twin replays it exactly.
+
+    Returns (id, cos_q, quant_ok) with ``quant_ok = cos_q >= 0.999``
+    (8-bit symmetric quantization of 64-dim vectors loses well under
+    0.1% cosine)."""
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(qmax)
+    deq = F.transform(v, lambda x: F.round(x / scale, 0) * scale)
+    cos = array_dot(deq, v) / (array_norm(deq) * array_norm(v))
+    return df.select(
+        F.col(id_col),
+        F.round(cos, 4).alias("cos_q"),
+        (F.round(cos, 4) >= F.lit(0.999)).alias("quant_ok"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],

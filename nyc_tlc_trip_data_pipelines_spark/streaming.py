@@ -187,6 +187,39 @@ def stateful_running_totals(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """E35d: stream-STREAM inner interval join — right events matched to
+    left events of the same key within ``(left_ts, left_ts + max_delay]``.
+
+    Both sides carry watermarks (required: the interval bound plus the
+    watermark tells Spark when buffered state can be dropped — without
+    it, join state grows forever). For an INNER join, matches are
+    emitted as soon as both rows are seen, so draining all input with
+    availableNow yields exactly the batch join — the oracle contract.
+
+    100 TB note: state is bounded by key-cardinality × (watermark +
+    interval) window of rows per side; co-partitioning on the key is
+    automatic (both sides shuffle to the same hash partitioning).
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, on=cond, how="inner")
+
+
 def foreach_batch_parquet_sink(
     stream_df: DataFrame,
     path: str,

@@ -89,3 +89,73 @@ def test_watermark_is_set(spark, replay_dir):
     stream = ST.read_file_stream(spark, replay_dir, schema)
     wm = ST.with_watermark(stream, "ts", "30 minutes")
     assert wm.isStreaming
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """E35d: two replay streams, interval inner join — final drained
+    result must equal the static interval join."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="ssj_")
+    path = os.path.join(d, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+        )
+        return clicks, purchases
+
+    s1 = ST.read_file_stream(spark, path, static.schema, max_files_per_trigger=1)
+    s2 = ST.read_file_stream(spark, path, static.schema, max_files_per_trigger=2)
+    sc, sp = sides(s1)
+    sp = sides(s2)[1]
+    streamed = ST.run_to_memory_sink(
+        ST.stream_stream_interval_join(
+            # unordered replay: watermark must span the data (see
+            # q_stream_stream_join) or late right-side rows get dropped
+            sc, sp, "c_user", "p_user", "click_ts", "purchase_ts", "1 hour",
+            watermark_delay="40 days",
+        ).select("c_user", "click_ts", "purchase_ts"),
+        "ssj_test_sink",
+        output_mode="append",
+    )
+    bc, bp = sides(static)
+    batch = bc.join(
+        bp,
+        on=[
+            bc.c_user == bp.p_user,
+            F.col("purchase_ts") > F.col("click_ts"),
+            F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour"),
+        ],
+    ).select("c_user", "click_ts", "purchase_ts")
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def test_scalar_quantize_cosine_fidelity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    em = load_table(spark, sf_dir, "embeddings")
+    out = V.scalar_quantize_cosine(em)
+    n = out.count()
+    assert n == em.count()
+    # 8-bit symmetric quantization of 64-dim vectors: cosine ≥ 0.999 everywhere
+    assert out.filter(~F.col("quant_ok")).count() == 0
+    # and 4-bit is measurably worse but still positive-similarity
+    out4 = V.scalar_quantize_cosine(em, bits=4)
+    assert out4.filter(F.col("cos_q") < 0.9).count() == 0
