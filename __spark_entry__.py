@@ -804,6 +804,35 @@ def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse-pipeline staple: SCD Type-2 dimension merge — changed
+    current rows close out at the effective timestamp, new versions
+    open; no-op updates (the %11 slice) produce no new version. Pure
+    join+union formulation (`sorts.scd2_apply`), oracle replays it in
+    SQL with IS DISTINCT FROM change detection."""
+    c = load_table(spark, sf, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_name", F.round(F.col("c_acctbal") + 500.0, 6).alias("c_acctbal"))
+        .unionByName(
+            c.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+            .select("c_custkey", "c_name", F.round("c_acctbal", 6).alias("c_acctbal"))
+        )
+    )
+    out = O.scd2_apply(
+        dim, updates, ["c_custkey"], ["c_name", "c_acctbal"], "2024-01-01 00:00:00"
+    )
+    return O.sort(out, ["c_custkey", "valid_from", "is_current"])
+
+
 def q_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """North star: staged dedup pipeline — exact fingerprint dedup, then
     MinHash-LSH + exact-Jaccard verify on unique texts, one-step group
@@ -2344,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_map": q_grouped_map,
         # ——— driver-budget boundary was ~here (50) in round 1 ———
         "q_dedup_pipeline": q_dedup_pipeline,
+        "q_scd2_merge": q_scd2_merge,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -2680,6 +2710,37 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type
+        """,
+        "q_scd2_merge": """
+            WITH dim AS (
+                SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS c_acctbal,
+                       TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+                       CAST(NULL AS TIMESTAMP) AS valid_to,
+                       TRUE AS is_current
+                FROM customer
+            ), upd AS (
+                SELECT c_custkey, c_name, ROUND(c_acctbal + 500.0, 6) AS c_acctbal
+                FROM customer WHERE c_custkey % 7 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS c_acctbal
+                FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+            ), changed AS (
+                SELECT u.c_custkey, u.c_name, u.c_acctbal
+                FROM upd u JOIN dim d ON u.c_custkey = d.c_custkey AND d.is_current
+                WHERE u.c_acctbal IS DISTINCT FROM d.c_acctbal
+                   OR u.c_name IS DISTINCT FROM d.c_name
+            )
+            SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+                   TIMESTAMP '2024-01-01 00:00:00' AS valid_to, FALSE AS is_current
+            FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from, d.valid_to, d.is_current
+            FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal,
+                   TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+            FROM changed
+            ORDER BY c_custkey, valid_from, is_current
         """,
         "q_sql_tpch_q2": """
             SELECT DISTINCT s_suppkey, s_name, p_partkey, p_name,

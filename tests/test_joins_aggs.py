@@ -65,3 +65,38 @@ def test_group_by_all_equals_drop_duplicates(spark, sf_dir):
     via_group = ev.groupBy("user_id", "event_type").agg(F.lit(1)).drop("1")
     via_dedup = ev.dropDuplicates()
     assert via_group.count() == via_dedup.count()
+
+
+def test_scd2_apply_idempotent_and_versioned(spark, sf_dir):
+    """SCD2 contract: one change closes the old version and opens a new
+    one; re-applying the same updates is a no-op (no version churn)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators.sorts import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer").limit(200)
+    dim = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 6).alias("c_acctbal"),
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") + 1.0, 6).alias("c_acctbal")
+    )
+    n_changed = updates.count()
+    v1 = scd2_apply(dim, updates, ["c_custkey"], ["c_name", "c_acctbal"], "2024-01-01")
+    assert v1.count() == dim.count() + n_changed
+    assert v1.filter(~F.col("is_current")).count() == n_changed
+    # closed rows carry the effective timestamp as valid_to
+    assert (
+        v1.filter(~F.col("is_current"))
+        .filter(F.col("valid_to") == F.lit("2024-01-01").cast("timestamp"))
+        .count()
+        == n_changed
+    )
+    # idempotence: same updates against the merged dim change nothing
+    v2 = scd2_apply(v1, updates, ["c_custkey"], ["c_name", "c_acctbal"], "2025-01-01")
+    assert v2.count() == v1.count()
+    assert v2.filter(F.col("is_current")).count() == dim.count()
