@@ -665,6 +665,64 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_json_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """E25b: schema-full JSON round-trip — build a NESTED document with
+    to_json(struct(...)), parse it back with from_json + explicit
+    schema, and navigate struct/array fields. The oracle recomputes the
+    same values straight from the columns (the round-trip must be
+    lossless)."""
+    ev = load_table(spark, sf, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(F.col("user_id").alias("u"), F.col("value").alias("v")).alias("who"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+        )
+    )
+    schema = "t string, who struct<u: bigint, v: double>, vals array<double>"
+    parsed = ev.select(F.from_json(doc, schema).alias("j"))
+    # no row-level rounding: to_json doubles round-trip exactly
+    # (shortest-repr serialization), so the sums match the oracle's
+    out = parsed.select(
+        F.col("j.t").alias("event_type"),
+        F.col("j.who.u").alias("user_id"),
+        F.col("j.who.v").alias("value"),
+        F.element_at("j.vals", 2).alias("double_value"),
+    )
+    return O.sort(
+        out.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum("double_value"), 4).alias("sum_double"),
+        ),
+        ["event_type"],
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (text preprocessing): normalization pipeline — lower,
+    strip non-alphanumerics, collapse whitespace, trim — plus the
+    resulting token count. Pure regexp expressions (codegen, pushdown-
+    friendly); the oracle replays the same regex classes in RE2."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        F.substring(norm, 1, 60).alias("norm_prefix"),
+        F.when(norm == "", 0)
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_tokens"),
+    )
+    return O.sort(out, ["doc_id"])
+
+
 def q_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
     """E26: Arrow-batched scalar pandas UDF (revenue); oracle is the
     equivalent SQL expression — verifies the UDF matches codegen math."""
@@ -2374,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— driver-budget boundary was ~here (50) in round 1 ———
         "q_dedup_pipeline": q_dedup_pipeline,
         "q_scd2_merge": q_scd2_merge,
+        "q_json_flatten": q_json_flatten,
+        "q_text_normalize": q_text_normalize,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -2710,6 +2770,25 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type
+        """,
+        "q_json_flatten": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   ROUND(SUM(value * 2), 4) AS sum_double
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_text_normalize": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                FROM documents
+            )
+            SELECT doc_id, SUBSTRING(norm, 1, 60) AS norm_prefix,
+                   CASE WHEN norm = '' THEN 0
+                        ELSE LEN(STRING_SPLIT(norm, ' ')) END::INT AS n_tokens
+            FROM t ORDER BY doc_id
         """,
         "q_scd2_merge": """
             WITH dim AS (

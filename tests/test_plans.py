@@ -204,6 +204,22 @@ def test_tpch_q21_self_correlations_stay_hash_joins(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_join_hints_are_honored(spark, sf_dir):
+    """Optimizer-control surface: SHUFFLE_HASH / MERGE / BROADCAST
+    hints must pick the corresponding physical join — the manual
+    override lever when AQE's choice is wrong for a known workload."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cases = [
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]
+    for hint, node in cases:
+        joined = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        assert node in plan_string(joined), hint
+
+
 def test_minhash_verified_broadcasts_candidates(spark, sf_dir):
     # verified pairs: candidate set is broadcast back onto the corpus
     # (left_semi) so the shingle table is never shuffled for the verify,
