@@ -154,7 +154,9 @@ def q_date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_source_discovery(spark: SparkSession, sf: str) -> DataFrame:
     """R1: source discovery — enumerate + sort data files (engine analog
-    of the paginated S3 listing, ``pasta1_etl/src/utils.py:16-66``)."""
+    of the paginated S3 listing, ``pasta1_etl/src/utils.py:16-66``).
+    Rows-only by design: filesystem enumeration has no SQL twin over the
+    registered tables; semantics are covered by tests/test_objectstore.py."""
     from nyc_tlc_trip_data_pipelines_spark.io import discover_files
 
     files = discover_files(sf)
