@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
 from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
 from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
 from nyc_tlc_trip_data_pipelines_spark.operators import relational as R
 from nyc_tlc_trip_data_pipelines_spark.operators import scalars as S
@@ -723,6 +724,84 @@ def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_tokens"),
     )
     return O.sort(out, ["doc_id"])
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (corpus curation): eval-set decontamination — per test
+    document (doc_id % 10 == 0), the fraction of its distinct token
+    3-grams found anywhere in the train split. Gram-keyed join, linear
+    in corpus size (see operators/corpus.py)."""
+    docs = load_table(spark, sf, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return O.sort(CP.train_test_overlap(train, test), ["doc_id"])
+
+
+def q_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (quality signals): Gopher-style repetition profile —
+    duplicate token-3-gram fraction and max n-gram multiplicity per
+    document."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(CP.repetition_profile(docs), ["doc_id"])
+
+
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (corpus curation): rule-based quality verdict — word
+    count, mean word length, top-word share, with failed-rule codes and
+    a keep boolean per document."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(CP.quality_filter(docs), ["doc_id"])
+
+
+def q_vocab_build(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (tokenization): frequency-ranked vocabulary — top-200
+    tokens with dense ids by (count DESC, token ASC). TakeOrderedAndProject
+    top-k; rank assignment touches only the top rows."""
+    docs = load_table(spark, sf, "documents")
+    return CP.build_vocab(docs, vocab_size=200).select(
+        "token_id", "word", "cnt"
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (mixture weighting): deterministic per-language mixing
+    weights via the id-modulus draw — per-language kept counts and
+    rates."""
+    docs = load_table(spark, sf, "documents")
+    kept = CP.weighted_mix(
+        docs, weights={"en": 80, "de": 60, "fr": 40, "ja": 20}, default_pct=10
+    )
+    out = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            kept.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.max("mix_pct").alias("mix_pct"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            "mix_pct",
+        )
+    )
+    return O.sort(out, ["lang"])
+
+
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (sub-document duplication): asymmetric containment
+    |A∩B|/|A| over char-5-shingle sets, blocked by language — catches
+    quote/subset duplication that Jaccard misses. Blocked self-join on
+    a doc_id % 5 == 0 slice keeps the pair count bounded."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return O.sort(
+        CP.containment_pairs(docs, threshold=0.5, block_col="lang"),
+        ["id_a", "id_b"],
+    )
 
 
 def q_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
@@ -2436,6 +2515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_merge": q_scd2_merge,
         "q_json_flatten": q_json_flatten,
         "q_text_normalize": q_text_normalize,
+        # corpus-curation surface (round 2), oracled
+        "q_decontaminate": q_decontaminate,
+        "q_repetition_profile": q_repetition_profile,
+        "q_quality_filter": q_quality_filter,
+        "q_vocab_build": q_vocab_build,
+        "q_sample_weighted": q_sample_weighted,
+        "q_dedup_containment": q_dedup_containment,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -2791,6 +2877,130 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN norm = '' THEN 0
                         ELSE LEN(STRING_SPLIT(norm, ' ')) END::INT AS n_tokens
             FROM t ORDER BY doc_id
+        """,
+        "q_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS gram
+                FROM toks WHERE LEN(t) >= 3
+            ), train_grams AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 10 <> 0
+            ), test_grams AS (
+                SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0
+            )
+            SELECT g.doc_id,
+                   COUNT(*)::INT AS n_grams,
+                   SUM(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)::INT AS n_contaminated,
+                   ROUND(SUM(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS contamination_rate
+            FROM test_grams g LEFT JOIN train_grams tg USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "q_repetition_profile": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+                FROM toks WHERE LEN(t) >= 3
+            ), per_gram AS (
+                SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+            )
+            SELECT doc_id,
+                   SUM(c)::INT AS n_grams,
+                   COUNT(*)::INT AS n_distinct,
+                   ROUND(1.0 - COUNT(*)::DOUBLE / SUM(c), 6) AS rep_ratio,
+                   MAX(c)::INT AS max_gram_count
+            FROM per_gram GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q_quality_filter": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ), per_word AS (
+                SELECT doc_id, w, COUNT(*) AS c, SUM(LENGTH(w)) AS chars
+                FROM toks GROUP BY doc_id, w
+            ), stats AS (
+                SELECT doc_id,
+                       SUM(c)::INT AS n_words,
+                       ROUND(SUM(chars)::DOUBLE / SUM(c), 6) AS mean_wlen,
+                       ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac
+                FROM per_word GROUP BY doc_id
+            ), verdict AS (
+                SELECT *,
+                       CONCAT_WS(';',
+                           CASE WHEN n_words < 40 OR n_words > 100000 THEN 'n_words' END,
+                           CASE WHEN mean_wlen < 2.0 OR mean_wlen > 12.0 THEN 'mean_wlen' END,
+                           CASE WHEN top_word_frac > 0.12 THEN 'top_word_frac' END
+                       ) AS fail_reasons
+                FROM stats
+            )
+            SELECT doc_id, n_words, mean_wlen, top_word_frac,
+                   COALESCE(fail_reasons, '') AS fail_reasons,
+                   COALESCE(fail_reasons, '') = '' AS keep
+            FROM verdict ORDER BY doc_id
+        """,
+        "q_vocab_build": r"""
+            WITH words AS (
+                SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          x -> x <> '')) AS word
+                FROM documents
+            ), counts AS (
+                SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+                ORDER BY cnt DESC, word LIMIT 200
+            )
+            SELECT (ROW_NUMBER() OVER (ORDER BY cnt DESC, word) - 1)::INT AS token_id,
+                   word, cnt
+            FROM counts
+        """,
+        "q_sample_weighted": """
+            WITH w AS (
+                SELECT *,
+                       CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 60
+                                 WHEN 'fr' THEN 40 WHEN 'ja' THEN 20
+                                 ELSE 10 END AS mix_pct
+                FROM documents
+            )
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN doc_id % 100 < mix_pct THEN 1 ELSE 0 END)::INT AS n_kept,
+                   MAX(mix_pct) AS mix_pct
+            FROM w GROUP BY lang ORDER BY lang
+        """,
+        "q_dedup_containment": """
+            WITH d AS (
+                SELECT doc_id, lang, LOWER(text) AS t FROM documents
+                WHERE doc_id % 5 = 0 AND LENGTH(text) >= 5
+            ), sh AS (
+                SELECT doc_id, lang,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           GENERATE_SERIES(1, LENGTH(t) - 4),
+                           i -> SUBSTRING(t, i, 5))) AS s
+                FROM d
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       LEN(LIST_INTERSECT(a.s, b.s))::DOUBLE AS common,
+                       LEN(a.s) AS na, LEN(b.s) AS nb
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(common / na, 6) AS containment_a,
+                   ROUND(common / nb, 6) AS containment_b
+            FROM pairs
+            WHERE GREATEST(ROUND(common / na, 6), ROUND(common / nb, 6)) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "q_scd2_merge": """
             WITH dim AS (

@@ -1,0 +1,253 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+These extend the engine beyond the reference's ETL surface (the
+reference, ``pasta1_etl``/``pasta2_analytics``, stops at relational
+queries) with the corpus-level passes a 100 TB pretraining pipeline
+runs between ingest and tokenization: eval-set decontamination,
+repetition profiling, rule-based quality filtering, vocabulary
+construction, mixture sampling, and containment (sub-document
+duplication) detection.
+
+All operators are pure DataFrame compositions — no Python UDFs — so
+they stay inside whole-stage codegen and shuffle only on narrow keys.
+Tokenization matches :mod:`.text` (whitespace split of the lowercased,
+trimmed text; empty tokens dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import ngrams, tokenize
+
+
+def _token_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) rows — token n-grams WITH multiplicity."""
+    toks = tokenize(F.col(text_col))
+    return df.select(
+        F.col(id_col), F.explode(ngrams(toks, n=n)).alias("gram")
+    )
+
+
+def train_test_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: for every test document, the fraction of
+    its distinct token ``n``-grams that appear anywhere in the training
+    corpus.
+
+    Returns (id, n_grams, n_contaminated, contamination_rate), one row
+    per test document that has at least one ``n``-gram. A training
+    pipeline drops (or flags) test-overlapping documents before
+    training so benchmark numbers stay meaningful.
+
+    Scale shape: both sides reduce to distinct (id, gram) /(gram) rows
+    — the join is gram-keyed and linear in corpus size, never
+    doc×doc. The train side is deduped to one row per distinct gram
+    BEFORE the join (at 100 TB that table is the "contamination index";
+    persist it once and reuse it across test sets). Grams are short
+    strings; for very large indexes join on ``xxhash64(gram)`` instead
+    — same plan, 8-byte keys (not used here so the DuckDB oracle can
+    replay the join exactly).
+    """
+    train_grams = (
+        _token_ngrams(train, id_col, text_col, n).select("gram").distinct()
+    )
+    test_grams = _token_ngrams(test, id_col, text_col, n).distinct()
+    hit = train_grams.withColumn("__hit", F.lit(1))
+    joined = test_grams.join(hit, "gram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("contamination_rate"),
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/RefinedWeb family of
+    quality heuristics): duplicate n-gram fraction and the multiplicity
+    of the most repeated n-gram.
+
+    Returns (id, n_grams, n_distinct, rep_ratio, max_gram_count) where
+    ``rep_ratio = 1 − n_distinct / n_grams``. Boilerplate-heavy and
+    degenerate (looping) documents score high and get dropped.
+
+    Scale shape: one (id, gram) hash aggregate with map-side partial
+    combine, then a per-id aggregate — no distinct-aggregate Expand
+    rewrite, no window, no second scan.
+    """
+    per_gram = (
+        _token_ngrams(df, id_col, text_col, n)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c").cast("int").alias("n_grams"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c"), 6).alias("rep_ratio"),
+        F.max("__c").cast("int").alias("max_gram_count"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 2.0,
+    max_mean_wlen: float = 12.0,
+    max_top_word_frac: float = 0.12,
+) -> DataFrame:
+    """Rule-based document quality verdict (Gopher-style): word count in
+    range, mean word length in range, most-frequent-word share below a
+    ceiling. Returns one row per document with the metrics, the rules it
+    failed (semicolon-joined codes, '' if none) and a ``keep`` boolean.
+
+    Scale shape: the token explode feeds ONE (id, word) aggregate whose
+    output (per-doc word stats + top-word multiplicity) is a per-id
+    aggregate away — two narrow shuffles on id, both with map-side
+    combine. All predicates are codegen'd column expressions.
+    """
+    toks = tokenize(F.col(text_col))
+    per_word = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum(F.length("w")).alias("__chars"))
+    )
+    stats = per_word.groupBy(id_col).agg(
+        F.sum("__c").cast("int").alias("n_words"),
+        F.round(F.sum("__chars") / F.sum("__c"), 6).alias("mean_wlen"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_word_frac"),
+    )
+    fails = F.concat_ws(
+        ";",
+        F.when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            F.lit("n_words"),
+        ),
+        F.when(
+            (F.col("mean_wlen") < min_mean_wlen) | (F.col("mean_wlen") > max_mean_wlen),
+            F.lit("mean_wlen"),
+        ),
+        F.when(F.col("top_word_frac") > max_top_word_frac, F.lit("top_word_frac")),
+    )
+    return stats.withColumn("fail_reasons", fails).withColumn(
+        "keep", F.col("fail_reasons") == ""
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    word_alias: str = "word",
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the ``vocab_size`` most frequent
+    tokens with dense ids assigned by (count DESC, token ASC) — the
+    word-level analog of a tokenizer-vocab build, and the id-assignment
+    step of any categorical encoding.
+
+    Scale shape: corpus-wide word count (map-side combined), then a
+    global top-k — Spark plans ORDER BY + LIMIT as
+    TakeOrderedAndProject (per-partition heaps, no global sort), and
+    the final rank assignment touches only ``vocab_size`` rows on a
+    single post-limit partition.
+    """
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias(word_alias))
+        .groupBy(word_alias)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col(word_alias)).limit(vocab_size)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col(word_alias))
+    return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 10,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a document iff
+    ``id % 100 < pct(group)`` — the per-source/per-language sampling-
+    weight pass that rebalances a training mixture.
+
+    The modulus draw makes the sample a pure filter: reproducible
+    across engines and runs, embarrassingly parallel, no RNG state. At
+    100 TB prefer ``pmod(xxhash64(id), 100)`` so sequential id ranges
+    can't alias the draw; the plain modulus is used here so the oracle
+    can replay it.
+
+    Returns the kept rows with the applied ``mix_pct``.
+    """
+    pct: Column = F.lit(default_pct)
+    for k, v in sorted(weights.items()):
+        pct = F.when(F.col(group_col) == k, F.lit(v)).otherwise(pct)
+    return (
+        df.withColumn("mix_pct", pct.cast("int"))
+        .filter(F.pmod(F.col(id_col), F.lit(100)) < F.col("mix_pct"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    block_col: str = "lang",
+) -> DataFrame:
+    """Asymmetric containment — ``|A∩B| / |A|`` over char-shingle sets —
+    for quote/sub-document duplication, where Jaccard stays low but one
+    document is largely contained in another.
+
+    Pairs are generated within ``block_col`` blocks (a language or
+    source bucket), never corpus-wide: the blocked self-join is the
+    quadratic-taming step, same role LSH buckets play for MinHash. Use
+    an LSH candidate stage instead when blocks are still too large.
+
+    Returns (id_a, id_b, containment_a, containment_b) with
+    ``id_a < id_b``, where ``containment_a = |A∩B| / |A|``, keeping
+    pairs whose LARGER containment clears ``threshold``.
+    """
+    from .text import char_shingles
+
+    shset = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.array_distinct(
+            F.transform(char_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+        ).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    a = shset.select(
+        F.col(id_col).alias("id_a"), F.col("__blk"), F.col("__sh").alias("sh_a")
+    )
+    b = shset.select(
+        F.col(id_col).alias("id_b"), F.col("__blk"), F.col("__sh").alias("sh_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    out = (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("containment_a", F.round(common / F.size("sh_a"), 6))
+        .withColumn("containment_b", F.round(common / F.size("sh_b"), 6))
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+    )
+    return out.select("id_a", "id_b", "containment_a", "containment_b")

@@ -1,0 +1,83 @@
+"""Corpus-curation operator tests (decontamination, repetition, quality,
+vocab, mixture sampling, containment)."""
+
+from pyspark.sql import functions as F
+
+from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_train_test_overlap_detects_contamination(spark):
+    train = _docs(spark, [(1, "alpha beta gamma delta epsilon", "en")])
+    test = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma something else entirely", "en"),  # shares grams
+            (20, "one two three four five", "en"),  # clean
+        ],
+    )
+    got = {r.doc_id: r for r in CP.train_test_overlap(train, test).collect()}
+    # "alpha beta gamma" is a shared 3-gram; "beta gamma something" etc. are not
+    assert got[10].n_contaminated == 1 and got[10].n_grams == 4
+    assert got[20].n_contaminated == 0
+    assert abs(got[10].contamination_rate - 0.25) < 1e-9
+
+
+def test_train_test_overlap_short_docs_absent(spark):
+    train = _docs(spark, [(1, "a b c d", "en")])
+    test = _docs(spark, [(10, "a b", "en")])  # < 3 tokens -> no grams
+    assert CP.train_test_overlap(train, test).count() == 0
+
+
+def test_repetition_profile(spark):
+    # "a b c a b c a b c" -> grams: abc bca cab abc bca cab abc = 7 total,
+    # 3 distinct, max multiplicity 3
+    df = _docs(spark, [(1, "a b c a b c a b c", "en")])
+    r = CP.repetition_profile(df).collect()[0]
+    assert r.n_grams == 7 and r.n_distinct == 3 and r.max_gram_count == 3
+    assert abs(r.rep_ratio - (1 - 3 / 7)) < 1e-6
+
+
+def test_quality_filter_rules(spark):
+    long_ok = " ".join(f"tok{i % 37}" for i in range(80))
+    too_short = "just a few words here"
+    repeated = " ".join(["spam"] * 60)
+    df = _docs(spark, [(1, long_ok, "en"), (2, too_short, "en"), (3, repeated, "en")])
+    got = {r.doc_id: r for r in CP.quality_filter(df).collect()}
+    assert got[1].keep
+    assert not got[2].keep and "n_words" in got[2].fail_reasons
+    assert not got[3].keep and "top_word_frac" in got[3].fail_reasons
+
+
+def test_build_vocab_rank_order(spark):
+    df = _docs(spark, [(1, "b b b a a c", "en")])
+    rows = CP.build_vocab(df, vocab_size=2).orderBy("token_id").collect()
+    assert [(r.token_id, r.word, r.cnt) for r in rows] == [(0, "b", 3), (1, "a", 2)]
+
+
+def test_weighted_mix_deterministic(spark):
+    rows = [(i, "text here", "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = _docs(spark, rows)
+    kept = CP.weighted_mix(df, weights={"en": 50, "de": 10}).collect()
+    for r in kept:
+        assert r.doc_id % 100 < r.mix_pct
+    en_kept = sum(1 for r in kept if r.lang == "en")
+    de_kept = sum(1 for r in kept if r.lang == "de")
+    assert en_kept == 50 and de_kept == 10  # exact: ids 0..199 cover 0..99 twice
+
+
+def test_containment_catches_subset_duplication(spark):
+    big = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    small = "the quick brown fox jumps over the lazy dog"  # contained in big
+    other = "zzz completely unrelated content xxyyzz qqq www eee rrr ttt"
+    df = _docs(spark, [(1, big, "en"), (2, small, "en"), (3, other, "en")])
+    rows = CP.containment_pairs(df, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # the smaller doc is (nearly) fully contained in the bigger one
+    assert r.containment_b > 0.9 and r.containment_a < 0.9
+    assert (1, 3) not in pairs and (2, 3) not in pairs
