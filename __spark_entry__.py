@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
 from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
 from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+from nyc_tlc_trip_data_pipelines_spark.operators import entity as EN
+from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
 from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
 from nyc_tlc_trip_data_pipelines_spark.operators import relational as R
 from nyc_tlc_trip_data_pipelines_spark.operators import scalars as S
@@ -802,6 +806,111 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         CP.containment_pairs(docs, threshold=0.5, block_col="lang"),
         ["id_a", "id_b"],
     )
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (corpus curation): PII scrubbing — emails and long
+    digit runs replaced by placeholder tokens via a portable
+    regexp_replace chain. The contact string is synthesized
+    deterministically from customer (the tables ship no real PII), so
+    the redaction is exactly replayable in the oracle."""
+    c = load_table(spark, sf, "customer")
+    contact = F.concat(
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com tel "),
+        F.lpad((F.col("c_custkey") * 7919 % 10000000000).cast("string"), 10, "0"),
+        F.lit(" seg "),
+        F.col("c_mktsegment"),
+    )
+    raw = c.select("c_custkey", contact.alias("contact"))
+    return O.sort(
+        raw.select(
+            "c_custkey",
+            CP.redact_pii(raw["contact"]).alias("redacted"),
+        ),
+        ["c_custkey"],
+    )
+
+
+def q_dq_validate(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse-gate staple: Deequ-style constraint report over
+    lineitem — completeness, uniqueness, bounds, accepted values — as a
+    long-format verdict table. Mixed outcomes by design: the synthetic
+    (l_orderkey, l_linenumber) key has duplicates and l_discount
+    exceeds the 0.08 ceiling."""
+    li = load_table(spark, sf, "lineitem")
+    report = DQ.validate(
+        li,
+        [
+            DQ.not_null("l_orderkey"),
+            DQ.unique("l_orderkey", "l_linenumber"),
+            DQ.min_value("l_quantity", 1.0),
+            DQ.max_value("l_discount", 0.08),
+            DQ.accepted_values("l_returnflag", "A", "N", "R"),
+        ],
+    )
+    return O.sort(report, ["constraint"])
+
+
+def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable staple: time-weighted average per user over irregular
+    events — each value weighted by the micros until the next
+    observation (exact integer interval arithmetic)."""
+    ev = load_table(spark, sf, "events")
+    return O.sort(TS.time_weighted_avg(ev), ["user_id"])
+
+
+def q_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """Downsampling staple: hourly OHLC bars per user — open/close via
+    lexicographic struct MIN/MAX (one hash aggregate, no window)."""
+    ev = load_table(spark, sf, "events")
+    return O.sort(TS.ohlc(ev, bucket="hour"), ["user_id", "bucket_ts"])
+
+
+def q_entity_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution: a deterministically corrupted customer slice
+    (custkey % 17 == 0, 'Customer' → 'Custommer') matched back to the
+    clean dimension by blocking on the name's last 4 digits +
+    in-block Levenshtein ≤ 1 — the linear blocked shape, never
+    O(n²)."""
+    c = load_table(spark, sf, "customer")
+    dirty = c.filter(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey",
+        F.regexp_replace("c_name", "Customer", "Custommer").alias("c_name"),
+    )
+    clean = c.select("c_custkey", "c_name")
+    matches = EN.blocked_fuzzy_matches(
+        dirty,
+        clean,
+        name_col="c_name",
+        block_expr=F.expr("right(c_name, 4)"),
+        max_edit_distance=1,
+        id_col="c_custkey",
+    )
+    return O.sort(
+        matches.select("dirty_id", "clean_id", "dirty_name", "clean_name", "edit_distance"),
+        ["dirty_id", "clean_id"],
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-layout op: Z-order (Morton) clustering key over
+    (custkey % 256, order day % 256) with per-target-file stats — the
+    OPTIMIZE ZORDER BY shape that buys multi-column data skipping.
+    Pure integer bit arithmetic, replayed exactly in the oracle."""
+    o = load_table(spark, sf, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256))
+    y = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))), F.lit(256)
+    )
+    laid = LO.zorder_layout(o.select("o_orderkey", x.alias("zx"), y.alias("zy")),
+                            F.col("zx"), F.col("zy"), bits=8, file_bits=6)
+    out = laid.groupBy("zfile").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.min("zkey").alias("min_z"),
+        F.max("zkey").alias("max_z"),
+    )
+    return O.sort(out, ["zfile"])
 
 
 def q_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
@@ -2522,6 +2631,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_build": q_vocab_build,
         "q_sample_weighted": q_sample_weighted,
         "q_dedup_containment": q_dedup_containment,
+        "q_pii_redact": q_pii_redact,
+        "q_dq_validate": q_dq_validate,
+        "q_time_weighted_avg": q_time_weighted_avg,
+        "q_ohlc": q_ohlc,
+        "q_entity_resolve": q_entity_resolve,
+        "q_zorder_layout": q_zorder_layout,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -2624,6 +2739,13 @@ _COS = (
     "ROUND(LIST_DOT_PRODUCT(e, {q}) / "
     "(SQRT(LIST_DOT_PRODUCT(e, e)) * SQRT(LIST_DOT_PRODUCT({q}, {q}))), 6)"
 )
+
+
+def _zorder_oracle_expr() -> str:
+    """Morton-interleave arithmetic for the q_zorder_layout oracle —
+    generated by the SAME code that documents the portable form
+    (operators/layout.py:zorder_sql), evaluated over aliases zx/zy."""
+    return LO.zorder_sql("zx", "zy", bits=8)
 
 
 def _ann_lsh_oracle() -> str:
@@ -3001,6 +3123,116 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE GREATEST(ROUND(common / na, 6), ROUND(common / nb, 6)) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "q_pii_redact": r"""
+            WITH raw AS (
+                SELECT c_custkey,
+                       LOWER(REPLACE(c_name, '#', '')) || '@example.com tel '
+                       || LPAD(CAST((c_custkey * 7919) % 10000000000 AS VARCHAR), 10, '0')
+                       || ' seg ' || c_mktsegment AS contact
+                FROM customer
+            )
+            SELECT c_custkey,
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                                      '<EMAIL>', 'g'),
+                       '[0-9]{7,}', '<PHONE>', 'g') AS redacted
+            FROM raw ORDER BY c_custkey
+        """,
+        "q_dq_validate": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS nulls,
+                       MIN(l_quantity) AS minq,
+                       MAX(l_discount) AS maxd,
+                       COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                                    OR l_returnflag IS NULL THEN 1 END) AS badflag
+                FROM lineitem
+            ), u AS (
+                SELECT COUNT(*) AS d FROM (
+                    SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+                )
+            )
+            SELECT * FROM (
+                SELECT 'accepted_values(l_returnflag) in {A,N,R}' AS "constraint",
+                       CAST(badflag AS DOUBLE) AS metric, badflag = 0 AS passed
+                FROM s
+                UNION ALL
+                SELECT 'max_value(l_discount)<=0.08', ROUND(maxd, 6), maxd <= 0.08 FROM s
+                UNION ALL
+                SELECT 'min_value(l_quantity)>=1.0', ROUND(minq, 6), minq >= 1.0 FROM s
+                UNION ALL
+                SELECT 'not_null(l_orderkey)',
+                       ROUND(1.0 - CAST(nulls AS DOUBLE) / n, 6), nulls = 0 FROM s
+                UNION ALL
+                SELECT 'unique(l_orderkey,l_linenumber)',
+                       CAST(s.n - u.d AS DOUBLE), s.n - u.d = 0 FROM s, u
+            ) ORDER BY "constraint"
+        """,
+        "q_time_weighted_avg": """
+            WITH o AS (
+                SELECT user_id, value,
+                       LEAD(EPOCH_US(ts)) OVER w - EPOCH_US(ts) AS dt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   COUNT(*)::INT AS n_intervals,
+                   ROUND(SUM(dt) / 1000000.0, 6) AS total_seconds,
+                   ROUND(SUM(value * dt) / SUM(dt), 4) AS twa
+            FROM o WHERE dt IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "q_ohlc": """
+            WITH b AS (
+                SELECT user_id, DATE_TRUNC('hour', ts) AS bucket_ts, ts, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                          ORDER BY ts, event_id) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            )
+            SELECT user_id, bucket_ts,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   COUNT(*)::INT AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM b GROUP BY user_id, bucket_ts
+            ORDER BY user_id, bucket_ts
+        """,
+        "q_entity_resolve": """
+            WITH dirty AS (
+                SELECT c_custkey AS dirty_id,
+                       REPLACE(c_name, 'Customer', 'Custommer') AS dirty_name
+                FROM customer WHERE c_custkey % 17 = 0
+            ), clean AS (
+                SELECT c_custkey AS clean_id, c_name AS clean_name FROM customer
+            )
+            SELECT dirty_id, clean_id, dirty_name, clean_name,
+                   CAST(LEVENSHTEIN(dirty_name, clean_name) AS INT) AS edit_distance
+            FROM dirty JOIN clean
+              ON RIGHT(dirty_name, 4) = RIGHT(clean_name, 4)
+             AND LEVENSHTEIN(dirty_name, clean_name) <= 1
+            ORDER BY dirty_id, clean_id
+        """,
+        "q_zorder_layout": f"""
+            WITH z AS (
+                SELECT o_orderkey,
+                       ({_zorder_oracle_expr()}) AS zkey
+                FROM (
+                    SELECT o_orderkey,
+                           o_custkey % 256 AS zx,
+                           DATE_DIFF('day', DATE '1992-01-01', o_orderdate) % 256 AS zy
+                    FROM orders
+                )
+            )
+            SELECT zkey // 64 AS zfile,
+                   COUNT(*)::INT AS n_rows,
+                   MIN(zkey) AS min_z,
+                   MAX(zkey) AS max_z
+            FROM z GROUP BY zfile ORDER BY zfile
         """,
         "q_scd2_merge": """
             WITH dim AS (

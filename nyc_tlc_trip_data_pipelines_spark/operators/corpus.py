@@ -251,3 +251,24 @@ def containment_pairs(
         .filter(F.greatest("containment_a", "containment_b") >= threshold)
     )
     return out.select("id_a", "id_b", "containment_a", "containment_b")
+
+
+def redact_pii(
+    text_col: str | Column,
+    email_token: str = "<EMAIL>",
+    number_token: str = "<PHONE>",
+    min_digit_run: int = 7,
+) -> Column:
+    """PII scrubbing pass: replace email-shaped spans and long digit runs
+    (phone/account numbers) with placeholder tokens. Curation pipelines
+    run this before any text leaves the raw zone.
+
+    Pure ``regexp_replace`` chain — codegen'd, streams through the scan
+    with zero shuffle; the patterns stick to portable character-class
+    regex (no lookarounds) so they behave identically across engines.
+    Returns the redacted COLUMN (compose into a select).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", email_token)
+    c = F.regexp_replace(c, r"[0-9]{%d,}" % min_digit_run, number_token)
+    return c

@@ -138,3 +138,68 @@ def gapfill(
     for c in fill_zero_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per entity (the hypertable/metrics staple
+    for irregularly sampled series): each observation is weighted by the
+    interval until the NEXT observation (last-observation-carried-
+    forward), so sparse readings don't get equal vote with dense ones.
+
+    Returns (key, n_intervals, total_seconds, twa). The last observation
+    per key has no interval and contributes no weight; single-observation
+    keys drop out.
+
+    Scale shape: one shuffle on the entity key + a per-partition sort
+    shared by the single lead() window, then a hash aggregate. Interval
+    arithmetic is in exact integer MICROSECONDS (unix_micros) — float
+    epoch subtraction would make the weights engine-dependent.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    dt = F.lead(us).over(w) - us
+    intervals = df.select(
+        F.col(key_col), F.col(val_col).alias("__v"), dt.alias("__dt")
+    ).filter(F.col("__dt").isNotNull())
+    return intervals.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_intervals"),
+        F.round(F.sum("__dt") / F.lit(1_000_000.0), 6).alias("total_seconds"),
+        F.round(F.sum(F.col("__v") * F.col("__dt")) / F.sum("__dt"), 4).alias("twa"),
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC (open/high/low/close) bars per entity and time bucket — the
+    downsampling shape for any metered series (finance candles, sensor
+    rollups, rate counters).
+
+    Open/close are selected by MIN/MAX over a (ts, tiebreak, value)
+    struct — lexicographic struct ordering makes "value at the earliest
+    (ts, tiebreak)" a plain aggregate, deterministic under timestamp
+    ties, with full map-side partial aggregation. No window, no second
+    scan: the whole bar is ONE hash aggregate per (entity, bucket).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    first = F.min(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(val_col).alias("v")))
+    last = F.max(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(val_col).alias("v")))
+    return df.groupBy(F.col(key_col), b).agg(
+        first.getField("v").alias("open"),
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        last.getField("v").alias("close"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.round(F.sum(val_col), 6).alias("sum_value"),
+    )

@@ -1,0 +1,102 @@
+"""Data-quality validation, entity blocking, Z-order, and PII tests."""
+
+from pyspark.sql import functions as F
+
+from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+from nyc_tlc_trip_data_pipelines_spark.operators import entity as EN
+from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+
+def test_dq_validate_mixed_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "A", 5.0), (1, 1, "A", 6.0), (2, 1, "N", 7.0), (3, None, "X", -1.0)],
+        "k bigint, sub int, flag string, qty double",
+    )
+    report = {
+        r.constraint: r
+        for r in DQ.validate(
+            df,
+            [
+                DQ.not_null("k"),
+                DQ.not_null("sub"),
+                DQ.unique("k", "sub"),
+                DQ.min_value("qty", 0.0),
+                DQ.accepted_values("flag", "A", "N"),
+            ],
+        ).collect()
+    }
+    assert report["not_null(k)"].passed and report["not_null(k)"].metric == 1.0
+    assert not report["not_null(sub)"].passed and abs(report["not_null(sub)"].metric - 0.75) < 1e-9
+    assert not report["unique(k,sub)"].passed and report["unique(k,sub)"].metric == 1.0
+    assert not report["min_value(qty)>=0.0"].passed and report["min_value(qty)>=0.0"].metric == -1.0
+    assert not report["accepted_values(flag) in {A,N}"].passed
+
+
+def test_time_weighted_avg_exact(spark):
+    # value 10 for 3s, value 20 for 1s -> twa = (30+20)/4 = 12.5
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, 10.0),
+            (2, "2024-01-01 00:00:03", 1, 20.0),
+            (3, "2024-01-01 00:00:04", 1, 99.0),  # last: no interval
+        ],
+        "event_id bigint, ts string, user_id bigint, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = TS.time_weighted_avg(df).collect()[0]
+    assert r.n_intervals == 2 and r.total_seconds == 4.0 and r.twa == 12.5
+
+
+def test_ohlc_struct_minmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", 1, 5.0),
+            (2, "2024-01-01 10:01:00", 1, 3.0),  # earliest -> open
+            (3, "2024-01-01 10:59:00", 1, 4.0),  # latest -> close
+            (4, "2024-01-01 10:30:00", 1, 9.0),  # high
+        ],
+        "event_id bigint, ts string, user_id bigint, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = TS.ohlc(df).collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.n_events) == (3.0, 9.0, 3.0, 4.0, 4)
+
+
+def test_blocked_fuzzy_matches(spark):
+    clean = spark.createDataFrame(
+        [(1, "Widget-0001"), (2, "Widget-0002")], "id bigint, name string"
+    )
+    dirty = spark.createDataFrame([(10, "Widgett-0001")], "id bigint, name string")
+    rows = EN.blocked_fuzzy_matches(
+        dirty, clean, "name", F.expr("right(name, 4)"), max_edit_distance=1, id_col="id"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].clean_id == 1 and rows[0].edit_distance == 1
+
+
+def test_zorder_key_interleaves(spark):
+    df = spark.createDataFrame([(3, 5)], "x int, y int")
+    # x=0b011, y=0b101 -> z = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 0b100111 = 39
+    z = df.select(LO.zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")).collect()[0].z
+    assert z == 39
+    # locality: close (x,y) points share high z bits
+    df2 = spark.createDataFrame([(10, 10), (11, 10), (200, 200)], "x int, y int")
+    zs = [r.z for r in df2.select(LO.zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert abs(zs[0] - zs[1]) < abs(zs[0] - zs[2])
+
+
+def test_zorder_sql_matches_column_expr(spark):
+    rows = [(i, (i * 37) % 256, (i * 91) % 256) for i in range(64)]
+    df = spark.createDataFrame(rows, "id int, zx int, zy int")
+    got = df.select("id", LO.zorder_key(F.col("zx"), F.col("zy"), 8).alias("z"))
+    via_sql = df.selectExpr("id", f"({LO.zorder_sql('zx', 'zy', 8)}) as z")
+    assert got.exceptAll(via_sql).count() == 0 and via_sql.exceptAll(got).count() == 0
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.example.org now call 5551234567 ok 123",)],
+        "text string",
+    )
+    out = df.select(CP.redact_pii("text").alias("r")).collect()[0].r
+    assert out == "mail <EMAIL> now call <PHONE> ok 123"
