@@ -25,6 +25,7 @@ from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
 from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
 from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
 from nyc_tlc_trip_data_pipelines_spark.operators import entity as EN
+from nyc_tlc_trip_data_pipelines_spark.operators import graph as GR
 from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
 from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
 from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
@@ -911,6 +912,47 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
         F.max("zkey").alias("max_z"),
     )
     return O.sort(out, ["zfile"])
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-analytics staple: daily cohort retention — users bucketed
+    by first-event day, distinct actives per (cohort day, day offset).
+    One first-touch aggregate + one distinct count; no fact self-join."""
+    ev = load_table(spark, sf, "events")
+    return O.sort(
+        TS.cohort_retention(ev, grain="day", max_offset=30),
+        ["cohort_bucket", "bucket_offset"],
+    )
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (iterative algorithm): 3-iteration PageRank over the
+    bipartite customer↔supplier trade graph (edges from orders⋈lineitem,
+    both directions). Deterministic fixed-point dataflow; the oracle
+    replays the iterations as chained CTEs."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = GR.pagerank(edges, iterations=3, damping=0.85)
+    return O.sort(pr.select("node", F.round("pr", 6).alias("pr")), ["node"])
+
+
+def q_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust anomaly counts per user via the MAD rule (3σ-equivalent on
+    the median absolute deviation) — exact interpolated medians, fully
+    deterministic verdicts."""
+    ev = load_table(spark, sf, "events")
+    return O.sort(TS.mad_anomalies(ev), ["user_id"])
 
 
 def q_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
@@ -2637,6 +2679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ohlc": q_ohlc,
         "q_entity_resolve": q_entity_resolve,
         "q_zorder_layout": q_zorder_layout,
+        "q_cohort_retention": q_cohort_retention,
+        "q_pagerank": q_pagerank,
+        "q_anomaly_mad": q_anomaly_mad,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -3233,6 +3278,84 @@ def oracle_sql() -> dict[str, str]:
                    MIN(zkey) AS min_z,
                    MAX(zkey) AS max_z
             FROM z GROUP BY zfile ORDER BY zfile
+        """,
+        "q_cohort_retention": """
+            WITH first AS (
+                SELECT user_id, CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS cohort_bucket
+                FROM events GROUP BY user_id
+            ), act AS (
+                SELECT e.user_id, f.cohort_bucket,
+                       CAST(FLOOR(DATE_DIFF('day', f.cohort_bucket,
+                            CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP)) / 1.0) AS INT) AS bucket_offset
+                FROM events e JOIN first f USING (user_id)
+            )
+            SELECT cohort_bucket, bucket_offset, COUNT(DISTINCT user_id) AS n_users
+            FROM act WHERE bucket_offset <= 30
+            GROUP BY cohort_bucket, bucket_offset
+            ORDER BY cohort_bucket, bucket_offset
+        """,
+        "q_pagerank": """
+            WITH pairs AS (
+                SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            ), e AS (
+                SELECT c AS src, s AS dst FROM pairs
+                UNION ALL
+                SELECT s AS src, c AS dst FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT src AS node FROM e
+                UNION
+                SELECT DISTINCT dst AS node FROM e
+            ), params AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+            ), deg AS (
+                SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src
+            ), r0 AS (
+                SELECT node, 1.0 / (SELECT n FROM params) AS pr FROM nodes
+            ), m1 AS (
+                SELECT e.dst AS node, SUM(r0.pr / deg.out_deg) AS in_mass
+                FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+            ), r1 AS (
+                SELECT nodes.node,
+                       0.15 / (SELECT n FROM params) + 0.85 * COALESCE(m1.in_mass, 0) AS pr
+                FROM nodes LEFT JOIN m1 USING (node)
+            ), m2 AS (
+                SELECT e.dst AS node, SUM(r1.pr / deg.out_deg) AS in_mass
+                FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+            ), r2 AS (
+                SELECT nodes.node,
+                       0.15 / (SELECT n FROM params) + 0.85 * COALESCE(m2.in_mass, 0) AS pr
+                FROM nodes LEFT JOIN m2 USING (node)
+            ), m3 AS (
+                SELECT e.dst AS node, SUM(r2.pr / deg.out_deg) AS in_mass
+                FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+            ), r3 AS (
+                SELECT nodes.node,
+                       0.15 / (SELECT n FROM params) + 0.85 * COALESCE(m3.in_mass, 0) AS pr
+                FROM nodes LEFT JOIN m3 USING (node)
+            )
+            SELECT node, ROUND(pr, 6) AS pr FROM r3 ORDER BY node
+        """,
+        "q_anomaly_mad": """
+            WITH med AS (
+                SELECT user_id, MEDIAN(value) AS m FROM events GROUP BY user_id
+            ), dev AS (
+                SELECT e.user_id, ABS(e.value - med.m) AS adev, med.m
+                FROM events e JOIN med USING (user_id)
+            ), madt AS (
+                SELECT user_id, MEDIAN(adev) AS md FROM dev GROUP BY user_id
+            )
+            SELECT dev.user_id,
+                   COUNT(*)::INT AS n_events,
+                   SUM(CASE WHEN dev.adev > 3.0 * 1.4826 * madt.md
+                            THEN 1 ELSE 0 END)::INT AS n_anomalies,
+                   ROUND(MAX(dev.m), 6) AS median_value,
+                   ROUND(MAX(madt.md), 6) AS mad
+            FROM dev JOIN madt USING (user_id)
+            GROUP BY dev.user_id ORDER BY dev.user_id
         """,
         "q_scd2_merge": """
             WITH dim AS (

@@ -67,3 +67,55 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the canonical
+    iterative-algorithm shape on Spark: each iteration is one
+    (contribution join + per-node aggregate), a deterministic dataflow
+    with no driver-side state beyond the loop counter.
+
+    Nodes are every id appearing as src or dst. Dangling nodes (no
+    out-edges) contribute nothing (their mass leaks, as in the simple
+    formulation). Returns (node, pr) after ``iterations`` rounds from a
+    uniform 1/N start.
+
+    Scale shape: ranks and out-degrees shuffle on node id each round —
+    at 100 TB pre-partition both by id (bucketing) so every iteration's
+    join is exchange-free, and persist the degree table once. The
+    iteration count is fixed (no driver-side convergence collect), so
+    the whole run is ``iterations`` chained stages Catalyst can see.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias("pr"),
+            )
+        )
+    return ranks

@@ -203,3 +203,74 @@ def ohlc(
         F.count(F.lit(1)).cast("int").alias("n_events"),
         F.round(F.sum(val_col), 6).alias("sum_value"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ``grain`` bucket
+    ('day'/'week') of their FIRST event; for each (cohort, offset
+    in grain units) the number of distinct users still active — the
+    standard growth-analytics rollup.
+
+    Scale shape: one aggregate to find first-touch per user (map-side
+    combined), joined back to the events (the user side is small —
+    one row per user — so AQE broadcasts it under real fact/dim
+    ratios), then one distinct-count per (cohort, offset). No windows,
+    no self-join of the fact table.
+    """
+    step_days = {"day": 1, "week": 7}[grain]
+    first = df.groupBy(key_col).agg(F.min(ts_col).alias("__first_ts"))
+    cohort = F.date_trunc(grain, F.col("__first_ts"))
+    joined = df.join(first, key_col).select(
+        F.col(key_col),
+        cohort.alias("cohort_bucket"),
+        F.floor(
+            F.datediff(F.date_trunc(grain, F.col(ts_col)), cohort) / step_days
+        ).cast("int").alias("bucket_offset"),
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("bucket_offset") <= max_offset)
+    return joined.groupBy("cohort_bucket", "bucket_offset").agg(
+        F.count_distinct(F.col(key_col)).alias("n_users")
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    val_col: str = "value",
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust per-entity anomaly counts via the MAD rule: a value is
+    anomalous when ``|v − median| > n_sigmas · 1.4826 · MAD`` (1.4826
+    scales the median absolute deviation to a normal-equivalent σ).
+    Medians are exact interpolated percentiles, so the verdicts are
+    deterministic — no sampling, no sketch.
+
+    Scale shape: two grouped exact-median aggregates (Spark's
+    ``median`` = ``percentile(0.5)``) and one verdict aggregate, all
+    shuffling only on the entity key. Exact medians buffer each group's
+    values — for groups beyond memory switch to
+    ``approx_percentile(…, 0.5, accuracy)`` at the cost of oracle
+    exactness.
+    """
+    med = df.groupBy(key_col).agg(F.median(val_col).alias("__med"))
+    dev = df.join(med, key_col).withColumn(
+        "__adev", F.abs(F.col(val_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(key_col).agg(F.median("__adev").alias("__mad"))
+    flagged = dev.join(mad, key_col).withColumn(
+        "__anom",
+        (F.col("__adev") > F.lit(n_sigmas) * F.lit(1.4826) * F.col("__mad")).cast("int"),
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.sum("__anom").cast("int").alias("n_anomalies"),
+        F.round(F.max("__med"), 6).alias("median_value"),
+        F.round(F.max("__mad"), 6).alias("mad"),
+    )

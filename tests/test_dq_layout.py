@@ -100,3 +100,47 @@ def test_redact_pii(spark):
     )
     out = df.select(CP.redact_pii("text").alias("r")).collect()[0].r
     assert out == "mail <EMAIL> now call <PHONE> ok 123"
+
+
+def test_pagerank_star_graph(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import graph as GR
+
+    # star: a<->b, a<->c, a<->d — hub a must outrank the leaves, and
+    # leaves tie by symmetry; total mass stays <= 1 (undirected, no dangling)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("a", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    pr = {r.node: r.pr for r in GR.pagerank(edges, iterations=10).collect()}
+    assert pr["a"] > pr["b"]
+    assert abs(pr["b"] - pr["c"]) < 1e-12 and abs(pr["c"] - pr["d"]) < 1e-12
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_cohort_retention_daily(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-03 10:00:00"),
+            (2, "2024-01-01 23:00:00"),
+            (3, "2024-01-02 01:00:00"),
+        ],
+        "user_id bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (str(r.cohort_bucket), r.bucket_offset): r.n_users
+        for r in TS.cohort_retention(df, grain="day").collect()
+    }
+    assert got[("2024-01-01 00:00:00", 0)] == 2  # users 1 and 2 on day 0
+    assert got[("2024-01-01 00:00:00", 2)] == 1  # user 1 returns day 2
+    assert got[("2024-01-02 00:00:00", 0)] == 1  # user 3's own cohort
+
+
+def test_mad_anomalies_flags_outlier(spark):
+    vals = [(1, float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]
+    df = spark.createDataFrame(vals, "user_id bigint, value double")
+    r = TS.mad_anomalies(df).collect()[0]
+    assert r.n_events == 8 and r.n_anomalies == 1
+    assert r.median_value == 10.5
