@@ -580,12 +580,24 @@ def jaccard_ngram_pairs(
       reach the aggregate. Hashing shingles to 64-bit before the join
       keeps the shuffle rows fixed-width.
     """
-    shingled = df.select(
-        F.col(id_col), F.array_distinct(ngrams(tokenize(text_col), n)).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    posts = shingled.select(
-        id_col, "n_sh", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle")
-    ).persist()
+    # Codegen shingling (same rationale as minhash_signatures): explode
+    # gram START positions and slice tokens with element_at/concat_ws —
+    # all codegen'd scalar expressions — instead of building a per-row
+    # gram array through interpreted higher-order lambdas. Distinctness
+    # is restored with an explicit (id, hash) dedup, and the per-doc
+    # distinct-gram count n_sh via one tiny follow-up aggregate that
+    # AQE broadcast-joins back onto the postings.
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_PATTERN)
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        (F.size("__t") >= n) & (F.element_at("__t", 1) != "")
+    )
+    pos = base.select(
+        id_col, "__t", F.explode(F.sequence(F.lit(1), F.size("__t") - n + 1)).alias("__p")
+    )
+    gram = F.concat_ws(" ", *[F.element_at("__t", F.col("__p") + i) for i in range(n)])
+    g = pos.select(id_col, F.xxhash64(gram).alias("shingle")).distinct()
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
+    posts = g.join(sizes, id_col).select(id_col, "n_sh", "shingle").persist()
     a, b = posts.alias("a"), posts.alias("b")
     common = (
         a.join(
