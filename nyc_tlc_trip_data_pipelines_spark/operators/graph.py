@@ -100,13 +100,18 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # weighted edge list, materialized ONCE: each iteration then needs
+    # only (edges ⋈ ranks) + one aggregate, not a second degree join
+    # out_deg is carried (not pre-inverted to a weight): pr/deg rounds
+    # once, pr*(1/deg) twice — keeping the division inside the iteration
+    # makes every term bit-identical to a plain SQL replay
+    e_w = e.join(deg, "src").select("src", "dst", "out_deg").persist()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, "src")
+            e_w.join(ranks, e_w["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("pr") / F.col("out_deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
