@@ -955,6 +955,15 @@ def q_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(TS.mad_anomalies(ev), ["user_id"])
 
 
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (quality scoring): per-document mean unigram
+    log-probability under the corpus's own word distribution — the
+    cheap LM-perplexity stand-in for fluency filtering. Vocabulary-
+    sized count table joined back onto the exploded corpus."""
+    docs = load_table(spark, sf, "documents")
+    return O.sort(CP.unigram_logprob(docs), ["doc_id"])
+
+
 def q_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
     """E26: Arrow-batched scalar pandas UDF (revenue); oracle is the
     equivalent SQL expression — verifies the UDF matches codegen math."""
@@ -2682,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": q_cohort_retention,
         "q_pagerank": q_pagerank,
         "q_anomaly_mad": q_anomaly_mad,
+        "q_unigram_logprob": q_unigram_logprob,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -3356,6 +3366,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(madt.md), 6) AS mad
             FROM dev JOIN madt USING (user_id)
             GROUP BY dev.user_id ORDER BY dev.user_id
+        """,
+        "q_unigram_logprob": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ), counts AS (
+                SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+            ), tot AS (
+                SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts
+            ), lp AS (
+                SELECT w, LN(cnt / (SELECT total FROM tot)) AS lp FROM counts
+            )
+            SELECT doc_id, COUNT(*)::INT AS n_words,
+                   ROUND(SUM(lp) / COUNT(*), 4) AS mean_logprob
+            FROM words JOIN lp USING (w)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "q_scd2_merge": """
             WITH dim AS (

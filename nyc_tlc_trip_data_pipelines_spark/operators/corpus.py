@@ -19,15 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import ngrams, tokenize
+from .text import token_ngram_rows, tokenize
 
 
 def _token_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gram) rows — token n-grams WITH multiplicity."""
-    toks = tokenize(F.col(text_col))
-    return df.select(
-        F.col(id_col), F.explode(ngrams(toks, n=n)).alias("gram")
-    )
+    """(id, gram) rows — token n-grams WITH multiplicity (codegen path,
+    see text.token_ngram_rows)."""
+    return token_ngram_rows(df, id_col, text_col, n)
 
 
 def train_test_overlap(
@@ -272,3 +270,38 @@ def redact_pii(
     c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", email_token)
     c = F.regexp_replace(c, r"[0-9]{%d,}" % min_digit_run, number_token)
     return c
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    word distribution — the cheap stand-in for LM-perplexity quality
+    scoring (documents full of rare/garbled tokens score low and get
+    filtered or down-weighted).
+
+    Returns (id, n_words, mean_logprob) with natural-log probabilities
+    ``ln(count(w)/total_words)``, rounded to 4 dp (the per-doc mean is a
+    true float reduction, so looser rounding keeps it engine-stable).
+
+    Scale shape: the word-count table is vocabulary-sized and joins the
+    exploded corpus on the word key (AQE broadcasts real vocabularies);
+    total_words rides in as a literal-free cross of a 1-row aggregate —
+    no driver round-trip, no second corpus scan beyond the word
+    explode."""
+    words = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w"))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "w", (F.log(F.col("cnt") / F.col("total"))).alias("lp")
+    )
+    return (
+        words.join(lp, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("mean_logprob"),
+        )
+    )

@@ -63,6 +63,25 @@ def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def token_ngram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, gram_alias: str = "gram"
+) -> DataFrame:
+    """(id, gram) rows — token ``n``-grams WITH multiplicity, built from
+    codegen scalar expressions: explode gram START positions, slice with
+    element_at + concat_ws. Avoids interpreted higher-order lambdas the
+    same way :func:`minhash_signatures` does (measured 7× there).
+    Documents with fewer than ``n`` tokens produce no rows."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_PATTERN)
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        (F.size("__t") >= n) & (F.element_at("__t", 1) != "")
+    )
+    pos = base.select(
+        id_col, "__t", F.explode(F.sequence(F.lit(1), F.size("__t") - n + 1)).alias("__p")
+    )
+    gram = F.concat_ws(" ", *[F.element_at("__t", F.col("__p") + i) for i in range(n)])
+    return pos.select(id_col, gram.alias(gram_alias))
+
+
 def char_shingles(text: str | Column, k: int = 5) -> Column:
     """Character k-shingles of a (lowercased) document. Documents shorter
     than k yield an empty array (see ngrams note on sequence direction)."""
@@ -580,22 +599,16 @@ def jaccard_ngram_pairs(
       reach the aggregate. Hashing shingles to 64-bit before the join
       keeps the shuffle rows fixed-width.
     """
-    # Codegen shingling (same rationale as minhash_signatures): explode
-    # gram START positions and slice tokens with element_at/concat_ws —
-    # all codegen'd scalar expressions — instead of building a per-row
-    # gram array through interpreted higher-order lambdas. Distinctness
-    # is restored with an explicit (id, hash) dedup, and the per-doc
-    # distinct-gram count n_sh via one tiny follow-up aggregate that
-    # AQE broadcast-joins back onto the postings.
-    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_PATTERN)
-    base = df.select(F.col(id_col), toks.alias("__t")).filter(
-        (F.size("__t") >= n) & (F.element_at("__t", 1) != "")
+    # Codegen shingling via token_ngram_rows (same rationale as
+    # minhash_signatures). Distinctness is restored with an explicit
+    # (id, hash) dedup, and the per-doc distinct-gram count n_sh via one
+    # tiny follow-up aggregate that AQE broadcast-joins back onto the
+    # postings.
+    g = (
+        token_ngram_rows(df, id_col, text_col, n)
+        .select(id_col, F.xxhash64("gram").alias("shingle"))
+        .distinct()
     )
-    pos = base.select(
-        id_col, "__t", F.explode(F.sequence(F.lit(1), F.size("__t") - n + 1)).alias("__p")
-    )
-    gram = F.concat_ws(" ", *[F.element_at("__t", F.col("__p") + i) for i in range(n)])
-    g = pos.select(id_col, F.xxhash64(gram).alias("shingle")).distinct()
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     posts = g.join(sizes, id_col).select(id_col, "n_sh", "shingle").persist()
     a, b = posts.alias("a"), posts.alias("b")

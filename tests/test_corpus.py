@@ -81,3 +81,14 @@ def test_containment_catches_subset_duplication(spark):
     # the smaller doc is (nearly) fully contained in the bigger one
     assert r.containment_b > 0.9 and r.containment_a < 0.9
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    # corpus: "a a b" + "b" -> counts a:2 b:2 total 4; lp(a)=lp(b)=ln(0.5)
+    df = _docs(spark, [(1, "a a b", "en"), (2, "b", "en")])
+    got = {r.doc_id: r for r in CP.unigram_logprob(df).collect()}
+    assert got[1].n_words == 3 and got[2].n_words == 1
+    assert abs(got[1].mean_logprob - round(math.log(0.5), 4)) < 1e-9
+    assert got[1].mean_logprob == got[2].mean_logprob
