@@ -955,6 +955,52 @@ def q_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(TS.mad_anomalies(ev), ["user_id"])
 
 
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse-pipeline staple: CDC changelog compaction — a
+    deterministic I/U/D op log over customer applied in one window pass
+    (highest sequence per key wins, winning deletes drop the key).
+    Derived log: seq1 inserts all, seq2 updates custkey%13, seq3
+    deletes custkey%29."""
+    c = load_table(spark, sf, "customer")
+    ins = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 6).alias("bal"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            "c_custkey", "c_name", F.round(F.col("c_acctbal") + 100.0, 6).alias("bal"),
+            F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        )
+    )
+    dels = (
+        c.filter(F.col("c_custkey") % 29 == 0)
+        .select(
+            "c_custkey", "c_name", F.lit(0.0).alias("bal"),
+            F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        )
+    )
+    ops = ins.unionByName(upd).unionByName(dels)
+    return O.sort(O.cdc_apply(ops, ["c_custkey"], "seq"), ["c_custkey"])
+
+
+def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """E31c: streaming OHLC bars — struct MIN/MAX open/close inside a
+    watermarked daily tumbling window; associative merge across
+    micro-batches makes the streamed bar equal the batch aggregate
+    (oracle: windowed row_number twin over the same events)."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    bars = ST.ohlc_window_agg(
+        ST.with_watermark(stream, "ts", "1 hour"), "ts", "1 day", keys=("user_id",)
+    )
+    return O.sort(
+        ST.run_to_memory_sink(bars, "q_stream_ohlc_sink"),
+        ["user_id", "window_start"],
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """North star (quality scoring): per-document mean unigram
     log-probability under the corpus's own word distribution — the
@@ -2692,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_anomaly_mad": q_anomaly_mad,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_cdc_apply": q_cdc_apply,
+        "q_stream_ohlc": q_stream_ohlc,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -3366,6 +3414,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(madt.md), 6) AS mad
             FROM dev JOIN madt USING (user_id)
             GROUP BY dev.user_id ORDER BY dev.user_id
+        """,
+        "q_cdc_apply": """
+            WITH ops AS (
+                SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS bal,
+                       'I' AS op, 1 AS seq
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, c_name, ROUND(c_acctbal + 100.0, 6) AS bal,
+                       'U' AS op, 2 AS seq
+                FROM customer WHERE c_custkey % 13 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, 0.0 AS bal, 'D' AS op, 3 AS seq
+                FROM customer WHERE c_custkey % 29 = 0
+            ), latest AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                             ORDER BY seq DESC, op DESC) AS rn
+                FROM ops
+            )
+            SELECT c_custkey, c_name, bal
+            FROM latest WHERE rn = 1 AND op <> 'D'
+            ORDER BY c_custkey
+        """,
+        "q_stream_ohlc": """
+            WITH b AS (
+                SELECT user_id,
+                       CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
+                       ts, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('day', ts)
+                                          ORDER BY ts, event_id) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('day', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            )
+            SELECT window_start, user_id,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   COUNT(*)::INT AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM b GROUP BY window_start, user_id
+            ORDER BY user_id, window_start
         """,
         "q_unigram_logprob": r"""
             WITH words AS (

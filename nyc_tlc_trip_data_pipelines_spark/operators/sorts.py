@@ -139,3 +139,31 @@ def intersect(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> Data
 
 def except_(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
     return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def cdc_apply(
+    ops: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete ops with a sequence
+    number) to produce the final table state: the HIGHEST-sequence op
+    per key wins; a winning delete removes the key. The standard
+    changelog-compaction shape (Debezium/Delta CDF consumers).
+
+    One window pass over (key, seq DESC) — a single hash exchange on the
+    key — then a filter. Equivalent to MERGE applied in order, but
+    expressed as one deterministic dataflow (no per-op loop), which is
+    the only shape that scales when the changelog is billions of rows.
+    Ties on ``seq_col`` break by preferring the later op marker
+    (lexicographically greatest) so re-runs are deterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = ops.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return latest.filter(F.col(op_col) != delete_op).drop("__rn", op_col, seq_col)

@@ -254,3 +254,41 @@ def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str =
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def ohlc_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "1 day",
+    keys: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming OHLC bars: open/close via lexicographic struct MIN/MAX
+    inside a watermarked tumbling window — the struct aggregates merge
+    associatively across micro-batches, so the streamed bar is
+    bit-identical to the batch aggregate (open/close are RAW column
+    values, no accumulation; only sum_value needs rounding)."""
+    first = F.min(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col).alias("v")))
+    last = F.max(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col).alias("v")))
+    return (
+        df.groupBy(F.window(ts_col, window_size), *keys)
+        .agg(
+            first.getField("v").alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            last.getField("v").alias("close"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
