@@ -190,7 +190,11 @@ def ohlc(
     struct — lexicographic struct ordering makes "value at the earliest
     (ts, tiebreak)" a plain aggregate, deterministic under timestamp
     ties, with full map-side partial aggregation. No window, no second
-    scan: the whole bar is ONE hash aggregate per (entity, bucket).
+    scan: the whole bar is ONE aggregate + ONE exchange per (entity,
+    bucket). Struct-valued buffers make Spark plan it as SortAggregate
+    rather than hash (plan-fenced in tests/test_plans.py) — the
+    partial/final pair and single shuffle are unchanged; the extra
+    per-partition sort is the price of tie-deterministic open/close.
     """
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
     first = F.min(F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(val_col).alias("v")))

@@ -231,3 +231,75 @@ def test_minhash_verified_broadcasts_candidates(spark, sf_dir):
     plan = plan_string(out, "simple")
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_ohlc_single_exchange_no_window(spark, sf_dir):
+    # the whole bar is ONE hash aggregate per (entity, bucket): one
+    # exchange, partial+final agg, and no Window node at all
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.ohlc(ev)
+    assert exchange_count(out) == 1
+    assert node_count(out, "Window") == 0
+    # struct-valued MIN/MAX buffers force SortAggregate (not hash), but
+    # the partial+final pair around a single exchange must remain
+    assert node_count(out, "SortAggregate") == 2
+
+
+def test_time_weighted_avg_exchange_ceiling(spark, sf_dir):
+    # one shuffle for the (entity, ts) window + one for the final agg —
+    # the lead() window and the aggregate must share the entity key
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.time_weighted_avg(ev)
+    assert exchange_count(out) <= 2
+    assert node_count(out, "Window") == 1
+
+
+def test_decontaminate_is_gram_keyed_not_quadratic(spark, sf_dir):
+    # the train/test overlap must be an equi-join on the gram key —
+    # never a nested-loop/cartesian pair expansion
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = CP.train_test_overlap(
+        docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+    )
+    p = plan_string(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_filter_no_expand_rewrite(spark, sf_dir):
+    # the word stats avoid COUNT(DISTINCT): no Expand node may appear
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = CP.quality_filter(docs)
+    assert node_count(out, "Expand") == 0
+
+
+def test_minhash_signatures_no_expand_and_codegen_shingles(spark, sf_dir):
+    # with_size must use the explicit pre-dedup (no Expand), and the
+    # shingle pipeline must be the codegen substring path (a Generate
+    # over a sequence, not a higher-order transform over an array build)
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.minhash_signatures(docs, with_size=True)
+    p = plan_string(out)
+    assert node_count(out, "Expand") == 0
+    assert "substring(" in p and "sequence(1" in p
+
+
+def test_zorder_key_is_flat_codegen_expression(spark, sf_dir):
+    # the Morton key must stay a single projection over the scan — no
+    # exchange, no UDF/python eval in the plan
+    from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+
+    o = load_table(spark, sf_dir, "orders")
+    out = o.select(LO.zorder_key(F.col("o_custkey") % 256, F.col("o_orderkey") % 256))
+    assert exchange_count(out) == 0
+    p = plan_string(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
