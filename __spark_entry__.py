@@ -1001,6 +1001,30 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (multimodal, REAL decode): RIFF/WAVE payloads parsed
+    with stdlib `wave` inside Arrow-batched mapInPandas — n_samples,
+    sample rate, RMS, peak per clip. The fixture samples follow a
+    closed-form integer formula, so the oracle recomputes the expected
+    statistics from first principles in SQL: a hash match proves the
+    encode→decode round-trip, not just the plumbing."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_wav_media(spark, 48)
+    return O.sort(M.decode_audio_features(media), ["media_id"])
+
+
+def q_multimodal_image_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (multimodal, REAL decode): 24-bit BMP payloads parsed
+    from the raw header + padded bottom-up pixel rows (numpy) —
+    dimensions and per-channel means per image, oracle-checked against
+    the closed-form pixel formula."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_bmp_media(spark, 48)
+    return O.sort(M.decode_image_features(media), ["media_id"])
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """North star (quality scoring): per-document mean unigram
     log-probability under the corpus's own word distribution — the
@@ -2740,6 +2764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": q_unigram_logprob,
         "q_cdc_apply": q_cdc_apply,
         "q_stream_ohlc": q_stream_ohlc,
+        "q_multimodal_audio_decode": q_multimodal_audio_decode,
+        "q_multimodal_image_decode": q_multimodal_image_decode,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -3456,6 +3482,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 6) AS sum_value
             FROM b GROUP BY window_start, user_id
             ORDER BY user_id, window_start
+        """,
+        "q_multimodal_audio_decode": """
+            WITH par AS (
+                SELECT i.i AS media_id, 400 + (i.i % 5) * 100 AS n
+                FROM GENERATE_SERIES(0, 47) AS i(i)
+            ), s AS (
+                SELECT p.media_id, p.n,
+                       ((p.media_id * 7919 + j.j * 31) % 65536) - 32768 AS s
+                FROM par p, GENERATE_SERIES(0, 799) AS j(j)
+                WHERE j.j < p.n
+            )
+            SELECT media_id,
+                   MAX(n)::INT AS n_samples,
+                   8000::INT AS sample_rate,
+                   ROUND(SQRT(SUM(CAST(s AS DOUBLE) * s) / MAX(n)), 6) AS rms,
+                   MAX(ABS(s))::INT AS peak
+            FROM s GROUP BY media_id ORDER BY media_id
+        """,
+        "q_multimodal_image_decode": """
+            WITH px AS (
+                SELECT i.i AS media_id, x.x AS x, y.y AS y
+                FROM GENERATE_SERIES(0, 47) AS i(i),
+                     GENERATE_SERIES(0, 15) AS x(x),
+                     GENERATE_SERIES(0, 11) AS y(y)
+            )
+            SELECT media_id,
+                   16::INT AS width, 12::INT AS height,
+                   ROUND(AVG(CAST((media_id * 7 + x * 5 + y * 17) % 256 AS DOUBLE)), 6) AS mean_r,
+                   ROUND(AVG(CAST((media_id * 5 + x * 13 + y * 3) % 256 AS DOUBLE)), 6) AS mean_g,
+                   ROUND(AVG(CAST((media_id * 3 + x * 7 + y * 11) % 256 AS DOUBLE)), 6) AS mean_b
+            FROM px GROUP BY media_id ORDER BY media_id
         """,
         "q_unigram_logprob": r"""
             WITH words AS (

@@ -63,3 +63,34 @@ def test_resize_stub_rejects_bad_geometry():
 
     with _pytest.raises(NotImplementedError):
         MM.resize_image_stub(b"abc", 0, 8)
+
+
+def test_wav_decode_roundtrip(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_wav_media(spark, 6)
+    rows = {r.media_id: r for r in M.decode_audio_features(media).collect()}
+    assert len(rows) == 6
+    # closed-form check for one clip
+    import math
+
+    samples = M._wav_samples(2, 400 + (2 % 5) * 100)
+    assert rows[2].n_samples == len(samples)
+    assert rows[2].sample_rate == 8000
+    assert rows[2].peak == max(abs(s) for s in samples)
+    exp_rms = round(math.sqrt(sum(float(s) * s for s in samples) / len(samples)), 6)
+    assert rows[2].rms == exp_rms
+
+
+def test_bmp_decode_roundtrip(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_bmp_media(spark, 4)
+    rows = {r.media_id: r for r in M.decode_image_features(media).collect()}
+    assert len(rows) == 4
+    r = rows[3]
+    assert (r.width, r.height) == (M._BMP_W, M._BMP_H)
+    exp_r = round(
+        sum(M._bmp_pixel(3, x, y)[0] for x in range(16) for y in range(12)) / 192.0, 6
+    )
+    assert r.mean_r == exp_r
