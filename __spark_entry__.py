@@ -1025,6 +1025,25 @@ def q_multimodal_image_decode(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(M.decode_image_features(media), ["media_id"])
 
 
+def q_multimodal_resize_real(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (multimodal, REAL transform): 2× box downsample of real
+    BMP payloads — decode, exact integer block means, re-encode as BMP,
+    decode AGAIN for the verdict stats. The oracle recomputes the
+    floor-mean blocks from the closed-form pixel formula, so the hash
+    match proves the full decode→resize→encode→decode chain."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_bmp_media(spark, 48)
+    small = M.resize_bmp_images(media, factor=2)
+    feats = M.decode_image_features(small)
+    return O.sort(
+        feats.join(
+            small.select("media_id", F.length("payload").alias("n_bytes")), "media_id"
+        ),
+        ["media_id"],
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """North star (quality scoring): per-document mean unigram
     log-probability under the corpus's own word distribution — the
@@ -2766,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_ohlc": q_stream_ohlc,
         "q_multimodal_audio_decode": q_multimodal_audio_decode,
         "q_multimodal_image_decode": q_multimodal_image_decode,
+        "q_multimodal_resize_real": q_multimodal_resize_real,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -3513,6 +3533,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST((media_id * 5 + x * 13 + y * 3) % 256 AS DOUBLE)), 6) AS mean_g,
                    ROUND(AVG(CAST((media_id * 3 + x * 7 + y * 11) % 256 AS DOUBLE)), 6) AS mean_b
             FROM px GROUP BY media_id ORDER BY media_id
+        """,
+        "q_multimodal_resize_real": """
+            WITH px AS (
+                SELECT i.i AS media_id, x.x AS x, y.y AS y,
+                       (i.i * 7 + x.x * 5 + y.y * 17) % 256 AS r,
+                       (i.i * 5 + x.x * 13 + y.y * 3) % 256 AS g,
+                       (i.i * 3 + x.x * 7 + y.y * 11) % 256 AS b
+                FROM GENERATE_SERIES(0, 47) AS i(i),
+                     GENERATE_SERIES(0, 15) AS x(x),
+                     GENERATE_SERIES(0, 11) AS y(y)
+            ), blk AS (
+                SELECT media_id, x // 2 AS bx, y // 2 AS by,
+                       SUM(r) // 4 AS rr, SUM(g) // 4 AS gg, SUM(b) // 4 AS bb
+                FROM px GROUP BY media_id, x // 2, y // 2
+            )
+            SELECT media_id,
+                   8::INT AS width, 6::INT AS height,
+                   ROUND(AVG(CAST(rr AS DOUBLE)), 6) AS mean_r,
+                   ROUND(AVG(CAST(gg AS DOUBLE)), 6) AS mean_g,
+                   ROUND(AVG(CAST(bb AS DOUBLE)), 6) AS mean_b,
+                   198 AS n_bytes
+            FROM blk GROUP BY media_id ORDER BY media_id
         """,
         "q_unigram_logprob": r"""
             WITH words AS (

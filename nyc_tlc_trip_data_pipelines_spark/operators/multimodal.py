@@ -316,24 +316,20 @@ IMAGE_DECODE_SCHEMA = StructType(
 
 def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
     """REAL decode: parse the BMP header (data offset, dims, bpp) and the
-    padded bottom-up BGR rows with numpy; returns per-channel means.
-    Integer pixel sums are exact in float64."""
-    import struct
-
+    padded bottom-up BGR rows with numpy (see ``_bmp_array``); returns
+    (width, height, mean_r, mean_g, mean_b). Integer pixel sums are
+    exact in float64."""
     import numpy as np
 
-    assert payload[:2] == b"BM"
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    w, h = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    assert bpp == 24, "only 24-bit BMP supported"
-    row_bytes = (w * 3 + 3) // 4 * 4
-    arr = np.frombuffer(payload, dtype=np.uint8, count=abs(h) * row_bytes, offset=data_off)
-    arr = arr.reshape(abs(h), row_bytes)[:, : w * 3].reshape(abs(h), w, 3)
-    if h > 0:  # bottom-up → flip to top-down
-        arr = arr[::-1]
+    arr = _bmp_array(payload)
     means = arr.astype(np.float64).mean(axis=(0, 1))  # (b, g, r)
-    return w, abs(h), round(float(means[2]), 6), round(float(means[1]), 6), round(float(means[0]), 6)
+    return (
+        arr.shape[1],
+        arr.shape[0],
+        round(float(means[2]), 6),
+        round(float(means[1]), 6),
+        round(float(means[0]), 6),
+    )
 
 
 def decode_image_features(df: DataFrame) -> DataFrame:
@@ -357,3 +353,81 @@ def decode_image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, IMAGE_DECODE_SCHEMA)
+
+
+def _bmp_array(payload: bytes):
+    """Parse a 24-bit BMP into a top-down (h, w, 3) BGR uint8 array."""
+    import struct
+
+    import numpy as np
+
+    assert payload[:2] == b"BM"
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    assert struct.unpack_from("<H", payload, 28)[0] == 24
+    row_bytes = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(payload, dtype=np.uint8, count=abs(h) * row_bytes, offset=data_off)
+    arr = arr.reshape(abs(h), row_bytes)[:, : w * 3].reshape(abs(h), w, 3)
+    return arr[::-1] if h > 0 else arr
+
+
+def _encode_bmp(arr) -> bytes:
+    """Encode a top-down (h, w, 3) BGR uint8 array as a 24-bit BMP
+    (bottom-up rows, 4-byte padding) — the exact inverse of _bmp_array."""
+    import struct
+
+    h, w = arr.shape[0], arr.shape[1]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_bytes - w * 3)
+    body = b"".join(arr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def resize_bmp(payload: bytes, factor: int = 2) -> bytes:
+    """REAL resize: integer-factor box downsample of a 24-bit BMP —
+    each output pixel is the floor-mean of its factor×factor block
+    (exact integer arithmetic, so the result is SQL-provable) — then
+    re-encoded as a valid BMP."""
+    import numpy as np
+
+    arr = _bmp_array(payload)
+    h, w = arr.shape[0], arr.shape[1]
+    assert h % factor == 0 and w % factor == 0, "dims must divide the factor"
+    small = (
+        arr.astype(np.int64)
+        .reshape(h // factor, factor, w // factor, factor, 3)
+        .sum(axis=(1, 3))
+        // (factor * factor)
+    ).astype(np.uint8)
+    return _encode_bmp(small)
+
+
+def resize_bmp_images(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Real BMP box-downsample via Arrow ``mapInPandas``; emits the
+    re-encoded payload so downstream decode proves the round trip."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(lambda b: resize_bmp(b, factor)),
+                    "mime": pdf["mime"],
+                    "width": pd.Series(
+                        [w // factor for w in pdf["width"]], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [h // factor for h in pdf["height"]], dtype="int32"
+                    ),
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return df.mapInPandas(_resize, MEDIA_SCHEMA)

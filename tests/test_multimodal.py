@@ -94,3 +94,23 @@ def test_bmp_decode_roundtrip(spark):
         sum(M._bmp_pixel(3, x, y)[0] for x in range(16) for y in range(12)) / 192.0, 6
     )
     assert r.mean_r == exp_r
+
+
+def test_bmp_resize_roundtrip(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_bmp_media(spark, 3)
+    small = M.resize_bmp_images(media, factor=2)
+    rows = {r.media_id: r for r in M.decode_image_features(small).collect()}
+    assert rows[0].width == M._BMP_W // 2 and rows[0].height == M._BMP_H // 2
+    # closed form: floor-mean of 2x2 blocks of the pixel formula
+    exp_g = round(
+        sum(
+            sum(M._bmp_pixel(1, 2 * X + dx, 2 * Y + dy)[1] for dx in (0, 1) for dy in (0, 1)) // 4
+            for X in range(8)
+            for Y in range(6)
+        )
+        / 48.0,
+        6,
+    )
+    assert rows[1].mean_g == exp_g
