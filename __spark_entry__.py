@@ -2702,7 +2702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of this dict (round 1: exactly the first 50 keys). Keys are ordered
     # so never-driver-checked, oracle-bearing queries come first; queries
     # that went green in CORRECTNESS_r01.json come last (they stay
-    # covered by tools/check.py locally). Round 3+: rotate again.
+    # covered by tools/check.py locally). Round 3+: rotate again — move
+    # everything after the round-2 boundary marker (scd2 onward,
+    # including the corpus/dq/timeseries/multimodal-decode additions and
+    # the TPC-H q2..q22 + streaming blocks) into the prefix, and push
+    # this round's first 50 to the back.
     return {
         # — round-2 fixes / newly-oracled (were vacuous or rows-only) —
         "q_join_anti": q_join_anti,
