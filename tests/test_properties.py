@@ -50,3 +50,67 @@ def test_tokenize_matches_python_split(spark, texts):
     got = [r.t for r in df.select(tokenize("text").alias("t")).collect()]
     expect = [t.lower().split() for t in (texts or [""])]
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+@given(st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=32))
+@settings(max_examples=10, deadline=None)
+def test_zorder_key_is_injective_and_pure_python_checkable(spark, xys):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.layout import zorder_key
+
+    def morton(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(list(set(xys)), "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=10).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == morton(x, y)
+    assert len(set(got.values())) == len(got)  # injective on distinct inputs
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 9), st.sampled_from("IUD")),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cdc_apply_matches_sequential_replay(spark, oplog):
+    from nyc_tlc_trip_data_pipelines_spark.operators.sorts import cdc_apply
+
+    # sequential replay semantics: apply ops in (seq, op) order per key;
+    # whatever op is last decides survival
+    final: dict[int, str] = {}
+    for key, seq, op in sorted(oplog, key=lambda t: (t[1], t[2])):
+        final[key] = op
+    expect = {k for k, o in final.items() if o != "D"}
+
+    df = spark.createDataFrame(
+        [(k, float(s * 10), o, s) for k, s, o in oplog],
+        "k bigint, bal double, op string, seq int",
+    )
+    got = {r.k for r in cdc_apply(df, ["k"], "seq").collect()}
+    assert got == expect
+
+
+@given(st.lists(st.text(alphabet="abc xy", min_size=1, max_size=20), min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_repetition_ratio_bounds(spark, texts):
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import repetition_profile
+
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)], "doc_id bigint, text string, lang string"
+    )
+    for r in repetition_profile(df).collect():
+        assert 0.0 <= r.rep_ratio < 1.0
+        assert 1 <= r.n_distinct <= r.n_grams
+        assert r.max_gram_count >= 1
