@@ -1044,6 +1044,25 @@ def q_multimodal_resize_real(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """E30e: measured recall@10 of the hyperplane-LSH probe against the
+    brute-force top-10 — the metric that decides planes/probe settings
+    before deploying an ANN index. Both sides are deterministic
+    (seeded literals), so the recall itself is oracle-checkable."""
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings")
+    # 2 of the 4 seeded planes: a coarser probe (1/4 of the corpus) so
+    # the measured recall is non-trivial on the random driver vectors
+    planes = np.random.RandomState(42).randn(4, 64)[:2].tolist()
+    brute = V.cosine_topk(em, [1.0] * 64, k=10).select("vec_id")
+    approx = V.lsh_cosine_topk(em, [1.0] * 64, planes, k=10).select("vec_id")
+    return brute.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_common"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """North star (quality scoring): per-document mean unigram
     log-probability under the corpus's own word distribution — the
@@ -2790,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_audio_decode": q_multimodal_audio_decode,
         "q_multimodal_image_decode": q_multimodal_image_decode,
         "q_multimodal_resize_real": q_multimodal_resize_real,
+        "q_ann_recall": q_ann_recall,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -2901,7 +2921,7 @@ def _zorder_oracle_expr() -> str:
     return LO.zorder_sql("zx", "zy", bits=8)
 
 
-def _ann_lsh_oracle() -> str:
+def _ann_lsh_oracle(n_planes: int = 4) -> str:
     """Replay of q_ann_lsh: the hyperplanes are seeded LITERALS, so the
     oracle recomputes the sign-bit bucket per vector and the query's
     bucket, then brute-forces cosine top-k inside that bucket — the
@@ -2909,7 +2929,7 @@ def _ann_lsh_oracle() -> str:
     left-to-right in float64 on both engines, so sign bits agree."""
     import numpy as np
 
-    planes = np.random.RandomState(42).randn(4, 64)
+    planes = np.random.RandomState(42).randn(4, 64)[:n_planes]
     q = [1.0] * 64
     qb = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(q, p)) >= 0)
     bits = " + ".join(
@@ -2924,6 +2944,28 @@ def _ann_lsh_oracle() -> str:
         SELECT vec_id, {cos} AS cosine
         FROM bb WHERE bucket = {qb}
         ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """q_ann_recall: brute top-10 (LIMIT-10 variant of the
+    q_similarity_topk oracle) intersected with the LSH probe's top-10
+    (the full _ann_lsh_oracle replay, nested as a derived table)."""
+    cos = _COS.format(q="q")
+    return f"""
+        WITH brute AS (
+            SELECT vec_id FROM (
+                SELECT vec_id, {cos} AS cosine
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                     (SELECT [1.0 FOR _ IN RANGE(64)]::DOUBLE[] AS q)
+                ORDER BY cosine DESC, vec_id LIMIT 10
+            )
+        ), approx AS (
+            SELECT vec_id FROM ({_ann_lsh_oracle(n_planes=2)})
+        )
+        SELECT COUNT(*)::INT AS n_common,
+               ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+        FROM brute JOIN approx USING (vec_id)
     """
 
 
@@ -3785,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_rows DESC, l_orderkey LIMIT 10
         """,
         "q_ann_lsh": _ann_lsh_oracle(),
+        "q_ann_recall": _ann_recall_oracle(),
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_dedup_embedding": _dedup_embedding_oracle(),
         "q_stream_watermark": """
