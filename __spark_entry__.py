@@ -3859,14 +3859,19 @@ def oracle_sql() -> dict[str, str]:
                                i -> SUBSTRING(LOWER(text), i, 5)))
                        ELSE CAST([] AS VARCHAR[]) END AS sh
                 FROM documents
+            ), shx AS (
+                SELECT doc_id, UNNEST(sh) AS sg FROM s
+            ), sizes AS (
+                SELECT doc_id, LEN(sh) AS n FROM s
+            ), cm AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
             ), pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM s a JOIN s b
-                  ON a.doc_id < b.doc_id
-                 AND LEAST(LEN(a.sh), LEN(b.sh)) >= 0.8 * GREATEST(LEN(a.sh), LEN(b.sh))
-                WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
-                  AND ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-                            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6) >= 0.8
+                SELECT id_a, id_b
+                FROM cm JOIN sizes sa ON sa.doc_id = id_a
+                        JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
             ), edges AS (
                 SELECT id_a AS u, id_b AS v FROM pairs
                 UNION SELECT id_b, id_a FROM pairs
@@ -3892,14 +3897,19 @@ def oracle_sql() -> dict[str, str]:
                                i -> SUBSTRING(LOWER(text), i, 5)))
                        ELSE CAST([] AS VARCHAR[]) END AS sh
                 FROM reps
+            ), shx AS (
+                SELECT rep_id, UNNEST(sh) AS sg FROM s
+            ), sizes AS (
+                SELECT rep_id, LEN(sh) AS n FROM s
+            ), cm AS (
+                SELECT a.rep_id AS id_a, b.rep_id AS id_b, COUNT(*) AS c
+                FROM shx a JOIN shx b ON a.sg = b.sg AND a.rep_id < b.rep_id
+                GROUP BY a.rep_id, b.rep_id
             ), pairs AS (
-                SELECT a.rep_id AS id_a, b.rep_id AS id_b
-                FROM s a JOIN s b
-                  ON a.rep_id < b.rep_id
-                 AND LEAST(LEN(a.sh), LEN(b.sh)) >= 0.8 * GREATEST(LEN(a.sh), LEN(b.sh))
-                WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
-                  AND ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-                            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6) >= 0.8
+                SELECT id_a, id_b
+                FROM cm JOIN sizes sa ON sa.rep_id = id_a
+                        JOIN sizes sb ON sb.rep_id = id_b
+                WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
             ), grp AS (
                 SELECT r.rep_id, r.n_copies,
                        LEAST(COALESCE(MIN(p.id_a), r.rep_id), r.rep_id) AS group_id
@@ -3912,27 +3922,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY group_id
         """,
         "q_dedup_minhash": """
-            WITH s AS (
-                SELECT doc_id,
-                       CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
-                           LIST_DISTINCT(LIST_TRANSFORM(
-                               GENERATE_SERIES(1, LENGTH(LOWER(text)) - 4),
-                               i -> SUBSTRING(LOWER(text), i, 5)))
-                       ELSE CAST([] AS VARCHAR[]) END AS sh
-                FROM documents
-            ), p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       LEN(LIST_INTERSECT(a.sh, b.sh)) AS common,
-                       LEN(a.sh) AS na, LEN(b.sh) AS nb
-                FROM s a JOIN s b
-                  ON a.doc_id < b.doc_id
-                 AND LEAST(LEN(a.sh), LEN(b.sh)) >= 0.8 * GREATEST(LEN(a.sh), LEN(b.sh))
+            WITH d AS (
+                SELECT doc_id, LOWER(text) AS t FROM documents WHERE LENGTH(text) >= 5
+            ), sh AS (
+                SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                    GENERATE_SERIES(1, LENGTH(t) - 4), i -> SUBSTRING(t, i, 5)))) AS s
+                FROM d
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
             )
             SELECT id_a, id_b,
-                   ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
-            FROM p
-            WHERE common > 0
-              AND ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
+                   ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.8
             ORDER BY id_a, id_b
         """,
         "q_join_broadcast": """
@@ -4556,17 +4562,20 @@ def oracle_sql() -> dict[str, str]:
                        LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
                 FROM t WHERE LEN(toks) >= 3
+            ), shx AS (
+                SELECT doc_id, UNNEST(sh) AS sg FROM sh
+            ), sizes AS (
+                SELECT doc_id, LEN(sh) AS n FROM sh
             ), pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       LEN(LIST_INTERSECT(a.sh, b.sh)) AS common,
-                       LEN(a.sh) AS na, LEN(b.sh) AS nb
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
             )
             SELECT id_a, id_b,
-                   ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
-            FROM pairs
-            WHERE common > 0
-              AND ROUND(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
+                   ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.8
             ORDER BY id_a, id_b
         """,
         "q_text_quality": r"""
