@@ -1737,6 +1737,41 @@ def q_stream_foreach_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """E35e: dead-letter routing — every micro-batch splits on a
+    validity gate (value in [0, 100) and event_type known); valid rows
+    append to the main table, invalid rows to the quarantine table with
+    a batch stamp. Readback counts must reproduce the batch SQL split
+    exactly (nothing lost, nothing duplicated)."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = _replay_events(spark, sf)
+    d = tempfile.mkdtemp(prefix="quarantine_")
+    valid = (
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & (F.col("value") < 100)
+        & F.col("event_type").isin("view", "click", "purchase", "signup")
+    )
+    q = ST.quarantine_sink(
+        stream.select("event_id", "event_type", "value"),
+        valid,
+        os.path.join(d, "good"),
+        os.path.join(d, "bad"),
+        os.path.join(d, "ckpt"),
+    )
+    q.awaitTermination()
+    good = spark.read.parquet(os.path.join(d, "good"))
+    try:
+        bad = spark.read.parquet(os.path.join(d, "bad"))
+        n_bad = bad.count()
+    except Exception:  # no invalid rows → dead-letter dir never created
+        n_bad = 0
+    return spark.createDataFrame(
+        [(good.count(), n_bad)], "n_good bigint, n_bad bigint"
+    )
+
+
 def q_multimodal_framesample(spark: SparkSession, sf: str) -> DataFrame:
     """North star: video frame-sampling plan — metadata-driven explode of
     frame timestamps (decode of each frame stays stubbed; the explode →
@@ -2810,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_image_decode": q_multimodal_image_decode,
         "q_multimodal_resize_real": q_multimodal_resize_real,
         "q_ann_recall": q_ann_recall,
+        "q_stream_quarantine": q_stream_quarantine,
         # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
@@ -3601,6 +3637,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(bb AS DOUBLE)), 6) AS mean_b,
                    198 AS n_bytes
             FROM blk GROUP BY media_id ORDER BY media_id
+        """,
+        "q_stream_quarantine": """
+            SELECT
+                SUM(CASE WHEN value IS NOT NULL AND value >= 0 AND value < 100
+                          AND event_type IN ('view','click','purchase','signup')
+                         THEN 1 ELSE 0 END)::BIGINT AS n_good,
+                SUM(CASE WHEN value IS NOT NULL AND value >= 0 AND value < 100
+                          AND event_type IN ('view','click','purchase','signup')
+                         THEN 0 ELSE 1 END)::BIGINT AS n_bad
+            FROM events
         """,
         "q_unigram_logprob": r"""
             WITH words AS (
