@@ -159,3 +159,46 @@ def test_scalar_quantize_cosine_fidelity(spark, sf_dir):
     # and 4-bit is measurably worse but still positive-similarity
     out4 = V.scalar_quantize_cosine(em, bits=4)
     assert out4.filter(F.col("cos_q") < 0.9).count() == 0
+
+
+def test_foreach_batch_sink_restart_is_idempotent(spark, replay_dir, tmp_path):
+    # exactly-once across restart: draining the same checkpointed stream
+    # twice (no new input in between) must not duplicate a single row
+    schema = _batch_df(spark, replay_dir).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = ST.read_file_stream(spark, replay_dir, schema, max_files_per_trigger=2)
+        q = ST.foreach_batch_parquet_sink(
+            stream.select("event_id", "user_id", "value"), out, ckpt
+        )
+        q.awaitTermination()
+
+    run()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == _batch_df(spark, replay_dir).count()
+    run()  # restart from the same checkpoint: everything already committed
+    assert spark.read.parquet(out).count() == n_first
+
+
+def test_quarantine_sink_routes_and_loses_nothing(spark, replay_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    schema = _batch_df(spark, replay_dir).schema
+    stream = ST.read_file_stream(spark, replay_dir, schema, max_files_per_trigger=2)
+    good_p, bad_p = str(tmp_path / "good"), str(tmp_path / "bad")
+    valid = F.col("value") < 100
+    q = ST.quarantine_sink(
+        stream.select("event_id", "value"), valid, good_p, bad_p, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    batch = _batch_df(spark, replay_dir)
+    n_good_expect = batch.filter("value < 100").count()
+    n_bad_expect = batch.count() - n_good_expect
+    good = spark.read.parquet(good_p)
+    assert good.count() == n_good_expect
+    assert good.filter("value >= 100").count() == 0
+    if n_bad_expect:
+        bad = spark.read.parquet(bad_p)
+        assert bad.count() == n_bad_expect
+        assert "__quarantined_at_batch" in bad.columns
