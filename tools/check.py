@@ -84,14 +84,29 @@ def main():
             skipped += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
             failed += 1
             continue
         problems = []
+        # The driver's value hasher is TYPE-sensitive: DuckDB HUGEINT /
+        # DECIMAL surface through Arrow as decimal128 while Spark emits
+        # bigint/double, so identical values hash-mismatch (the r2
+        # q_sql_tpch_q12 episode). normalize() below hides the gap
+        # locally, so flag such oracle output columns as hard failures.
+        traps = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t or t.startswith("DECIMAL")
+        ]
+        if traps:
+            problems.append(
+                "oracle type trap (driver hasher sees decimal128): "
+                + ", ".join(traps) + " — CAST to BIGINT/DOUBLE in the oracle"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
