@@ -2490,12 +2490,16 @@ def q_sql_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     derived per-part price table + region-filtered supplier lookup.
     Adapted (no partsupp): unit price = l_extendedprice / l_quantity from
     lineitem; exact double equality against the per-part MIN is
-    deterministic because both engines divide the same parquet values."""
+    deterministic because both engines divide the same parquet values.
+    min_price is emitted UNROUNDED: the quotient/MIN is bitwise-identical
+    across engines, while ROUND(x, 4) half-way rules are not (Spark
+    half-up on the shortest repr vs DuckDB on the binary value — a real
+    observed 26.2412-vs-26.2413 divergence)."""
     _register(spark, sf)
     return spark.sql(
         """
         SELECT DISTINCT s_suppkey, s_name, p_partkey, p_name,
-               ROUND(pc.min_price, 4) AS min_price
+               pc.min_price AS min_price
         FROM part
         JOIN (
             SELECT l_partkey, MIN(l_extendedprice / l_quantity) AS min_price
@@ -2752,77 +2756,24 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver's correctness budget covers a prefix
-    # of this dict (round 1: exactly the first 50 keys). Keys are ordered
-    # so never-driver-checked, oracle-bearing queries come first; queries
-    # that went green in CORRECTNESS_r01.json come last (they stay
-    # covered by tools/check.py locally). Round 3+: rotate again — move
-    # everything after the round-2 boundary marker (scd2 onward,
-    # including the corpus/dq/timeseries/multimodal-decode additions and
-    # the TPC-H q2..q22 + streaming blocks) into the prefix, and push
-    # this round's first 50 to the back.
+    # ORDERING CONTRACT: the driver's correctness budget covers exactly
+    # the FIRST 50 keys of this dict (confirmed: CORRECTNESS_r03 keys ==
+    # prefix-50, in order). Rounds 1-3 all sampled the same two prefixes
+    # and produced driver rows for 98 distinct ids; this round-4 order
+    # puts (a) the two round-3 red rows (TIMESTAMP_NTZ cast crash, fixed
+    # in catalog.load_table) first so the fix gets driver evidence, then
+    # (b) 48 of the 65 never-driver-checked ids — the round-2
+    # corpus/DQ/timeseries/graph/multimodal block, TPC-H q2..q22, the
+    # streaming block, and the ANN/quantize/skew block. Round 5: move
+    # the post-boundary never-checked ids (scd2/json_flatten/
+    # text_normalize, batch-2 variants, sinks, no-oracle tail, anything
+    # added this round) into the prefix.
     return {
-        # — round-2 fixes / newly-oracled (were vacuous or rows-only) —
-        "q_join_anti": q_join_anti,
-        "q_agg_approx_distinct": q_agg_approx_distinct,
-        "q_agg_approx_percentile": q_agg_approx_percentile,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_sample_stratified": q_sample_stratified,
-        "q_text_pack": q_text_pack,
-        # — LLM-data-pipeline surface (dedup / similarity / text), oracled —
-        "q_lang_id": q_lang_id,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "q_dedup_keep_best": q_dedup_keep_best,
-        "q_upsert": q_upsert,
-        "q_similarity_topk": q_similarity_topk,
-        "q_similarity_pairwise": q_similarity_pairwise,
-        "q_text_tfidf": q_text_tfidf,
-        "q_text_bigrams": q_text_bigrams,
-        "q_vector_centroid": q_vector_centroid,
-        "q_vector_norms": q_vector_norms,
-        "q_stream_static_join": q_stream_static_join,
-        # — SQL surface: TPC-H shapes + subqueries, oracled —
-        "q_sql_tpch_q3": q_sql_tpch_q3,
-        "q_sql_tpch_q5": q_sql_tpch_q5,
-        "q_sql_tpch_q6": q_sql_tpch_q6,
-        "q_sql_tpch_q12": q_sql_tpch_q12,
-        "q_sql_tpch_q4": q_sql_tpch_q4,
-        "q_sql_tpch_q10": q_sql_tpch_q10,
-        "q_sql_tpch_q14": q_sql_tpch_q14,
-        "q_sql_tpch_q18": q_sql_tpch_q18,
-        "q_sql_tpch_q7": q_sql_tpch_q7,
-        "q_sql_tpch_q8": q_sql_tpch_q8,
-        "q_sql_tpch_q9": q_sql_tpch_q9,
-        "q_agg_filter_clause": q_agg_filter_clause,
-        "q_subquery_scalar": q_subquery_scalar,
-        # — time-series surface, oracled —
+        # — round-3 red rows: NTZ cast crash, re-prove the fix —
         "q_sessionize": q_sessionize,
-        "q_join_asof": q_join_asof,
-        "q_time_gapfill": q_time_gapfill,
         "q_window_time_range": q_window_time_range,
-        "q_funnel": q_funnel,
-        "q_rollup_time": q_rollup_time,
-        "q_window_tumbling_batch": q_window_tumbling_batch,
-        # — agg/window extensions, oracled —
-        "q_agg_cube": q_agg_cube,
-        "q_agg_pivot": q_agg_pivot,
-        "q_agg_stats": q_agg_stats,
-        "q_agg_percentile": q_agg_percentile,
-        "q_window_distribution": q_window_distribution,
-        "q_agg_conditional": q_agg_conditional,
-        "q_agg_grouping_sets": q_agg_grouping_sets,
-        "q_unpivot": q_unpivot,
-        "q_histogram": q_histogram,
-        "q_array_funcs": q_array_funcs,
-        "q_string_distance": q_string_distance,
-        "q_incremental_agg": q_incremental_agg,
-        "q_grouped_map": q_grouped_map,
-        # ——— driver-budget boundary was ~here (50) in round 1 ———
+        # — corpus-curation / DQ / timeseries / graph (round 2), never checked —
         "q_dedup_pipeline": q_dedup_pipeline,
-        "q_scd2_merge": q_scd2_merge,
-        "q_json_flatten": q_json_flatten,
-        "q_text_normalize": q_text_normalize,
-        # corpus-curation surface (round 2), oracled
         "q_decontaminate": q_decontaminate,
         "q_repetition_profile": q_repetition_profile,
         "q_quality_filter": q_quality_filter,
@@ -2846,7 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize_real": q_multimodal_resize_real,
         "q_ann_recall": q_ann_recall,
         "q_stream_quarantine": q_stream_quarantine,
-        # TPC-H completion (round 2): Q2/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22
+        # — TPC-H completion, never checked —
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
         "q_sql_tpch_q13": q_sql_tpch_q13,
@@ -2857,7 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_tpch_q20": q_sql_tpch_q20,
         "q_sql_tpch_q21": q_sql_tpch_q21,
         "q_sql_tpch_q22": q_sql_tpch_q22,
-        # streaming: availableNow drains → final result == batch oracle
+        # — streaming (availableNow drain == batch oracle), never checked —
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_sliding": q_stream_sliding,
         "q_stream_session": q_stream_session,
@@ -2866,13 +2817,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_watermark": q_stream_watermark,
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_foreach_batch": q_stream_foreach_batch,
+        # — graph / vector / ANN, never checked —
         "q_graph_components": q_graph_components,
         "q_vector_quantize": q_vector_quantize,
         "q_skew_profile": q_skew_profile,
-        # ANN: seeded-literal planes/centroids → DuckDB replays the probe
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_dedup_embedding": q_dedup_embedding,
+        # ——— driver-budget boundary (50) — round-5 prefix candidates ———
+        "q_scd2_merge": q_scd2_merge,
+        "q_json_flatten": q_json_flatten,
+        "q_text_normalize": q_text_normalize,
         "q_window_first_last": q_window_first_last,
         "q_agg_collect_list": q_agg_collect_list,
         "q_join_full_outer": q_join_full_outer,
@@ -2888,6 +2843,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_framesample": q_multimodal_framesample,
         "q_multimodal_resize": q_multimodal_resize,
+        # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
+        "q_join_anti": q_join_anti,
+        "q_agg_approx_distinct": q_agg_approx_distinct,
+        "q_agg_approx_percentile": q_agg_approx_percentile,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_pack": q_text_pack,
+        "q_lang_id": q_lang_id,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_upsert": q_upsert,
+        "q_similarity_topk": q_similarity_topk,
+        "q_similarity_pairwise": q_similarity_pairwise,
+        "q_text_tfidf": q_text_tfidf,
+        "q_text_bigrams": q_text_bigrams,
+        "q_vector_centroid": q_vector_centroid,
+        "q_vector_norms": q_vector_norms,
+        "q_stream_static_join": q_stream_static_join,
+        "q_sql_tpch_q3": q_sql_tpch_q3,
+        "q_sql_tpch_q5": q_sql_tpch_q5,
+        "q_sql_tpch_q6": q_sql_tpch_q6,
+        "q_sql_tpch_q12": q_sql_tpch_q12,
+        "q_sql_tpch_q4": q_sql_tpch_q4,
+        "q_sql_tpch_q10": q_sql_tpch_q10,
+        "q_sql_tpch_q14": q_sql_tpch_q14,
+        "q_sql_tpch_q18": q_sql_tpch_q18,
+        "q_sql_tpch_q7": q_sql_tpch_q7,
+        "q_sql_tpch_q8": q_sql_tpch_q8,
+        "q_sql_tpch_q9": q_sql_tpch_q9,
+        "q_agg_filter_clause": q_agg_filter_clause,
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_join_asof": q_join_asof,
+        "q_time_gapfill": q_time_gapfill,
+        "q_funnel": q_funnel,
+        "q_rollup_time": q_rollup_time,
+        "q_window_tumbling_batch": q_window_tumbling_batch,
+        "q_agg_cube": q_agg_cube,
+        "q_agg_pivot": q_agg_pivot,
+        "q_agg_stats": q_agg_stats,
+        "q_agg_percentile": q_agg_percentile,
+        "q_window_distribution": q_window_distribution,
+        "q_agg_conditional": q_agg_conditional,
+        "q_agg_grouping_sets": q_agg_grouping_sets,
+        "q_unpivot": q_unpivot,
+        "q_histogram": q_histogram,
+        "q_array_funcs": q_array_funcs,
+        "q_string_distance": q_string_distance,
+        "q_incremental_agg": q_incremental_agg,
+        "q_grouped_map": q_grouped_map,
         # — green in CORRECTNESS_r01.json (still gated by tools/check.py) —
         "q_count": q_count,
         "q_cast_schema": q_cast_schema,
@@ -3699,7 +3703,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_sql_tpch_q2": """
             SELECT DISTINCT s_suppkey, s_name, p_partkey, p_name,
-                   ROUND(pc.min_price, 4) AS min_price
+                   pc.min_price AS min_price
             FROM part
             JOIN (
                 SELECT l_partkey, MIN(l_extendedprice / l_quantity) AS min_price

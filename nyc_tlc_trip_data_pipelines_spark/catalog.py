@@ -60,8 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             # integer division keeps full precision (float64 can't hold
-            # int64 nanos); truncation-to-µs matches the oracle engine
+            # int64 nanos); truncation-to-µs truncation matches the
+            # oracle engine
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Parquet timestamps written tz-naive (isAdjustedToUTC=false, e.g.
+    # pandas/arrow µs) surface as TIMESTAMP_NTZ under Spark 4's default
+    # inferTimestampNTZ, which forbids CAST-to-BIGINT and diverges from
+    # the tz-naive DuckDB oracle's TIMESTAMP arithmetic. With session tz
+    # pinned UTC (``_ensure_compat``) the NTZ→LTZ cast is instant-
+    # preserving, so normalize every NTZ column at the load boundary and
+    # keep the whole engine on a single timestamp type.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
