@@ -590,15 +590,30 @@ def jaccard_ngram_pairs(
     explode distinct shingles → self-join on shingle → count common /
     (|A| + |B| − common). Shuffle = postings list, not pairs.
 
-    Two exact prunings (standard set-similarity-join techniques, cf.
-    PPJoin, Xiao et al. 2008):
-    - postings are persisted before the self-join (both sides otherwise
+    Three exact prunings (standard set-similarity-join techniques —
+    AllPairs, Bayardo et al. 2007; PPJoin, Xiao et al. 2008; the
+    MapReduce formulation is Vernica et al. 2010):
+    - postings are persisted before the joins (both sides otherwise
       recompute shingling);
-    - length filter inside the join condition — Jaccard(A,B) ≥ t forces
+    - length filter inside the candidate join — Jaccard(A,B) ≥ t forces
       t·|B| ≤ |A| (for |A| ≤ |B|), so size-incompatible pairs never
-      reach the aggregate. Hashing shingles to 64-bit before the join
-      keeps the shuffle rows fixed-width.
+      become candidates;
+    - PREFIX filter: under one global shingle order (ascending document
+      frequency, hash tie-break) any pair with Jaccard ≥ t must share a
+      shingle within each side's first ``|d| − ⌈t·|d|⌉ + 1`` shingles,
+      so the candidate self-join runs over prefix postings only. This
+      is what tames hot shingles (license headers, boilerplate shared
+      by millions of docs): a high-frequency shingle sorts to the END
+      of the global order and falls out of most prefixes, so its
+      posting list never goes quadratic. Exact — no recall loss.
+
+    Verification never materializes shingle arrays: candidate pairs are
+    re-attached to the full posting lists (broadcast pair-attach, equi-
+    join on (id, shingle)) and the exact intersection size falls out of
+    a count, so the shuffle stays fixed-width end to end.
     """
+    from pyspark.sql import Window
+
     # Codegen shingling via token_ngram_rows (same rationale as
     # minhash_signatures). Distinctness is restored with an explicit
     # (id, hash) dedup, and the per-doc distinct-gram count n_sh via one
@@ -611,8 +626,19 @@ def jaccard_ngram_pairs(
     )
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     posts = g.join(sizes, id_col).select(id_col, "n_sh", "shingle").persist()
-    a, b = posts.alias("a"), posts.alias("b")
-    common = (
+    # global canonical order: rare shingles first; row_number (not rank)
+    # so prefix lengths are exact under ties
+    freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("shingle").asc())
+    pref_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh").cast("double")) + 1
+    prefix = (
+        posts.join(freq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= pref_len)
+        .select(id_col, "n_sh", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             on=[
@@ -623,7 +649,19 @@ def jaccard_ngram_pairs(
                 >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh"),
             ],
         )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    # exact verify from posting counts: broadcast the (tiny) candidate
+    # pair table onto A's postings, equi-join on (id_b, shingle)
+    pa = posts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle")
+    pb = posts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
+    common = (
+        F.broadcast(cand)
+        .join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))

@@ -303,3 +303,19 @@ def test_zorder_key_is_flat_codegen_expression(spark, sf_dir):
     assert exchange_count(out) == 0
     p = plan_string(out)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_containment_is_posting_list_not_all_pairs(spark, sf_dir):
+    # the self-join must key on the shingle hash (inverted index), not
+    # bare block equality (all-pairs within a language block), and no
+    # shingle ARRAY may cross an exchange — posting rows are fixed-width
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = CP.containment_pairs(docs)
+    p = plan_string(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the equi-join keys appear in the plan's join node arguments; the
+    # shingle column must be among them for the pair-generation join
+    assert "shingle" in p
+    assert "array_intersect" not in p  # per-pair array intersection is the old shape

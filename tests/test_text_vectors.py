@@ -152,3 +152,37 @@ def test_language_id_accuracy(spark, sf_dir):
     en = out.filter(F.col("lang") == "en")
     # documents are generated from english-ish tokens; most should map to en
     assert en.filter(F.col("lang_pred") == "en").count() >= en.count() // 2
+
+
+def test_jaccard_prefix_filter_exact_under_hot_shingle_skew(spark):
+    # boilerplate shared by EVERY doc (the hot-shingle case the PPJoin
+    # prefix filter exists for): pairwise results must stay exactly the
+    # brute-force answer — the filter prunes candidates, never results
+    boiler = "all rights reserved license header apache foundation"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",   # near-dup of doc 0
+        "one two three four five six",
+        "seven eight nine ten eleven twelve",
+        "unrelated text entirely different words",
+    ]
+    rows = [(i, f"{b} {boiler}") for i, b in enumerate(bodies)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    t = 0.3
+    expect = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            A, B = shingles(rows[i][1]), shingles(rows[j][1])
+            jac = len(A & B) / len(A | B)
+            if jac >= t:
+                expect[(i, j)] = round(jac, 6)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in TX.jaccard_ngram_pairs(df, n=3, threshold=t).collect()
+    }
+    assert got == expect and (0, 1) in got
