@@ -239,23 +239,18 @@ def containment_pairs(
     leave the inner join (they scored containment 0 before — same
     output for any positive threshold).
     """
+    from .text import char_shingle_rows
+
     # codegen shingling: explode start positions + substring, hash each
     # shingle once (same rationale/shape as text.minhash_signatures —
     # interpreted `transform` lambdas measured 7× slower there)
-    lc = df.select(
-        F.col(id_col), F.col(block_col).alias("__blk"), F.lower(F.col(text_col)).alias("__t")
-    ).filter(F.length("__t") >= shingle_k)
-    pos = lc.select(
+    g = char_shingle_rows(
+        df.withColumn("__blk", F.col(block_col)),
         id_col,
-        "__blk",
-        "__t",
-        F.explode(F.sequence(F.lit(1), F.length("__t") - shingle_k + 1)).alias("__p"),
+        text_col,
+        shingle_k,
+        extra_cols=("__blk",),
     )
-    g = pos.select(
-        id_col,
-        "__blk",
-        F.xxhash64(F.expr(f"substring(__t, __p, {int(shingle_k)})")).alias("shingle"),
-    ).distinct()
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).cast("double").alias("n_sh"))
     posts = g.join(sizes, id_col).select(id_col, "__blk", "n_sh", "shingle").persist()
     a, b = posts.alias("a"), posts.alias("b")
