@@ -1772,47 +1772,61 @@ def q_stream_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_multimodal_framesample(spark: SparkSession, sf: str) -> DataFrame:
-    """North star: video frame-sampling plan — metadata-driven explode of
-    frame timestamps (decode of each frame stays stubbed; the explode →
-    per-frame-process shape is the real scale pattern)."""
+def q_multimodal_video_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (multimodal, REAL decode — retires the last stubbed
+    modality): YUV4MPEG2 payloads parsed from the raw container (header
+    tokens, FRAME markers, planar 4:2:0 geometry) inside Arrow-batched
+    mapInPandas — frame count, geometry, fps and plane means per video.
+    Fixture planes follow closed-form integer formulas, so the oracle
+    recomputes every statistic from first principles: a hash match
+    proves the encode→decode round trip, not just the plumbing."""
     from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
 
-    media = MM.make_fake_media(spark, n=120)
-    frames = MM.sample_video_frames(media, every_ms=1000)
-    return O.sort(
-        frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames")),
-        ["media_id"],
-    )
+    media = MM.make_y4m_media(spark, 24)
+    return O.sort(MM.decode_video_features(media), ["media_id"])
+
+
+def q_multimodal_framesample(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (multimodal, REAL frame sampling): decode the Y4M
+    stream and emit every 2nd frame with its luma mean — the
+    decode-then-explode shape real frame extraction uses at scale
+    (formerly a metadata-only explode over a stub; now each sampled
+    frame's statistic is decoded from real plane bytes and
+    oracle-checked against the fixture formula)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    media = MM.make_y4m_media(spark, 24)
+    return O.sort(MM.sample_y4m_frames(media, every_n=2), ["media_id", "frame"])
 
 
 def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
-    """North star: image resize through Arrow mapInPandas (stub kernel;
-    real plumbing — only image rows reach Python, batched)."""
+    """North star (multimodal, REAL transform — formerly a stub byte
+    truncation): audio decimation. Every 2nd PCM sample of a real WAV is
+    kept and re-encoded at half the rate, then decoded AGAIN for the
+    verdict stats, so the hash match proves the full
+    decode→resample→encode→decode chain against the closed-form sample
+    formula."""
     from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
 
-    media = MM.make_fake_media(spark, n=120).repartition(4)
-    resized = MM.resize_images(media, 16, 8)
+    media = MM.make_wav_media(spark, 48)
     return O.sort(
-        resized.select("media_id", "out_width", "out_height", F.length("payload").alias("n_bytes")),
+        MM.decode_audio_features(MM.resample_wav_media(media, factor=2)),
         ["media_id"],
     )
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """North star: multimodal plumbing — binary payloads through the
-    Arrow mapInPandas feature extractor (decode kernel stubbed:
-    deterministic fake features; see operators/multimodal.py)."""
+    """North star (multimodal, REAL features — formerly a hash-pool
+    stub): 8-dim image descriptor [w, h, channel means, channel ranges]
+    decoded from real BMP payloads via Arrow mapInPandas. Every entry is
+    integer-exact or an exact integer ratio, so the whole vector is
+    oracle-checked from the fixture pixel formula."""
     from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
 
     # repartition to a few substantial Arrow batches — 32 near-empty
     # partitions would each pay a Python-worker round trip
-    media = MM.make_fake_media(spark, n=200).repartition(4)
-    feats = MM.extract_features(media, dim=8)
-    return O.sort(
-        feats.select("media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")),
-        ["media_id"],
-    )
+    media = MM.make_bmp_media(spark, 48).repartition(4)
+    return O.sort(MM.extract_image_features(media), ["media_id"])
 
 
 # --------------------------------------------------------------------------
@@ -2838,11 +2852,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_extract2": q_date_extract2,
         "q_sink_json": q_sink_json,
         "q_sink_orc": q_sink_orc,
-        # — no-oracle tail (engine-specific hashes / filesystem / stubs) —
-        "q_dedup_simhash": q_dedup_simhash,
+        # — round-4 additions / newly-real multimodal kernels, oracled —
+        "q_multimodal_video_decode": q_multimodal_video_decode,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_framesample": q_multimodal_framesample,
         "q_multimodal_resize": q_multimodal_resize,
+        # — no-oracle tail (engine-specific hashes / filesystem) —
+        "q_dedup_simhash": q_dedup_simhash,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -3641,6 +3657,81 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(bb AS DOUBLE)), 6) AS mean_b,
                    198 AS n_bytes
             FROM blk GROUP BY media_id ORDER BY media_id
+        """,
+        "q_multimodal_video_decode": """
+            WITH par AS (
+                SELECT i.i AS media_id, 3 + (i.i % 3) AS nf
+                FROM GENERATE_SERIES(0, 23) AS i(i)
+            ), ym AS (
+                SELECT p.media_id,
+                       AVG(CAST((p.media_id * 11 + f.f * 19 + x.x * 5 + y.y * 7) % 256 AS DOUBLE)) AS mean_y
+                FROM par p, GENERATE_SERIES(0, 4) AS f(f),
+                     GENERATE_SERIES(0, 15) AS x(x), GENERATE_SERIES(0, 11) AS y(y)
+                WHERE f.f < p.nf GROUP BY p.media_id
+            ), um AS (
+                SELECT p.media_id,
+                       AVG(CAST((p.media_id * 13 + f.f * 3 + cx.cx * 9 + cy.cy * 5) % 256 AS DOUBLE)) AS mean_u,
+                       AVG(CAST((p.media_id * 17 + f.f * 7 + cx.cx * 3 + cy.cy * 13) % 256 AS DOUBLE)) AS mean_v
+                FROM par p, GENERATE_SERIES(0, 4) AS f(f),
+                     GENERATE_SERIES(0, 7) AS cx(cx), GENERATE_SERIES(0, 5) AS cy(cy)
+                WHERE f.f < p.nf GROUP BY p.media_id
+            )
+            SELECT p.media_id, p.nf::INT AS n_frames, 16::INT AS width, 12::INT AS height,
+                   CAST(25.0 AS DOUBLE) AS fps,
+                   ROUND(ym.mean_y, 6) AS mean_y,
+                   ROUND(um.mean_u, 6) AS mean_u,
+                   ROUND(um.mean_v, 6) AS mean_v
+            FROM par p JOIN ym USING (media_id) JOIN um USING (media_id)
+            ORDER BY media_id
+        """,
+        "q_multimodal_framesample": """
+            WITH par AS (
+                SELECT i.i AS media_id, 3 + (i.i % 3) AS nf
+                FROM GENERATE_SERIES(0, 23) AS i(i)
+            )
+            SELECT p.media_id, f.f::INT AS frame,
+                   ROUND(AVG(CAST((p.media_id * 11 + f.f * 19 + x.x * 5 + y.y * 7) % 256 AS DOUBLE)), 6) AS mean_y
+            FROM par p, GENERATE_SERIES(0, 4) AS f(f),
+                 GENERATE_SERIES(0, 15) AS x(x), GENERATE_SERIES(0, 11) AS y(y)
+            WHERE f.f < p.nf AND f.f % 2 = 0
+            GROUP BY p.media_id, f.f ORDER BY p.media_id, f.f
+        """,
+        "q_multimodal_resize": """
+            WITH par AS (
+                SELECT i.i AS media_id, 400 + (i.i % 5) * 100 AS n
+                FROM GENERATE_SERIES(0, 47) AS i(i)
+            ), s AS (
+                SELECT p.media_id, p.n,
+                       ((p.media_id * 7919 + j.j * 31) % 65536) - 32768 AS s
+                FROM par p, GENERATE_SERIES(0, 799) AS j(j)
+                WHERE j.j < p.n AND j.j % 2 = 0
+            )
+            SELECT media_id,
+                   (MAX(n) // 2)::INT AS n_samples,
+                   4000::INT AS sample_rate,
+                   ROUND(SQRT(SUM(CAST(s AS DOUBLE) * s) / (MAX(n) // 2)), 6) AS rms,
+                   MAX(ABS(s))::INT AS peak
+            FROM s GROUP BY media_id ORDER BY media_id
+        """,
+        "q_multimodal_features": """
+            WITH px AS (
+                SELECT i.i AS media_id,
+                       (i.i * 7 + x.x * 5 + y.y * 17) % 256 AS r,
+                       (i.i * 5 + x.x * 13 + y.y * 3) % 256 AS g,
+                       (i.i * 3 + x.x * 7 + y.y * 11) % 256 AS b
+                FROM GENERATE_SERIES(0, 47) AS i(i),
+                     GENERATE_SERIES(0, 15) AS x(x),
+                     GENERATE_SERIES(0, 11) AS y(y)
+            )
+            SELECT media_id, 630::INT AS n_bytes,
+                   [16.0, 12.0,
+                    ROUND(AVG(CAST(r AS DOUBLE)), 6),
+                    ROUND(AVG(CAST(g AS DOUBLE)), 6),
+                    ROUND(AVG(CAST(b AS DOUBLE)), 6),
+                    CAST(MAX(r) - MIN(r) AS DOUBLE),
+                    CAST(MAX(g) - MIN(g) AS DOUBLE),
+                    CAST(MAX(b) - MIN(b) AS DOUBLE)] AS feature
+            FROM px GROUP BY media_id ORDER BY media_id
         """,
         "q_stream_quarantine": """
             SELECT

@@ -6,14 +6,18 @@ interprets them until an explicit decode step). Decode/feature-extract
 run as Arrow-batched ``mapInPandas`` / pandas UDFs so bytes cross the
 JVM↔Python boundary once per batch, not per row.
 
-Decode status by modality (round 2): **audio and image decode are REAL**
-— RIFF/WAVE parsed with stdlib ``wave`` (``decode_wav``) and 24-bit BMP
-parsed from the raw header + pixel rows with numpy (``decode_bmp``),
-both oracle-checked end-to-end against closed-form fixture formulas.
-Only video decode remains stubbed (ffmpeg is not in this container);
-``decode_image_stub`` is kept as the documented fallback shape for
-codecs that genuinely need external libs (JPEG/PNG/MP4), where swapping
-the stub for PIL/ffmpeg changes one inner function.
+Decode status by modality (round 4): **audio, image AND video decode
+are REAL** — RIFF/WAVE parsed with stdlib ``wave`` (``decode_wav``),
+24-bit BMP parsed from the raw header + pixel rows with numpy
+(``decode_bmp``), and YUV4MPEG2 video parsed from the plain-text header
++ raw planar 4:2:0 frames (``decode_y4m``), all oracle-checked
+end-to-end against closed-form fixture formulas. Real transforms:
+BMP box downsample (``resize_bmp``), WAV decimation (``resample_wav``),
+per-frame luma sampling (``sample_y4m_frames``), 8-dim image
+descriptors (``extract_image_features``). The ``*_stub`` kernels are
+kept only as the documented fallback shape for codecs that genuinely
+need external libs (JPEG/PNG/MP4/H.264), where swapping the stub for
+PIL/ffmpeg changes one inner function; no contract query runs a stub.
 
 100 TB notes: binary payloads dominate partition sizing — set
 ``maxRecordsPerFile`` / ``files.maxPartitionBytes`` by payload size, not
@@ -431,3 +435,290 @@ def resize_bmp_images(df: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode (round 4): YUV4MPEG2 (Y4M) — a plain-text header plus
+# raw planar frames, parseable with the standard library exactly like the
+# WAV/BMP kernels above. This retires the last stubbed modality: the
+# payloads are real .y4m files any ffmpeg/mpv build would accept, the
+# decoder parses the actual format (header tokens, FRAME markers, 4:2:0
+# plane geometry), and the fixture planes follow closed-form integer
+# formulas so every decoded statistic is SQL-provable.
+# ---------------------------------------------------------------------------
+
+_Y4M_W, _Y4M_H = 16, 12
+
+
+def _y4m_luma(media_id: int, f: int, x: int, y: int) -> int:
+    """Closed-form Y-plane fixture formula — SQL-provable."""
+    return (media_id * 11 + f * 19 + x * 5 + y * 7) % 256
+
+
+def _y4m_chroma_u(media_id: int, f: int, cx: int, cy: int) -> int:
+    return (media_id * 13 + f * 3 + cx * 9 + cy * 5) % 256
+
+
+def _y4m_chroma_v(media_id: int, f: int, cx: int, cy: int) -> int:
+    return (media_id * 17 + f * 7 + cx * 3 + cy * 13) % 256
+
+
+def _y4m_frames(media_id: int) -> int:
+    return 3 + media_id % 3
+
+
+def make_y4m_media(spark, n: int = 24) -> DataFrame:
+    """Real YUV4MPEG2 payloads: ``YUV4MPEG2 W16 H12 F25:1 Ip A1:1
+    C420jpeg`` header, then per frame a ``FRAME`` marker and raw planar
+    4:2:0 data (Y 16×12, U and V 8×6), every sample from the closed-form
+    formulas above. Frame count varies per id (3–5)."""
+    w, h = _Y4M_W, _Y4M_H
+    cw, ch = w // 2, h // 2
+    rows = []
+    for i in range(n):
+        buf = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode("ascii"))
+        nf = _y4m_frames(i)
+        for f in range(nf):
+            buf += b"FRAME\n"
+            buf += bytes(_y4m_luma(i, f, x, y) for y in range(h) for x in range(w))
+            buf += bytes(_y4m_chroma_u(i, f, cx, cy) for cy in range(ch) for cx in range(cw))
+            buf += bytes(_y4m_chroma_v(i, f, cx, cy) for cy in range(ch) for cx in range(cw))
+        rows.append((i, "video", bytes(buf), "video/x-yuv4mpeg", w, h, nf * 1000 // 25))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _y4m_planes(payload: bytes):
+    """Parse a C420 Y4M payload into (width, height, fps_num, fps_den,
+    [(Y, U, V) numpy planes per frame]). Real format parsing: header
+    token scan, per-frame FRAME marker (optional params ignored)."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii").split(" ")
+    assert header[0] == "YUV4MPEG2", "not a Y4M stream"
+    w = h = None
+    fps_num, fps_den = 25, 1
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps_num, fps_den = (int(p) for p in tok[1:].split(":"))
+        elif tok.startswith("C") and not tok[1:].startswith("420"):
+            raise NotImplementedError(f"only 4:2:0 chroma supported, got {tok}")
+    assert w and h, "Y4M header missing W/H"
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    frames = []
+    off = nl + 1
+    while off < len(payload):
+        fnl = payload.index(b"\n", off)
+        assert payload[off:fnl].split(b" ")[0] == b"FRAME", "bad frame marker"
+        off = fnl + 1
+        yp = np.frombuffer(payload, np.uint8, y_size, off).reshape(h, w)
+        up = np.frombuffer(payload, np.uint8, c_size, off + y_size).reshape(h // 2, w // 2)
+        vp = np.frombuffer(payload, np.uint8, c_size, off + y_size + c_size).reshape(h // 2, w // 2)
+        frames.append((yp, up, vp))
+        off += y_size + 2 * c_size
+    return w, h, fps_num, fps_den, frames
+
+
+VIDEO_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", DoubleType()),
+        StructField("mean_y", DoubleType()),
+        StructField("mean_u", DoubleType()),
+        StructField("mean_v", DoubleType()),
+    ]
+)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, float, float, float, float]:
+    """REAL decode: parse the Y4M container and return
+    (n_frames, width, height, fps, mean_y, mean_u, mean_v) across all
+    frames. Integer plane sums are exact in float64."""
+    import numpy as np
+
+    w, h, fn, fd, frames = _y4m_planes(payload)
+    ys = float(sum(int(f[0].sum(dtype=np.int64)) for f in frames))
+    us = float(sum(int(f[1].sum(dtype=np.int64)) for f in frames))
+    vs = float(sum(int(f[2].sum(dtype=np.int64)) for f in frames))
+    nf = len(frames)
+    return (
+        nf,
+        w,
+        h,
+        round(fn / fd, 6),
+        round(ys / (nf * w * h), 6),
+        round(us / (nf * (w // 2) * (h // 2)), 6),
+        round(vs / (nf * (w // 2) * (h // 2)), 6),
+    )
+
+
+def decode_video_features(df: DataFrame) -> DataFrame:
+    """Y4M feature extraction via Arrow-batched ``mapInPandas`` — same
+    boundary discipline as the audio/image kernels (bytes cross once per
+    batch, payload never survives the map)."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [decode_y4m(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.Series([o[0] for o in out], dtype="int32"),
+                    "width": pd.Series([o[1] for o in out], dtype="int32"),
+                    "height": pd.Series([o[2] for o in out], dtype="int32"),
+                    "fps": [o[3] for o in out],
+                    "mean_y": [o[4] for o in out],
+                    "mean_u": [o[5] for o in out],
+                    "mean_v": [o[6] for o in out],
+                }
+            )
+
+    return df.mapInPandas(_decode, VIDEO_DECODE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame", IntegerType()),
+        StructField("mean_y", DoubleType()),
+    ]
+)
+
+
+def sample_y4m_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode the Y4M stream and emit one row per
+    SAMPLED frame (every ``every_n``-th, always including frame 0) with
+    its luma mean — the decode-then-explode shape real frame extraction
+    uses at scale. One mapInPandas pass; a 100 TB deployment would
+    partition by media_id ranges sized on payload bytes first."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, frames_idx, means = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, _, frames = _y4m_planes(b)
+                for fi in range(0, len(frames), every_n):
+                    ids.append(mid)
+                    frames_idx.append(fi)
+                    means.append(round(int(frames[fi][0].sum(dtype=np.int64)) / (w * h), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame": pd.Series(frames_idx, dtype="int32"),
+                    "mean_y": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+REAL_IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """REAL feature extraction (replaces the hash-pool stub in the
+    contract): decode each BMP and emit an 8-dim descriptor
+    [w, h, mean_r, mean_g, mean_b, range_r, range_g, range_b] — every
+    entry integer-exact or an exact integer ratio, so the whole vector
+    is SQL-provable from the fixture formula. Arrow-batched, payload
+    dropped at the boundary."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def feat(b: bytes) -> list[float]:
+            arr = _bmp_array(b).astype(np.float64)  # (h, w, 3) BGR
+            means = arr.mean(axis=(0, 1))
+            rng = arr.max(axis=(0, 1)) - arr.min(axis=(0, 1))
+            return [
+                float(arr.shape[1]),
+                float(arr.shape[0]),
+                round(float(means[2]), 6),
+                round(float(means[1]), 6),
+                round(float(means[0]), 6),
+                float(rng[2]),
+                float(rng[1]),
+                float(rng[0]),
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": pdf["payload"].map(feat),
+                }
+            )
+
+    return df.mapInPandas(_extract, REAL_IMAGE_FEATURES_SCHEMA)
+
+
+def resample_wav(payload: bytes, factor: int = 2) -> bytes:
+    """REAL audio resample (decimation): keep every ``factor``-th PCM
+    sample and re-encode at rate/factor — a valid WAV out, so downstream
+    decode proves the transform. Exact (no interpolation), hence
+    SQL-provable from the sample formula."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as r:
+        assert r.getsampwidth() == 2 and r.getnchannels() == 1
+        rate, nf = r.getframerate(), r.getnframes()
+        samples = struct.unpack(f"<{nf}h", r.readframes(nf))
+    kept = samples[::factor]
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate // factor)
+        w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+    return out.getvalue()
+
+
+def resample_wav_media(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Decimate WAV rows by ``factor`` via Arrow ``mapInPandas``; emits
+    re-encoded payloads with updated duration metadata."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(lambda b: resample_wav(b, factor)),
+                    "mime": pdf["mime"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return df.mapInPandas(_resample, MEDIA_SCHEMA)

@@ -114,3 +114,78 @@ def test_bmp_resize_roundtrip(spark):
         6,
     )
     assert rows[1].mean_g == exp_g
+
+
+def test_y4m_decode_roundtrip(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_y4m_media(spark, 6)
+    rows = {r.media_id: r for r in M.decode_video_features(media).collect()}
+    assert len(rows) == 6
+    r = rows[4]
+    nf = M._y4m_frames(4)
+    assert (r.n_frames, r.width, r.height, r.fps) == (nf, 16, 12, 25.0)
+    exp_y = round(
+        sum(M._y4m_luma(4, f, x, y) for f in range(nf) for y in range(12) for x in range(16))
+        / (nf * 192.0),
+        6,
+    )
+    exp_u = round(
+        sum(M._y4m_chroma_u(4, f, cx, cy) for f in range(nf) for cy in range(6) for cx in range(8))
+        / (nf * 48.0),
+        6,
+    )
+    assert r.mean_y == exp_y and r.mean_u == exp_u
+
+
+def test_y4m_frame_sampling_stride_and_stats(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_y4m_media(spark, 6)
+    rows = M.sample_y4m_frames(media, every_n=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_id.items():
+        nf = M._y4m_frames(mid)
+        assert sorted(r.frame for r in rs) == list(range(0, nf, 2))
+    r0 = next(r for r in rows if r.media_id == 1 and r.frame == 2)
+    exp = round(sum(M._y4m_luma(1, 2, x, y) for y in range(12) for x in range(16)) / 192.0, 6)
+    assert r0.mean_y == exp
+
+
+def test_y4m_rejects_non_420(spark):
+    import pytest as _pytest
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    bad = b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + bytes(48)
+    with _pytest.raises(NotImplementedError):
+        M._y4m_planes(bad)
+
+
+def test_wav_resample_decimates_exactly(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_wav_media(spark, 4)
+    rows = {r.media_id: r for r in M.decode_audio_features(M.resample_wav_media(media, 2)).collect()}
+    import math
+
+    n = 400 + (3 % 5) * 100
+    kept = M._wav_samples(3, n)[::2]
+    r = rows[3]
+    assert r.n_samples == len(kept) and r.sample_rate == 4000
+    assert r.peak == max(abs(s) for s in kept)
+    assert r.rms == round(math.sqrt(sum(float(s) * s for s in kept) / len(kept)), 6)
+
+
+def test_real_image_features_vector(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_bmp_media(spark, 4)
+    rows = {r.media_id: r for r in M.extract_image_features(media).collect()}
+    r = rows[2]
+    px = [M._bmp_pixel(2, x, y) for x in range(16) for y in range(12)]
+    reds = [p[0] for p in px]
+    assert r.feature[0] == 16.0 and r.feature[1] == 12.0
+    assert r.feature[2] == round(sum(reds) / 192.0, 6)
+    assert r.feature[5] == float(max(reds) - min(reds))
