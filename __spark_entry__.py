@@ -1144,8 +1144,13 @@ def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """North star: 64-bit document fingerprint for exact-dup detection
-    (no oracle — hash function is engine-specific; rows-only check)."""
+    """North star: 64-bit document fingerprint for exact-dup detection.
+    Oracle-checked SEMANTICALLY (round 4, was rows-only): fingerprint
+    groups must equal exact-content groups — the DuckDB twin groups by
+    the text itself, so a hash match proves the fingerprint partitions
+    the corpus exactly like full-text equality (the operator's whole
+    contract), without the oracle needing xxhash64. The 2⁻⁶⁴-collision
+    caveat is the operator's own correctness assumption."""
     docs = load_table(spark, sf, "documents")
     fp = docs.select("doc_id", TX.fingerprint("text").alias("fp"))
     dups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
@@ -1571,10 +1576,14 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """North star: SimHash near-dup buckets — docs sharing an identical
-    64-bit simhash (hamming 0). Hash values are engine-specific →
-    rows-only check."""
+    simhash (hamming 0). Fully oracle-checked (round 4, was rows-only):
+    the contract query runs the PORTABLE 60-bit hash (first 15 md5 hex
+    chars — bit-identical in any engine), so the DuckDB twin replays the
+    ENTIRE computation: tokenize → hash → per-bit sign votes → packed
+    signature → bucket groups. Production keeps the xxhash64 default
+    (same pipeline, ~3× faster hash)."""
     docs = load_table(spark, sf, "documents")
-    sigs = TX.simhash_signatures(docs)
+    sigs = TX.simhash_signatures(docs, bits=60, portable=True)
     groups = sigs.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
     )
@@ -2852,12 +2861,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_extract2": q_date_extract2,
         "q_sink_json": q_sink_json,
         "q_sink_orc": q_sink_orc,
-        # — round-4 additions / newly-real multimodal kernels, oracled —
+        # — round-4 additions / newly-oracled (real multimodal kernels,
+        #   portable simhash) —
         "q_multimodal_video_decode": q_multimodal_video_decode,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_framesample": q_multimodal_framesample,
         "q_multimodal_resize": q_multimodal_resize,
-        # — no-oracle tail (engine-specific hashes / filesystem) —
         "q_dedup_simhash": q_dedup_simhash,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
@@ -3075,6 +3084,44 @@ def _dedup_embedding_oracle() -> str:
                      (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) AS cosine
         FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         ORDER BY cosine DESC, id_a, id_b LIMIT 50
+    """
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    """Full SQL replay of the portable-simhash pipeline (tokenize →
+    md5-60-bit hash → per-bit sign votes → packed signature → bucket
+    groups), generated per bit position — same generator style as
+    ``_zorder_oracle_expr``. No LIST_FILTER on tokens: Spark's
+    ``explode(split(trim(lower(text)), '\\s+'))`` keeps the single empty
+    token of an empty document, and DuckDB's STRING_SPLIT_REGEX agrees."""
+    votes = ",\n                       ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    packed = "\n                       + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 15)) AS BIGINT) AS h
+                FROM tok
+            ), votes AS (
+                SELECT doc_id,
+                       {votes}
+                FROM h GROUP BY doc_id
+            ), sim AS (
+                SELECT doc_id,
+                       {packed} AS simhash
+                FROM votes
+            )
+            SELECT MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+            FROM sim GROUP BY simhash HAVING COUNT(*) >= 2
+            ORDER BY first_doc
     """
 
 
@@ -4914,6 +4961,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_cust
             FROM customer GROUP BY c_nationkey
         """,
+        # round 4: semantic oracle — fingerprint groups ≡ exact-content
+        # groups (proves the hash partitions like full-text equality
+        # without the oracle needing xxhash64)
+        "q_text_fingerprint": """
+            SELECT MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+            FROM documents GROUP BY text ORDER BY first_doc
+        """,
+        "q_dedup_simhash": _simhash_oracle(60),
     }
 
 

@@ -541,6 +541,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash per document (Charikar 2002): sign-sum of per-token hash
     bits, packed into one long. Documents with small Hamming distance
@@ -549,9 +550,25 @@ def simhash_signatures(
     Aggregation formulation (same scale rationale as
     :func:`minhash_signatures`): explode tokens, hash each once, then
     one tiny SUM per bit position with map-side partial aggregation.
+
+    ``portable=True`` swaps xxhash64 for a 60-bit token hash every SQL
+    engine can reproduce bit-for-bit — the first 15 hex chars of
+    ``md5(token)`` parsed as an integer (requires ``bits <= 60``; always
+    non-negative, so ``>>`` is portable too). xxhash64 stays the
+    production default (~3× faster, JVM-intrinsic); the portable path
+    exists so the contract query's full simhash computation can be
+    replayed by the DuckDB oracle instead of settling for a rows-only
+    check.
     """
     tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
-    h = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    if portable:
+        assert bits <= 60, "portable hash provides 60 bits"
+        h = tok.select(
+            id_col,
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+    else:
+        h = tok.select(id_col, F.xxhash64("tok").alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
