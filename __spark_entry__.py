@@ -186,6 +186,40 @@ def q_sink_append(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_rows bigint")
 
 
+def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-gap analog (round 4): versioned append + time travel over
+    plain parquet — version-stamped commit manifests with O_EXCL
+    optimistic concurrency and txnAppId-style retry dedup
+    (``io.append_versioned``; reference Delta log
+    ``pasta1_etl/src/main.py:191-194``). Appends two month batches plus
+    a RETRY of batch 1, then reads AS OF v0: the result must be exactly
+    batch 1 once — proving retry idempotence and that v0 is immune to
+    later commits. Deterministic → full DuckDB oracle."""
+    from nyc_tlc_trip_data_pipelines_spark.io import append_versioned, read_version
+
+    ev = load_table(spark, sf, "events")
+    b1 = ev.filter(F.dayofmonth("ts") <= 15)
+    b2 = ev.filter(F.dayofmonth("ts") > 15)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "versioned")
+        append_versioned(b1, path, "fortnight-1")
+        append_versioned(b2, path, "fortnight-2")
+        append_versioned(b1, path, "fortnight-1")  # retry: no new version
+        v0 = read_version(spark, path, 0)
+        out = (
+            v0.groupBy(F.dayofmonth("ts").alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        [(int(r.d), int(r.n_events), float(r.sum_value)) for r in out],
+        "d int, n_events bigint, sum_value double",
+    ).orderBy("d")
+
+
 def q_sink_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     """R11: partitioned sink + single-partition readback
     (``pasta1_etl/src/main.py:235-239``)."""
@@ -2868,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_framesample": q_multimodal_framesample,
         "q_multimodal_resize": q_multimodal_resize,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_time_travel": q_time_travel,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -4969,6 +5004,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY first_doc
         """,
         "q_dedup_simhash": _simhash_oracle(60),
+        # round 4: time travel AS OF v0 == exactly the first-fortnight
+        # batch, once (retry-deduped, immune to the later v1 commit)
+        "q_time_travel": """
+            SELECT CAST(DAY(ts) AS INT) AS d,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events WHERE DAY(ts) <= 15
+            GROUP BY DAY(ts) ORDER BY d
+        """,
     }
 
 

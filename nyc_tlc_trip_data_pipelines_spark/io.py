@@ -165,6 +165,87 @@ def append_idempotent(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def append_versioned(
+    df: DataFrame, path: str, job_id: str, job_col: str = "__job_id"
+) -> int:
+    """Time-travel-lite: :func:`append_idempotent` plus a version-stamped
+    commit manifest — the plain-parquet analog of the reference's Delta
+    transaction log (``pasta1_etl/src/main.py:191-194``), as far as a
+    log-less format allows.
+
+    Each successful append writes ``<path>/_manifests/v{N}.json`` listing
+    every ``job_id`` visible at version N (Spark's reader ignores
+    underscore-prefixed paths, so manifests never pollute the scan).
+    Semantics mirrored from the Delta log:
+
+    - **atomic commit**: the manifest is written to a temp file and
+      created at its final name with O_EXCL — two concurrent writers
+      cannot both claim version N; the loser re-reads and claims N+1
+      (optimistic concurrency, Delta-style).
+    - **idempotent retry**: re-appending a ``job_id`` already in the
+      latest manifest rewrites its data partition (harmless — same
+      content) and does NOT create a new version, like Delta's
+      ``txnAppId`` dedup.
+    - **time travel**: :func:`read_version` resolves version N to its
+      job set and reads exactly those partition directories (partition
+      pruning makes the filter a directory selection, not a row scan).
+
+    Returns the committed (or reused) version number. What this does
+    NOT give vs real Delta: file-level conflict detection between
+    concurrent writers to the SAME job_id, and VACUUM-safe readers —
+    documented gap, not an analog failure.
+    """
+    append_idempotent(df, path, job_id, job_col=job_col)
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    while True:
+        versions = list_versions(path)
+        jobs = versions[-1][1] if versions else []
+        if job_id in jobs:
+            return versions[-1][0]
+        n = versions[-1][0] + 1 if versions else 0
+        target = os.path.join(mdir, f"v{n}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — re-read and claim the next version
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": n, "job_col": job_col, "job_ids": jobs + [job_id]}, fh)
+        return n
+
+
+def list_versions(path: str) -> list[tuple[int, list[str]]]:
+    """All committed versions of a versioned-append table, ascending."""
+    mdir = os.path.join(path, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                m = json.load(fh)
+            out.append((int(m["version"]), list(m["job_ids"])))
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a versioned-append table AS OF ``version`` (default: latest).
+    The manifest's job set becomes an IN-filter on the partition column —
+    pure directory pruning, so reading v1 of a 1000-version table scans
+    only v1's files."""
+    versions = dict(list_versions(path))
+    if not versions:
+        raise ValueError(f"no versions committed under {path}")
+    n = max(versions) if version is None else version
+    if n not in versions:
+        raise ValueError(f"version {n} not found under {path} (have {sorted(versions)})")
+    mpath = os.path.join(path, "_manifests", f"v{n}.json")
+    with open(mpath) as fh:
+        job_col = json.load(fh)["job_col"]
+    df = spark.read.parquet(path)
+    return df.filter(df[job_col].isin(versions[n])).drop(job_col)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -133,3 +133,49 @@ def test_error_isolation_bad_file(spark, taxi_dirs, tmp_path):
     res = ingest_bronze(spark, bad_src, bronze, tolerance_hours=1)
     assert len(res.processed) == 2
     assert len(res.failed) == 1 and "2023-03" in res.failed[0]
+
+
+def test_versioned_append_time_travel(spark, tmp_path):
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    df1 = spark.range(0, 5).withColumnRenamed("id", "v")
+    df2 = spark.range(100, 103).withColumnRenamed("id", "v")
+    v0 = IO.append_versioned(df1, path, "job-2023-01")
+    v1 = IO.append_versioned(df2, path, "job-2023-02")
+    assert (v0, v1) == (0, 1)
+    # time travel: v0 sees only the first batch, latest sees both
+    as_of_0 = sorted(r.v for r in IO.read_version(spark, path, 0).collect())
+    latest = sorted(r.v for r in IO.read_version(spark, path).collect())
+    assert as_of_0 == [0, 1, 2, 3, 4]
+    assert latest == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_versioned_append_retry_is_idempotent(spark, tmp_path):
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    df = spark.range(0, 4).withColumnRenamed("id", "v")
+    assert IO.append_versioned(df, path, "job-a") == 0
+    # a retried job must neither duplicate rows nor mint a new version
+    assert IO.append_versioned(df, path, "job-a") == 0
+    assert IO.list_versions(path) == [(0, ["job-a"])]
+    assert IO.read_version(spark, path).count() == 4
+
+
+def test_versioned_append_loses_race_and_advances(spark, tmp_path):
+    import json
+    import os
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    IO.append_versioned(spark.range(3).withColumnRenamed("id", "v"), path, "job-a")
+    # simulate a concurrent writer having claimed v1 between the read
+    # and the O_EXCL create: pre-create v1 so the claim must advance
+    mdir = os.path.join(path, "_manifests")
+    with open(os.path.join(mdir, "v1.json"), "w") as fh:
+        json.dump({"version": 1, "job_col": "__job_id", "job_ids": ["job-a", "job-x"]}, fh)
+    v = IO.append_versioned(spark.range(2).withColumnRenamed("id", "v"), path, "job-b")
+    assert v == 2
+    assert IO.list_versions(path)[-1] == (2, ["job-a", "job-x", "job-b"])
