@@ -38,6 +38,23 @@ HEADLINE = [
     "q_sql_tpch_q6",
 ]
 
+# round-2 heavyweights tracked separately so regressions in the newer
+# surface are visible without moving the cross-round headline baseline
+EXTENDED = [
+    "q_decontaminate",
+    "q_pagerank",
+    "q_entity_resolve",
+]
+
+
+def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,17 +65,11 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         qs[name](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if hasattr(df, "count") else 0
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+    timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
+    extended = _timed_pass(qs, EXTENDED, spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -68,6 +79,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf else sf_dir,
             }
         )

@@ -93,30 +93,41 @@ def main():
             failed += 1
             continue
         problems = []
-        # The driver's value hasher is TYPE-sensitive: DuckDB HUGEINT /
-        # DECIMAL surface through Arrow as decimal128 while Spark emits
-        # bigint/double, so identical values hash-mismatch (the r2
-        # q_sql_tpch_q12 episode). normalize() below hides the gap
-        # locally, so flag such oracle output columns as hard failures.
+        # The driver's value hasher is TYPE-sensitive: DECIMAL values
+        # surface through Arrow as decimal128 while the other engine
+        # emits bigint/double, so identical values hash-mismatch (the r2
+        # q_sql_tpch_q12 episode: DuckDB integer-SUM → HUGEINT).
+        # normalize() below hides the gap locally, so flag decimal-ish
+        # output columns on EITHER side as hard failures.
         traps = [
-            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            f"oracle {c}:{t}" for c, t in zip(ocols, otypes)
             if "HUGEINT" in t or t.startswith("DECIMAL")
+        ]
+        traps += [
+            f"spark {f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
         ]
         if traps:
             problems.append(
-                "oracle type trap (driver hasher sees decimal128): "
-                + ", ".join(traps) + " — CAST to BIGINT/DOUBLE in the oracle"
+                "type trap (driver hasher sees decimal128): "
+                + ", ".join(traps) + " — CAST to BIGINT/DOUBLE"
             )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
-        if not problems:
+        # value comparison runs whenever rows/columns line up — a type
+        # trap alone must not suppress the values-match/differ verdict
+        # (that diagnostic is what locates the bad column)
+        if len(srows) == len(orows) and sorted(scols) == sorted(ocols):
             s_norm = df_to_rows(scols, srows)
             o_norm = df_to_rows(ocols, orows)
             if s_norm != o_norm:
                 diffs = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
+            elif traps:
+                problems.append("(normalized values DO agree — trap is type-only)")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed += 1
