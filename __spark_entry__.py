@@ -186,6 +186,17 @@ def q_sink_append(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_rows bigint")
 
 
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (text analysis, round 4): BPE tokenizer-training
+    statistics — adjacent character-pair frequencies weighted by word
+    frequency, the counting step of one BPE merge iteration. Word
+    frequencies aggregate first (vocabulary-sized shuffle), pairs
+    explode over the deduped vocabulary only. Top-50 by count with a
+    total deterministic order → full DuckDB oracle."""
+    docs = load_table(spark, sf, "documents")
+    return TX.bpe_pair_stats(docs, top_k=50)
+
+
 def q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Delta-gap analog (round 4): versioned append + time travel over
     plain parquet — version-stamped commit manifests with O_EXCL
@@ -2903,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize": q_multimodal_resize,
         "q_dedup_simhash": q_dedup_simhash,
         "q_time_travel": q_time_travel,
+        "q_bpe_pairs": q_bpe_pairs,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -5004,6 +5016,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY first_doc
         """,
         "q_dedup_simhash": _simhash_oracle(60),
+        # round 4: BPE pair counting — words dedup to a frequency table
+        # first, pairs explode over the vocabulary (max token length in
+        # the corpus is 8; the series bound of 31 is safely above it)
+        "q_bpe_pairs": r"""
+            WITH w AS (
+                SELECT w, COUNT(*) AS wc FROM (
+                    SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+')) AS w
+                    FROM documents
+                ) GROUP BY w HAVING LENGTH(w) >= 2
+            ), p AS (
+                SELECT SUBSTR(w.w, g.g, 2) AS pair, w.wc
+                FROM w, GENERATE_SERIES(1, 31) AS g(g)
+                WHERE g.g <= LENGTH(w.w) - 1
+            )
+            SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+            FROM p GROUP BY pair
+            ORDER BY pair_count DESC, pair ASC LIMIT 50
+        """,
         # round 4: time travel AS OF v0 == exactly the first-fortnight
         # batch, once (retry-deduped, immune to the later v1 commit)
         "q_time_travel": """

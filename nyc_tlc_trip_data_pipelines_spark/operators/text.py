@@ -49,6 +49,42 @@ def word_count(df: DataFrame, text_col: str = "text", word_alias: str = "word", 
     )
 
 
+def bpe_pair_stats(df: DataFrame, text_col: str = "text", top_k: int = 50) -> DataFrame:
+    """BPE tokenizer-training statistics: frequency of adjacent symbol
+    pairs, weighted by word frequency — the counting step of one BPE
+    merge iteration (Sennrich et al. 2016), which at corpus scale is
+    exactly this distributed aggregation (symbols start as characters;
+    after a merge the pair table is recomputed over the new symbols).
+
+    Scale shape: word frequencies FIRST (shuffle ~vocabulary-sized via
+    partial aggregation), then pair explosion runs over the deduped
+    vocabulary — the corpus text is scanned once and character-position
+    explosion never touches duplicate words. Codegen substring explode,
+    no higher-order lambdas.
+
+    Returns the ``top_k`` (pair, pair_count) rows, ordered by count desc
+    then pair asc for determinism.
+    """
+    vocab = (
+        df.select(F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pos = vocab.select(
+        "w", "wc", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("p")
+    )
+    pairs = pos.select(
+        F.expr("substring(w, p, 2)").alias("pair"), F.col("wc")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
 def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
     """Token n-grams (shingles) via slide-free higher-order expression:
     transform over positions, JVM-side.

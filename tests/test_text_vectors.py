@@ -186,3 +186,21 @@ def test_jaccard_prefix_filter_exact_under_hot_shingle_skew(spark):
         for r in TX.jaccard_ngram_pairs(df, n=3, threshold=t).collect()
     }
     assert got == expect and (0, 1) in got
+
+
+def test_bpe_pair_stats_matches_brute_force(spark):
+    texts = ["low lower lowest", "new newer lower", "low low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+    pairs = Counter()
+    for w, c in wc.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pairs[w[i : i + 2]] += c
+    got = [(r.pair, r.pair_count) for r in TX.bpe_pair_stats(df, top_k=100).collect()]
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+    # 'lo' and 'ow' dominate (low appears 3x + lower/lowest)
+    assert got[0][0] in ("lo", "ow")
