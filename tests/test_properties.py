@@ -114,3 +114,63 @@ def test_repetition_ratio_bounds(spark, texts):
         assert 0.0 <= r.rep_ratio < 1.0
         assert 1 <= r.n_distinct <= r.n_grams
         assert r.max_gram_count >= 1
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ab", "ba", "cd", "dc"])
+_doc = st.lists(_word, min_size=3, max_size=10).map(" ".join)
+
+
+@given(st.lists(_doc, min_size=2, max_size=6), st.sampled_from([0.2, 0.5, 0.8]))
+@settings(max_examples=12, deadline=None)
+def test_jaccard_prefix_filter_is_exact_on_random_corpora(spark, docs, t):
+    # the PPJoin prefix filter must be invisible in the OUTPUT for any
+    # corpus and threshold: results == all-pairs brute force, always
+    from nyc_tlc_trip_data_pipelines_spark.operators.text import jaccard_ngram_pairs
+
+    n = 2
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+
+    def grams(s):
+        toks = s.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            A, B = grams(docs[i]), grams(docs[j])
+            if A and B:
+                jac = len(A & B) / len(A | B)
+                if jac >= t:
+                    expect[(i, j)] = round(jac, 6)
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_ngram_pairs(df, n=n, threshold=t).collect()}
+    assert got == expect
+
+
+@given(st.lists(_doc, min_size=2, max_size=5), st.sampled_from([0.3, 0.6]))
+@settings(max_examples=10, deadline=None)
+def test_containment_posting_formulation_matches_brute_force(spark, docs, t):
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import containment_pairs
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, d, "en") for i, d in enumerate(docs)], "doc_id long, text string, lang string"
+    )
+
+    def shingles(s):
+        s = s.lower()
+        return {s[i : i + k] for i in range(len(s) - k + 1)} if len(s) >= k else set()
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            A, B = shingles(docs[i]), shingles(docs[j])
+            if A and B:
+                common = len(A & B)
+                ca, cb = round(common / len(A), 6), round(common / len(B), 6)
+                if max(ca, cb) >= t and common > 0:
+                    expect[(i, j)] = (ca, cb)
+    got = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs(df, shingle_k=k, threshold=t).collect()
+    }
+    assert got == expect
