@@ -161,8 +161,10 @@ def q_date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
 def q_source_discovery(spark: SparkSession, sf: str) -> DataFrame:
     """R1: source discovery — enumerate + sort data files (engine analog
     of the paginated S3 listing, ``pasta1_etl/src/utils.py:16-66``).
-    Rows-only by design: filesystem enumeration has no SQL twin over the
-    registered tables; semantics are covered by tests/test_objectstore.py."""
+    Oracle (round 4, was rows-only): the enumerated set must equal the
+    canonical table catalog — a constant-expectation twin, the same role
+    a golden file plays; listing/pagination MECHANICS are covered by
+    tests/test_objectstore.py."""
     from nyc_tlc_trip_data_pipelines_spark.io import discover_files
 
     files = discover_files(sf)
@@ -5016,6 +5018,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY first_doc
         """,
         "q_dedup_simhash": _simhash_oracle(60),
+        # round 4: discovery must surface exactly the canonical catalog —
+        # a golden-expectation twin (the filesystem itself has no SQL
+        # view; listing mechanics are pytest-covered)
+        "q_source_discovery": """
+            SELECT UNNEST(['customer', 'documents', 'embeddings', 'events',
+                           'lineitem', 'nation', 'orders', 'part',
+                           'region', 'supplier']) AS table_name
+            ORDER BY table_name
+        """,
         # round 4: BPE pair counting — words dedup to a frequency table
         # first, pairs explode over the vocabulary (max token length in
         # the corpus is 8; the series bound of 31 is safely above it)
