@@ -188,6 +188,25 @@ def q_sink_append(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_rows bigint")
 
 
+def q_stable_split(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 4): reproducible train/holdout splitting via a
+    salted portable hash draw — stable across runs/engines/data order,
+    per-row independent (incremental data keeps old assignments),
+    uniform even under clustered id ranges (unlike id-modulo). The
+    sum-of-ids column is a membership checksum: the oracle replays the
+    md5 arithmetic, so a hash match proves per-row ASSIGNMENT, not just
+    split sizes."""
+    docs = load_table(spark, sf, "documents")
+    split = CP.stable_split(docs, holdout_pct=10, salt="v1")
+    return O.sort(
+        split.groupBy("lang", "split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        ),
+        ["lang", "split"],
+    )
+
+
 def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """North star (text analysis, round 4): BPE tokenizer-training
     statistics — adjacent character-pair frequencies weighted by word
@@ -2917,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_time_travel": q_time_travel,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_stable_split": q_stable_split,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -5026,6 +5046,17 @@ def oracle_sql() -> dict[str, str]:
                            'lineitem', 'nation', 'orders', 'part',
                            'region', 'supplier']) AS table_name
             ORDER BY table_name
+        """,
+        # round 4: salted portable-hash split — replaying the md5 draw
+        # proves per-row assignment via the id_checksum column
+        "q_stable_split": """
+            SELECT lang,
+                   CASE WHEN CAST(CONCAT('0x', SUBSTR(md5(CONCAT('v1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 10
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM documents
+            GROUP BY 1, 2 ORDER BY lang, split
         """,
         # round 4: BPE pair counting — words dedup to a frequency table
         # first, pairs explode over the vocabulary (max token length in

@@ -204,6 +204,41 @@ def weighted_mix(
     )
 
 
+def stable_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    holdout_pct: int = 10,
+    salt: str = "v1",
+    portable: bool = True,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/holdout split — the reproducible-
+    subset op every training pipeline needs: assignment is stable across
+    runs, engines, partitioning, and data order; changing ``salt``
+    re-rolls the whole assignment; membership of a row never depends on
+    what other rows exist (so incremental data keeps old assignments).
+
+    Draw = ``hash(salt || id) mod 100 < holdout_pct``. Unlike the
+    id-modulo draw in :func:`weighted_mix`, a hash draw stays uniform
+    when ids are sequential or clustered per source — the situation at
+    100 TB where id ranges encode provenance. ``portable=True`` uses
+    the 60-bit md5 hash (bit-identical in any engine — oracle-
+    replayable, same trick as the portable simhash); ``False`` uses
+    xxhash64 (JVM-intrinsic, faster, engine-specific). Pure filter
+    expression: embarrassingly parallel, no RNG state, no shuffle.
+    """
+    key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    if portable:
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(key)
+    draw = F.pmod(h, F.lit(100))
+    return df.withColumn(
+        split_col,
+        F.when(draw < F.lit(int(holdout_pct)), F.lit("holdout")).otherwise(F.lit("train")),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

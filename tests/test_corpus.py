@@ -92,3 +92,26 @@ def test_unigram_logprob(spark):
     assert got[1].n_words == 3 and got[2].n_words == 1
     assert abs(got[1].mean_logprob - round(math.log(0.5), 4)) < 1e-9
     assert got[1].mean_logprob == got[2].mean_logprob
+
+
+def test_stable_split_properties(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in CP.stable_split(df, holdout_pct=10).collect()}
+    # deterministic across invocations and partitioning
+    s2 = {r.doc_id: r.split for r in CP.stable_split(df.repartition(7), holdout_pct=10).collect()}
+    assert s1 == s2
+    # per-row independence: a subset keeps its assignments
+    sub = {r.doc_id: r.split for r in CP.stable_split(df.filter("doc_id < 500"), holdout_pct=10).collect()}
+    assert all(s1[k] == v for k, v in sub.items())
+    # holdout fraction near 10% (binomial 6 sigma at n=2000: +-4%)
+    frac = sum(1 for v in s1.values() if v == "holdout") / len(s1)
+    assert 0.06 < frac < 0.14
+    # salt re-rolls assignments
+    s3 = {r.doc_id: r.split for r in CP.stable_split(df, holdout_pct=10, salt="v2").collect()}
+    assert s3 != s1
+    # portable and xxhash64 paths are both valid splits, not identical
+    s4 = {r.doc_id: r.split for r in CP.stable_split(df, holdout_pct=10, portable=False).collect()}
+    frac4 = sum(1 for v in s4.values() if v == "holdout") / len(s4)
+    assert 0.06 < frac4 < 0.14
