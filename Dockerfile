@@ -25,6 +25,6 @@ ENV SPARK_GRAFT_CPUS=8 \
     SPARK_GRAFT_SF_DIR=/data/sf0.1
 
 # Default command mirrors the reference's ETL entry (its CMD runs the
-# bronze ETL main; ours runs the medallion pipeline smoke via the
-# driver contract). Swap for `bench.py` or `spark-submit` on a cluster.
-CMD ["python", "-c", "from nyc_tlc_trip_data_pipelines_spark.session import get_spark; import __spark_entry__ as E; print(E.entry(get_spark()).count())"]
+# bronze ETL main; ours runs a scan-agg smoke against the mounted data
+# dir). Swap for `bench.py` or `spark-submit` on a cluster.
+CMD ["python", "-c", "import os; from nyc_tlc_trip_data_pipelines_spark.session import get_spark; import __spark_entry__ as E; E.queries()['q_agg_basic'](get_spark(), os.environ['SPARK_GRAFT_SF_DIR']).show()"]

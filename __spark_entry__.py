@@ -3160,9 +3160,10 @@ def _simhash_oracle(bits: int = 60) -> str:
     """Full SQL replay of the portable-simhash pipeline (tokenize →
     md5-60-bit hash → per-bit sign votes → packed signature → bucket
     groups), generated per bit position — same generator style as
-    ``_zorder_oracle_expr``. No LIST_FILTER on tokens: Spark's
-    ``explode(split(trim(lower(text)), '\\s+'))`` keeps the single empty
-    token of an empty document, and DuckDB's STRING_SPLIT_REGEX agrees."""
+    ``_zorder_oracle_expr``. LIST_FILTER drops empty tokens to match
+    Spark's ``tokenize`` (text.py), which strips them — without it an
+    empty/whitespace-only document would get an oracle-side simhash of
+    the md5('') bit pattern while vanishing from the Spark side."""
     votes = ",\n                       ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(bits)
@@ -3173,7 +3174,8 @@ def _simhash_oracle(bits: int = 60) -> str:
     return f"""
             WITH tok AS (
                 SELECT doc_id,
-                       UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                                          x -> x <> '')) AS tok
                 FROM documents
             ), h AS (
                 SELECT doc_id,

@@ -178,10 +178,14 @@ def append_versioned(
     underscore-prefixed paths, so manifests never pollute the scan).
     Semantics mirrored from the Delta log:
 
-    - **atomic commit**: the manifest is written to a temp file and
-      created at its final name with O_EXCL — two concurrent writers
-      cannot both claim version N; the loser re-reads and claims N+1
-      (optimistic concurrency, Delta-style).
+    - **atomic commit**: the manifest is fully written (and fsync'd) to
+      a temp file, then LINKED to its final name — `os.link` fails with
+      EEXIST if version N is already claimed, and a reader can never
+      observe a partial manifest because the final name only ever
+      points at completed bytes. Two concurrent writers cannot both
+      claim version N; the loser re-reads and claims N+1 (optimistic
+      concurrency, Delta-style). A writer that dies mid-write leaves
+      only a `.tmp.*` file, which every reader ignores.
     - **idempotent retry**: re-appending a ``job_id`` already in the
       latest manifest rewrites its data partition (harmless — same
       content) and does NOT create a new version, like Delta's
@@ -192,9 +196,18 @@ def append_versioned(
 
     Returns the committed (or reused) version number. What this does
     NOT give vs real Delta: file-level conflict detection between
-    concurrent writers to the SAME job_id, and VACUUM-safe readers —
-    documented gap, not an analog failure.
+    concurrent writers to the SAME job_id; VACUUM-safe readers; and —
+    the big one — safe CONCURRENT data writes to the same table root,
+    because simultaneous Spark jobs share the Hadoop committer's
+    ``<path>/_temporary`` staging directory and the first commit
+    deletes it out from under the second. The manifest protocol is
+    safe under concurrency; the parquet write step requires appends to
+    the same root to be serialized (queue them, or land each job in
+    its own root and union at read). Documented gap, not an analog
+    failure.
     """
+    import uuid
+
     append_idempotent(df, path, job_id, job_col=job_col)
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
@@ -205,12 +218,19 @@ def append_versioned(
             return versions[-1][0]
         n = versions[-1][0] + 1 if versions else 0
         target = os.path.join(mdir, f"v{n}.json")
+        # write-then-link: the final name never exists with partial
+        # content, and link() is the atomic exclusive claim
+        tmp = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": n, "job_col": job_col, "job_ids": jobs + [job_id]}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)
         except FileExistsError:
             continue  # lost the race — re-read and claim the next version
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"version": n, "job_col": job_col, "job_ids": jobs + [job_id]}, fh)
+        finally:
+            os.unlink(tmp)
         return n
 
 

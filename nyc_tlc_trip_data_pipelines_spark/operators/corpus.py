@@ -227,11 +227,10 @@ def stable_split(
     xxhash64 (JVM-intrinsic, faster, engine-specific). Pure filter
     expression: embarrassingly parallel, no RNG state, no shuffle.
     """
+    from .text import portable_hash60
+
     key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-    if portable:
-        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-    else:
-        h = F.xxhash64(key)
+    h = portable_hash60(key) if portable else F.xxhash64(key)
     draw = F.pmod(h, F.lit(100))
     return df.withColumn(
         split_col,

@@ -24,6 +24,27 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "\\s+"
 
+# Candidate-stage pruning (length filters, prefix lengths) must stay
+# PERMISSIVE under float error: t*n evaluated in float64 can exceed the
+# exact rational product (e.g. 0.55*20 → 11.000000000000002), which
+# would reject a genuinely qualifying pair exactly at the boundary —
+# violating the "filters never change results" contract. Slackening
+# every pruning comparison by _FILTER_EPS (far below any 1/n step for
+# realistic set sizes) means float error can only ever ADMIT an extra
+# candidate, and the exact verify / final-threshold stage decides.
+_FILTER_EPS = 1e-9
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash every SQL engine reproduces bit-for-bit: the first 15
+    hex chars of md5 parsed as an integer (always non-negative, so both
+    `%` and `>>` behave identically everywhere). The cross-engine twin
+    is ``CAST(CONCAT('0x', SUBSTR(md5(x), 1, 15)) AS BIGINT)``. Used by
+    the portable simhash and by :func:`..corpus.stable_split`; keep the
+    two sides of this contract in ONE place — any drift silently breaks
+    oracle parity for every operator built on it."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
 # Deterministic hash seeds (SURVEY.md §7.3: fixed so driver re-runs match).
 _MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne
 _MINHASH_A = [1 + 2 * i for i in range(128)]  # odd multipliers
@@ -390,7 +411,7 @@ def minhash_near_duplicates(
     if size_ratio is not None:
         join_cond.append(
             F.least("a.n_sh", "b.n_sh").cast("double")
-            >= F.lit(size_ratio) * F.greatest("a.n_sh", "b.n_sh")
+            >= F.lit(size_ratio) * F.greatest("a.n_sh", "b.n_sh") - F.lit(_FILTER_EPS)
         )
     pairs = (
         a.join(b, on=join_cond)
@@ -599,10 +620,7 @@ def simhash_signatures(
     tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
     if portable:
         assert bits <= 60, "portable hash provides 60 bits"
-        h = tok.select(
-            id_col,
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
-        )
+        h = tok.select(id_col, portable_hash60(F.col("tok")).alias("h"))
     else:
         h = tok.select(id_col, F.xxhash64("tok").alias("h"))
     votes = [
@@ -736,7 +754,11 @@ def jaccard_ngram_pairs(
     # so prefix lengths are exact under ties
     freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("shingle").asc())
-    pref_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh").cast("double")) + 1
+    pref_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh").cast("double") - F.lit(_FILTER_EPS))
+        + 1
+    )
     prefix = (
         posts.join(freq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
@@ -752,7 +774,7 @@ def jaccard_ngram_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                 # length filter: min/max sizes must be Jaccard-compatible
                 F.least("a.n_sh", "b.n_sh").cast("double")
-                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh"),
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh") - F.lit(_FILTER_EPS),
             ],
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -120,8 +120,13 @@ _word = st.sampled_from(["aa", "bb", "cc", "dd", "ab", "ba", "cd", "dc"])
 _doc = st.lists(_word, min_size=3, max_size=10).map(" ".join)
 
 
-@given(st.lists(_doc, min_size=2, max_size=6), st.sampled_from([0.2, 0.5, 0.8]))
-@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(_doc, min_size=2, max_size=6),
+    # 0.55 / 0.67 sit on float-ceil edges (0.55*20 → 11.000000000000002):
+    # they pin the _FILTER_EPS permissive-pruning fix
+    st.sampled_from([0.2, 0.5, 0.55, 0.67, 0.8]),
+)
+@settings(max_examples=15, deadline=None)
 def test_jaccard_prefix_filter_is_exact_on_random_corpora(spark, docs, t):
     # the PPJoin prefix filter must be invisible in the OUTPUT for any
     # corpus and threshold: results == all-pairs brute force, always

@@ -204,3 +204,17 @@ def test_bpe_pair_stats_matches_brute_force(spark):
     assert got == expect
     # 'lo' and 'ow' dominate (low appears 3x + lower/lowest)
     assert got[0][0] in ("lo", "ow")
+
+
+def test_jaccard_filters_permissive_at_float_boundary(spark):
+    # J(A,B) = 11/20 = 0.55 exactly, threshold 0.55: float64 evaluates
+    # 0.55*20 to 11.000000000000002, so a strict length filter (or a
+    # float-ceil'd prefix length) silently drops the pair — the
+    # _FILTER_EPS slack must keep it
+    a_toks = [f"t{i}" for i in range(11)]
+    b_toks = a_toks + [f"u{i}" for i in range(9)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in TX.jaccard_ngram_pairs(df, n=1, threshold=0.55).collect()}
+    assert got == {(1, 2): 0.55}
