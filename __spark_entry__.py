@@ -899,6 +899,21 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dq_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse-gate staple (round 4): single-pass column profiler
+    (ANALYZE analog) — row/null/distinct counts plus min/max per column
+    in ONE aggregate over the scan. Profiled columns are ints, strings
+    and dates only, so the string rendering of min/max is byte-identical
+    across engines; exact ndv for the oracle comparison (approx HLL is
+    the 100 TB default)."""
+    li = load_table(spark, sf, "lineitem")
+    return DQ.profile(
+        li,
+        cols=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"],
+        exact_ndv=True,
+    )
+
+
 def q_dq_validate(spark: SparkSession, sf: str) -> DataFrame:
     """Warehouse-gate staple: Deequ-style constraint report over
     lineitem — completeness, uniqueness, bounds, accepted values — as a
@@ -2937,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_travel": q_time_travel,
         "q_bpe_pairs": q_bpe_pairs,
         "q_stable_split": q_stable_split,
+        "q_dq_profile": q_dq_profile,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -5048,6 +5064,42 @@ def oracle_sql() -> dict[str, str]:
                            'lineitem', 'nation', 'orders', 'part',
                            'region', 'supplier']) AS table_name
             ORDER BY table_name
+        """,
+        # round 4: single-pass column profiler over int/string/date
+        # columns (string rendering of min/max is engine-identical there)
+        "q_dq_profile": """
+            WITH stats AS (
+                SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT l_orderkey) AS n_distinct,
+                       CAST(MIN(l_orderkey) AS VARCHAR) AS min_s, CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_linenumber', COUNT(*),
+                       CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       COUNT(DISTINCT l_linenumber),
+                       CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_returnflag', COUNT(*),
+                       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       COUNT(DISTINCT l_returnflag),
+                       MIN(l_returnflag), MAX(l_returnflag)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_linestatus', COUNT(*),
+                       CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       COUNT(DISTINCT l_linestatus),
+                       MIN(l_linestatus), MAX(l_linestatus)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_shipdate', COUNT(*),
+                       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       COUNT(DISTINCT l_shipdate),
+                       CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+                FROM lineitem
+            )
+            SELECT * FROM stats ORDER BY "column"
         """,
         # round 4: salted portable-hash split — replaying the md5 draw
         # proves per-row assignment via the id_checksum column

@@ -112,3 +112,56 @@ def validate(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
         elif c.kind == "accepted_values":
             rows.append((c.name, float(m), m == 0))
     return spark.createDataFrame(rows, "constraint string, metric double, passed boolean")
+
+
+def profile(
+    df: DataFrame,
+    cols: "list[str] | None" = None,
+    exact_ndv: bool = False,
+) -> DataFrame:
+    """Single-pass column profiler — the ANALYZE/statistics analog every
+    warehouse gate runs before trusting a table: per column, row count,
+    null count, min/max (computed on the native type, then rendered as
+    string), and distinct count.
+
+    Scale shape: ONE aggregate over the table computes every column's
+    stats (map-side partials, one exchange of a single row per
+    partition). ndv defaults to ``approx_count_distinct`` — HLL, fully
+    mergeable, no plan blow-up. ``exact_ndv=True`` swaps in
+    COUNT(DISTINCT col), which Catalyst rewrites to an Expand ×|cols|
+    over the scan — affordable for a correctness gate, wrong as the
+    100 TB default (use it per-column, not per-table, there).
+
+    Returns long format: (column, n_rows, n_nulls, n_distinct, min_s,
+    max_s), one row per profiled column, ordered by column name.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        ndv = (
+            F.count_distinct(F.col(c)) if exact_ndv else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__nulls_{c}"),
+            ndv.cast("long").alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    out_rows = []
+    for c in cols:
+        out_rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__ndv_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_s"),
+                F.col(f"__max_{c}").alias("max_s"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*out_rows)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )

@@ -180,3 +180,29 @@ def test_streaming_ohlc_matches_batch_shape(spark):
     d1 = rows["2024-01-01 00:00:00"]
     assert (d1.open, d1.close, d1.high, d1.low, d1.n_events) == (5.0, 9.0, 9.0, 5.0, 2)
     assert rows["2024-01-02 00:00:00"].open == 2.0
+
+
+def test_profile_stats_exact(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "k int, s string"
+    )
+    rows = {r.column: r for r in DQ.profile(df, exact_ndv=True).collect()}
+    assert set(rows) == {"k", "s"}
+    k, s = rows["k"], rows["s"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct, k.min_s, k.max_s) == (4, 1, 2, "1", "2")
+    assert (s.n_rows, s.n_nulls, s.n_distinct, s.min_s, s.max_s) == (4, 1, 2, "a", "b")
+
+
+def test_profile_approx_ndv_single_aggregate(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+    from nyc_tlc_trip_data_pipelines_spark.plans import node_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = DQ.profile(li, cols=["l_orderkey", "l_returnflag"])  # approx ndv default
+    # approx path must not Expand the scan (the exact path does, x|cols|)
+    assert node_count(out, "Expand") == 0
+    rows = {r.column: r for r in out.collect()}
+    assert rows["l_returnflag"].n_distinct >= 2
