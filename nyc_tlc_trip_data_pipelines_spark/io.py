@@ -194,21 +194,28 @@ def append_versioned(
       job set and reads exactly those partition directories (partition
       pruning makes the filter a directory selection, not a row scan).
 
+    Unlike :func:`append_idempotent` (dynamic partition overwrite, which
+    stages every concurrent job under the shared ``<path>/_temporary``
+    and lets the first commit delete the second's staging), the data
+    write here goes DIRECTLY to the job's own partition directory
+    ``<path>/{job_col}={job_id}`` — each job gets a private committer
+    staging area, so concurrent appends of DIFFERENT job_ids are safe
+    end-to-end. A crashed write leaves a partial partition directory,
+    but versioned readers never see it: only manifest-committed job_ids
+    are selected. Requires a filesystem-safe ``job_id``
+    (alphanumerics, ``-``, ``_``, ``.``).
+
     Returns the committed (or reused) version number. What this does
     NOT give vs real Delta: file-level conflict detection between
-    concurrent writers to the SAME job_id; VACUUM-safe readers; and —
-    the big one — safe CONCURRENT data writes to the same table root,
-    because simultaneous Spark jobs share the Hadoop committer's
-    ``<path>/_temporary`` staging directory and the first commit
-    deletes it out from under the second. The manifest protocol is
-    safe under concurrency; the parquet write step requires appends to
-    the same root to be serialized (queue them, or land each job in
-    its own root and union at read). Documented gap, not an analog
-    failure.
+    concurrent writers to the SAME job_id, and VACUUM-safe readers —
+    documented gap, not an analog failure.
     """
+    import re
     import uuid
 
-    append_idempotent(df, path, job_id, job_col=job_col)
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
+        raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
+    df.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     while True:
