@@ -899,6 +899,41 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintenance pass (round 4): small-file compaction — 16 tiny
+    append files rewritten to size-targeted files with an atomic
+    directory swap, then read back. Data must survive byte-identically
+    (count + value checksum against the source oracle); at this SF the
+    target always yields one output file, so n_files_after is part of
+    the checked contract."""
+    from nyc_tlc_trip_data_pipelines_spark.io import compact_dir
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") % 3 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_small")
+        ev.repartition(16).write.parquet(path)
+        n_before, n_after = compact_dir(spark, path, target_mb=128)
+        back = spark.read.parquet(path)
+        row = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [(n_before >= 16, int(n_after), int(row.n_rows), float(row.sum_value))],
+        "many_files_before boolean, n_files_after int, n_rows bigint, sum_value double",
+    )
+
+
+def q_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 4): exact-k-per-group corpus balancing — rank
+    docs inside each language by a salted portable hash, keep the 20
+    smallest. The oracle replays the md5 draw and the (hash, id) rank,
+    so the hash match proves EXACT sample membership, not just counts."""
+    docs = load_table(spark, sf, "documents")
+    picked = CP.sample_per_group(docs, group_col="lang", id_col="doc_id", k=20, salt="v1")
+    return O.sort(picked.select("lang", "doc_id"), ["lang", "doc_id"])
+
+
 def q_dq_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Warehouse-gate staple (round 4): single-pass column profiler
     (ANALYZE analog) — row/null/distinct counts plus min/max per column
@@ -2952,7 +2987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_travel": q_time_travel,
         "q_bpe_pairs": q_bpe_pairs,
         "q_stable_split": q_stable_split,
+        "q_sample_per_group": q_sample_per_group,
         "q_dq_profile": q_dq_profile,
+        "q_compact": q_compact,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -5100,6 +5137,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             )
             SELECT * FROM stats ORDER BY "column"
+        """,
+        # round 4: compaction round-trip — data survives byte-identically
+        # and the size target collapses 16 tiny files to one
+        "q_compact": """
+            SELECT TRUE AS many_files_before,
+                   1 AS n_files_after,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events WHERE event_id % 3 = 0
+        """,
+        # round 4: exact-k-per-group sample — oracle replays the salted
+        # md5 rank, proving exact membership
+        "q_sample_per_group": """
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CONCAT('v1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) ASC,
+                                    doc_id ASC
+                       ) AS rk
+                FROM documents
+            )
+            SELECT lang, doc_id FROM ranked WHERE rk <= 20
+            ORDER BY lang, doc_id
         """,
         # round 4: salted portable-hash split — replaying the md5 draw
         # proves per-row assignment via the id_checksum column

@@ -273,6 +273,46 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return df.filter(df[job_col].isin(versions[n])).drop(job_col)
 
 
+def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[int, int]:
+    """Small-file compaction for an append-heavy parquet directory — the
+    maintenance pass the append_* sinks' docstrings promise ("one
+    directory per ingest batch … compact periodically"). Reads the
+    directory, rewrites it as ``ceil(bytes / target_mb)`` files, and
+    atomically swaps the result in (directory rename; readers started
+    before the swap keep their snapshot on POSIX).
+
+    Returns (files_before, files_after). 100 TB notes: run per
+    partition directory (so compaction parallelism = partitions and a
+    failure affects one partition), size by the PARQUET bytes on disk —
+    row-count heuristics drift with encoding; target ~128 MB keeps
+    scan tasks near one HDFS block / S3 range request each.
+    """
+    import math
+    import shutil
+    import uuid
+
+    def _leaf_files(p: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+        return out
+
+    before = _leaf_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    tmp = f"{path}.__compact.{uuid.uuid4().hex}"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old.{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(before), len(_leaf_files(path))
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -238,6 +238,42 @@ def stable_split(
     )
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "v1",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic k-per-group sampling — "take exactly k docs per
+    language/source", the corpus-balancing op: rank rows inside each
+    group by a salted hash of their id and keep the k smallest. Stable
+    across runs/partitioning/data order; changing ``salt`` re-draws;
+    groups smaller than k keep everything. Unlike fraction-based
+    :func:`stable_split` this guarantees exact per-group counts, at the
+    cost of one hash exchange on ``group_col`` (the window). For
+    billion-row groups at 100 TB, pre-filter with a generous
+    ``stable_split`` fraction first so the window sorts k·ε rows, not
+    the whole group.
+
+    ``portable=True`` draws from the 60-bit md5 hash so a SQL oracle
+    replays the EXACT sample membership; ``False`` uses xxhash64.
+    """
+    from pyspark.sql import Window
+
+    from .text import portable_hash60
+
+    key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    h = portable_hash60(key) if portable else F.xxhash64(key)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -115,3 +115,20 @@ def test_stable_split_properties(spark):
     s4 = {r.doc_id: r.split for r in CP.stable_split(df, holdout_pct=10, portable=False).collect()}
     frac4 = sum(1 for v in s4.values() if v == "holdout") / len(s4)
     assert 0.06 < frac4 < 0.14
+
+
+def test_sample_per_group_exact_k_and_stable(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = CP.sample_per_group(df, k=10).collect()
+    per = {}
+    for r in s1:
+        per.setdefault(r.lang, set()).add(r.doc_id)
+    assert {len(v) for v in per.values()} == {10}
+    # stable across partitioning; small group keeps everything
+    s2 = CP.sample_per_group(df.repartition(13), k=10).collect()
+    assert {(r.lang, r.doc_id) for r in s1} == {(r.lang, r.doc_id) for r in s2}
+    tiny = spark.createDataFrame(rows[:6], "doc_id long, lang string")
+    assert CP.sample_per_group(tiny, k=10).count() == 6

@@ -10,6 +10,7 @@ import os
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from nyc_tlc_trip_data_pipelines_spark.pipeline import (
     analytics_q1,
@@ -179,3 +180,31 @@ def test_versioned_append_loses_race_and_advances(spark, tmp_path):
     v = IO.append_versioned(spark.range(2).withColumnRenamed("id", "v"), path, "job-b")
     assert v == 2
     assert IO.list_versions(path)[-1] == (2, ["job-a", "job-x", "job-b"])
+
+
+def test_compact_dir_preserves_data_and_reduces_files(spark, tmp_path):
+    from nyc_tlc_trip_data_pipelines_spark.io import compact_dir
+
+    path = str(tmp_path / "small_files")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(24).write.parquet(path)
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+    n_before, n_after = compact_dir(spark, path, target_mb=128)
+    assert n_before >= 24 and n_after == 1
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == before_rows
+    assert after.filter(F.col("v") != F.col("id") * 2).count() == 0
+
+
+def test_compact_dir_respects_size_target(spark, tmp_path):
+    from nyc_tlc_trip_data_pipelines_spark.io import compact_dir
+
+    path = str(tmp_path / "sized")
+    spark.range(0, 50000).withColumn("pad", F.sha2(F.col("id").cast("string"), 256)).repartition(16).write.parquet(path)
+    import glob as g
+    import os as o
+
+    total_mb = sum(o.path.getsize(f) for f in g.glob(path + "/*.parquet")) / 1e6
+    # a tiny target must produce multiple output files
+    _, n_after = compact_dir(spark, path, target_mb=1)
+    assert n_after >= max(2, int(total_mb // 1.2))
