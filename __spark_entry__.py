@@ -899,6 +899,39 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse staple (round 4): additive schema evolution — an early
+    batch written WITHOUT a column and a later batch WITH it are read
+    back under one merged schema; the late column is NULL for early
+    rows. The aggregate separates the batches so the oracle checks
+    merged-read semantics, not just row survival."""
+    from nyc_tlc_trip_data_pipelines_spark.io import read_parquet_merged
+
+    ev = load_table(spark, sf, "events")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "evolving")
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id").write.parquet(
+            os.path.join(path, "batch=1")
+        )
+        ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "value").write.parquet(
+            os.path.join(path, "batch=2")
+        )
+        back = read_parquet_merged(spark, path)
+        rows = (
+            back.groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("n_null_value"),
+                F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("sum_value"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        [(int(r.batch), int(r.n_rows), int(r.n_null_value), float(r.sum_value)) for r in rows],
+        "batch int, n_rows bigint, n_null_value bigint, sum_value double",
+    ).orderBy("batch")
+
+
 def q_compact(spark: SparkSession, sf: str) -> DataFrame:
     """Maintenance pass (round 4): small-file compaction — 16 tiny
     append files rewritten to size-targeted files with an atomic
@@ -2990,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_per_group": q_sample_per_group,
         "q_dq_profile": q_dq_profile,
         "q_compact": q_compact,
+        "q_schema_evolution": q_schema_evolution,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -5137,6 +5171,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             )
             SELECT * FROM stats ORDER BY "column"
+        """,
+        # round 4: merged-schema read — the late column is NULL for every
+        # early-batch row and sums correctly for the late batch
+        "q_schema_evolution": """
+            SELECT 1 AS batch,
+                   CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+                   0.0::DOUBLE AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 2,
+                   CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN event_id % 2 = 1 AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   ROUND(SUM(CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END), 4)
+            FROM events
+            ORDER BY batch
         """,
         # round 4: compaction round-trip — data survives byte-identically
         # and the size target collapses 16 tiny files to one

