@@ -899,6 +899,41 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_delete_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-gap analog (round 4): copy-on-write row-level DELETE with
+    time travel preserved — two fortnight appends, DELETE of 'click'
+    events, then BOTH reads: latest must exclude clicks, v1 must still
+    contain them (the rewritten partitions didn't disturb history).
+    Deterministic → full DuckDB oracle."""
+    from nyc_tlc_trip_data_pipelines_spark.io import (
+        append_versioned,
+        delete_where,
+        read_version,
+    )
+
+    ev = load_table(spark, sf, "events")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "versioned")
+        append_versioned(ev.filter(F.dayofmonth("ts") <= 15), path, "fn-1")
+        append_versioned(ev.filter(F.dayofmonth("ts") > 15), path, "fn-2")
+        v_del = delete_where(spark, path, F.col("event_type") == "click")
+        latest = read_version(spark, path).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("clicks"),
+        ).collect()[0]
+        v1 = read_version(spark, path, 1).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("clicks"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("latest", int(latest.n), int(latest.clicks), v_del == 2),
+            ("v1", int(v1.n), int(v1.clicks), True),
+        ],
+        "snapshot string, n_rows bigint, n_clicks bigint, version_ok boolean",
+    ).orderBy("snapshot")
+
+
 def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Lakehouse staple (round 4): additive schema evolution — an early
     batch written WITHOUT a column and a later batch WITH it are read
@@ -3024,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_profile": q_dq_profile,
         "q_compact": q_compact,
         "q_schema_evolution": q_schema_evolution,
+        "q_delete_where": q_delete_where,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -5171,6 +5207,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             )
             SELECT * FROM stats ORDER BY "column"
+        """,
+        # round 4: COW delete — latest snapshot has zero clicks, v1 keeps
+        # the full pre-delete row set
+        "q_delete_where": """
+            SELECT 'latest' AS snapshot,
+                   CAST(SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_clicks,
+                   TRUE AS version_ok
+            FROM events
+            UNION ALL
+            SELECT 'v1', COUNT(*),
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT),
+                   TRUE
+            FROM events
+            ORDER BY snapshot
         """,
         # round 4: merged-schema read — the late column is NULL for every
         # early-batch row and sums correctly for the late batch

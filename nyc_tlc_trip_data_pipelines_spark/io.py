@@ -31,7 +31,7 @@ import re
 from collections.abc import Sequence
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 # --- sources ---------------------------------------------------------------
 
@@ -250,6 +250,63 @@ def append_versioned(
             os.link(tmp, target)
         except FileExistsError:
             continue  # lost the race — re-read and claim the next version
+        finally:
+            os.unlink(tmp)
+        return n
+
+
+def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
+    """Copy-on-write row-level DELETE over a versioned-append table —
+    the Delta ``DELETE FROM`` analog, time-travel preserved: every
+    committed job whose partition contains matching rows is REWRITTEN
+    (filtered) into a fresh ``<job>.d<n>`` partition directory; the new
+    manifest swaps old job ids for the rewritten ones, and untouched
+    jobs keep their directories byte-identical. Old versions still
+    resolve to the ORIGINAL directories, so ``read_version(path, v)``
+    sees pre-delete data — exactly Delta's COW file-swap, at job
+    granularity instead of file granularity.
+
+    Returns the new version number (or the current one if nothing
+    matched — a no-op delete mints no version, like Delta).
+    """
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no versions committed under {path}")
+    cur_v, jobs = versions[-1]
+    with open(os.path.join(path, "_manifests", f"v{cur_v}.json")) as fh:
+        job_col = json.load(fh)["job_col"]
+    new_jobs: list[str] = []
+    changed = False
+    for job in jobs:
+        part = os.path.join(path, f"{job_col}={job}")
+        dfj = spark.read.parquet(part)
+        if dfj.filter(condition).limit(1).count() == 0:
+            new_jobs.append(job)  # untouched — directory reused as-is
+            continue
+        changed = True
+        new_job = f"{job}.d{cur_v + 1}"
+        dfj.filter(~condition).write.mode("overwrite").parquet(
+            os.path.join(path, f"{job_col}={new_job}")
+        )
+        new_jobs.append(new_job)
+    if not changed:
+        return cur_v
+    import uuid
+
+    mdir = os.path.join(path, "_manifests")
+    while True:
+        versions = list_versions(path)
+        n = versions[-1][0] + 1
+        target = os.path.join(mdir, f"v{n}.json")
+        tmp = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": n, "job_col": job_col, "job_ids": new_jobs}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            continue
         finally:
             os.unlink(tmp)
         return n

@@ -222,3 +222,24 @@ def test_read_parquet_merged_schema_evolution(spark, tmp_path):
     assert rows[1].v is None and rows[2].v == 9.5
     # default read without merge drops the late column silently
     assert "v" not in spark.read.parquet(root).columns or True
+
+
+def test_delete_where_cow_preserves_time_travel(spark, tmp_path):
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    df1 = spark.createDataFrame([(i, "keep" if i % 2 else "drop") for i in range(10)], "id long, tag string")
+    df2 = spark.createDataFrame([(i, "keep") for i in range(100, 105)], "id long, tag string")
+    IO.append_versioned(df1, path, "b1")
+    IO.append_versioned(df2, path, "b2")
+    v = IO.delete_where(spark, path, F.col("tag") == "drop")
+    assert v == 2
+    latest = IO.read_version(spark, path)
+    assert latest.filter(F.col("tag") == "drop").count() == 0
+    assert latest.count() == 10  # 5 keep + 5 from b2
+    # history intact: v1 still has the dropped rows
+    assert IO.read_version(spark, path, 1).filter(F.col("tag") == "drop").count() == 5
+    # untouched job (b2, no matches) was NOT rewritten
+    assert IO.list_versions(path)[-1][1] == ["b1.d2", "b2"]
+    # no-op delete mints no version
+    assert IO.delete_where(spark, path, F.col("tag") == "nope") == 2
