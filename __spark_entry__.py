@@ -899,6 +899,43 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_merge_versioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-gap analog (round 4): MERGE INTO in one commit — matched
+    keys replaced, new keys inserted, history preserved. Upserts double
+    the value of every even-user row and add two synthetic users; the
+    latest snapshot must show exactly the post-merge totals while v1
+    still aggregates to the pre-merge totals. Deterministic → full
+    DuckDB oracle."""
+    from nyc_tlc_trip_data_pipelines_spark.io import (
+        append_versioned,
+        merge_versioned,
+        read_version,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "versioned")
+        append_versioned(ev.filter(F.col("event_id") % 2 == 0), path, "half-0")
+        append_versioned(ev.filter(F.col("event_id") % 2 == 1), path, "half-1")
+        updates = (
+            ev.filter(F.col("event_id") % 10 == 0)
+            .withColumn("value", F.round(F.col("value") * 2, 6))
+        )
+        merge_versioned(spark, path, updates, ["event_id"], "upd-1")
+        snap = lambda df: df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).collect()[0]
+        latest, v1 = snap(read_version(spark, path)), snap(read_version(spark, path, 1))
+    return spark.createDataFrame(
+        [
+            ("latest", int(latest.n), float(latest.sum_value)),
+            ("v1", int(v1.n), float(v1.sum_value)),
+        ],
+        "snapshot string, n_rows bigint, sum_value double",
+    ).orderBy("snapshot")
+
+
 def q_delete_where(spark: SparkSession, sf: str) -> DataFrame:
     """Delta-gap analog (round 4): copy-on-write row-level DELETE with
     time travel preserved — two fortnight appends, DELETE of 'click'
@@ -3060,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compact": q_compact,
         "q_schema_evolution": q_schema_evolution,
         "q_delete_where": q_delete_where,
+        "q_merge_versioned": q_merge_versioned,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -5207,6 +5245,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             )
             SELECT * FROM stats ORDER BY "column"
+        """,
+        # round 4: one-commit MERGE — latest totals reflect the doubled
+        # %10 rows, v1 keeps the pre-merge totals
+        "q_merge_versioned": """
+            SELECT 'latest' AS snapshot, COUNT(*) AS n_rows,
+                   ROUND(SUM(CASE WHEN event_id % 10 = 0
+                                  THEN ROUND(value * 2, 6) ELSE value END), 4) AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 'v1', COUNT(*), ROUND(SUM(value), 4)
+            FROM events
+            ORDER BY snapshot
         """,
         # round 4: COW delete — latest snapshot has zero clicks, v1 keeps
         # the full pre-delete row set

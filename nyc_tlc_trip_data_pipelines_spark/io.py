@@ -291,16 +291,23 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
         new_jobs.append(new_job)
     if not changed:
         return cur_v
+    return _commit_manifest(path, job_col, new_jobs)
+
+
+def _commit_manifest(path: str, job_col: str, job_ids: list[str]) -> int:
+    """Atomically commit the next manifest version (write-fsync-link
+    optimistic claim shared by append/delete/merge)."""
     import uuid
 
     mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
     while True:
         versions = list_versions(path)
-        n = versions[-1][0] + 1
+        n = versions[-1][0] + 1 if versions else 0
         target = os.path.join(mdir, f"v{n}.json")
         tmp = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            json.dump({"version": n, "job_col": job_col, "job_ids": new_jobs}, fh)
+            json.dump({"version": n, "job_col": job_col, "job_ids": job_ids}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -310,6 +317,53 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
         finally:
             os.unlink(tmp)
         return n
+
+
+def merge_versioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    job_id: str,
+) -> int:
+    """MERGE (upsert) into a versioned-append table in ONE commit — the
+    Delta ``MERGE INTO`` analog: rows matching ``keys`` in the updates
+    set are replaced, new keys are inserted, and history stays
+    readable. Copy-on-write at job granularity: every committed job
+    whose partition contains a matched key is rewritten (anti-join)
+    into ``<job>.m<n>``; the updates land as their own ``job_id``
+    partition; a SINGLE manifest swaps old jobs for rewritten ones and
+    adds the new job — readers never observe the intermediate state,
+    and ``read_version`` of any older version still resolves to the
+    original directories.
+    """
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
+        raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no versions committed under {path}")
+    cur_v, jobs = versions[-1]
+    with open(os.path.join(path, "_manifests", f"v{cur_v}.json")) as fh:
+        job_col = json.load(fh)["job_col"]
+    from pyspark.sql import functions as F
+
+    keyset = updates.select(*keys).distinct()
+    new_jobs: list[str] = []
+    for job in jobs:
+        part = os.path.join(path, f"{job_col}={job}")
+        dfj = spark.read.parquet(part)
+        if dfj.join(F.broadcast(keyset), list(keys), "left_semi").limit(1).count() == 0:
+            new_jobs.append(job)  # no matched keys — reuse as-is
+            continue
+        new_job = f"{job}.m{cur_v + 1}"
+        dfj.join(F.broadcast(keyset), list(keys), "left_anti").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, f"{job_col}={new_job}"))
+        new_jobs.append(new_job)
+    updates.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
+    return _commit_manifest(path, job_col, new_jobs + [job_id])
 
 
 def list_versions(path: str) -> list[tuple[int, list[str]]]:

@@ -243,3 +243,23 @@ def test_delete_where_cow_preserves_time_travel(spark, tmp_path):
     assert IO.list_versions(path)[-1][1] == ["b1.d2", "b2"]
     # no-op delete mints no version
     assert IO.delete_where(spark, path, F.col("tag") == "nope") == 2
+
+
+def test_merge_versioned_single_commit_upsert(spark, tmp_path):
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    base = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    IO.append_versioned(base.filter("k < 5"), path, "b1")
+    IO.append_versioned(base.filter("k >= 5"), path, "b2")
+    updates = spark.createDataFrame([(3, 300.0), (7, 700.0), (100, 1.0)], "k long, v double")
+    v = IO.merge_versioned(spark, path, updates, ["k"], "u1")
+    assert v == 2  # ONE commit for the whole merge
+    latest = {r.k: r.v for r in IO.read_version(spark, path).collect()}
+    assert latest[3] == 300.0 and latest[7] == 700.0 and latest[100] == 1.0
+    assert latest[0] == 0.0 and len(latest) == 11
+    # history: v1 is the pre-merge table
+    old = {r.k: r.v for r in IO.read_version(spark, path, 1).collect()}
+    assert old[3] == 3.0 and 100 not in old and len(old) == 10
+    # both touched jobs rewritten, updates landed as their own job
+    assert IO.list_versions(path)[-1][1] == ["b1.m2", "b2.m2", "u1"]
