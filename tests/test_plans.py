@@ -319,3 +319,45 @@ def test_containment_is_posting_list_not_all_pairs(spark, sf_dir):
     # shingle column must be among them for the pair-generation join
     assert "shingle" in p
     assert "array_intersect" not in p  # per-pair array intersection is the old shape
+
+
+def test_dq_profile_is_single_aggregate_pass(spark, sf_dir):
+    # the profiler must compute every column's stats in ONE aggregate
+    # over the scan: exactly one exchange (partial -> final), and the
+    # approx-ndv default must not Expand the scan
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = DQ.profile(li, cols=["l_orderkey", "l_returnflag", "l_shipdate"])
+    assert exchange_count(out) <= 1
+    assert node_count(out, "Expand") == 0
+
+
+def test_sample_per_group_single_window_exchange(spark, sf_dir):
+    # k-per-group sampling is one hash exchange on the group key plus a
+    # window — no join, no second shuffle. Spark additionally plans a
+    # WindowGroupLimit (partial map-side + final top-k per group), so
+    # rows beyond k die BEFORE the exchange — assert the optimization
+    # stays in the plan; losing it means the full corpus shuffles.
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = CP.sample_per_group(docs, k=10)
+    assert exchange_count(out) == 1
+    p = plan_string(out)
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p
+
+
+def test_bpe_pairs_aggregates_vocabulary_before_exploding(spark, sf_dir):
+    # pair explosion must run over the deduped word-frequency table, not
+    # the raw corpus: the plan is agg(words) -> explode -> agg(pairs),
+    # i.e. the position-explode Generate sits ABOVE the first aggregate
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.bpe_pair_stats(docs, top_k=50)
+    p = plan_string(out)
+    gen = p.index("Generate")
+    assert "HashAggregate" in p[:gen], "explode must come after the vocab aggregate"
+    assert node_count(out, "BatchEvalPython") == 0
