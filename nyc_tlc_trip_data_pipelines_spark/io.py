@@ -179,6 +179,26 @@ def append_idempotent(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+_REWRITE_SUFFIX_RE = re.compile(r"(\.[dm]\d+)+$")
+
+
+def _base_job_id(job: str) -> str:
+    """Strip delete/merge rewrite suffixes (``<job>.d3.m7`` → ``<job>``)."""
+    return _REWRITE_SUFFIX_RE.sub("", job)
+
+
+def _all_committed_job_ids(path: str) -> set[str]:
+    """Union of job_ids across EVERY manifest version, plus the base
+    names of delete/merge rewrites — the full set of jobs that have ever
+    been committed to this table, under any name."""
+    out: set[str] = set()
+    for _v, jobs in list_versions(path):
+        for j in jobs:
+            out.add(j)
+            out.add(_base_job_id(j))
+    return out
+
+
 def append_versioned(
     df: DataFrame, path: str, job_id: str, job_col: str = "__job_id"
 ) -> int:
@@ -200,10 +220,14 @@ def append_versioned(
       claim version N; the loser re-reads and claims N+1 (optimistic
       concurrency, Delta-style). A writer that dies mid-write leaves
       only a `.tmp.*` file, which every reader ignores.
-    - **idempotent retry**: re-appending a ``job_id`` already in the
-      latest manifest rewrites its data partition (harmless — same
-      content) and does NOT create a new version, like Delta's
-      ``txnAppId`` dedup.
+    - **idempotent retry**: re-appending a ``job_id`` that has EVER been
+      committed — in the latest manifest, in any older manifest, or
+      under a delete/merge rewrite name (``<job>.dN``/``<job>.mN``) —
+      is a no-op returning the current version, like Delta's
+      ``txnAppId`` dedup. In particular, retrying a job whose partition
+      was later rewritten by :func:`delete_where` / :func:`merge_versioned`
+      does NOT resurrect the deleted rows: the dedup consults the union
+      of job ids across ALL manifests, not just the latest.
     - **time travel**: :func:`read_version` resolves version N to its
       job set and reads exactly those partition directories (partition
       pruning makes the filter a directory selection, not a row scan).
@@ -223,19 +247,40 @@ def append_versioned(
     NOT give vs real Delta: file-level conflict detection between
     concurrent writers to the SAME job_id, and VACUUM-safe readers —
     documented gap, not an analog failure.
+
+    **Object-store boundary (S3)**: the atomic exclusive claim here is
+    ``os.link`` (O_EXCL-style), a POSIX primitive that S3 does not
+    provide — S3 PUT is last-writer-wins, so two writers racing for
+    ``v{N}.json`` would both "succeed" and one commit would be silently
+    lost. A real S3 deployment must route the claim through a
+    conditional primitive: S3 conditional writes (``If-None-Match: *``,
+    available since 2024), a DynamoDB conditional ``PutItem`` on the
+    version key (the S3DynamoDBLogStore design Delta itself uses), or a
+    single-writer commit service. Only the one-line claim needs to
+    change; manifest content and reader semantics are unchanged. See
+    DESIGN.md "Versioned-commit S3 boundary".
     """
     import re
     import uuid
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
         raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
+    # Retry dedup BEFORE the data write: a job_id committed in ANY
+    # manifest (possibly since rewritten by delete/merge) must not write
+    # bytes — re-overwriting a directory that older manifests still
+    # reference, or re-appending rows a DELETE removed, both corrupt
+    # time travel.
+    if job_id in _all_committed_job_ids(path):
+        versions = list_versions(path)
+        return versions[-1][0]
     df.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     while True:
         versions = list_versions(path)
         jobs = versions[-1][1] if versions else []
-        if job_id in jobs:
+        if job_id in _all_committed_job_ids(path):
+            # a concurrent retry of the same job_id won the race
             return versions[-1][0]
         n = versions[-1][0] + 1 if versions else 0
         target = os.path.join(mdir, f"v{n}.json")
@@ -291,19 +336,43 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
         new_jobs.append(new_job)
     if not changed:
         return cur_v
-    return _commit_manifest(path, job_col, new_jobs)
+    return _commit_manifest(path, job_col, new_jobs, base_version=cur_v)
 
 
-def _commit_manifest(path: str, job_col: str, job_ids: list[str]) -> int:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a version between this operation's read
+    of the manifest and its commit attempt — the COW rewrite was planned
+    against a stale base and must be retried from the top."""
+
+
+def _commit_manifest(
+    path: str, job_col: str, job_ids: list[str], base_version: int | None = None
+) -> int:
     """Atomically commit the next manifest version (write-fsync-link
-    optimistic claim shared by append/delete/merge)."""
+    optimistic claim shared by append/delete/merge).
+
+    When ``base_version`` is given (delete/merge: the rewrite was
+    computed FROM that version), the commit claims exactly
+    ``base_version + 1`` and raises :class:`ConcurrentCommitError` if
+    that slot is already taken — blindly claiming the next free slot
+    would publish a job list that silently drops the concurrent
+    writer's changes (lost update). Append passes ``None``: its job
+    list is re-derived inside the claim loop, so retrying the next
+    slot is safe.
+    """
     import uuid
 
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     while True:
         versions = list_versions(path)
-        n = versions[-1][0] + 1 if versions else 0
+        latest = versions[-1][0] if versions else -1
+        if base_version is not None and latest != base_version:
+            raise ConcurrentCommitError(
+                f"{path}: version advanced {base_version} -> {latest} during "
+                "copy-on-write rewrite; re-run the operation against the new base"
+            )
+        n = latest + 1
         target = os.path.join(mdir, f"v{n}.json")
         tmp = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -336,6 +405,15 @@ def merge_versioned(
     adds the new job — readers never observe the intermediate state,
     and ``read_version`` of any older version still resolves to the
     original directories.
+
+    ``job_id`` must be FRESH: an id already in the latest manifest is
+    treated as a crash-after-commit retry of this same merge and
+    returns the current version without touching data (the
+    latest-manifest retry dedup :func:`append_versioned` has); an id
+    that appears in any OLDER manifest (or as the base of a rewritten
+    ``<job>.dN``/``.mN`` name) raises ``ValueError`` — overwriting its
+    partition directory would corrupt the older versions that still
+    reference it.
     """
     import re
 
@@ -345,6 +423,14 @@ def merge_versioned(
     if not versions:
         raise ValueError(f"no versions committed under {path}")
     cur_v, jobs = versions[-1]
+    if job_id in jobs:
+        return cur_v  # idempotent retry: this merge already committed
+    if job_id in _all_committed_job_ids(path):
+        raise ValueError(
+            f"job_id {job_id!r} was already committed to {path} in an earlier "
+            "version; reusing it would overwrite a partition directory that "
+            "older manifests still reference — pick a fresh job_id"
+        )
     with open(os.path.join(path, "_manifests", f"v{cur_v}.json")) as fh:
         job_col = json.load(fh)["job_col"]
     from pyspark.sql import functions as F
@@ -363,7 +449,7 @@ def merge_versioned(
         ).parquet(os.path.join(path, f"{job_col}={new_job}"))
         new_jobs.append(new_job)
     updates.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
-    return _commit_manifest(path, job_col, new_jobs + [job_id])
+    return _commit_manifest(path, job_col, new_jobs + [job_id], base_version=cur_v)
 
 
 def list_versions(path: str) -> list[tuple[int, list[str]]]:
@@ -384,7 +470,15 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     """Read a versioned-append table AS OF ``version`` (default: latest).
     The manifest's job set becomes an IN-filter on the partition column —
     pure directory pruning, so reading v1 of a 1000-version table scans
-    only v1's files."""
+    only v1's files.
+
+    Reads with ``mergeSchema`` so versioned appends COMPOSE with
+    additive schema evolution: a column added by a later append
+    surfaces as NULL in earlier jobs' rows instead of being silently
+    dropped by the default footer-on-faith schema (the exact trap
+    :func:`read_parquet_merged`'s docstring warns about). At 100 TB
+    scale cache the merged schema in a catalog rather than re-merging
+    footers per read."""
     versions = dict(list_versions(path))
     if not versions:
         raise ValueError(f"no versions committed under {path}")
@@ -394,7 +488,7 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     mpath = os.path.join(path, "_manifests", f"v{n}.json")
     with open(mpath) as fh:
         job_col = json.load(fh)["job_col"]
-    df = spark.read.parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     return df.filter(df[job_col].isin(versions[n])).drop(job_col)
 
 
@@ -403,8 +497,12 @@ def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[i
     maintenance pass the append_* sinks' docstrings promise ("one
     directory per ingest batch … compact periodically"). Reads the
     directory, rewrites it as ``ceil(bytes / target_mb)`` files, and
-    atomically swaps the result in (directory rename; readers started
-    before the swap keep their snapshot on POSIX).
+    swaps the result in via two directory renames. The swap is
+    NEAR-atomic, not atomic: between the two renames ``path`` briefly
+    does not exist, and removing the old directory races readers still
+    in their listing phase — schedule compaction in a maintenance
+    window, or use the versioned sinks (manifest-pointer commit) when
+    readers must never block.
 
     Returns (files_before, files_after). 100 TB notes: run per
     partition directory (so compaction parallelism = partitions and a

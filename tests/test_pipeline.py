@@ -263,3 +263,125 @@ def test_merge_versioned_single_commit_upsert(spark, tmp_path):
     assert old[3] == 3.0 and 100 not in old and len(old) == 10
     # both touched jobs rewritten, updates landed as their own job
     assert IO.list_versions(path)[-1][1] == ["b1.m2", "b2.m2", "u1"]
+
+
+def test_append_retry_after_delete_does_not_resurrect(spark, tmp_path):
+    """Round-5 advice: retry dedup must consult ALL manifests — a job_id
+    whose partition was rewritten by delete_where is still committed
+    history, and re-appending it would resurrect the deleted rows."""
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    df = spark.createDataFrame(
+        [(i, "drop" if i < 3 else "keep") for i in range(6)], "id long, tag string"
+    )
+    IO.append_versioned(df, path, "b1")
+    v = IO.delete_where(spark, path, F.col("tag") == "drop")
+    # retry of b1 after the rewrite: no-op, no new version, no resurrection
+    assert IO.append_versioned(df, path, "b1") == v
+    latest = IO.read_version(spark, path)
+    assert latest.count() == 3
+    assert latest.filter(F.col("tag") == "drop").count() == 0
+    assert IO.list_versions(path)[-1][1] == [f"b1.d{v}"]
+
+
+def test_merge_versioned_rejects_recycled_job_id(spark, tmp_path):
+    """A job_id from an OLDER manifest (even one since rewritten) must be
+    rejected — overwriting its directory would corrupt time travel."""
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    base = spark.createDataFrame([(i, float(i)) for i in range(4)], "k long, v double")
+    IO.append_versioned(base, path, "b1")
+    updates = spark.createDataFrame([(0, 99.0)], "k long, v double")
+    v = IO.merge_versioned(spark, path, updates, ["k"], "u1")
+    # retry with the just-committed id: idempotent no-op
+    assert IO.merge_versioned(spark, path, updates, ["k"], "u1") == v
+    # recycling b1 (now rewritten to b1.m1, base name still committed history)
+    with pytest.raises(ValueError, match="already committed"):
+        IO.merge_versioned(spark, path, updates, ["k"], "b1")
+    # history intact after the rejected attempt
+    assert {r.k: r.v for r in IO.read_version(spark, path, 0).collect()}[0] == 0.0
+
+
+def test_cow_commit_detects_concurrent_writer(spark, tmp_path):
+    """delete/merge plan their rewrite against a base version; if another
+    writer commits first, the manifest claim must FAIL (lost-update
+    guard), not silently publish a job list missing the other commit."""
+    import json as _json
+    import os as _os
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    df = spark.createDataFrame(
+        [(i, "drop" if i % 2 else "keep") for i in range(6)], "id long, tag string"
+    )
+    IO.append_versioned(df, path, "b1")
+    # simulate a concurrent append committing v1 after delete_where read v0:
+    # claim the v1 slot out from under the COW commit
+    orig = IO._commit_manifest
+
+    def _race_then_commit(p, job_col, job_ids, base_version=None):
+        mdir = _os.path.join(p, "_manifests")
+        slot = _os.path.join(mdir, "v1.json")
+        if not _os.path.exists(slot):
+            with open(slot, "w") as fh:
+                _json.dump(
+                    {"version": 1, "job_col": job_col, "job_ids": ["b1", "b9"]}, fh
+                )
+        return orig(p, job_col, job_ids, base_version)
+
+    IO._commit_manifest = _race_then_commit
+    try:
+        with pytest.raises(IO.ConcurrentCommitError):
+            IO.delete_where(spark, path, F.col("tag") == "drop")
+    finally:
+        IO._commit_manifest = orig
+    # the concurrent writer's commit is intact
+    assert IO.list_versions(path)[-1] == (1, ["b1", "b9"])
+
+
+def test_versioned_concurrent_local_writers(spark, tmp_path):
+    """Round-5 advice: pin the manifest-claim semantics under concurrent
+    LOCAL writers — N threads appending distinct job_ids must all commit,
+    claim N distinct consecutive versions, and lose no rows. (On S3 this
+    O_EXCL claim does not exist — see DESIGN.md 'Versioned-commit S3
+    boundary'.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    dfs = {
+        f"job-{i}": spark.range(i * 10, i * 10 + 5).withColumnRenamed("id", "v")
+        for i in range(4)
+    }
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(
+            ex.map(lambda kv: IO.append_versioned(kv[1], path, kv[0]), dfs.items())
+        )
+    assert sorted(versions) == [0, 1, 2, 3]
+    final_v, final_jobs = IO.list_versions(path)[-1]
+    assert final_v == 3 and sorted(final_jobs) == sorted(dfs)
+    assert IO.read_version(spark, path).count() == 20
+
+
+def test_read_version_merges_schema(spark, tmp_path):
+    """Round-5 advice: versioned appends compose with additive schema
+    evolution — a column added by a later append must surface (as NULL
+    for earlier jobs), not be silently dropped by a footer-on-faith
+    schema."""
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    IO.append_versioned(spark.createDataFrame([(1,)], "id long"), path, "b1")
+    IO.append_versioned(
+        spark.createDataFrame([(2, 9.5)], "id long, extra double"), path, "b2"
+    )
+    latest = IO.read_version(spark, path)
+    assert "extra" in latest.columns
+    rows = {r.id: r for r in latest.collect()}
+    assert rows[1].extra is None and rows[2].extra == 9.5
+    # time travel to v0 still works (column may be absent or NULL there)
+    assert IO.read_version(spark, path, 0).count() == 1
