@@ -6,7 +6,7 @@ interprets them until an explicit decode step). Decode/feature-extract
 run as Arrow-batched ``mapInPandas`` / pandas UDFs so bytes cross the
 JVM↔Python boundary once per batch, not per row.
 
-Decode status by modality (round 4): **audio, image AND video decode
+Decode status by modality (round 4/5): **audio, image AND video decode
 are REAL** — RIFF/WAVE parsed with stdlib ``wave`` (``decode_wav``),
 24-bit BMP parsed from the raw header + pixel rows with numpy
 (``decode_bmp``), and YUV4MPEG2 video parsed from the plain-text header
@@ -14,10 +14,11 @@ are REAL** — RIFF/WAVE parsed with stdlib ``wave`` (``decode_wav``),
 end-to-end against closed-form fixture formulas. Real transforms:
 BMP box downsample (``resize_bmp``), WAV decimation (``resample_wav``),
 per-frame luma sampling (``sample_y4m_frames``), 8-dim image
-descriptors (``extract_image_features``). The ``*_stub`` kernels are
-kept only as the documented fallback shape for codecs that genuinely
-need external libs (JPEG/PNG/MP4/H.264), where swapping the stub for
-PIL/ffmpeg changes one inner function; no contract query runs a stub.
+descriptors (``extract_image_features``). The round-1 ``*_stub``
+kernels over fake bytes were deleted in round 5 — every shipped API
+path decodes a real container format. Codecs that genuinely need
+external libs (JPEG/PNG/MP4/H.264) follow the same shape: swap the
+inner per-payload kernel, keep the mapInPandas plumbing.
 
 100 TB notes: binary payloads dominate partition sizing — set
 ``maxRecordsPerFile`` / ``files.maxPartitionBytes`` by payload size, not
@@ -55,125 +56,6 @@ MEDIA_SCHEMA = StructType(
         StructField("duration_ms", IntegerType()),
     ]
 )
-
-IMAGE_FEATURES_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("n_bytes", IntegerType()),
-        StructField("feature", ArrayType(FloatType())),
-    ]
-)
-
-
-def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (no codecs in this container):
-    payload bytes are a seeded function of media_id."""
-    rows = []
-    for i in range(n):
-        payload = bytes(((i * 31 + j * 7) % 256) for j in range(128 + (i % 5) * 16))
-        kind = ("image", "audio", "video")[i % 3]
-        rows.append((i, kind, payload, f"application/x-fake-{kind}", 64 + i % 32, 48 + i % 24, 1000 * (1 + i % 10)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
-
-
-def decode_image_stub(payload: bytes, dim: int = 8) -> list[float]:
-    """STUB decode kernel — deterministic fake feature vector from bytes.
-
-    A real implementation would decode with PIL and pool pixels; this
-    container has no image libs, so we hash-pool the raw bytes instead
-    (keeps the full pipeline testable and deterministic).
-    """
-    if payload is None:
-        raise NotImplementedError("real image decoding requires PIL — not in this container")
-    acc = [0.0] * dim
-    for j, b in enumerate(payload):
-        acc[j % dim] += float(b)
-    n = max(len(payload), 1)
-    return [round(a / n, 6) for a in acc]
-
-
-def extract_features(df: DataFrame, dim: int = 8, batch_hint: int = 1024) -> DataFrame:
-    """Feature extraction over binary payloads via ``mapInPandas``:
-    Arrow-batched, one Python roundtrip per batch, output drops the
-    payload immediately (never shuffle raw bytes)."""
-
-    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
-
-    ensure_package_on_executors(df.sparkSession)
-
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int32"),
-                    "feature": pdf["payload"].map(lambda b: decode_image_stub(b, dim)),
-                }
-            )
-
-    return df.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
-
-
-def sample_video_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Frame-sampling plan for video rows: explodes a frame-timestamp
-    index per video (metadata-driven — the decode of each frame stays
-    stubbed). Shows the explode-then-process shape used for real frame
-    extraction at scale."""
-    frames = df.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
-    )
-    return frames
-
-
-RESIZED_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("out_width", IntegerType()),
-        StructField("out_height", IntegerType()),
-        StructField("payload", BinaryType()),
-    ]
-)
-
-
-def resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
-    """STUB resize kernel (no PIL in this container): deterministic
-    truncate/cycle of the source bytes to w*h length. Swap for a real
-    ``PIL.Image.resize`` without touching the Spark plumbing.
-
-    Raises NotImplementedError for non-positive targets the way a real
-    codec would reject a bad geometry.
-    """
-    if w <= 0 or h <= 0:
-        raise NotImplementedError("real codec required for degenerate geometry")
-    need = w * h
-    if not payload:
-        return b"\x00" * need
-    reps = need // len(payload) + 1
-    return (payload * reps)[:need]
-
-
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize image rows to (width, height) via Arrow-batched
-    mapInPandas — bytes cross the JVM boundary once per batch. Only
-    ``kind == 'image'`` rows are sent to Python (filter pushed to the
-    scan); payload size is metadata-checked downstream, not decoded."""
-
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "out_width": width,
-                    "out_height": height,
-                    "payload": pdf["payload"].map(
-                        lambda b: resize_image_stub(b, width, height)
-                    ),
-                }
-            )
-
-    return df.filter(F.col("kind") == "image").mapInPandas(_resize, RESIZED_SCHEMA)
-
 
 # ---------------------------------------------------------------------------
 # REAL decoders (round 2): formats the standard library can decode.

@@ -643,6 +643,7 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_col: Column | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """Token-budgeted document packing: assign each doc a ``pack_id`` so
     cumulative token counts within a pack stay ≤ budget (greedy in
@@ -656,21 +657,23 @@ def pack_documents(
     formulation (exact greedy is inherently sequential). Deterministic
     given the ordering.
 
-    At scale, partition the window by a shard column (e.g.
-    ``pmod(hash(id), n_shards)``) so no single task sorts the corpus;
-    packs are then unique per (shard, pack_id).
+    The window is ALWAYS sharded — packs are unique per
+    ``(shard, pack_id)``. ``shard_col`` defaults to
+    ``pmod(xxhash64(id), n_shards)`` so the default plan never runs a
+    single-task global sort over the corpus (the round-4 scale flag);
+    pass an explicit ``shard_col`` to align shards with a natural
+    boundary (source file, language, date bucket) or a cheaper
+    pre-partitioned column.
     """
     from pyspark.sql import Window
 
     toks = token_count(text_col).alias("n_tokens")
     base = df.select(F.col(id_col), toks)
     if shard_col is None:
-        w = Window.orderBy(id_col)
-        shard = F.lit(0)
-    else:
-        base = base.withColumn("__shard", shard_col)
-        w = Window.partitionBy("__shard").orderBy(id_col)
-        shard = F.col("__shard")
+        shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    base = base.withColumn("__shard", shard_col)
+    w = Window.partitionBy("__shard").orderBy(id_col)
+    shard = F.col("__shard")
     cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1))
     out = base.select(
         id_col,

@@ -1,68 +1,41 @@
-"""Multimodal plumbing tests: schema, Arrow batch path, frame sampling.
+"""Multimodal tests over the REAL decode kernels (WAV/BMP/Y4M).
 
-Decode kernels are stubbed (no codecs in container) — these tests verify
-the Spark-side plumbing is real: binary columns survive the round trip,
-mapInPandas batches flow, output schema is typed.
+The round-1 fake-byte stubs were deleted in round 5; the plumbing
+concerns they covered (binary columns survive a parquet round trip,
+mapInPandas Arrow batches flow, output schema is typed, results are
+deterministic) are asserted here against the real container formats,
+plus closed-form value checks of every decoder.
 """
 
 from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
 
 
-def test_fake_media_roundtrip(spark, tmp_path):
-    df = MM.make_fake_media(spark, n=12)
+def test_media_parquet_roundtrip_real_payloads(spark, tmp_path):
+    """Real encoded payloads (WAV here) survive the binary-column parquet
+    round trip byte-identically and keep the typed MEDIA_SCHEMA."""
+    df = MM.make_wav_media(spark, n=6)
     path = str(tmp_path / "media")
     df.write.parquet(path)
     back = spark.read.parquet(path)
     assert back.schema == MM.MEDIA_SCHEMA
-    assert back.count() == 12
-    payload = back.filter("media_id = 3").collect()[0].payload
-    assert isinstance(payload, bytearray | bytes) and len(payload) > 0
+    assert back.count() == 6
+    orig = {r.media_id: bytes(r.payload) for r in df.collect()}
+    rt = {r.media_id: bytes(r.payload) for r in back.collect()}
+    assert rt == orig
+    # decode still works after the round trip (bytes truly unmangled)
+    rows = {r.media_id: r for r in MM.decode_audio_features(back).collect()}
+    assert rows[2].sample_rate == 8000
 
 
-def test_extract_features_shapes(spark):
-    df = MM.make_fake_media(spark, n=10)
-    feats = MM.extract_features(df, dim=8)
-    rows = feats.collect()
-    assert len(rows) == 10
-    for r in rows:
-        assert len(r.feature) == 8
-        assert r.n_bytes > 0
-
-
-def test_extract_features_deterministic(spark):
-    df = MM.make_fake_media(spark, n=5)
-    a = {r.media_id: r.feature for r in MM.extract_features(df).collect()}
-    b = {r.media_id: r.feature for r in MM.extract_features(df).collect()}
+def test_image_features_shape_and_determinism(spark):
+    """extract_image_features: typed 8-dim vector per image, stable
+    across identical runs (Arrow batch path is deterministic)."""
+    df = MM.make_bmp_media(spark, n=8)
+    a = {r.media_id: r.feature for r in MM.extract_image_features(df).collect()}
+    b = {r.media_id: r.feature for r in MM.extract_image_features(df).collect()}
+    assert len(a) == 8
+    assert all(len(v) == 8 for v in a.values())
     assert a == b
-
-
-def test_video_frame_sampling(spark):
-    df = MM.make_fake_media(spark, n=9)
-    frames = MM.sample_video_frames(df, every_ms=500)
-    rows = frames.collect()
-    assert all(r.frame_ts_ms % 500 == 0 for r in rows)
-    # every video contributes duration/500 + 1 frames
-    vids = {r.media_id for r in rows}
-    assert vids == {i for i in range(9) if i % 3 == 2}
-
-
-def test_resize_images_shape_and_determinism(spark):
-    df = MM.make_fake_media(spark, n=9)
-    out = MM.resize_images(df, 16, 8).collect()
-    # only image rows pass through, payload resized to exactly w*h bytes
-    assert {r.media_id for r in out} == {i for i in range(9) if i % 3 == 0}
-    assert all(len(r.payload) == 16 * 8 for r in out)
-    again = MM.resize_images(df, 16, 8).collect()
-    assert {r.media_id: bytes(r.payload) for r in out} == {
-        r.media_id: bytes(r.payload) for r in again
-    }
-
-
-def test_resize_stub_rejects_bad_geometry():
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        MM.resize_image_stub(b"abc", 0, 8)
 
 
 def test_wav_decode_roundtrip(spark):

@@ -146,13 +146,21 @@ def test_text_pack_window_is_sharded_not_global(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_unsharded_pack_keeps_explicit_escape_hatch(spark, sf_dir):
-    # shard_col=None stays available for small inputs, and IS global
+def test_pack_default_is_sharded_no_single_partition_window(spark, sf_dir):
+    """Round-5 advice: the DEFAULT pack_documents call (no shard_col)
+    must hash-shard the window — the shard_col=None fallback used to be
+    a single-task global sort of the corpus, the one API footgun left
+    after round 4. Explicit shard_col still works (q_text_pack)."""
     from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
 
     docs = load_table(spark, sf_dir, "documents")
     out = TX.pack_documents(docs, token_budget=2000)
-    assert "SinglePartition" in plan_string(out, "simple")
+    plan = plan_string(out)
+    assert "hashpartitioning(__shard" in plan
+    assert "Exchange SinglePartition" not in plan
+    # packs are keyed per shard and the default shard count holds
+    n_shards = out.select("shard").distinct().count()
+    assert 1 < n_shards <= 64
 
 
 def test_dedup_pipeline_exchange_ceiling(spark, sf_dir):
