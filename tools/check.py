@@ -52,6 +52,56 @@ def df_to_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
 
 
+def compare_results(
+    scols: list[str],
+    sdtypes: list[str],
+    srows: list[tuple],
+    ocols: list[str],
+    otypes: list[str],
+    orows: list[tuple],
+) -> list[str]:
+    """Pure comparison core (unit-testable without Spark/DuckDB):
+    returns the list of problems, empty = OK.
+
+    - Type traps fire SYMMETRICALLY: DuckDB HUGEINT/DECIMAL *or* Spark
+      DecimalType — the driver's value hasher is type-sensitive, so a
+      decimal128 on either side hash-mismatches identical values (the
+      r2 q_sql_tpch_q12 episode).
+    - The values-match/differ verdict is reported even when a type trap
+      fires (that diagnostic is what locates the bad column).
+
+    ``sdtypes`` are Spark ``simpleString()`` forms, ``otypes`` DuckDB
+    type names upper-cased.
+    """
+    problems: list[str] = []
+    traps = [
+        f"oracle {c}:{t}"
+        for c, t in zip(ocols, otypes)
+        if "HUGEINT" in t or t.startswith("DECIMAL")
+    ]
+    traps += [
+        f"spark {c}:{t}" for c, t in zip(scols, sdtypes) if t.startswith("decimal")
+    ]
+    if traps:
+        problems.append(
+            "type trap (driver hasher sees decimal128): "
+            + ", ".join(traps) + " — CAST to BIGINT/DOUBLE"
+        )
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+    if len(srows) == len(orows) and sorted(scols) == sorted(ocols):
+        s_norm = df_to_rows(scols, srows)
+        o_norm = df_to_rows(ocols, orows)
+        if s_norm != o_norm:
+            diffs = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:3]
+            problems.append(f"values differ; first diffs: {diffs}")
+        elif traps:
+            problems.append("(normalized values DO agree — trap is type-only)")
+    return problems
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -92,42 +142,8 @@ def main():
             print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
             failed += 1
             continue
-        problems = []
-        # The driver's value hasher is TYPE-sensitive: DECIMAL values
-        # surface through Arrow as decimal128 while the other engine
-        # emits bigint/double, so identical values hash-mismatch (the r2
-        # q_sql_tpch_q12 episode: DuckDB integer-SUM → HUGEINT).
-        # normalize() below hides the gap locally, so flag decimal-ish
-        # output columns on EITHER side as hard failures.
-        traps = [
-            f"oracle {c}:{t}" for c, t in zip(ocols, otypes)
-            if "HUGEINT" in t or t.startswith("DECIMAL")
-        ]
-        traps += [
-            f"spark {f.name}:{f.dataType.simpleString()}"
-            for f in sdf.schema.fields
-            if f.dataType.simpleString().startswith("decimal")
-        ]
-        if traps:
-            problems.append(
-                "type trap (driver hasher sees decimal128): "
-                + ", ".join(traps) + " — CAST to BIGINT/DOUBLE"
-            )
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
-        # value comparison runs whenever rows/columns line up — a type
-        # trap alone must not suppress the values-match/differ verdict
-        # (that diagnostic is what locates the bad column)
-        if len(srows) == len(orows) and sorted(scols) == sorted(ocols):
-            s_norm = df_to_rows(scols, srows)
-            o_norm = df_to_rows(ocols, orows)
-            if s_norm != o_norm:
-                diffs = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diffs}")
-            elif traps:
-                problems.append("(normalized values DO agree — trap is type-only)")
+        sdtypes = [f.dataType.simpleString() for f in sdf.schema.fields]
+        problems = compare_results(scols, sdtypes, srows, ocols, otypes, orows)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed += 1
