@@ -1976,6 +1976,57 @@ def q_stream_foreach_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """E35f (round 5): CDC changelog replayed as a STREAM into a
+    versioned table, merge-on-read — closes the loop between the CDC
+    (q_cdc_apply) and streaming surfaces. The same derived I/U/D log
+    over customer (seq1 inserts all, seq2 updates custkey%13, seq3
+    deletes custkey%29) is written as three files, replayed one file
+    per micro-batch, and appended idempotently per batch id
+    (``streaming.cdc_changelog_sink`` → ``io.append_versioned``); the
+    final state is changelog compaction over the accumulated log
+    (``streaming.cdc_read_state``). A deliberate re-append of batch 0
+    (simulating foreachBatch's crash-between-sink-and-checkpoint
+    redelivery) must be a cross-manifest-dedup no-op — asserted
+    in-query, so a regression turns the driver row red. Oracle: the
+    q_cdc_apply window twin (final state is micro-batch- and
+    order-independent)."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+    from nyc_tlc_trip_data_pipelines_spark.io import append_versioned, list_versions
+    from nyc_tlc_trip_data_pipelines_spark.streaming import read_file_stream
+
+    c = load_table(spark, sf, "customer")
+    ins = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 6).alias("bal"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") + 100.0, 6).alias("bal"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    dels = c.filter(F.col("c_custkey") % 29 == 0).select(
+        "c_custkey", "c_name", F.lit(0.0).alias("bal"),
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = os.path.join(d, "changelog")
+    for batch in (ins, upd, dels):  # one file each → one micro-batch each
+        batch.coalesce(1).write.mode("append").parquet(src)
+    stream = read_file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    table = os.path.join(d, "state")
+    ST.cdc_changelog_sink(
+        stream, table, os.path.join(d, "ckpt")
+    ).awaitTermination()
+    n_versions = len(list_versions(table))
+    # redelivered micro-batch: must dedup, not re-append
+    append_versioned(ins, table, "cdc-b0")
+    assert len(list_versions(table)) == n_versions, "batch redelivery minted a version"
+    state = ST.cdc_read_state(spark, table, ["c_custkey"], "seq")
+    return O.sort(state.select("c_custkey", "c_name", "bal"), ["c_custkey"])
+
+
 def q_stream_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     """E35e: dead-letter routing — every micro-batch splits on a
     validity gate (value in [0, 100) and event_type known); valid rows
@@ -3010,22 +3061,80 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness budget covers exactly
-    # the FIRST 50 keys of this dict (confirmed: CORRECTNESS_r03 keys ==
-    # prefix-50, in order). Rounds 1-3 all sampled the same two prefixes
-    # and produced driver rows for 98 distinct ids; this round-4 order
-    # puts (a) the two round-3 red rows (TIMESTAMP_NTZ cast crash, fixed
-    # in catalog.load_table) first so the fix gets driver evidence, then
-    # (b) 48 of the 65 never-driver-checked ids — the round-2
-    # corpus/DQ/timeseries/graph/multimodal block, TPC-H q2..q22, the
-    # streaming block, and the ANN/quantize/skew block. Round 5: move
-    # the post-boundary never-checked ids (scd2/json_flatten/
-    # text_normalize, batch-2 variants, sinks, no-oracle tail, anything
-    # added this round) into the prefix.
+    # the FIRST 50 keys of this dict (confirmed every round since r3:
+    # CORRECTNESS keys == prefix-50, in order). Cumulative driver
+    # coverage after round 4: 146/173 distinct ids checked. This
+    # round-5 order puts (a) the 27 never-driver-checked ids — the r1b
+    # batch-2/sink/join-variant wave and the whole round-4
+    # Delta-CRUD/sampling/multimodal-video wave, (b) the two ids whose
+    # only driver rows are stale round-1 FAILs predating their round-4
+    # oracle rework (q_source_discovery, q_text_fingerprint), (c) the
+    # new round-5 q_stream_cdc_apply, and (d) 20 of the 46 ids whose
+    # only green row is round-1 (they've never faced the reworked
+    # type-sensitive hasher) — UDF/sink/DDL/join/window paths first.
+    # After this round only 26 r1-green low-risk scalar/filter ids
+    # remain single-round-checked.
     return {
-        # — round-3 red rows: NTZ cast crash, re-prove the fix —
+        # — (a) never driver-checked: r1b leftovers —
+        "q_scd2_merge": q_scd2_merge,
+        "q_json_flatten": q_json_flatten,
+        "q_text_normalize": q_text_normalize,
+        "q_window_first_last": q_window_first_last,
+        "q_agg_collect_list": q_agg_collect_list,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_bucketed": q_join_bucketed,
+        "q_join_salted": q_join_salted,
+        "q_set_ops_all": q_set_ops_all,
+        "q_string_funcs2": q_string_funcs2,
+        "q_date_extract2": q_date_extract2,
+        "q_sink_json": q_sink_json,
+        "q_sink_orc": q_sink_orc,
+        # — (a) never driver-checked: round-4 wave —
+        "q_multimodal_video_decode": q_multimodal_video_decode,
+        "q_multimodal_features": q_multimodal_features,
+        "q_multimodal_framesample": q_multimodal_framesample,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_time_travel": q_time_travel,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_stable_split": q_stable_split,
+        "q_sample_per_group": q_sample_per_group,
+        "q_dq_profile": q_dq_profile,
+        "q_compact": q_compact,
+        "q_schema_evolution": q_schema_evolution,
+        "q_delete_where": q_delete_where,
+        "q_merge_versioned": q_merge_versioned,
+        # — (b) stale round-1 FAIL rows, oracles reworked in r4 —
+        "q_source_discovery": q_source_discovery,
+        "q_text_fingerprint": q_text_fingerprint,
+        # — (c) new round-5: streamed CDC replay into a versioned table —
+        "q_stream_cdc_apply": q_stream_cdc_apply,
+        # — (d) r1-green-only ids, riskiest paths first: UDFs, sinks,
+        #   DDL, joins, windows, semi-structured —
+        "q_udf_scalar": q_udf_scalar,
+        "q_udaf_grouped": q_udaf_grouped,
+        "q_udtf_tokenize": q_udtf_tokenize,
+        "q_sink_append": q_sink_append,
+        "q_sink_partitioned": q_sink_partitioned,
+        "q_sink_csv": q_sink_csv,
+        "q_ddl_create": q_ddl_create,
+        "q_join_broadcast": q_join_broadcast,
+        "q_join_star": q_join_star,
+        "q_join_range": q_join_range,
+        "q_join_cross": q_join_cross,
+        "q_window_avg_two_grains": q_window_avg_two_grains,
+        "q_window_rank": q_window_rank,
+        "q_window_lag_lead": q_window_lag_lead,
+        "q_window_running_sum": q_window_running_sum,
+        "q_map_funcs": q_map_funcs,
+        "q_json_extract": q_json_extract,
+        "q_text_wordcount": q_text_wordcount,
+        "q_text_quality": q_text_quality,
+        "q_text_token_count": q_text_token_count,
+        # ——— driver-budget boundary (50) ———
+        # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
-        # — corpus-curation / DQ / timeseries / graph (round 2), never checked —
         "q_dedup_pipeline": q_dedup_pipeline,
         "q_decontaminate": q_decontaminate,
         "q_repetition_profile": q_repetition_profile,
@@ -3050,7 +3159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize_real": q_multimodal_resize_real,
         "q_ann_recall": q_ann_recall,
         "q_stream_quarantine": q_stream_quarantine,
-        # — TPC-H completion, never checked —
         "q_sql_tpch_q2": q_sql_tpch_q2,
         "q_sql_tpch_q11": q_sql_tpch_q11,
         "q_sql_tpch_q13": q_sql_tpch_q13,
@@ -3061,7 +3169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_tpch_q20": q_sql_tpch_q20,
         "q_sql_tpch_q21": q_sql_tpch_q21,
         "q_sql_tpch_q22": q_sql_tpch_q22,
-        # — streaming (availableNow drain == batch oracle), never checked —
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_sliding": q_stream_sliding,
         "q_stream_session": q_stream_session,
@@ -3070,43 +3177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_watermark": q_stream_watermark,
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_foreach_batch": q_stream_foreach_batch,
-        # — graph / vector / ANN, never checked —
         "q_graph_components": q_graph_components,
         "q_vector_quantize": q_vector_quantize,
         "q_skew_profile": q_skew_profile,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_dedup_embedding": q_dedup_embedding,
-        # ——— driver-budget boundary (50) — round-5 prefix candidates ———
-        "q_scd2_merge": q_scd2_merge,
-        "q_json_flatten": q_json_flatten,
-        "q_text_normalize": q_text_normalize,
-        "q_window_first_last": q_window_first_last,
-        "q_agg_collect_list": q_agg_collect_list,
-        "q_join_full_outer": q_join_full_outer,
-        "q_join_bucketed": q_join_bucketed,
-        "q_join_salted": q_join_salted,
-        "q_set_ops_all": q_set_ops_all,
-        "q_string_funcs2": q_string_funcs2,
-        "q_date_extract2": q_date_extract2,
-        "q_sink_json": q_sink_json,
-        "q_sink_orc": q_sink_orc,
-        # — round-4 additions / newly-oracled (real multimodal kernels,
-        #   portable simhash) —
-        "q_multimodal_video_decode": q_multimodal_video_decode,
-        "q_multimodal_features": q_multimodal_features,
-        "q_multimodal_framesample": q_multimodal_framesample,
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_time_travel": q_time_travel,
-        "q_bpe_pairs": q_bpe_pairs,
-        "q_stable_split": q_stable_split,
-        "q_sample_per_group": q_sample_per_group,
-        "q_dq_profile": q_dq_profile,
-        "q_compact": q_compact,
-        "q_schema_evolution": q_schema_evolution,
-        "q_delete_where": q_delete_where,
-        "q_merge_versioned": q_merge_versioned,
         # — green driver rows in rounds 1-3 (still gated by tools/check.py) —
         "q_join_anti": q_join_anti,
         "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -3156,7 +3232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_string_distance": q_string_distance,
         "q_incremental_agg": q_incremental_agg,
         "q_grouped_map": q_grouped_map,
-        # — green in CORRECTNESS_r01.json (still gated by tools/check.py) —
+        # — green in CORRECTNESS_r01.json (still gated by tools/check.py);
+        #   the 26 remaining single-round-checked ids: low-risk
+        #   scalar/filter/projection/base-agg paths —
         "q_count": q_count,
         "q_cast_schema": q_cast_schema,
         "q_filter_time_range": q_filter_time_range,
@@ -3164,29 +3242,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_project_drop": q_project_drop,
         "q_derive_year_month": q_derive_year_month,
         "q_groupby_avg_orderby": q_groupby_avg_orderby,
-        "q_window_avg_two_grains": q_window_avg_two_grains,
         "q_date_arithmetic": q_date_arithmetic,
-        "q_source_discovery": q_source_discovery,
-        "q_sink_append": q_sink_append,
-        "q_sink_partitioned": q_sink_partitioned,
-        "q_sink_csv": q_sink_csv,
-        "q_ddl_create": q_ddl_create,
         "q_filter_predicates": q_filter_predicates,
         "q_project_case": q_project_case,
         "q_join_inner": q_join_inner,
         "q_join_outer": q_join_outer,
         "q_join_semi": q_join_semi,
-        "q_join_broadcast": q_join_broadcast,
-        "q_join_star": q_join_star,
-        "q_join_range": q_join_range,
-        "q_join_cross": q_join_cross,
         "q_agg_basic": q_agg_basic,
         "q_agg_count_distinct": q_agg_count_distinct,
         "q_agg_rollup": q_agg_rollup,
         "q_agg_having": q_agg_having,
-        "q_window_rank": q_window_rank,
-        "q_window_lag_lead": q_window_lag_lead,
-        "q_window_running_sum": q_window_running_sum,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
         "q_dedup_exact": q_dedup_exact,
@@ -3195,16 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_math_funcs": q_math_funcs,
         "q_array_explode": q_array_explode,
         "q_array_posexplode": q_array_posexplode,
-        "q_json_extract": q_json_extract,
         "q_null_funcs": q_null_funcs,
-        "q_map_funcs": q_map_funcs,
-        "q_udf_scalar": q_udf_scalar,
-        "q_udaf_grouped": q_udaf_grouped,
-        "q_udtf_tokenize": q_udtf_tokenize,
-        "q_text_wordcount": q_text_wordcount,
-        "q_text_quality": q_text_quality,
-        "q_text_token_count": q_text_token_count,
-        "q_text_fingerprint": q_text_fingerprint,
     }
 
 
@@ -3850,6 +3906,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(madt.md), 6) AS mad
             FROM dev JOIN madt USING (user_id)
             GROUP BY dev.user_id ORDER BY dev.user_id
+        """,
+        # round 5: the streamed CDC replay converges to the SAME final
+        # state as the batch apply (micro-batch- and order-independent),
+        # so the oracle is the identical window twin
+        "q_stream_cdc_apply": """
+            WITH ops AS (
+                SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS bal,
+                       'I' AS op, 1 AS seq
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, c_name, ROUND(c_acctbal + 100.0, 6) AS bal,
+                       'U' AS op, 2 AS seq
+                FROM customer WHERE c_custkey % 13 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, 0.0 AS bal, 'D' AS op, 3 AS seq
+                FROM customer WHERE c_custkey % 29 = 0
+            ), latest AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                             ORDER BY seq DESC, op DESC) AS rn
+                FROM ops
+            )
+            SELECT c_custkey, c_name, bal
+            FROM latest WHERE rn = 1 AND op <> 'D'
+            ORDER BY c_custkey
         """,
         "q_cdc_apply": """
             WITH ops AS (

@@ -46,6 +46,16 @@ EXTENDED = [
     "q_entity_resolve",
 ]
 
+# round-5: the Delta-CRUD analogs do real filesystem work (partition
+# writes, manifest commits, COW rewrites, compaction); tracked as their
+# own section so manifest/compaction I/O regressions are visible before
+# they reach a driver round
+VERSIONED_IO = [
+    "q_time_travel",
+    "q_merge_versioned",
+    "q_compact",
+]
+
 
 PASSES = 3
 
@@ -66,6 +76,63 @@ def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
     return timings
 
 
+def _skew_bench(spark, sf_dir) -> dict[str, float]:
+    """Skew-join hardening proof (round-5 verdict item 6): one hot key
+    holds 50% of the fact rows (orders with even o_orderkey collapse to
+    key 0). Times the plain shuffle equi-join vs operators/skew
+    salted_join on the same fixture, with auto-broadcast and AQE
+    skew-splitting disabled so the comparison isolates the salting —
+    i.e. the regime where a 100 TB deployment reaches for salting
+    because the dim is too big to broadcast and AQE splitting isn't
+    enough. Salted ≲ plain is the invariant; the ratio is the signal.
+    """
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    skewed = o.withColumn(
+        "k",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(0).cast("long")).otherwise(
+            F.col("o_custkey").cast("long")
+        ),
+    ).select("k", "o_orderkey")
+    dim = (
+        skewed.select("k")
+        .distinct()
+        .withColumn("payload", (F.col("k") % 25).cast("int"))
+    )
+
+    def plain():
+        return skewed.join(dim, "k").groupBy("payload").count()
+
+    def salted():
+        return salted_join(skewed, dim, ["k"], salt_buckets=16).groupBy("payload").count()
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out: dict[str, float] = {}
+        for name, fn in (("plain_hotkey", plain), ("salted_hotkey", salted)):
+            fn().count()  # warmup
+            best = float("inf")
+            for _ in range(PASSES):
+                t0 = time.perf_counter()
+                fn().count()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as E
@@ -75,11 +142,13 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
     extended = _timed_pass(qs, EXTENDED, spark, sf_dir)
+    versioned_io = _timed_pass(qs, VERSIONED_IO, spark, sf_dir)
+    skew_join = _skew_bench(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -91,6 +160,9 @@ def main() -> None:
                 "queries": timings,
                 "extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "versioned_io": versioned_io,
+                "versioned_io_total": round(sum(versioned_io.values()), 3),
+                "skew_join": skew_join,
                 "passes": PASSES,
                 "sf": float(sf) if sf else sf_dir,
             }

@@ -241,6 +241,65 @@ def foreach_batch_parquet_sink(
     )
 
 
+def cdc_changelog_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+) -> "StreamingQuery":  # noqa: F821
+    """CDC-over-stream sink, merge-on-read (round-5): each micro-batch of
+    I/U/D changelog ops lands as its OWN committed version of a
+    versioned-append table (``io.append_versioned`` keyed on the batch
+    id), and the current table state is computed at read time by
+    :func:`cdc_read_state` — changelog compaction over the accumulated
+    log. This is the Hudi merge-on-read / Delta CDF consumer shape:
+
+    - **writes are cheap and idempotent**: an append per micro-batch, no
+      read-modify-write; a batch re-delivered after a crash between the
+      sink write and the checkpoint commit is deduped by job_id
+      (``cdc-b{batch_id}``) — the exactly-once gap foreachBatch leaves
+      open ("at-least-once per batch id") is closed by the versioned
+      sink's cross-manifest retry dedup.
+    - **order-independent**: compaction keys on the changelog sequence
+      column, not arrival order, so micro-batch boundaries and file
+      ordering don't affect the final state (availableNow drain ==
+      batch ``cdc_apply`` over the full log — the oracle contract).
+    - **time travel for free**: every micro-batch is a version;
+      ``read_version(path, n)`` reconstructs the log as of batch n.
+
+    100 TB note: periodic compaction (``cdc_apply`` materialized back
+    via ``append_versioned`` + older-version vacuum) bounds the
+    read-side log length; the write path never blocks on it.
+    """
+    from nyc_tlc_trip_data_pipelines_spark.io import append_versioned
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        append_versioned(batch_df, path, f"cdc-b{batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_read_state(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    seq_col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read-side of :func:`cdc_changelog_sink`: current (or AS-OF) table
+    state = changelog compaction over the accumulated versioned log —
+    one window pass per read (``operators.sorts.cdc_apply``), shuffled
+    by key like any batch CDC apply."""
+    from nyc_tlc_trip_data_pipelines_spark.io import read_version
+    from nyc_tlc_trip_data_pipelines_spark.operators.sorts import cdc_apply
+
+    return cdc_apply(read_version(spark, path, version), key_cols, seq_col)
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a stream to completion over all currently-available input
     (availableNow trigger) and return the result as a static DataFrame.
