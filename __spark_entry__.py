@@ -971,6 +971,53 @@ def q_delete_where(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("snapshot")
 
 
+def q_vacuum(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-gap analog (round 5): VACUUM — after a COW delete, retire
+    history older than the retained window: pre-delete manifests drop,
+    the superseded partition directories are physically deleted, and the
+    latest snapshot is byte-identical before/after. Completes the
+    versioned-table lifecycle (append → delete/merge → compact →
+    vacuum). Deterministic → full DuckDB oracle."""
+    from nyc_tlc_trip_data_pipelines_spark.io import (
+        append_versioned,
+        delete_where,
+        list_versions,
+        read_version,
+        vacuum_versioned,
+    )
+
+    ev = load_table(spark, sf, "events")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "versioned")
+        append_versioned(ev.filter(F.dayofmonth("ts") <= 15), path, "fn-1")
+        append_versioned(ev.filter(F.dayofmonth("ts") > 15), path, "fn-2")
+        delete_where(spark, path, F.col("event_type") == "click")
+        n_dropped, n_dirs = vacuum_versioned(path, retain_last=1)
+        latest = read_version(spark, path).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).collect()[0]
+        only_latest = [v for v, _ in list_versions(path)]
+        time_travel_gone = False
+        try:
+            read_version(spark, path, 1)
+        except ValueError:
+            time_travel_gone = True
+    return spark.createDataFrame(
+        [
+            (
+                int(latest.n),
+                float(latest.sum_value),
+                n_dropped == 2 and n_dirs >= 1,
+                only_latest == [2],
+                time_travel_gone,
+            )
+        ],
+        "n_rows bigint, sum_value double, reclaimed boolean, "
+        "window_is_latest boolean, old_version_unreadable boolean",
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Lakehouse staple (round 4): additive schema evolution — an early
     batch written WITHOUT a column and a later batch WITH it are read
@@ -3132,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_text_token_count": q_text_token_count,
         # ——— driver-budget boundary (50) ———
+        # — round-5 addition (first rotation candidate for round 6) —
+        "q_vacuum": q_vacuum,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -5377,6 +5426,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END), 4)
             FROM events
             ORDER BY batch
+        """,
+        # round 5: vacuum — latest snapshot (post-delete) survives intact,
+        # history manifests/dirs reclaimed, old versions unreadable
+        "q_vacuum": """
+            SELECT CAST(SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+                   ROUND(SUM(CASE WHEN event_type <> 'click' THEN value ELSE 0 END), 4) AS sum_value,
+                   TRUE AS reclaimed,
+                   TRUE AS window_is_latest,
+                   TRUE AS old_version_unreadable
+            FROM events
         """,
         # round 4/5: compaction round-trip — data survives byte-identically
         # and the file count shrinks (invariant, not an exact count: the

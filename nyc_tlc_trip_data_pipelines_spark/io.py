@@ -492,6 +492,41 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return df.filter(df[job_col].isin(versions[n])).drop(job_col)
 
 
+def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
+    """Delta ``VACUUM`` analog for versioned-append tables: drop the
+    manifests older than the last ``retain_last`` versions, then delete
+    every partition directory no retained manifest references. Storage
+    stops growing with history; the time-travel window shrinks to the
+    retained versions — ``read_version`` of a vacuumed version raises,
+    exactly like Delta after its retention period.
+
+    Returns ``(n_versions_dropped, n_dirs_deleted)``. Like Delta,
+    vacuum is unsafe against IN-FLIGHT readers of vacuumed versions (a
+    reader that resolved its manifest before the vacuum may find its
+    directories gone) — schedule beyond the longest reader runtime.
+    The latest version is always retained (``retain_last`` floors at 1).
+    """
+    import shutil
+
+    retain_last = max(1, retain_last)
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no versions committed under {path}")
+    with open(os.path.join(path, "_manifests", f"v{versions[-1][0]}.json")) as fh:
+        job_col = json.load(fh)["job_col"]
+    dropped = versions[:-retain_last]
+    retained_jobs = {j for _v, jobs in versions[-retain_last:] for j in jobs}
+    for v, _jobs in dropped:
+        os.unlink(os.path.join(path, "_manifests", f"v{v}.json"))
+    n_dirs = 0
+    prefix = f"{job_col}="
+    for name in os.listdir(path):
+        if name.startswith(prefix) and name[len(prefix):] not in retained_jobs:
+            shutil.rmtree(os.path.join(path, name))
+            n_dirs += 1
+    return len(dropped), n_dirs
+
+
 def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[int, int]:
     """Small-file compaction for an append-heavy parquet directory — the
     maintenance pass the append_* sinks' docstrings promise ("one

@@ -367,6 +367,43 @@ def test_versioned_concurrent_local_writers(spark, tmp_path):
     assert IO.read_version(spark, path).count() == 20
 
 
+def test_vacuum_versioned_reclaims_unreferenced_dirs(spark, tmp_path):
+    """Delta VACUUM analog: after a COW delete, vacuuming to the latest
+    version removes the pre-delete directories and their manifests; the
+    latest snapshot is untouched, vacuumed versions raise, and a
+    retained window keeps its time travel."""
+    import os as _os
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    df = spark.createDataFrame(
+        [(i, "drop" if i % 2 else "keep") for i in range(10)], "id long, tag string"
+    )
+    IO.append_versioned(df, path, "b1")
+    IO.append_versioned(
+        spark.createDataFrame([(100, "keep")], "id long, tag string"), path, "b2"
+    )
+    v = IO.delete_where(spark, path, F.col("tag") == "drop")
+    assert v == 2
+    n_dropped, n_dirs = IO.vacuum_versioned(path, retain_last=1)
+    assert (n_dropped, n_dirs) == (2, 1)  # v0/v1 manifests + the b1 dir
+    assert not _os.path.exists(_os.path.join(path, "__job_id=b1"))
+    latest = IO.read_version(spark, path)
+    assert latest.count() == 6 and latest.filter("tag = 'drop'").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        IO.read_version(spark, path, 1)
+    # retained window: retain_last=1 keeps only the latest
+    assert [v for v, _ in IO.list_versions(path)] == [2]
+    # a fresh job_id still appends cleanly after vacuum
+    IO.append_versioned(
+        spark.createDataFrame([(200, "keep")], "id long, tag string"), path, "b3"
+    )
+    assert IO.read_version(spark, path).count() == 7
+
+
 def test_read_version_merges_schema(spark, tmp_path):
     """Round-5 advice: versioned appends compose with additive schema
     evolution — a column added by a later append must surface (as NULL

@@ -84,6 +84,52 @@ def test_stateful_running_totals_batch_equivalence(spark, replay_dir):
     assert _rows(final, cols) == _rows(expect, cols)
 
 
+def test_cdc_changelog_sink_converges_and_dedups_redelivery(spark, tmp_path):
+    """E35f: a streamed CDC changelog drained through the versioned sink
+    must converge to the batch cdc_apply state, survive a redelivered
+    micro-batch (idempotent by job_id), and support AS-OF reads of the
+    partial log."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+    from nyc_tlc_trip_data_pipelines_spark.operators.sorts import cdc_apply
+
+    ops_schema = "k long, v double, op string, seq int"
+    b1 = spark.createDataFrame([(i, float(i), "I", 1) for i in range(8)], ops_schema)
+    b2 = spark.createDataFrame(
+        [(2, 200.0, "U", 2), (5, 500.0, "U", 2), (3, 0.0, "D", 2)], ops_schema
+    )
+    src = str(tmp_path / "changelog")
+    for b in (b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = ST.read_file_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    table = str(tmp_path / "state")
+    ST.cdc_changelog_sink(stream, table, str(tmp_path / "ckpt")).awaitTermination()
+
+    versions = IO.list_versions(table)
+    assert len(versions) >= 1
+    # redelivered batch (crash between sink write and checkpoint commit)
+    n_before = len(versions)
+    IO.append_versioned(b1, table, "cdc-b0")
+    assert len(IO.list_versions(table)) == n_before
+
+    got = {r.k: r.v for r in ST.cdc_read_state(spark, table, ["k"], "seq").collect()}
+    full_log = spark.read.parquet(src)
+    expect = {r.k: r.v for r in cdc_apply(full_log, ["k"], "seq").collect()}
+    assert got == expect
+    assert 3 not in got and got[2] == 200.0 and got[0] == 0.0
+    # AS-OF version 0: only the first micro-batch's ops are visible
+    v0 = ST.cdc_read_state(spark, table, ["k"], "seq", version=0)
+    assert {r.k for r in v0.collect()} <= set(range(8))
+    # read-side plan: compaction is ONE hash exchange on the key
+    from nyc_tlc_trip_data_pipelines_spark.plans import exchange_count
+
+    state = ST.cdc_read_state(spark, table, ["k"], "seq")
+    assert exchange_count(state) <= 1
+
+
 def test_watermark_is_set(spark, replay_dir):
     schema = _batch_df(spark, replay_dir).schema
     stream = ST.read_file_stream(spark, replay_dir, schema)
