@@ -1886,6 +1886,28 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return V.ivf_topk(em, [1.0] * 64, centroids, n_probe=3, k=10)
 
 
+def q_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """E30f (round 5): MATERIALIZED ANN index — the corpus written once
+    partitioned by LSH bucket (``vectors.write_lsh_index``), then probed
+    via partition pruning (``lsh_probe_index``: the bucket equality is a
+    PartitionFilter, so only the matching directory is listed/read —
+    the 100 TB serving layout, vs the in-memory probe of q_ann_lsh which
+    filters a full scan). Same seeded planes as q_ann_lsh → same oracle
+    replay; equality with the in-memory result is asserted by
+    tests/test_text_vectors.py."""
+    import numpy as np
+
+    em = load_table(spark, sf, "embeddings")
+    planes = np.random.RandomState(42).randn(4, 64).tolist()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lsh_index")
+        V.write_lsh_index(em, path, planes)
+        out = V.lsh_probe_index(spark, path, [1.0] * 64, planes, k=10).collect()
+    return spark.createDataFrame(
+        [(int(r.vec_id), float(r.cosine)) for r in out], "vec_id bigint, cosine double"
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """North star: embedding-cosine near-dup via LSH bucketing (bucket
     join, then exact cosine within buckets — never O(n²)). The driver
@@ -3179,8 +3201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_text_token_count": q_text_token_count,
         # ——— driver-budget boundary (50) ———
-        # — round-5 addition (first rotation candidate for round 6) —
+        # — round-5 additions (first rotation candidates for round 6) —
         "q_vacuum": q_vacuum,
+        "q_ann_index_probe": q_ann_index_probe,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4385,6 +4408,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_rows DESC, l_orderkey LIMIT 10
         """,
         "q_ann_lsh": _ann_lsh_oracle(),
+        # round 5: the materialized (partition-pruned) probe returns the
+        # same rows as the in-memory probe — identical oracle replay
+        "q_ann_index_probe": _ann_lsh_oracle(),
         "q_ann_recall": _ann_recall_oracle(),
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_dedup_embedding": _dedup_embedding_oracle(),

@@ -85,6 +85,20 @@ def random_hyperplane_buckets(vec_col: str | Column, planes: Sequence[Sequence[f
     return out.cast("int")
 
 
+def _lsh_query_bucket(query: Sequence[float], planes: Sequence[Sequence[float]]) -> int:
+    """Driver-side twin of :func:`random_hyperplane_buckets` for a single
+    query vector (float64 left-to-right accumulation matches the
+    JVM-side expression, so sign bits agree)."""
+    import numpy as _np
+
+    qv = _np.asarray(query, dtype="float64")
+    bucket = 0
+    for i, p in enumerate(planes):
+        if float(_np.dot(qv, _np.asarray(p, dtype="float64"))) >= 0:
+            bucket += 1 << i
+    return bucket
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -96,16 +110,47 @@ def lsh_cosine_topk(
     """ANN via hyperplane-LSH: score only rows whose bucket matches the
     query's bucket. Recall < 1 by construction; scale path for 100 TB
     (probed fraction ≈ 2^-n_planes). Bucket the corpus ONCE at write
-    time (partitionBy bucket) to turn probes into partition pruning."""
-    import numpy as _np
-
-    qv = _np.asarray(query, dtype="float64")
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if float(_np.dot(qv, _np.asarray(p, dtype="float64"))) >= 0:
-            qbucket += 1 << i
+    time (:func:`write_lsh_index`) to turn probes into partition
+    pruning."""
+    qbucket = _lsh_query_bucket(query, planes)
     bucketed = df.withColumn("__bucket", random_hyperplane_buckets(vec_col, planes))
     cand = bucketed.filter(F.col("__bucket") == qbucket)
+    return cosine_topk(cand, query, vec_col, id_col, k)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    planes: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH index: corpus written ONCE partitioned by
+    bucket id, so every later probe is directory pruning — the scan
+    touches ~2^-n_planes of the files instead of filtering the full
+    corpus. The 100 TB serving layout for :func:`lsh_probe_index`."""
+    (
+        df.withColumn("__bucket", random_hyperplane_buckets(vec_col, planes))
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def lsh_probe_index(
+    spark,
+    path: str,
+    query: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Probe a materialized LSH index: the bucket equality lands on the
+    PARTITION column, so Catalyst plans it as PartitionFilters (listing
+    selects one directory; non-matching files are never opened). Result
+    is identical to :func:`lsh_cosine_topk` over the same corpus."""
+    qbucket = _lsh_query_bucket(query, planes)
+    cand = spark.read.parquet(path).filter(F.col("__bucket") == qbucket)
     return cosine_topk(cand, query, vec_col, id_col, k)
 
 
@@ -138,6 +183,33 @@ def scalar_quantize_cosine(
     )
 
 
+def _ivf_assigned(df: DataFrame, centroids: Sequence[Sequence[float]], vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a ``__cent`` int column — one
+    fully-JVM-side codegen pass (first-argmax via array_position for
+    deterministic ties)."""
+    cents = F.array(*[_as_vec_lit(c) for c in centroids])
+    dists = F.transform(cents, lambda c: array_dot(F.col(vec_col), c) / (array_norm(F.col(vec_col)) * array_norm(c)))
+    assign = F.expr(
+        "array_position(transform(__dists, x -> x = array_max(__dists)), true) - 1"
+    )
+    return df.withColumn("__dists", dists).withColumn("__cent", assign.cast("int")).drop("__dists")
+
+
+def _ivf_probe_set(
+    query: Sequence[float], centroids: Sequence[Sequence[float]], n_probe: int
+) -> set[int]:
+    """Driver-side: ids of the ``n_probe`` centroids nearest the query."""
+    import numpy as _np
+
+    qv = _np.asarray(query, dtype="float64")
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = _np.asarray(c, dtype="float64")
+        denom = float(_np.linalg.norm(qv) * _np.linalg.norm(cv)) or 1.0
+        sims.append((float(_np.dot(qv, cv)) / denom, i))
+    return {i for _, i in sorted(sims, reverse=True)[:n_probe]}
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -152,23 +224,47 @@ def ivf_topk(
 
     Centroids come from a driver-side k-means over a sample (caller's
     choice; deterministic seed). At scale, persist the assignment
-    partitioned by centroid id → probing = partition pruning.
+    partitioned by centroid id (:func:`write_ivf_index`) → probing =
+    partition pruning.
     """
-    import numpy as _np
+    probe = _ivf_probe_set(query, centroids, n_probe)
+    cand = _ivf_assigned(df, centroids, vec_col).filter(F.col("__cent").isin(*probe))
+    return cosine_topk(cand, query, vec_col, id_col, k)
 
-    cents = F.array(*[_as_vec_lit(c) for c in centroids])
-    # nearest-centroid assignment, fully JVM-side
-    dists = F.transform(cents, lambda c: array_dot(F.col(vec_col), c) / (array_norm(F.col(vec_col)) * array_norm(c)))
-    assign = F.expr(
-        "array_position(transform(__dists, x -> x = array_max(__dists)), true) - 1"
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus written ONCE partitioned by
+    nearest-centroid cell, so probes become directory pruning — a
+    probe of n_probe/n_cells touches exactly that fraction of the
+    files. Rebuild (or re-cluster) when centroid drift degrades recall;
+    the write is a single pass over the corpus."""
+    (
+        _ivf_assigned(df, centroids, vec_col)
+        .write.partitionBy("__cent")
+        .mode("overwrite")
+        .parquet(path)
     )
-    qv = _np.asarray(query, dtype="float64")
-    sims = []
-    for i, c in enumerate(centroids):
-        cv = _np.asarray(c, dtype="float64")
-        denom = float(_np.linalg.norm(qv) * _np.linalg.norm(cv)) or 1.0
-        sims.append((float(_np.dot(qv, cv)) / denom, i))
-    probe = {i for _, i in sorted(sims, reverse=True)[:n_probe]}
-    assigned = df.withColumn("__dists", dists).withColumn("__cent", assign.cast("int")).drop("__dists")
-    cand = assigned.filter(F.col("__cent").isin(*probe))
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Probe a materialized IVF index: the ``__cent IN (...)`` filter
+    lands on the partition column → PartitionFilters, only the probed
+    cell directories are listed/read. Result is identical to
+    :func:`ivf_topk` over the same corpus and centroids."""
+    probe = _ivf_probe_set(query, centroids, n_probe)
+    cand = spark.read.parquet(path).filter(F.col("__cent").isin(*probe))
     return cosine_topk(cand, query, vec_col, id_col, k)

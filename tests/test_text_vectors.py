@@ -143,6 +143,51 @@ def test_lsh_recall_reasonable(spark, sf_dir):
     assert len(approx) <= 10
 
 
+def test_materialized_ann_indexes_prune_and_match(spark, sf_dir, tmp_path):
+    """Round-5: the written-out ANN layouts (partitionBy bucket/cell)
+    must return EXACTLY what the in-memory probe returns, and the probe
+    scan must be partition-pruned — PartitionFilters on the bucket/cell
+    column, only the probed directories' files read."""
+    import numpy as np
+
+    from nyc_tlc_trip_data_pipelines_spark.plans import plan_string
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = [1.0] * 64
+    rng = np.random.RandomState(42)
+    planes = rng.randn(3, 64).tolist()
+    centroids = np.random.RandomState(7).randn(8, 64).tolist()
+
+    lsh_path = str(tmp_path / "lsh_index")
+    V.write_lsh_index(em, lsh_path, planes)
+    got = V.lsh_probe_index(spark, lsh_path, q, planes, k=10)
+    expect = V.lsh_cosine_topk(em, q, planes, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+    # partition pruning: the bucket equality lands in PartitionFilters
+    # (directory selection at listing time), NOT in PushedFilters /
+    # post-scan Filter over row data
+    qb = V._lsh_query_bucket(q, planes)
+    cand = spark.read.parquet(lsh_path).filter(F.col("__bucket") == qb)
+    plan = plan_string(cand, "formatted")
+    assert "PartitionFilters" in plan
+    assert "__bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the scan physically reads fewer rows than the corpus
+    assert cand.count() < em.count()
+
+    ivf_path = str(tmp_path / "ivf_index")
+    V.write_ivf_index(em, ivf_path, centroids)
+    got_ivf = V.ivf_probe_index(spark, ivf_path, q, centroids, n_probe=3, k=10)
+    expect_ivf = V.ivf_topk(em, q, centroids, n_probe=3, k=10)
+    assert [tuple(r) for r in got_ivf.collect()] == [
+        tuple(r) for r in expect_ivf.collect()
+    ]
+    probe = V._ivf_probe_set(q, centroids, 3)
+    cand_ivf = spark.read.parquet(ivf_path).filter(F.col("__cent").isin(*probe))
+    plan_ivf = plan_string(cand_ivf, "formatted")
+    assert "PartitionFilters" in plan_ivf and "__cent" in plan_ivf.split("PartitionFilters", 1)[1][:200]
+    assert cand_ivf.count() < em.count()
+
+
 def test_language_id_accuracy(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = TX.language_id(docs).select("lang", "lang_pred")
