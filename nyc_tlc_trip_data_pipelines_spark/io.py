@@ -187,12 +187,15 @@ def _base_job_id(job: str) -> str:
     return _REWRITE_SUFFIX_RE.sub("", job)
 
 
-def _all_committed_job_ids(path: str) -> set[str]:
-    """Union of job_ids across EVERY manifest version, plus the base
-    names of delete/merge rewrites — the full set of jobs that have ever
-    been committed to this table, under any name."""
+def _all_committed_job_ids(versions: list[tuple[int, list[str]]]) -> set[str]:
+    """Union of job_ids across EVERY manifest version in the given
+    ``list_versions`` snapshot, plus the base names of delete/merge
+    rewrites — the full set of jobs that have ever been committed to
+    this table, under any name. Takes the snapshot (not the path) so
+    callers make membership decisions and version arithmetic against
+    ONE consistent listing."""
     out: set[str] = set()
-    for _v, jobs in list_versions(path):
+    for _v, jobs in versions:
         for j in jobs:
             out.add(j)
             out.add(_base_job_id(j))
@@ -270,8 +273,8 @@ def append_versioned(
     # bytes — re-overwriting a directory that older manifests still
     # reference, or re-appending rows a DELETE removed, both corrupt
     # time travel.
-    if job_id in _all_committed_job_ids(path):
-        versions = list_versions(path)
+    versions = list_versions(path)
+    if job_id in _all_committed_job_ids(versions):
         return versions[-1][0]
     df.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
     mdir = os.path.join(path, "_manifests")
@@ -279,7 +282,7 @@ def append_versioned(
     while True:
         versions = list_versions(path)
         jobs = versions[-1][1] if versions else []
-        if job_id in _all_committed_job_ids(path):
+        if job_id in _all_committed_job_ids(versions):
             # a concurrent retry of the same job_id won the race
             return versions[-1][0]
         n = versions[-1][0] + 1 if versions else 0
@@ -425,7 +428,7 @@ def merge_versioned(
     cur_v, jobs = versions[-1]
     if job_id in jobs:
         return cur_v  # idempotent retry: this merge already committed
-    if job_id in _all_committed_job_ids(path):
+    if job_id in _all_committed_job_ids(versions):
         raise ValueError(
             f"job_id {job_id!r} was already committed to {path} in an earlier "
             "version; reusing it would overwrite a partition directory that "
