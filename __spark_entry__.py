@@ -1948,6 +1948,25 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph staple (round 5): per-node triangle counts with
+    degree-ordered orientation (Suri-Vassilvitskii) — every triangle
+    found exactly once via its unique 2-out-degree pivot, out-degrees
+    bounded ~sqrt(|E|) so a hub vertex can't melt one reducer. Edge set
+    derived deterministically from customer (u = custkey % 400; ring
+    edges u→u+1, u→u+2 and doubling edges u→2u mod 400), so the oracle
+    replays the whole construction + orientation in SQL."""
+    c = load_table(spark, sf, "customer")
+    nodes = c.select((F.col("c_custkey") % 400).cast("long").alias("u")).distinct()
+    edges = (
+        nodes.select("u", ((F.col("u") + 1) % 400).alias("v"))
+        .unionAll(nodes.select("u", ((F.col("u") + 2) % 400).alias("v")))
+        .unionAll(nodes.select("u", ((F.col("u") * 2) % 400).alias("v")))
+    )
+    out = GR.triangle_count(edges, src="u", dst="v")
+    return O.sort(out, ["node"])
+
+
 def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """E35d: stream-STREAM interval join — purchases matched to clicks
     of the same user within 1 hour, counted per user. Two independent
@@ -3204,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — round-5 additions (first rotation candidates for round 6) —
         "q_vacuum": q_vacuum,
         "q_ann_index_probe": q_ann_index_probe,
+        "q_graph_triangles": q_graph_triangles,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4433,6 +4453,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_foreach_batch": """
             SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
+        """,
+        # round 5: full SQL replay of the triangle pipeline — same edge
+        # construction, same (degree, id) orientation, same closed-2-path
+        # join; per-triangle explode via 3-way UNION ALL
+        "q_graph_triangles": """
+            WITH nodes AS (
+                SELECT DISTINCT CAST(c_custkey % 400 AS BIGINT) AS u FROM customer
+            ), edges0 AS (
+                SELECT u, (u + 1) % 400 AS v FROM nodes
+                UNION ALL SELECT u, (u + 2) % 400 FROM nodes
+                UNION ALL SELECT u, (u * 2) % 400 FROM nodes
+            ), canon AS (
+                SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+                FROM edges0 WHERE u <> v
+            ), deg AS (
+                SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM canon
+                    UNION ALL SELECT b FROM canon
+                ) GROUP BY node
+            ), oriented AS (
+                SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                            THEN a ELSE b END AS u,
+                       CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                            THEN b ELSE a END AS v
+                FROM canon
+                JOIN deg da ON a = da.node
+                JOIN deg db ON b = db.node
+            ), tri AS (
+                SELECT o1.u AS x, o1.v AS y, o2.v AS z
+                FROM oriented o1
+                JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+                JOIN oriented o3
+                  ON (o3.u = o1.v AND o3.v = o2.v)
+                  OR (o3.u = o2.v AND o3.v = o1.v)
+            )
+            SELECT node, COUNT(*) AS n_triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node ORDER BY node
         """,
         "q_graph_components": """
             WITH RECURSIVE s AS (

@@ -163,6 +163,19 @@ def test_pack_default_is_sharded_no_single_partition_window(spark, sf_dir):
     assert 1 < n_shards <= 64
 
 
+def test_triangle_count_no_nested_loop_join(spark, sf_dir):
+    """Round-5: the triangle closure must be an equi-join against the
+    canonical edge set — an OR-condition closing join planned as
+    BroadcastNestedLoopJoin is O(|2paths| x |edges|), the graph-op
+    scale-killer this fence pins out."""
+    import __spark_entry__ as E
+
+    out = E.q_graph_triangles(spark, sf_dir)
+    plan = plan_string(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_pipeline_exchange_ceiling(spark, sf_dir):
     """VERDICT r1 #8: regression fence for the staged dedup pipeline —
     PLANS.md recorded 10 exchanges in round 1; a regression (e.g. losing

@@ -188,6 +188,26 @@ def test_materialized_ann_indexes_prune_and_match(spark, sf_dir, tmp_path):
     assert cand_ivf.count() < em.count()
 
 
+def test_triangle_count_k4_and_edge_cases(spark):
+    """K4 has exactly 4 triangles, every node in 3; pendant nodes and
+    duplicate/reversed/self-loop edges must not perturb the count."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noise = [(2, 1), (3, 3), (4, 5), (1, 2)]  # reversed dup, self-loop, pendant
+    edges = spark.createDataFrame(k4 + noise, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # triangle total = sum/3
+    assert sum(got.values()) // 3 == 4
+    # disjoint triangle + a path (no triangle) — only the triangle counts
+    e2 = spark.createDataFrame(
+        [(10, 11), (11, 12), (10, 12), (20, 21), (21, 22)], "src long, dst long"
+    )
+    got2 = {r.node: r.n_triangles for r in triangle_count(e2).collect()}
+    assert got2 == {10: 1, 11: 1, 12: 1}
+
+
 def test_language_id_accuracy(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = TX.language_id(docs).select("lang", "lang_pred")
