@@ -1948,6 +1948,20 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_sample_es(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-curation staple (round 5): weighted sampling WITHOUT
+    replacement via Efraimidis-Spirakis exponential keys — 100 docs
+    drawn proportional to text length from a salted-hash u-draw
+    (deterministic, engine-portable, TakeOrderedAndProject top-k).
+    The selection key stays out of the output; the oracle replays the
+    md5 draw + ln-key ordering and must select the exact same ids."""
+    docs = load_table(spark, sf, "documents")
+    picked = CP.weighted_sample_without_replacement(
+        docs, weight=F.length("text"), k=100, id_col="doc_id", salt="v1"
+    )
+    return O.sort(picked.select("doc_id", "lang"), ["doc_id"])
+
+
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Graph staple (round 5): per-node triangle counts with
     degree-ordered orientation (Suri-Vassilvitskii) — every triangle
@@ -3224,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vacuum": q_vacuum,
         "q_ann_index_probe": q_ann_index_probe,
         "q_graph_triangles": q_graph_triangles,
+        "q_sample_es": q_sample_es,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4453,6 +4468,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_foreach_batch": """
             SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
+        """,
+        # round 5: Efraimidis-Spirakis replay — same md5 u-draw, same
+        # ln(u)/w keys, same (key DESC, id) order, same LIMIT
+        "q_sample_es": """
+            WITH d AS (
+                SELECT doc_id, lang, LENGTH(text) AS w,
+                       CAST(CONCAT('0x', SUBSTR(md5(CONCAT('v1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+                FROM documents
+            ), keyed AS (
+                SELECT doc_id, lang,
+                       LN((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0)
+                           / CAST(w AS DOUBLE) AS es
+                FROM d WHERE w > 0
+            )
+            SELECT doc_id, lang
+            FROM keyed ORDER BY es DESC, doc_id ASC LIMIT 100
         """,
         # round 5: full SQL replay of the triangle pipeline — same edge
         # construction, same (degree, id) orientation, same closed-2-path

@@ -274,6 +274,48 @@ def sample_per_group(
     )
 
 
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    portable: bool = True,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    exponential-keys scheme (A-ES, "Weighted random sampling with a
+    reservoir", IPL 2006): each row draws ``u ∈ (0,1)`` from a salted
+    hash of its id and is keyed ``ln(u) / w``; the k LARGEST keys are
+    exactly a weighted sample without replacement. The corpus-curation
+    op behind "sample 1M docs proportional to quality score".
+
+    Deterministic (hash draw, no RNG state — same salt → same sample
+    across runs/engines/partitioning) and fully distributed: the key is
+    a pure rowwise expression and the global top-k is
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge, no
+    global sort) — one pass at any scale. Rows with ``weight <= 0`` or
+    NULL are excluded, as in the original scheme. ``portable=True``
+    draws from the 60-bit md5 hash so a SQL oracle replays exact
+    membership; the float ln/divide is IEEE double on both engines,
+    and the selection key stays OUT of the returned columns so an
+    ulp-level divergence could only ever flip membership at the exact
+    rank-k boundary, not hash comparison of values.
+    """
+    from .text import portable_hash60
+
+    hkey = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    h = portable_hash60(hkey) if portable else F.pmod(F.xxhash64(hkey), F.lit(1 << 60))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    return (
+        df.withColumn("__w", weight.cast("double"))
+        .filter(F.col("__w") > 0)
+        .withColumn("__es", F.log(u) / F.col("__w"))
+        .orderBy(F.col("__es").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__w", "__es")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -132,3 +132,47 @@ def test_sample_per_group_exact_k_and_stable(spark):
     assert {(r.lang, r.doc_id) for r in s1} == {(r.lang, r.doc_id) for r in s2}
     tiny = spark.createDataFrame(rows[:6], "doc_id long, lang string")
     assert CP.sample_per_group(tiny, k=10).count() == 6
+
+
+def test_weighted_sample_es_exact_replay_and_bias(spark):
+    """E-S sample must match a NumPy replay of the same md5 draw +
+    ln(u)/w keys exactly, be deterministic, and over-represent heavy
+    rows vs a uniform draw."""
+    import hashlib
+    import math
+
+    rows = [(i, "x" * (10 if i % 10 else 1000), "en") for i in range(200)]
+    docs = _docs(spark, rows)
+    got = sorted(
+        r.doc_id
+        for r in CP.weighted_sample_without_replacement(
+            docs, weight=F.length("text"), k=40, salt="v1"
+        ).collect()
+    )
+
+    def es_key(i, w):
+        h = int(hashlib.md5(f"v1:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return math.log(u) / w
+
+    keyed = sorted(
+        ((es_key(i, 10 if i % 10 else 1000), -i) for i, _t, _l in rows), reverse=True
+    )
+    expect = sorted(-neg for _k, neg in keyed[:40])
+    assert got == expect
+    # deterministic across invocations
+    again = sorted(
+        r.doc_id
+        for r in CP.weighted_sample_without_replacement(
+            docs, weight=F.length("text"), k=40, salt="v1"
+        ).collect()
+    )
+    assert got == again
+    # bias: the 20 heavy docs (doc_id % 10 == 0, weight 100x) must be
+    # overwhelmingly selected; uniform would pick ~4 of them in 40
+    heavy = sum(1 for i in got if i % 10 == 0)
+    assert heavy >= 15
+    # zero/NULL weights excluded
+    z = _docs(spark, [(1, "", "en"), (2, "ab", "en")])
+    only = CP.weighted_sample_without_replacement(z, weight=F.length("text"), k=5).collect()
+    assert [r.doc_id for r in only] == [2]
