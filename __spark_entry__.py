@@ -1948,6 +1948,40 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-skipping staple (round 5): zone-map file pruning — events
+    range-partitioned by user_id into 16 files, per-file min/max stats
+    built in one scan (``layout.write_zonemap``), then a point lookup
+    reads ONLY the files whose interval covers the key
+    (``layout.zonemap_lookup``). The pruning invariant (scanned <
+    total) is part of the checked contract; row results replay as a
+    plain filter in the oracle."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO2
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        table = os.path.join(d, "events_clustered")
+        ev.repartitionByRange(16, "user_id").write.parquet(table)
+        idx = os.path.join(d, "zonemap")
+        n_files = LO2.write_zonemap(spark, table, ["user_id"], idx)
+        hit, n_scanned, n_total = LO2.zonemap_lookup(spark, table, idx, "user_id", 7)
+        row = hit.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(row.n_rows),
+                float(row.sum_value),
+                n_total == n_files and n_files >= 16,
+                0 < n_scanned < n_total,
+            )
+        ],
+        "n_rows bigint, sum_value double, index_complete boolean, pruned boolean",
+    )
+
+
 def q_sample_es(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-curation staple (round 5): weighted sampling WITHOUT
     replacement via Efraimidis-Spirakis exponential keys — 100 docs
@@ -3239,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_index_probe": q_ann_index_probe,
         "q_graph_triangles": q_graph_triangles,
         "q_sample_es": q_sample_es,
+        "q_zonemap_prune": q_zonemap_prune,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4468,6 +4503,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_foreach_batch": """
             SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
+        """,
+        # round 5: zone-map lookup — row results are a plain filter;
+        # the pruning invariants are booleans checked in-query
+        "q_zonemap_prune": """
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   TRUE AS index_complete,
+                   TRUE AS pruned
+            FROM events WHERE user_id = 7
         """,
         # round 5: Efraimidis-Spirakis replay — same md5 u-draw, same
         # ln(u)/w keys, same (key DESC, id) order, same LIMIT

@@ -45,6 +45,58 @@ def zorder_layout(
     )
 
 
+def write_zonemap(spark, table_path: str, cols: list[str], index_path: str) -> int:
+    """Build a ZONE MAP over a parquet table: one row per data file with
+    min/max/count for each of ``cols`` — the external form of the
+    file-stat metadata Delta/Iceberg keep in their logs, usable over
+    plain parquet directories. One scan builds it (group by
+    ``input_file_name``); rebuild after compaction/appends.
+
+    The zone map is itself a tiny parquet table (rows = files), so at
+    100 TB it reads in milliseconds while the table it indexes is
+    thousands of files. Pair with a clustered layout (sort or
+    :func:`zorder_layout` on the indexed columns before writing) —
+    stats on randomly-laid-out files span the whole domain and prune
+    nothing. Returns the number of files indexed.
+    """
+    df = spark.read.parquet(table_path).withColumn("__file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    stats = df.groupBy("__file").agg(*aggs)
+    stats.write.mode("overwrite").parquet(index_path)
+    return stats.count()
+
+
+def zonemap_lookup(
+    spark, table_path: str, index_path: str, col: str, value
+) -> tuple[DataFrame, int, int]:
+    """Point lookup through the zone map: read the (tiny) index, keep
+    files whose [min, max] interval can contain ``value``, and scan ONLY
+    those files. Returns (matching-rows DataFrame — still needs the
+    row-level filter, zone maps are file-granular —, n_files_scanned,
+    n_files_total).
+
+    The driver-side collect here is the index (one row per FILE —
+    metadata, bounded by file count), never table rows; this is exactly
+    the planning read a table format's log replay does.
+    """
+    zm = spark.read.parquet(index_path).select(
+        "__file", f"__min_{col}", f"__max_{col}"
+    ).collect()
+    files = [
+        r["__file"]
+        for r in zm
+        if r[f"__min_{col}"] is not None
+        and r[f"__min_{col}"] <= value <= r[f"__max_{col}"]
+    ]
+    if not files:
+        empty = spark.read.parquet(table_path).filter(F.lit(False))
+        return empty, 0, len(zm)
+    out = spark.read.parquet(*files).filter(F.col(col) == value)
+    return out, len(files), len(zm)
+
+
 def zorder_sql(x_sql: str, y_sql: str, bits: int = 8) -> str:
     """The exact Morton-interleave arithmetic as portable ANSI SQL (for
     oracle replay): a sum of power-of-two–scaled masked shifts."""

@@ -206,3 +206,32 @@ def test_profile_approx_ndv_single_aggregate(spark, sf_dir):
     assert node_count(out, "Expand") == 0
     rows = {r.column: r for r in out.collect()}
     assert rows["l_returnflag"].n_distinct >= 2
+
+
+def test_zonemap_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Zone-map lookup must equal the full-scan filter and read strictly
+    fewer files on a range-clustered layout; a value outside every
+    file's interval scans zero files."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    table = str(tmp_path / "clustered")
+    df.repartitionByRange(8, "k").write.parquet(table)
+    idx = str(tmp_path / "zm")
+    n_files = LO.write_zonemap(spark, table, ["k"], idx)
+    assert n_files >= 8
+
+    hit, n_scanned, n_total = LO.zonemap_lookup(spark, table, idx, "k", 1234)
+    assert n_total == n_files and 0 < n_scanned < n_total
+    got = [(r.k, r.v) for r in hit.collect()]
+    expect = [
+        (r.k, r.v) for r in spark.read.parquet(table).filter(F.col("k") == 1234).collect()
+    ]
+    assert got == expect == [(1234, 2468)]
+
+    miss, n_scanned_miss, _ = LO.zonemap_lookup(spark, table, idx, "k", 999999)
+    assert n_scanned_miss == 0 and miss.count() == 0
