@@ -1948,6 +1948,38 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_table_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-gap analog (round 5): Change Data Feed — row-level diffs
+    between versions of a versioned table. v0=first fortnight,
+    v1=+second fortnight, v2=DELETE clicks; changes(0→1) must be
+    exactly the second-fortnight inserts, changes(1→2) exactly the
+    deleted click rows. Deterministic → full DuckDB oracle over the
+    same event filters."""
+    from nyc_tlc_trip_data_pipelines_spark.io import (
+        append_versioned,
+        delete_where,
+        table_changes,
+    )
+
+    ev = load_table(spark, sf, "events")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "versioned")
+        append_versioned(ev.filter(F.dayofmonth("ts") <= 15), path, "fn-1")
+        append_versioned(ev.filter(F.dayofmonth("ts") > 15), path, "fn-2")
+        delete_where(spark, path, F.col("event_type") == "click")
+        snap = lambda df: df.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).collect()
+        c01 = snap(table_changes(spark, path, 0, 1))
+        c12 = snap(table_changes(spark, path, 1, 2))
+    rows = [("0to1", r["_change_type"], int(r.n), float(r.sum_value)) for r in c01]
+    rows += [("1to2", r["_change_type"], int(r.n), float(r.sum_value)) for r in c12]
+    return spark.createDataFrame(
+        rows, "diff string, change_type string, n bigint, sum_value double"
+    ).orderBy("diff", "change_type")
+
+
 def q_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Data-skipping staple (round 5): zone-map file pruning — events
     range-partitioned by user_id into 16 files, per-file min/max stats
@@ -3274,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_triangles": q_graph_triangles,
         "q_sample_es": q_sample_es,
         "q_zonemap_prune": q_zonemap_prune,
+        "q_table_changes": q_table_changes,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4503,6 +4536,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_foreach_batch": """
             SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
+        """,
+        # round 5: CDF — changes(0→1) are the fn-2 inserts, changes(1→2)
+        # the deleted click rows (only change types present appear)
+        "q_table_changes": """
+            SELECT '0to1' AS diff, 'insert' AS change_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events WHERE DAY(ts) > 15
+            UNION ALL
+            SELECT '1to2', 'delete', COUNT(*), ROUND(SUM(value), 4)
+            FROM events WHERE event_type = 'click'
+            ORDER BY diff, change_type
         """,
         # round 5: zone-map lookup — row results are a plain filter;
         # the pruning invariants are booleans checked in-query

@@ -495,6 +495,34 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return df.filter(df[job_col].isin(versions[n])).drop(job_col)
 
 
+def table_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Change Data Feed analog over a versioned-append table: the
+    row-level difference between two versions as a changelog —
+    ``_change_type`` is ``insert`` for rows present in ``v_to`` but not
+    ``v_from``, ``delete`` for the reverse (multiset semantics via
+    ``exceptAll``, so duplicate rows diff correctly). This is what
+    Delta's ``table_changes`` yields WITHOUT row tracking: an update
+    surfaces as delete+insert of the changed row.
+
+    Downstream consumers replay the feed with :func:`operators.sorts.
+    cdc_apply` or stream it on — the inverse direction of
+    ``streaming.cdc_changelog_sink`` (changelog → table), closing the
+    CDC loop. Cost: two version scans + two hash-aggregate diffs
+    (exceptAll shuffles on the full row); at 100 TB diff adjacent
+    versions (each resolves to its own partition directories via
+    pruning), not distant ones.
+    """
+    before = read_version(spark, path, v_from)
+    after = read_version(spark, path, v_to)
+    from pyspark.sql import functions as F
+
+    ins = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
+    dels = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     """Delta ``VACUUM`` analog for versioned-append tables: drop the
     manifests older than the last ``retain_last`` versions, then delete

@@ -422,3 +422,31 @@ def test_read_version_merges_schema(spark, tmp_path):
     assert rows[1].extra is None and rows[2].extra == 9.5
     # time travel to v0 still works (column may be absent or NULL there)
     assert IO.read_version(spark, path, 0).count() == 1
+
+
+def test_table_changes_cdf_between_versions(spark, tmp_path):
+    """CDF analog: diffs between versions surface as insert/delete rows
+    with multiset semantics; an update (delete+append of the same key)
+    shows as delete+insert."""
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    IO.append_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "k long, s string"),
+        path,
+        "b1",
+    )
+    IO.append_versioned(
+        spark.createDataFrame([(3, "c")], "k long, s string"), path, "b2"
+    )
+    IO.delete_where(spark, path, F.col("k") == 2)
+    c01 = IO.table_changes(spark, path, 0, 1)
+    assert [(r.k, r.s, r._change_type) for r in c01.collect()] == [(3, "c", "insert")]
+    c12 = IO.table_changes(spark, path, 1, 2)
+    # BOTH duplicate (2, 'b') rows deleted — multiset diff
+    assert sorted((r.k, r._change_type) for r in c12.collect()) == [
+        (2, "delete"),
+        (2, "delete"),
+    ]
+    # identical versions → empty feed
+    assert IO.table_changes(spark, path, 2, 2).count() == 0
