@@ -179,3 +179,61 @@ def test_containment_posting_formulation_matches_brute_force(spark, docs, t):
         for r in containment_pairs(df, shingle_k=k, threshold=t).collect()
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_triangle_count_matches_brute_force(spark, raw_edges):
+    """Degree-ordered triangle counting must equal the O(n^3) brute
+    force on arbitrary small graphs (duplicates, self-loops, reversed
+    edges included in the input)."""
+    from itertools import combinations
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import triangle_count
+
+    adj: set[tuple[int, int]] = set()
+    for a, b in raw_edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+    nodes = sorted({n for e in adj for n in e})
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in adj) and ((y, z) in adj) and ((x, z) in adj):
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+
+    df = spark.createDataFrame(raw_edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == expect
+
+
+@given(st.integers(1, 6), st.integers(0, 3))
+@settings(max_examples=8, deadline=None)
+def test_versioned_append_delete_cdf_roundtrip(spark, tmp_path_factory, n_rows, n_del):
+    """Property: for any append + delete, table_changes(v_pre, v_post)
+    is exactly the deleted rows, and replaying the feed backwards
+    (insert the deletes) restores the pre-delete multiset."""
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("vt") / "t")
+    df = spark.createDataFrame([(i, i % 2) for i in range(n_rows)], "k long, g long")
+    IO.append_versioned(df, path, "b1")
+    v_pre = IO.list_versions(path)[-1][0]
+    v_post = IO.delete_where(spark, path, F.col("k") < n_del)
+    feed = IO.table_changes(spark, path, v_pre, v_post)
+    deleted = sorted((r.k, r.g) for r in feed.filter("_change_type = 'delete'").collect())
+    assert deleted == [(i, i % 2) for i in range(min(n_del, n_rows))]
+    assert feed.filter("_change_type = 'insert'").count() == 0
+    restored = IO.read_version(spark, path).unionByName(
+        feed.filter("_change_type = 'delete'").drop("_change_type")
+    )
+    assert sorted((r.k, r.g) for r in restored.collect()) == sorted(
+        (r.k, r.g) for r in df.collect()
+    )
