@@ -1948,6 +1948,48 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"), ("i", "s"),
+    ("o", "f"), ("t", "o"), ("s", "t"), ("in", "g"), ("e", "d"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer APPLICATION (round 5, pairs with q_bpe_pairs' training
+    statistics): per-document token counts under a fixed 20-merge BPE
+    table — encode runs once per DISTINCT vocabulary word (codegen
+    replace chain), broadcast-joined back to the corpus. The oracle
+    replays the identical replace chain in SQL (replace-all semantics
+    match engine-for-engine, overlaps included)."""
+    docs = load_table(spark, sf, "documents")
+    out = TX.bpe_encode_token_counts(docs, _BPE_MERGES)
+    return O.sort(out, ["doc_id"])
+
+
+def _bpe_encode_oracle() -> str:
+    """Generated twin of q_bpe_encode: same tokenize split, same
+    char-join, same merge chain in rank order — emitted from the SAME
+    _BPE_MERGES list the Spark query uses, so the two sides cannot
+    drift."""
+    expr = "ARRAY_TO_STRING(STRING_SPLIT(w, ''), ' ')"
+    for a, b in _BPE_MERGES:
+        expr = f"REPLACE({expr}, '{a} {b}', '{a}{b}')"
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_words,
+               CAST(SUM(LEN(STRING_SPLIT({expr}, ' '))) AS BIGINT) AS n_tokens
+        FROM w GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def q_table_changes(spark: SparkSession, sf: str) -> DataFrame:
     """Delta-gap analog (round 5): Change Data Feed — row-level diffs
     between versions of a versioned table. v0=first fortnight,
@@ -3307,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_es": q_sample_es,
         "q_zonemap_prune": q_zonemap_prune,
         "q_table_changes": q_table_changes,
+        "q_bpe_encode": q_bpe_encode,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4537,6 +4580,9 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_foreach_batch": """
             SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
         """,
+        # round 5: BPE encode — generated replace-chain twin, see
+        # _bpe_encode_oracle
+        "q_bpe_encode": _bpe_encode_oracle(),
         # round 5: CDF — changes(0→1) are the fn-2 inserts, changes(1→2)
         # the deleted click rows (only change types present appear)
         "q_table_changes": """

@@ -197,6 +197,54 @@ def token_count(text: str | Column, bpe_like: bool = False) -> Column:
     return F.size(tokenize(text))
 
 
+def bpe_apply_merges(word: Column, merges: Sequence[tuple[str, str]]) -> Column:
+    """Apply a ranked BPE merge table to one word — the ENCODE side of
+    the tokenizer whose TRAINING statistics :func:`bpe_pair_stats`
+    computes: split to characters (space-joined), then apply each merge
+    in rank order as a literal replace-all. Replace-all scans left to
+    right non-overlapping, the semantics of standard fast BPE encoders;
+    because SQL REPLACE has identical semantics, an oracle replays the
+    chain bit-for-bit (overlap cases included — verified: 'banana'
+    under a n→an, an a→ana yields 'b anan a' on both engines).
+
+    Pure codegen expression: O(|word| · n_merges) per word, no Python.
+    Returns the space-joined token sequence; ``size(split(.., ' '))``
+    is the encoded token count.
+    """
+    s = F.concat_ws(" ", F.split(word, ""))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
+    return s
+
+
+def bpe_encode_token_counts(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a fixed merge table — the
+    "how many tokens is this corpus under tokenizer X" pass that sizes
+    training runs. Scale shape: the merge chain runs over the DISTINCT
+    vocabulary (one encode per unique word, vocabulary-sized), then a
+    broadcast join maps word → token count back onto the corpus —
+    never re-encoding repeated words. Returns (id, n_words, n_tokens).
+    """
+    words = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__w"))
+    vocab = words.select("__w").distinct()
+    enc = vocab.withColumn(
+        "__n_bpe", F.size(F.split(bpe_apply_merges(F.col("__w"), merges), F.lit(" ")))
+    )
+    return (
+        words.join(F.broadcast(enc), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_bpe").alias("n_tokens"),
+        )
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")) -> DataFrame:
     """Heuristic document quality metrics (north-star text analysis):
     length, mean word length, punctuation ratio, stopword ratio,

@@ -283,3 +283,32 @@ def test_jaccard_filters_permissive_at_float_boundary(spark):
     )
     got = {(r.id_a, r.id_b): r.jaccard for r in TX.jaccard_ngram_pairs(df, n=1, threshold=0.55).collect()}
     assert got == {(1, 2): 0.55}
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Replace-chain BPE encode must match a Python reference applying
+    the same merges in rank order with replace-all semantics."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.text import (
+        bpe_encode_token_counts,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "a")]
+    docs = spark.createDataFrame(
+        [(1, "The banana theory", "en"), (2, "a an and", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+
+    def ref_encode(word):
+        s = " ".join(word)
+        for a, b in merges:
+            s = s.replace(f"{a} {b}", a + b)
+        return len(s.split(" "))
+
+    got = {r.doc_id: (r.n_words, r.n_tokens) for r in bpe_encode_token_counts(docs, merges).collect()}
+    exp = {}
+    for i, text in ((1, "the banana theory"), (2, "a an and")):
+        ws = text.split()
+        exp[i] = (len(ws), sum(ref_encode(w) for w in ws))
+    assert got == exp
+    # sanity: merges actually compress ('the' -> 1 token, not 3 chars)
+    assert got[1][1] < sum(len(w) for w in "the banana theory".split())
