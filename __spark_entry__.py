@@ -1948,6 +1948,45 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_dq_observe(spark: SparkSession, sf: str) -> DataFrame:
+    """DQ-at-the-sink (round 5): Spark Observation API — row count,
+    null count, value sum and min/max certified as a SIDE-EFFECT of
+    writing the table, zero extra scans (vs re-profiling what was just
+    written). The written rows are read back and counted so the oracle
+    also pins write integrity."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQM
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "certified")
+        m = DQM.write_with_metrics(
+            ev,
+            path,
+            {
+                "n_rows": F.count(F.lit(1)),
+                "n_null_value": F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)),
+                "sum_value": F.round(F.sum("value"), 4),
+                "min_user": F.min("user_id"),
+                "max_user": F.max("user_id"),
+            },
+        )
+        n_written = spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_value"]),
+                float(m["sum_value"]),
+                int(m["min_user"]),
+                int(m["max_user"]),
+                n_written == m["n_rows"],
+            )
+        ],
+        "n_rows bigint, n_null_value bigint, sum_value double, "
+        "min_user bigint, max_user bigint, write_intact boolean",
+    )
+
+
 _BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
@@ -3350,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonemap_prune": q_zonemap_prune,
         "q_table_changes": q_table_changes,
         "q_bpe_encode": q_bpe_encode,
+        "q_dq_observe": q_dq_observe,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4579,6 +4619,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_foreach_batch": """
             SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
+        """,
+        # round 5: observed-write metrics — plain aggregates over the
+        # same slice; write_intact is checked in-query
+        "q_dq_observe": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   CAST(MIN(user_id) AS BIGINT) AS min_user,
+                   CAST(MAX(user_id) AS BIGINT) AS max_user,
+                   TRUE AS write_intact
+            FROM events
         """,
         # round 5: BPE encode — generated replace-chain twin, see
         # _bpe_encode_oracle

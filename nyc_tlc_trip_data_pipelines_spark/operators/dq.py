@@ -165,3 +165,30 @@ def profile(
         .select("s.*")
         .orderBy("column")
     )
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    mode: str = "overwrite",
+) -> dict:
+    """Sink with FREE data-quality metrics via Spark's Observation API:
+    the named aggregate expressions are evaluated as a side-effect of
+    the write itself — ZERO extra passes over the data, unlike running
+    ``validate``/``profile`` after the write (which re-scans what was
+    just written). The production gate pattern for a 100 TB pipeline
+    stage: the job that materializes a table also certifies it.
+
+    ``metrics`` maps metric name → aggregate Column (count/sum/
+    null-count/min/max — any expression Spark's observe supports:
+    aggregates only, no distinct, which needs a shuffle and therefore
+    its own pass). Returns the observed values as a dict after the
+    write action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return obs.get

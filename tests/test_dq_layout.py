@@ -235,3 +235,28 @@ def test_zonemap_prunes_files_and_matches_full_scan(spark, tmp_path):
 
     miss, n_scanned_miss, _ = LO.zonemap_lookup(spark, table, idx, "k", 999999)
     assert n_scanned_miss == 0 and miss.count() == 0
+
+
+def test_write_with_metrics_observes_during_write(spark, tmp_path):
+    """Observation metrics must equal a direct aggregate, and arrive
+    from the write action itself (no second scan needed)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQM
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    path = str(tmp_path / "out")
+    m = DQM.write_with_metrics(
+        df,
+        path,
+        {
+            "n": F.count(F.lit(1)),
+            "nulls": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "total": F.sum("v"),
+        },
+    )
+    assert (m["n"], m["nulls"], m["total"]) == (3, 1, 40.0)
+    back = spark.read.parquet(path)
+    assert back.count() == 3 and set(back.columns) == {"k", "v"}
