@@ -1948,6 +1948,95 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_custom_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom Python DataSource (round 5, PySpark 4 DataSource API):
+    the reference's driver-side S3 listing re-expressed as a Spark
+    SOURCE — sharded input partitions list in parallel, the listing is
+    a DataFrame. Fixture: 16 files with closed-form sizes (i*10+3
+    bytes), so the oracle recomputes count/total/per-shard split from
+    first principles. Proves the full plumbing: registration →
+    partitions() → read() → schema'd rows."""
+    from nyc_tlc_trip_data_pipelines_spark.datasource import ObjectStoreListingSource
+
+    spark.dataSource.register(ObjectStoreListingSource)
+    import zlib
+
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(16):
+            with open(os.path.join(d, f"obj_{i:02d}.bin"), "wb") as fh:
+                fh.write(b"x" * (i * 10 + 3))
+        listing = (
+            spark.read.format("objectstore_listing")
+            .option("root", d)
+            .option("shards", "4")
+            .load()
+        )
+        rows = (
+            listing.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_objects"),
+                F.sum("n_bytes").alias("total_bytes"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        [(int(r.shard), int(r.n_objects), int(r.total_bytes)) for r in rows],
+        "shard int, n_objects bigint, total_bytes bigint",
+    ).orderBy("shard")
+
+
+def _custom_datasource_oracle() -> str:
+    """Golden-expectation twin of q_custom_datasource: the fixture is
+    closed-form (16 files, i*10+3 bytes, crc32-sharded), so the oracle
+    is an independent Python replay emitted as literals — same style as
+    the seeded-literal ANN oracles."""
+    import zlib
+
+    agg: dict[int, tuple[int, int]] = {}
+    for i in range(16):
+        shard = zlib.crc32(f"obj_{i:02d}.bin".encode()) % 4
+        n, t = agg.get(shard, (0, 0))
+        agg[shard] = (n + 1, t + i * 10 + 3)
+    values = ", ".join(f"({s}, {n}, {t})" for s, (n, t) in sorted(agg.items()))
+    return f"""
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(n_objects AS BIGINT) AS n_objects,
+               CAST(total_bytes AS BIGINT) AS total_bytes
+        FROM (VALUES {values}) t(shard, n_objects, total_bytes)
+        ORDER BY shard
+    """
+
+
+def q_file_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row source-file provenance via the ``_metadata`` hidden
+    column (round 5) — the modern form of the reference's per-file
+    error attribution (R23, ``pasta1_etl/src/main.py:174-186``): rows
+    written partitioned by month are read back with their physical
+    file identity, the month is recovered FROM THE FILE PATH alone,
+    and per-file row counts must reproduce the logical per-month
+    counts. At 100 TB this is how a quarantine pass names the exact
+    bad input file without a lineage system."""
+    ev = load_table(spark, sf, "events")
+    gold = R.derive_year_month(ev, "ts", "y", "m")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "by_month")
+        gold.write.partitionBy("m").parquet(path)
+        back = spark.read.parquet(path).select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"/m=(\d+)/", 1)
+            .cast("int")
+            .alias("m_from_path"),
+        )
+        rows = (
+            back.groupBy("m_from_path")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+    return spark.createDataFrame(
+        [(int(r.m_from_path), int(r.n_rows)) for r in rows],
+        "m_from_path int, n_rows bigint",
+    ).orderBy("m_from_path")
+
+
 def q_dq_observe(spark: SparkSession, sf: str) -> DataFrame:
     """DQ-at-the-sink (round 5): Spark Observation API — row count,
     null count, value sum and min/max certified as a SIDE-EFFECT of
@@ -3390,6 +3479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_changes": q_table_changes,
         "q_bpe_encode": q_bpe_encode,
         "q_dq_observe": q_dq_observe,
+        "q_file_provenance": q_file_provenance,
+        "q_custom_datasource": q_custom_datasource,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4619,6 +4710,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_foreach_batch": """
             SELECT COUNT(*) AS n_rows, TRUE AS has_batches FROM events
+        """,
+        # round 5: custom Python DataSource — closed-form fixture replay
+        "q_custom_datasource": _custom_datasource_oracle(),
+        # round 5: _metadata provenance — month recovered from the file
+        # path must reproduce the logical per-month counts
+        "q_file_provenance": """
+            SELECT CAST(MONTH(ts) AS INT) AS m_from_path,
+                   COUNT(*) AS n_rows
+            FROM events GROUP BY MONTH(ts) ORDER BY m_from_path
         """,
         # round 5: observed-write metrics — plain aggregates over the
         # same slice; write_intact is checked in-query

@@ -1,0 +1,72 @@
+"""Custom Python DataSource (PySpark 4 DataSource API): an object-store
+LISTING source.
+
+The reference's ingest begins with an S3 listing pass
+(``pasta1_etl/src/utils.py:16-66``) done driver-side with boto3. This
+module re-expresses that listing as a first-class Spark SOURCE via the
+Python DataSource API (SPARK-44076, pyspark >= 4): listings become a
+DataFrame — filterable, joinable against manifests/zone maps, and
+PARTITIONED so a 100-million-object bucket lists in parallel across
+executors instead of serially on the driver (S3 LIST itself shards by
+key prefix; each input partition walks one prefix shard).
+
+Registration is per-session:
+
+    spark.dataSource.register(ObjectStoreListingSource)
+    spark.read.format("objectstore_listing").option("root", path).load()
+
+Rows: (key string, n_bytes bigint, shard int). Local directories stand
+in for buckets (same seam as :mod:`objectstore`); a real S3 deployment
+swaps the ``os.walk`` in ``read`` for a boto3 ``list_objects_v2`` page
+loop over ``StartAfter``-sharded prefixes — the partitioning and
+DataFrame surface stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: int, n_shards: int):
+        self.shard = shard
+        self.n_shards = n_shards
+
+
+class ObjectStoreListingReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("objectstore_listing requires .option('root', <path>)")
+        self.n_shards = int(options.get("shards", "4"))
+
+    def partitions(self):
+        return [_ShardPartition(i, self.n_shards) for i in range(self.n_shards)]
+
+    def read(self, partition: _ShardPartition):
+        # Each partition walks the same tree but emits only the keys
+        # hashed to its shard — the local stand-in for one LIST prefix
+        # shard. Deterministic: shard = crc of the relative key.
+        import zlib
+
+        for dirpath, _dirs, files in os.walk(self.root):
+            for f in sorted(files):
+                full = os.path.join(dirpath, f)
+                key = os.path.relpath(full, self.root)
+                shard = zlib.crc32(key.encode()) % partition.n_shards
+                if shard == partition.shard:
+                    yield (key, os.path.getsize(full), shard)
+
+
+class ObjectStoreListingSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "objectstore_listing"
+
+    def schema(self) -> str:
+        return "key string, n_bytes bigint, shard int"
+
+    def reader(self, schema):
+        return ObjectStoreListingReader(self.options)

@@ -125,3 +125,40 @@ def test_append_idempotent_reader_drops_job_col(tmp_path, spark):
     eio.append_idempotent(spark.range(5), dest, job_id="j1")
     df = spark.read.parquet(dest).drop("__job_id")
     assert df.columns == ["id"] and df.count() == 5
+
+
+def test_custom_python_datasource_lists_in_parallel_shards(spark, tmp_path):
+    """PySpark 4 DataSource API: the listing source must enumerate every
+    file exactly once across shard partitions, report true byte sizes,
+    and respect the shards option."""
+    from nyc_tlc_trip_data_pipelines_spark.datasource import ObjectStoreListingSource
+
+    spark.dataSource.register(ObjectStoreListingSource)
+    sizes = {}
+    for i in range(9):
+        name = f"f{i}.dat"
+        with open(tmp_path / name, "wb") as fh:
+            fh.write(b"z" * (i + 1))
+        sizes[name] = i + 1
+    (tmp_path / "nested").mkdir()
+    with open(tmp_path / "nested" / "deep.dat", "wb") as fh:
+        fh.write(b"zz")
+    sizes["nested/deep.dat"] = 2
+
+    df = (
+        spark.read.format("objectstore_listing")
+        .option("root", str(tmp_path))
+        .option("shards", "3")
+        .load()
+    )
+    rows = df.collect()
+    assert {r.key: r.n_bytes for r in rows} == sizes
+    assert all(0 <= r.shard < 3 for r in rows)
+    # keys partition cleanly: no dup, no loss under a different shard count
+    df2 = (
+        spark.read.format("objectstore_listing")
+        .option("root", str(tmp_path))
+        .option("shards", "5")
+        .load()
+    )
+    assert df2.count() == len(sizes)
