@@ -1956,10 +1956,9 @@ def q_custom_datasource(spark: SparkSession, sf: str) -> DataFrame:
     bytes), so the oracle recomputes count/total/per-shard split from
     first principles. Proves the full plumbing: registration →
     partitions() → read() → schema'd rows."""
-    from nyc_tlc_trip_data_pipelines_spark.datasource import ObjectStoreListingSource
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
 
-    spark.dataSource.register(ObjectStoreListingSource)
-    import zlib
+    DSRC.register(spark)
 
     with tempfile.TemporaryDirectory() as d:
         for i in range(16):

