@@ -1948,6 +1948,44 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_geo_binning(spark: SparkSession, sf: str) -> DataFrame:
+    """Geo staple (round 5, the reference's own domain — trip data):
+    geohash spatial binning as a PURE codegen expression (quantize →
+    MSB-first Morton interleave → base32 chunks; verified against the
+    canonical (57.64911, 10.40744) → u4pruydqq vector). Synthetic
+    lat/lon derived closed-form from events ids; groupBy(geohash) is
+    the spatial clustering every trip-data rollup starts with. The
+    oracle replays the full bit arithmetic via layout.geohash_sql_parts
+    — both sides generated from the same module."""
+    ev = load_table(spark, sf, "events")
+    pts = ev.select(
+        ((F.col("user_id") % 180) - 90 + 0.25).cast("double").alias("lat"),
+        ((F.col("event_id") % 360) - 180 + 0.25).cast("double").alias("lon"),
+    )
+    binned = pts.select(
+        LO.geohash_encode(F.col("lat"), F.col("lon"), 5).alias("geohash")
+    )
+    return O.sort(
+        binned.groupBy("geohash").agg(F.count(F.lit(1)).alias("n_points")),
+        ["geohash"],
+    )
+
+
+def _geo_binning_oracle() -> str:
+    parts = LO.geohash_sql_parts("lat", "lon", 5)
+    return f"""
+        WITH pts AS (
+            SELECT CAST((user_id % 180) - 90 + 0.25 AS DOUBLE) AS lat,
+                   CAST((event_id % 360) - 180 + 0.25 AS DOUBLE) AS lon
+            FROM events
+        ),
+        q AS (SELECT lat, lon, {parts["quant"]} FROM pts),
+        zz AS (SELECT *, CAST({parts["z"]} AS BIGINT) AS z FROM q)
+        SELECT {parts["chars"]} AS geohash, COUNT(*) AS n_points
+        FROM zz GROUP BY 1 ORDER BY geohash
+    """
+
+
 def q_custom_datasource(spark: SparkSession, sf: str) -> DataFrame:
     """Custom Python DataSource (round 5, PySpark 4 DataSource API):
     the reference's driver-side S3 listing re-expressed as a Spark
@@ -3480,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_observe": q_dq_observe,
         "q_file_provenance": q_file_provenance,
         "q_custom_datasource": q_custom_datasource,
+        "q_geo_binning": q_geo_binning,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4712,6 +4751,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round 5: custom Python DataSource — closed-form fixture replay
         "q_custom_datasource": _custom_datasource_oracle(),
+        # round 5: geohash binning — full bit-arithmetic replay generated
+        # from the same layout module as the Spark expression
+        "q_geo_binning": _geo_binning_oracle(),
         # round 5: _metadata provenance — month recovered from the file
         # path must reproduce the logical per-month counts
         "q_file_provenance": """

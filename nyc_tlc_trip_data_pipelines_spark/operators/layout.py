@@ -45,6 +45,101 @@ def zorder_layout(
     )
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_quantized(lat: Column, lon: Column, precision: int) -> Column:
+    """The geohash as one interleaved integer (MSB-first, longitude
+    first — the standard geohash bit order), from integer-quantized
+    lat/lon. Pure shift/mask fold like :func:`zorder_key`."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))).cast("long")
+    lat_q = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))).cast("long")
+    # clamp the degenerate upper edge (lat=90 / lon=180 quantize to 2^bits)
+    lon_q = F.least(lon_q, F.lit((1 << lon_bits) - 1))
+    lat_q = F.least(lat_q, F.lit((1 << lat_bits) - 1))
+    terms = []
+    for k in range(total):
+        if k % 2 == 0:
+            src, src_bit = lon_q, lon_bits - 1 - k // 2
+        else:
+            src, src_bit = lat_q, lat_bits - 1 - (k - 1) // 2
+        terms.append(
+            F.shiftleft(
+                F.shiftright(src, src_bit).bitwiseAND(F.lit(1)), total - 1 - k
+            )
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """Standard geohash string (base32, longitude-first MSB
+    interleave) as a PURE codegen expression — no UDF: quantize,
+    Morton-interleave (the :func:`zorder_key` machinery generalized to
+    MSB-first asymmetric bit counts), then map each 5-bit chunk
+    through the base32 alphabet. The geo binning primitive for trip
+    data: groupBy(geohash) is spatial clustering, prefix matching is
+    spatial containment, and sorting by it is a spatial layout for
+    min/max file skipping (:func:`write_zonemap`).
+
+    Verified against the canonical test vector (57.64911, 10.40744) →
+    ``u4pruydqq...``; the SQL twin is :func:`geohash_sql`.
+    """
+    z = _geohash_quantized(lat, lon, precision)
+    chars = [
+        F.element_at(
+            F.split(F.lit(_GEOHASH_B32), ""),
+            (
+                F.shiftright(z, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)) + F.lit(1)
+            ).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql_parts(lat_sql: str, lon_sql: str, precision: int = 7) -> dict[str, str]:
+    """Portable ANSI-SQL twin of :func:`geohash_encode` (generator
+    style, like :func:`zorder_sql`), as three composable fragments for
+    a CTE pipeline — ``{"quant": "<lat_q>, <lon_q>", "z": "<sum over
+    lat_q/lon_q>", "chars": "<concat over z>"}``: same quantization,
+    same MSB-first interleave as a sum of scaled masked shifts, same
+    base32 chunk lookup via SUBSTR. Compose as::
+
+        WITH q AS (SELECT ..., {quant} FROM src),
+             zz AS (SELECT ..., {z} AS z FROM q)
+        SELECT {chars} AS geohash FROM zz
+    """
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = (
+        f"LEAST(CAST(FLOOR((({lon_sql}) + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT), "
+        f"{(1 << lon_bits) - 1}) AS lon_q"
+    )
+    lat_q = (
+        f"LEAST(CAST(FLOOR((({lat_sql}) + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT), "
+        f"{(1 << lat_bits) - 1}) AS lat_q"
+    )
+    terms = []
+    for k in range(total):
+        if k % 2 == 0:
+            src, src_bit = "lon_q", lon_bits - 1 - k // 2
+        else:
+            src, src_bit = "lat_q", lat_bits - 1 - (k - 1) // 2
+        terms.append(
+            f"(CAST(FLOOR({src} / {1 << src_bit}) AS BIGINT) % 2) * {1 << (total - 1 - k)}"
+        )
+    chars = " || ".join(
+        f"SUBSTR('{_GEOHASH_B32}', "
+        f"CAST((CAST(FLOOR(z / {1 << (5 * (precision - 1 - c))}) AS BIGINT) % 32) AS INTEGER) + 1, 1)"
+        for c in range(precision)
+    )
+    return {"quant": f"{lat_q}, {lon_q}", "z": " + ".join(terms), "chars": chars}
+
+
 def write_zonemap(spark, table_path: str, cols: list[str], index_path: str) -> int:
     """Build a ZONE MAP over a parquet table: one row per data file with
     min/max/count for each of ``cols`` — the external form of the

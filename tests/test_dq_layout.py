@@ -260,3 +260,34 @@ def test_write_with_metrics_observes_during_write(spark, tmp_path):
     assert (m["n"], m["nulls"], m["total"]) == (3, 1, 40.0)
     back = spark.read.parquet(path)
     assert back.count() == 3 and set(back.columns) == {"k", "v"}
+
+
+def test_geohash_encode_canonical_vectors(spark):
+    """geohash_encode must reproduce canonical geohashes (longitude-
+    first MSB interleave, base32) and behave at the domain edges."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+
+    df = spark.createDataFrame(
+        [
+            (57.64911, 10.40744, "u4pruydqq"),   # the classic test vector
+            (40.758, -73.9855, "dr5ru7v2s"),     # Times Square
+            (-33.8568, 151.2153, "r3gx2ux9g"),   # Sydney
+            (0.0, 0.0, "s00000000"),
+            (90.0, 180.0, "zzzzzzzzz"),          # clamped upper edge
+            (-90.0, -180.0, "000000000"),
+        ],
+        "lat double, lon double, expect string",
+    )
+    rows = df.select(
+        "expect", LO.geohash_encode(F.col("lat"), F.col("lon"), 9).alias("g")
+    ).collect()
+    for r in rows:
+        assert r.g == r.expect, (r.expect, r.g)
+    # prefix property: lower precision is a strict prefix
+    short = df.select(
+        "expect", LO.geohash_encode(F.col("lat"), F.col("lon"), 4).alias("g")
+    ).collect()
+    for r in short:
+        assert r.expect.startswith(r.g)
