@@ -1948,6 +1948,43 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured VARIANT type (round 5, Spark 4 surface): orders
+    rendered to JSON, parsed into VARIANT (``parse_json``), then typed
+    path extraction (``try_variant_get`` — scalar, nested object,
+    array index) drives a filter + aggregate. The oracle computes the
+    same values straight from the source columns, so any extraction
+    bug (path, type, nesting) shifts the result. VARIANT is the
+    lakehouse answer to schemaless columns: binary-encoded, columnar-
+    shredded, no per-query JSON re-parse."""
+    o = load_table(spark, sf, "orders")
+    j = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.struct(F.col("o_totalprice").alias("price")).alias("nested"),
+                F.array("o_custkey", "o_orderkey").alias("arr"),
+            )
+        ).alias("j")
+    )
+    v = j.select(F.parse_json("j").alias("v"))
+    ext = v.select(
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.nested.price", "double").alias("price"),
+        F.try_variant_get("v", "$.arr[0]", "long").alias("custkey"),
+    )
+    return (
+        ext.filter(F.col("price") > 100000.0)
+        .groupBy((F.col("custkey") % 10).alias("custkey_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 4).alias("sum_price"),
+            F.min("k").alias("min_orderkey"),
+        )
+        .orderBy("custkey_mod")
+    )
+
+
 def q_geo_binning(spark: SparkSession, sf: str) -> DataFrame:
     """Geo staple (round 5, the reference's own domain — trip data):
     geohash spatial binning as a PURE codegen expression (quantize →
@@ -3519,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_provenance": q_file_provenance,
         "q_custom_datasource": q_custom_datasource,
         "q_geo_binning": q_geo_binning,
+        "q_variant_json": q_variant_json,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4754,6 +4792,16 @@ def oracle_sql() -> dict[str, str]:
         # round 5: geohash binning — full bit-arithmetic replay generated
         # from the same layout module as the Spark expression
         "q_geo_binning": _geo_binning_oracle(),
+        # round 5: VARIANT extraction — oracle computes the same values
+        # straight from the source columns (extraction bugs shift them)
+        "q_variant_json": """
+            SELECT CAST(o_custkey % 10 AS BIGINT) AS custkey_mod,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS sum_price,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+            FROM orders WHERE o_totalprice > 100000.0
+            GROUP BY o_custkey % 10 ORDER BY custkey_mod
+        """,
         # round 5: _metadata provenance — month recovered from the file
         # path must reproduce the logical per-month counts
         "q_file_provenance": """
