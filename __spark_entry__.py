@@ -1948,6 +1948,36 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (round 5, Spark 4.1 surface — WITH RECURSIVE):
+    hierarchy walk over a customer-derived binary tree (node n's parent
+    is floor(n/2)), computing each reachable node's depth from the root
+    and per-depth counts/checksums. The recursion is plain SQL that
+    DuckDB runs verbatim — engine-for-engine twin, no reformulation.
+    At scale prefer the iterative-DataFrame form (graph.py connected
+    components) for unbounded depth; recursive CTEs shine for
+    bounded-depth hierarchy resolution (org charts, category trees)."""
+    c = load_table(spark, sf, "customer")
+    c.select((F.col("c_custkey") % 127 + 1).cast("long").alias("n")).distinct() \
+        .createOrReplaceTempView("tree_nodes")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(n, depth) AS (
+            SELECT n, 0 FROM tree_nodes WHERE n = 1
+            UNION ALL
+            SELECT t.n, w.depth + 1
+            FROM tree_nodes t JOIN walk w
+              ON CAST(FLOOR(t.n / 2.0) AS BIGINT) = w.n
+            WHERE t.n > 1
+        )
+        SELECT depth,
+               COUNT(*) AS n_nodes,
+               CAST(SUM(n) AS BIGINT) AS id_checksum
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
+
+
 def q_variant_json(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured VARIANT type (round 5, Spark 4 surface): orders
     rendered to JSON, parsed into VARIANT (``parse_json``), then typed
@@ -3557,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custom_datasource": q_custom_datasource,
         "q_geo_binning": q_geo_binning,
         "q_variant_json": q_variant_json,
+        "q_recursive_cte": q_recursive_cte,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4792,6 +4823,24 @@ def oracle_sql() -> dict[str, str]:
         # round 5: geohash binning — full bit-arithmetic replay generated
         # from the same layout module as the Spark expression
         "q_geo_binning": _geo_binning_oracle(),
+        # round 5: recursive CTE — DuckDB runs the identical recursion
+        # over the same derived node set
+        "q_recursive_cte": """
+            WITH RECURSIVE nodes AS (
+                SELECT DISTINCT CAST(c_custkey % 127 + 1 AS BIGINT) AS n FROM customer
+            ), walk(n, depth) AS (
+                SELECT n, 0 FROM nodes WHERE n = 1
+                UNION ALL
+                SELECT t.n, w.depth + 1
+                FROM nodes t JOIN walk w
+                  ON CAST(FLOOR(t.n / 2.0) AS BIGINT) = w.n
+                WHERE t.n > 1
+            )
+            SELECT depth,
+                   COUNT(*) AS n_nodes,
+                   CAST(SUM(n) AS BIGINT) AS id_checksum
+            FROM walk GROUP BY depth ORDER BY depth
+        """,
         # round 5: VARIANT extraction — oracle computes the same values
         # straight from the source columns (extraction bugs shift them)
         "q_variant_json": """
