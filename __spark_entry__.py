@@ -1948,6 +1948,54 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["component"])
 
 
+def q_csv_corrupt_isolation(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level bad-record isolation (round 5): PERMISSIVE CSV parsing
+    with ``columnNameOfCorruptRecord`` — the ROW-granularity complement
+    to the reference's per-FILE error isolation (R23). A deterministic
+    fixture of 200 lines (every 7th malformed: EXCESS tokens — the
+    unambiguous corrupt class in Spark's univocity parser, which fills
+    under-length rows and failed casts with NULLs instead of marking
+    them) is read under an explicit schema; malformed rows land in the
+    corrupt column, good rows parse typed. Counts and the good-row
+    checksum are closed-form, so the
+    oracle recomputes them from first principles. At 100 TB this is
+    the quarantine split that keeps one bad row from failing a
+    backfill — same pattern as streaming.quarantine_sink, batch form."""
+    n = 200
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rows.csv")
+        with open(path, "w") as fh:
+            for i in range(n):
+                if i % 7 == 0:
+                    fh.write(f"{i},x,y,z,extra\n")
+                else:
+                    fh.write(f"{i},{i * 3},{i * 1.5}\n")
+        schema = (
+            "id INT, triple INT, score DOUBLE, _corrupt_record STRING"
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+        )
+        row = df.agg(
+            F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_good"),
+            F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.round(
+                F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("score"))), 4
+            ).alias("good_score_sum"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [(int(row.n_good), int(row.n_corrupt), float(row.good_score_sum))],
+        "n_good bigint, n_corrupt bigint, good_score_sum double",
+    )
+
+
 def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
     """Recursive CTE (round 5, Spark 4.1 surface — WITH RECURSIVE):
     hierarchy walk over a customer-derived binary tree (node n's parent
@@ -3588,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_binning": q_geo_binning,
         "q_variant_json": q_variant_json,
         "q_recursive_cte": q_recursive_cte,
+        "q_csv_corrupt_isolation": q_csv_corrupt_isolation,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4823,6 +4872,14 @@ def oracle_sql() -> dict[str, str]:
         # round 5: geohash binning — full bit-arithmetic replay generated
         # from the same layout module as the Spark expression
         "q_geo_binning": _geo_binning_oracle(),
+        # round 5: corrupt-row isolation — fixture is closed-form
+        # (every 7th of 200 lines malformed), oracle from first principles
+        "q_csv_corrupt_isolation": """
+            SELECT CAST(SUM(CASE WHEN i % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+                   CAST(SUM(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+                   ROUND(SUM(CASE WHEN i % 7 <> 0 THEN CAST(i AS DOUBLE) * 1.5 ELSE 0.0 END), 4) AS good_score_sum
+            FROM GENERATE_SERIES(0, 199) t(i)
+        """,
         # round 5: recursive CTE — DuckDB runs the identical recursion
         # over the same derived node set
         "q_recursive_cte": """
