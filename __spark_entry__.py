@@ -415,9 +415,13 @@ def q_join_star(spark: SparkSession, sf: str) -> DataFrame:
             (r, n.n_regionkey == r.r_regionkey),
         ],
     )
+    # 2dp, not 4: per-region revenue is ~1e10 at sf0.1, and 4dp of a
+    # 10-digit sum is 14 significant digits — the regime where float
+    # accumulation ORDER flips the rounded digit between engines
+    # (round-5 sf0.1 sweep finding). 12 sig figs is order-stable.
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return O.sort(
-        agg.group_agg(star, ["r_name"], {"revenue": F.round(rev, 4), "n_items": F.count(F.lit(1))}),
+        agg.group_agg(star, ["r_name"], {"revenue": F.round(rev, 2), "n_items": F.count(F.lit(1))}),
         ["r_name"],
     )
 
@@ -2671,14 +2675,21 @@ def q_time_gapfill(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """E15b: distribution windows — percent_rank, cume_dist, ntile(4) per
-    nation ordered by account balance (unique tie-break on custkey)."""
+    nation ordered by account balance (unique tie-break on custkey).
+
+    Ratios are TRUNCATED to 6dp, not rounded: rank ratios like 41/640 =
+    0.0640625 are exactly representable and land exactly on the
+    round-half boundary, where engines' tie-break semantics diverge
+    (found by the round-5 sf0.1 sweep). floor(x·1e6)/1e6 is the same
+    IEEE ops on both sides — tie-free."""
     c = load_table(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    trunc6 = lambda col: F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        trunc6(F.percent_rank().over(w)).alias("pct_rank"),
+        trunc6(F.cume_dist().over(w)).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
@@ -5109,7 +5120,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand ORDER BY p_brand
         """,
         "q_join_star": """
-            SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+            SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -5456,8 +5467,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_window_distribution": """
             SELECT c_custkey, c_nationkey,
-                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
-                   ROUND(cume_dist() OVER w, 6) AS cume,
+                   FLOOR(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pct_rank,
+                   FLOOR(cume_dist() OVER w * 1000000.0) / 1000000.0 AS cume,
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
