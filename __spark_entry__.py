@@ -455,17 +455,21 @@ def q_join_cross(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
     """E10 (TPC-H Q1 shape): multi-aggregate groupBy on lineitem.
-    Map-side partial aggregation → shuffle carries keys, not rows."""
+    Map-side partial aggregation → shuffle carries keys, not rows.
+    Sums rounded to 2dp: 4 groups over the whole table give ~1e10
+    magnitudes, where 4dp is 14 significant digits and float
+    accumulation order can flip the rounded digit between engines
+    (same class as the round-5 q_join_star sf0.1 finding)."""
     li = load_table(spark, sf, "lineitem")
     out = agg.group_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": F.round(F.sum("l_quantity"), 4),
-            "sum_base_price": F.round(F.sum("l_extendedprice"), 4),
-            "sum_disc_price": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4),
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
             "sum_charge": F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ),
             "avg_qty": F.round(F.avg("l_quantity"), 6),
             "avg_price": F.round(F.avg("l_extendedprice"), 6),
@@ -5143,10 +5147,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_agg_basic": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 4) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
                    ROUND(AVG(l_quantity), 6) AS avg_qty,
                    ROUND(AVG(l_extendedprice), 6) AS avg_price,
                    ROUND(AVG(l_discount), 6) AS avg_disc,
