@@ -2681,19 +2681,25 @@ def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """E15b: distribution windows — percent_rank, cume_dist, ntile(4) per
     nation ordered by account balance (unique tie-break on custkey).
 
-    Ratios are TRUNCATED to 6dp, not rounded: rank ratios like 41/640 =
-    0.0640625 are exactly representable and land exactly on the
-    round-half boundary, where engines' tie-break semantics diverge
-    (found by the round-5 sf0.1 sweep). floor(x·1e6)/1e6 is the same
-    IEEE ops on both sides — tie-free."""
+    The ratios are compared SCALED BACK TO EXACT INTEGERS:
+    round(percent_rank·(n−1)) ≡ rank−1 and round(cume_dist·n) ≡ rank.
+    Engines compute the ratio doubles differently (direct division vs
+    reciprocal multiplication), so any fixed-decimal rounding of the
+    raw ratio has boundary cases where a one-ulp difference flips a
+    digit (found by the round-5 sf0.1 sweep: 41/640 = 0.0640625 on the
+    round-half boundary). The scaled form's true value is an INTEGER,
+    so round-to-nearest is always an ulp-wide margin from any
+    boundary — correct at every SF, and it still verifies the
+    built-ins end-to-end (a wrong ratio yields the wrong integer)."""
     c = load_table(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    trunc6 = lambda col: F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
+    wn = Window.partitionBy("c_nationkey")
+    n = F.count(F.lit(1)).over(wn)
     return c.select(
         "c_custkey",
         "c_nationkey",
-        trunc6(F.percent_rank().over(w)).alias("pct_rank"),
-        trunc6(F.cume_dist().over(w)).alias("cume"),
+        F.round(F.percent_rank().over(w) * (n - 1), 0).cast("long").alias("pr_scaled"),
+        F.round(F.cume_dist().over(w) * n, 0).cast("long").alias("cume_scaled"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
@@ -5471,11 +5477,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_window_distribution": """
             SELECT c_custkey, c_nationkey,
-                   FLOOR(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pct_rank,
-                   FLOOR(cume_dist() OVER w * 1000000.0) / 1000000.0 AS cume,
+                   CAST(ROUND(percent_rank() OVER w
+                              * (COUNT(*) OVER wn - 1)) AS BIGINT) AS pr_scaled,
+                   CAST(ROUND(cume_dist() OVER w
+                              * COUNT(*) OVER wn) AS BIGINT) AS cume_scaled,
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
-            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+                   wn AS (PARTITION BY c_nationkey)
         """,
         "q_agg_conditional": """
             SELECT o_orderpriority,
