@@ -3571,6 +3571,133 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative graph (round 5): minimum-hop BFS from a seed node over
+    the same deterministic directed graph q_graph_triangles builds
+    (u = custkey % 400; edges u→u+1, u→u+2, u→2u mod 400). Frontier
+    expansion with an anti-join against visited (operators/graph.py
+    bfs_hops); the oracle replays reachability with a bounded recursive
+    CTE and takes MIN(hop) per node. Complements q_pagerank (fixed
+    iterations) and q_graph_components (convergence loop) with the
+    third iterative shape: frontier BFS with early exit."""
+    c = load_table(spark, sf, "customer")
+    nodes = c.select((F.col("c_custkey") % 400).cast("long").alias("u")).distinct()
+    edges = (
+        nodes.select("u", ((F.col("u") + 1) % 400).alias("v"))
+        .unionAll(nodes.select("u", ((F.col("u") + 2) % 400).alias("v")))
+        .unionAll(nodes.select("u", ((F.col("u") * 2) % 400).alias("v")))
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    out = GR.bfs_hops(edges, seeds, src="u", dst="v", max_hops=12)
+    return O.sort(out, ["node"])
+
+
+# BM25 probe: frequent corpus terms so tf saturation and the dl/avgdl
+# length normalization both actually engage at sf0.01.
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def q_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (text retrieval): BM25 top-10 documents for a fixed
+    3-term query (operators/text.py bm25_rank — Okapi BM25 with the
+    Lucene non-negative IDF). Per-(doc,term) partials are rounded to
+    6 dp before the per-doc sum so Spark's partial-aggregation addition
+    order and DuckDB's serial sum round identically; ties break on
+    doc_id."""
+    docs = load_table(spark, sf, "documents")
+    return TX.bm25_rank(docs, _BM25_TERMS, top_k=10)
+
+
+def q_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (training-sample prep): sliding-window token chunking
+    (operators/text.py chunk_sliding, window=64 stride=48) — each doc
+    becomes overlapping ≤64-token windows starting every 48 tokens,
+    the split step between corpus cleaning and tokenization. Zero
+    shuffles: tokenize + sequence/explode + slice are all row-local
+    codegen, so the plan is scan → project → sink even at 100 TB."""
+    docs = load_table(spark, sf, "documents")
+    return TX.chunk_sliding(docs, window=64, stride=48)
+
+
+def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust feature stats (round 5): per-language winsorization of
+    n_chars at the exact interpolated p05/p95 (SQL ``percentile`` on
+    Spark, ``quantile_cont`` in DuckDB — both rank (n−1)·p with linear
+    interpolation), then clipped mean + clip counts per language. The
+    percentile agg and the clip re-join are the two-pass shape exact
+    winsorization forces; at 100 TB swap pass one to
+    approx_percentile and the re-join stays broadcast (one row per
+    group)."""
+    docs = load_table(spark, sf, "documents")
+    cuts = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    clipped = docs.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        "n_chars",
+        F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")).alias("w"),
+        (F.col("n_chars") < F.col("p05")).cast("int").alias("lo"),
+        (F.col("n_chars") > F.col("p95")).cast("int").alias("hi"),
+    )
+    out = clipped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 6).alias("winsor_mean"),
+        F.sum("lo").alias("n_clipped_low"),
+        F.sum("hi").alias("n_clipped_high"),
+    )
+    return O.sort(out, ["lang"])
+
+
+def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionized marketing attribution (round 5): every purchase is
+    attributed to the user's FIRST event (first-touch) in the 7 days
+    strictly before it; purchases and distinct purchasers counted per
+    first-touch event type. The first touch is selected with a single
+    MIN over a sortable key (zero-padded epoch-micros ‖ event_id ‖
+    type) — one aggregate instead of a three-pass argmin, identical in
+    both engines. The candidate join is a time-bounded range join; at
+    100 TB bucket both sides by (user, day) so each purchase probes
+    only adjacent buckets instead of the user's full history."""
+    e = load_table(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = e.select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    touch_key = F.concat_ws(
+        ":",
+        F.lpad(F.unix_micros("t_ts").cast("string"), 20, "0"),
+        F.lpad(F.col("t_id").cast("string"), 12, "0"),
+        F.col("t_type"),
+    )
+    first = (
+        p.join(
+            t,
+            (F.col("p_user") == F.col("t_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("p_id", "p_user")
+        .agg(F.min(touch_key).alias("fk"))
+    )
+    out = first.select(
+        "p_id",
+        "p_user",
+        F.substring_index(F.col("fk"), ":", -1).alias("first_touch_type"),
+    ).groupBy("first_touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("p_user").alias("n_users"),
+    )
+    return O.sort(out, ["first_touch_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -3665,6 +3792,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_variant_json": q_variant_json,
         "q_recursive_cte": q_recursive_cte,
         "q_csv_corrupt_isolation": q_csv_corrupt_isolation,
+        "q_graph_bfs": q_graph_bfs,
+        "q_bm25_rank": q_bm25_rank,
+        "q_doc_chunk": q_doc_chunk,
+        "q_winsorize": q_winsorize,
+        "q_attribution": q_attribution,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -4907,6 +5039,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
                    ROUND(SUM(CASE WHEN i % 7 <> 0 THEN CAST(i AS DOUBLE) * 1.5 ELSE 0.0 END), 4) AS good_score_sum
             FROM GENERATE_SERIES(0, 199) t(i)
+        """,
+        # round 5: BFS min-hop — bounded recursive reachability, MIN(hop)
+        # per node over the triangle-query graph construction
+        "q_graph_bfs": """
+            WITH RECURSIVE nodes AS (
+                SELECT DISTINCT CAST(c_custkey % 400 AS BIGINT) AS u FROM customer
+            ), edges AS (
+                SELECT u, (u + 1) % 400 AS v FROM nodes
+                UNION ALL SELECT u, (u + 2) % 400 FROM nodes
+                UNION ALL SELECT u, (u * 2) % 400 FROM nodes
+            ), r(node, hop) AS (
+                SELECT CAST(0 AS BIGINT), 0
+                UNION
+                SELECT e.v, r.hop + 1
+                FROM r JOIN edges e ON e.u = r.node
+                WHERE r.hop < 12
+            )
+            SELECT node, CAST(MIN(hop) AS INT) AS hops
+            FROM r GROUP BY node ORDER BY node
+        """,
+        # round 5: BM25 — identical Okapi formula, per-term partials
+        # rounded to 6 dp before the per-doc sum on both engines
+        "q_bm25_rank": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents
+            ), dlen AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       ROUND(LN(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+                             * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)),
+                             6) AS part
+                FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+            )
+            SELECT doc_id, ROUND(SUM(part), 6) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
+        # round 5: sliding-window chunking — same tokenizer, same
+        # start/stride arithmetic, 1-based inclusive list slice
+        "q_doc_chunk": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
+                       UNNEST(GENERATE_SERIES(0, CAST((LEN(toks) - 1) // 48 AS INT))) AS chunk_idx,
+                       toks
+                FROM t WHERE LEN(toks) > 0
+            )
+            SELECT doc_id, n_tokens, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(LEN(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INT) AS chunk_len,
+                   ARRAY_TO_STRING(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+            FROM c
+        """,
+        # round 5: winsorization — quantile_cont is DuckDB's exact
+        # interpolated percentile, same (n-1)p rank rule as Spark's
+        "q_winsorize": """
+            WITH cuts AS (
+                SELECT lang,
+                       QUANTILE_CONT(n_chars, 0.05) AS p05,
+                       QUANTILE_CONT(n_chars, 0.95) AS p95
+                FROM documents GROUP BY lang
+            )
+            SELECT d.lang,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), c.p05), c.p95)), 6)
+                     AS winsor_mean,
+                   CAST(SUM(CASE WHEN d.n_chars < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clipped_low,
+                   CAST(SUM(CASE WHEN d.n_chars > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clipped_high
+            FROM documents d JOIN cuts c USING (lang)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        # round 5: first-touch attribution — same sortable-key argmin
+        "q_attribution": """
+            WITH p AS (
+                SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ), first AS (
+                SELECT p.p_id, p.p_user,
+                       MIN(LPAD(CAST(EPOCH_US(t.ts) AS VARCHAR), 20, '0') || ':' ||
+                           LPAD(CAST(t.event_id AS VARCHAR), 12, '0') || ':' ||
+                           t.event_type) AS fk
+                FROM p JOIN events t
+                  ON t.user_id = p.p_user
+                 AND t.ts < p.p_ts
+                 AND t.ts >= p.p_ts - INTERVAL 7 DAY
+                GROUP BY p.p_id, p.p_user
+            )
+            SELECT SPLIT_PART(fk, ':', 3) AS first_touch_type,
+                   COUNT(*) AS n_purchases,
+                   COUNT(DISTINCT p_user) AS n_users
+            FROM first GROUP BY 1 ORDER BY 1
         """,
         # round 5: recursive CTE — DuckDB runs the identical recursion
         # over the same derived node set

@@ -203,3 +203,48 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 12,
+) -> DataFrame:
+    """Minimum-hop distance from a seed set over a DIRECTED edge list —
+    frontier-expansion BFS, the reachability primitive under impact
+    analysis ("everything downstream of these tables"), lineage walks,
+    and bounded graph neighborhoods.
+
+    ``sources`` is a one-column DataFrame of seed node ids (hop 0).
+    Each round expands the current frontier through one edge join,
+    anti-joins everything already visited (so a node's recorded hop is
+    its FIRST discovery = minimum hop), and stops early when the
+    frontier drains or after ``max_hops`` rounds. Returns
+    (node, hops) for every node reachable within the bound.
+
+    Scale shape: per round one shuffle of |frontier ⋈ edges| plus one
+    anti-join against visited; lineage is cut per round with
+    ``localCheckpoint`` (same pattern as ``connected_components``).
+    The early-exit count is a driver scalar, not data. At 100 TB
+    pre-partition edges by ``src`` (bucketing) so every expansion
+    joins exchange-free on the edge side, and keep ``visited``
+    hash-partitioned on node so the anti-join reuses the layout.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().localCheckpoint()
+    frontier = sources.toDF("node").distinct().localCheckpoint()
+    visited = frontier.withColumn("hops", F.lit(0).cast("int")).localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt.withColumn("hops", F.lit(h).cast("int"))).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -845,3 +845,111 @@ def jaccard_ngram_pairs(
     )
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
     return common.withColumn("jaccard", F.round(jac, 6)).filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Spärck Jones probabilistic
+    ranking; the Okapi BM25 formulation used by Lucene/Elasticsearch):
+    score the corpus against a fixed term set and return the ``top_k``
+    documents as (doc_id, bm25).
+
+    One tokenize pass feeds BOTH document lengths and per-term term
+    frequencies (no second corpus scan); corpus-level stats (N, avgdl)
+    ride in as a broadcast one-row aggregate, per-term document
+    frequencies as a broadcast vocabulary-of-the-query join — at 100 TB
+    the only corpus-sized shuffle is the (doc, term) tf aggregate,
+    whose key space is |docs| × |query_terms|.
+
+    IDF uses the non-negative Lucene variant
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``. Per-(doc, term) partial
+    scores are rounded to 6 dp BEFORE the per-doc sum so the float
+    addition order (Spark partial aggregation vs a serial SQL replay)
+    cannot flip the rounded total; ties on the rounded score break on
+    doc_id, making the top-k fully deterministic.
+    """
+    toks = df.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    dlen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dlen, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).alias("part"),
+        )
+    )
+    out = scored.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("bm25"))
+    return out.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the training-sample splitter
+    every LLM data pipeline runs between cleaning and tokenization:
+    each document becomes ⌈n/stride⌉ overlapping windows of at most
+    ``window`` tokens, starting every ``stride`` tokens.
+
+    Pure codegen expressions end to end: one tokenize, one
+    ``sequence``+``explode`` for the chunk index (no Python UDF, no
+    shuffle at all — chunking is embarrassingly row-local, so at
+    100 TB this pipelines straight from scan to sink with zero
+    exchanges). Returns (doc_id, n_tokens, chunk_idx, chunk_len,
+    chunk_text); the last chunk is the natural truncated tail.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = df.select(id_col, tokenize(text_col).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(F.col("toks"), start + F.lit(1), window)
+    return (
+        toks.select(
+            id_col,
+            F.size("toks").alias("n_tokens"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - F.lit(1)) / F.lit(stride)).cast("int"),
+                )
+            ).alias("chunk_idx"),
+            "toks",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "chunk_idx",
+            F.size(piece).alias("chunk_len"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+        )
+    )

@@ -382,3 +382,30 @@ def test_bpe_pairs_aggregates_vocabulary_before_exploding(spark, sf_dir):
     gen = p.index("Generate")
     assert "HashAggregate" in p[:gen], "explode must come after the vocab aggregate"
     assert node_count(out, "BatchEvalPython") == 0
+
+
+def test_doc_chunk_zero_exchanges(spark, sf_dir):
+    # chunking is row-local codegen (tokenize + sequence/explode +
+    # slice): scan -> project -> generate, NO shuffle anywhere — at
+    # 100 TB this pipelines straight from scan to sink
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.chunk_sliding(docs, window=64, stride=48)
+    assert exchange_count(out) == 0
+    assert node_count(out, "Join") == 0
+
+
+def test_bm25_broadcasts_stats_and_vocabulary(spark, sf_dir):
+    # corpus stats (1 row) and the query-term df table (|terms| rows)
+    # must ride in as broadcasts; the only corpus-sized shuffles are
+    # the token aggregates — no sort-merge join anywhere
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.bm25_rank(docs, ("spark", "join", "window"), top_k=10)
+    p = plan_string(out)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    # global top-k must be TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in p

@@ -237,3 +237,37 @@ def test_versioned_append_delete_cdf_roundtrip(spark, tmp_path_factory, n_rows, 
     assert sorted((r.k, r.g) for r in restored.collect()) == sorted(
         (r.k, r.g) for r in df.collect()
     )
+
+
+def test_bfs_hops_matches_dijkstra_on_random_graph():
+    # property: frontier BFS == single-source shortest hop count
+    # computed by a reference BFS in plain Python, on a seeded graph
+    import random
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import bfs_hops
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    # reference BFS from node 0
+    from collections import deque
+
+    dist = {0: 0}
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    expected = {k: v for k, v in dist.items() if v <= 12}
+
+    spark = get_spark("engine-tests")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(e, seeds, max_hops=12).collect()}
+    assert got == expected

@@ -312,3 +312,56 @@ def test_bpe_encode_matches_python_reference(spark):
     assert got == exp
     # sanity: merges actually compress ('the' -> 1 token, not 3 chars)
     assert got[1][1] < sum(len(w) for w in "the banana theory".split())
+
+
+def test_bm25_ranks_matching_docs_first():
+    # hand corpus: doc 1 mentions 'spark' twice in 4 tokens, doc 2 once
+    # in a long doc, doc 3 never -> score(1) > score(2) > (3 absent)
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("engine-tests")
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark window join"),
+            (2, "spark " + "filler " * 20),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = TX.bm25_rank(df, ("spark",), top_k=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].bm25 > rows[1].bm25 > 0
+
+
+def test_chunk_sliding_covers_every_token_with_overlap():
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("engine-tests")
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = TX.chunk_sliding(df, window=8, stride=5).orderBy("chunk_idx").collect()
+    # starts at 0,5,...,95 -> 20 chunks; all full except the tail
+    assert len(rows) == 20
+    assert all(r.n_tokens == 100 for r in rows)
+    assert [r.chunk_len for r in rows[:-1]] == [8] * 19
+    assert rows[-1].chunk_len == 5  # tokens 95..99
+    assert rows[0].chunk_text.split(" ")[:2] == ["t0", "t1"]
+    assert rows[1].chunk_text.split(" ")[0] == "t5"
+    # consecutive chunks overlap by window - stride = 3 tokens
+    assert rows[0].chunk_text.split(" ")[-3:] == rows[1].chunk_text.split(" ")[:3]
+
+
+def test_chunk_sliding_rejects_bad_geometry():
+    import pytest
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("engine-tests")
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_sliding(df, window=0, stride=5)
+    with pytest.raises(ValueError):
+        TX.chunk_sliding(df, window=8, stride=0)
