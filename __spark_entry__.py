@@ -3698,6 +3698,45 @@ def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["first_touch_type"])
 
 
+def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN index training (round 5): Lloyd's k-means over the embedding
+    corpus (operators/vectors.py kmeans_train, k=4, 2 iterations,
+    deterministic init = the 4 smallest vec_ids) — the training step
+    that produces write_ivf_index's centroids. The oracle unrolls both
+    Lloyd iterations in SQL (cross-join assignment with rounded
+    distances + per-dimension rounded means) and must land on the
+    identical final assignment for every vector."""
+    emb = load_table(spark, sf, "embeddings")
+    assigned, _ = V.kmeans_train(emb, k=4, iterations=2)
+    out = assigned.select(F.col("id").alias("vec_id"), "cluster")
+    return O.sort(out, ["vec_id"])
+
+
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series smoothing (round 5): bounded-window EWMA (α=0.5,
+    window=10) of event value per user (operators/timeseries.py ewma).
+    All weights and the normalizer are exact powers of two, so the
+    fixed LAG chain is bit-reproducible across engines; the row_number
+    completeness filter shares the SAME window spec (one exchange,
+    plan-fenced). Rows with fewer than 9 prior events are dropped
+    rather than averaged over a short window."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    smoothed = TS.ewma(
+        e, "value", ["user_id"], [F.col("ts"), F.col("event_id")], alpha=0.5, window=10
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(smoothed, 6).alias("ewma_value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 10)
+        .drop("rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -3797,6 +3836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunk": q_doc_chunk,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
+        "q_kmeans": q_kmeans,
+        "q_ewma": q_ewma,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -5148,6 +5189,86 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_purchases,
                    COUNT(DISTINCT p_user) AS n_users
             FROM first GROUP BY 1 ORDER BY 1
+        """,
+        # round 5: k-means — both Lloyd iterations unrolled; distances
+        # and centroid means rounded to 6 dp exactly as the Spark side
+        "q_kmeans": """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), init AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)
+            ), d0 AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN init i
+            ), a0 AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d0
+                ) WHERE rn = 1
+            ), c1 AS (
+                SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
+                    SELECT a.cluster, gs.dim, ROUND(AVG(e.v[gs.dim]), 6) AS m
+                    FROM a0 a JOIN emb e USING (vec_id)
+                    CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                    GROUP BY a.cluster, gs.dim
+                ) GROUP BY cluster
+            ), d1 AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN c1 i
+            ), a1 AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d1
+                ) WHERE rn = 1
+            ), c2 AS (
+                SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
+                    SELECT a.cluster, gs.dim, ROUND(AVG(e.v[gs.dim]), 6) AS m
+                    FROM a1 a JOIN emb e USING (vec_id)
+                    CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                    GROUP BY a.cluster, gs.dim
+                ) GROUP BY cluster
+            ), df AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN c2 i
+            )
+            SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM df
+            ) WHERE rn = 1 ORDER BY vec_id
+        """,
+        # round 5: EWMA — identical left-associated power-of-two chain
+        "q_ewma": """
+            WITH t AS (
+                SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER w AS rn,
+                       LAG(CAST(value AS DOUBLE), 1) OVER w AS x1,
+                       LAG(CAST(value AS DOUBLE), 2) OVER w AS x2,
+                       LAG(CAST(value AS DOUBLE), 3) OVER w AS x3,
+                       LAG(CAST(value AS DOUBLE), 4) OVER w AS x4,
+                       LAG(CAST(value AS DOUBLE), 5) OVER w AS x5,
+                       LAG(CAST(value AS DOUBLE), 6) OVER w AS x6,
+                       LAG(CAST(value AS DOUBLE), 7) OVER w AS x7,
+                       LAG(CAST(value AS DOUBLE), 8) OVER w AS x8,
+                       LAG(CAST(value AS DOUBLE), 9) OVER w AS x9
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   ROUND((x + 0.5 * x1 + 0.25 * x2 + 0.125 * x3 + 0.0625 * x4
+                          + 0.03125 * x5 + 0.015625 * x6 + 0.0078125 * x7
+                          + 0.00390625 * x8 + 0.001953125 * x9) / 1.998046875, 6)
+                     AS ewma_value
+            FROM t WHERE rn >= 10
         """,
         # round 5: recursive CTE — DuckDB runs the identical recursion
         # over the same derived node set

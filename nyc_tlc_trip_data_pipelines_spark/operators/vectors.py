@@ -268,3 +268,84 @@ def ivf_probe_index(
     probe = _ivf_probe_set(query, centroids, n_probe)
     cand = spark.read.parquet(path).filter(F.col("__cent").isin(*probe))
     return cosine_topk(cand, query, vec_col, id_col, k)
+
+
+def _kmeans_assign_df(emb: DataFrame, centroids: Sequence[Sequence[float]]) -> DataFrame:
+    """Nearest-centroid assignment for :func:`kmeans_train`: squared
+    L2 distance to each centroid as one codegen expression per
+    centroid, rounded to 6 dp (so ulp-level fold differences between
+    engines can't flip an argmin), argmin via ``array_min`` over
+    (dist, cid) structs — ties break on centroid id."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"), _as_vec_lit(c), lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(j).cast("int").alias("c"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return emb.select("id", "v", F.array_min(pairs)["c"].alias("cluster"))
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column — the TRAINING step the
+    IVF index (:func:`write_ivf_index`) needs for its centroids,
+    implemented as the canonical iterative DataFrame loop (assignment
+    join + per-dimension mean aggregate per round).
+
+    Deterministic end to end: init = the vectors of the ``k`` smallest
+    ids (no RNG), distances rounded to 6 dp before the argmin with
+    centroid-id tie-break, updated centroid coordinates rounded to
+    6 dp IN the aggregate (``F.round(avg)``, Spark HALF_UP — matching
+    a SQL replay; never Python's banker's ``round``). Empty clusters
+    keep their previous centroid.
+
+    Scale shape: per iteration one posexplode shuffle keyed on
+    (cluster, dim) — k·dim cells regardless of corpus size — and a
+    k·dim driver readback (the model state, like MLlib's). The final
+    assignment pass is pure map-side codegen. At 100 TB train on a
+    sample (standard practice), then one assignment pass over the
+    corpus.
+
+    Returns (assignments DataFrame (id, cluster), centroids).
+    """
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    init_rows = emb.orderBy("id").limit(k).collect()
+    centroids: list[list[float]] = [list(r.v) for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = _kmeans_assign_df(emb, centroids)
+        mean_rows = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        got: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            got.setdefault(r.cluster, {})[r.dim] = r.m
+        for cid, dims in got.items():
+            new_c[cid] = [dims[i] for i in range(dim)]
+        centroids = new_c
+    final = _kmeans_assign_df(emb, centroids).select("id", "cluster")
+    return final, centroids

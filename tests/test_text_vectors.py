@@ -365,3 +365,40 @@ def test_chunk_sliding_rejects_bad_geometry():
         TX.chunk_sliding(df, window=0, stride=5)
     with pytest.raises(ValueError):
         TX.chunk_sliding(df, window=8, stride=0)
+
+
+def test_kmeans_separates_obvious_clusters():
+    # two tight blobs in 2-D -> after 2 Lloyd rounds every point sits
+    # with its blob, whichever centroid id the blobs landed on
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("engine-tests")
+    pts = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (i, [10.0 + 0.01 * i, 10.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    assigned, centroids = V.kmeans_train(df, k=2, iterations=2)
+    got = {r.id: r.cluster for r in assigned.collect()}
+    low = {got[i] for i in range(5)}
+    high = {got[i] for i in range(5, 10)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+    assert len(centroids) == 2 and len(centroids[0]) == 2
+
+
+def test_kmeans_assignment_pass_is_shuffle_free():
+    # the per-iteration model readback is k*dim rows; the FINAL
+    # assignment over the corpus must be pure map-side codegen
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+    from nyc_tlc_trip_data_pipelines_spark.plans import exchange_count
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("engine-tests")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    out = V._kmeans_assign_df(emb, [[0.0] * 64, [1.0] * 64])
+    assert exchange_count(out) == 0

@@ -132,3 +132,51 @@ def test_asof_formulations_agree(spark):
     got_range = {r["event_id"]: r["bt"] for r in ranged.collect()}
 
     assert got_merge == got_range
+
+
+def test_ewma_matches_hand_rolled_weights(spark, sf_dir):
+    # one key, values 0..11 -> full-window EWMA at the last row equals
+    # the explicit geometric sum
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1, float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    out = (
+        df.select(
+            "event_id",
+            TS.ewma(df, "value", ["user_id"], ["event_id"], alpha=0.5, window=10).alias("e"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 10)
+        .collect()
+    )
+    assert len(out) == 3  # rows 9, 10, 11 have 9 full lags
+    last = [r.e for r in sorted(out, key=lambda r: r.event_id)][-1]
+    weights = [0.5**j for j in range(10)]
+    expected = sum(w_ * (11 - j) for j, w_ in enumerate(weights)) / sum(weights)
+    assert abs(last - expected) < 1e-12
+
+
+def test_ewma_shares_one_window_exchange(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+    from nyc_tlc_trip_data_pipelines_spark.plans import exchange_count
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (
+        e.select(
+            "event_id",
+            F.round(
+                TS.ewma(e, "value", ["user_id"], [F.col("ts"), F.col("event_id")]), 6
+            ).alias("v"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 10)
+    )
+    assert exchange_count(out) == 1
