@@ -3737,6 +3737,86 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus quality scoring (round 5): bigram language model with
+    add-k smoothing trained on the corpus itself, each document scored
+    by its average negative log-likelihood — the CCNet-style
+    perplexity-partition signal used to rank web text against a
+    reference LM. ``logp(b|a) = ln((C(ab)+k)/(C(a)+k·V))``, k = 0.5.
+
+    Plan shape: one tokenize pass feeds unigram counts (vocabulary-
+    sized) and bigram counts (≤V² rows); both model tables broadcast
+    back onto the per-occurrence bigram stream, so the only corpus-
+    sized shuffle is the final per-doc aggregate. At 100 TB with a
+    real vocabulary, the model tables stay vocabulary-sized (not
+    corpus-sized) — broadcast while they fit, shuffle-join beyond.
+    Float-order determinism: per-bigram log-probs are quantized to
+    integer MICRO-NATS (round(lp·1e6) as bigint) so the per-doc sum
+    is exact integer arithmetic — a rounded mean of doubles sits on a
+    rounding boundary every few thousand docs, an integer sum never
+    does (same scaled-integer pattern as q_window_distribution).
+    Docs with <2 tokens have no bigrams and drop out on both
+    engines. Consumers take nll_unats / (1e6·n_bigrams) as the
+    per-token score."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = docs.select(
+        "doc_id", F.explode(TX.ngrams(TX.tokenize("text"), 2)).alias("bg")
+    )
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        big.join(F.broadcast(bgc), "bg")
+        .withColumn("a", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(uni.withColumnRenamed("term", "a")), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cb") + F.lit(0.5)) / (F.col("cu") + F.lit(0.5) * F.col("v")))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("lp_unats"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp_unats")).cast("long").alias("nll_unats"),
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Featurization (round 5): the hashing trick (Weinberger et al.,
+    "Feature Hashing for Large Scale Multitask Learning") — tokens
+    hashed into 32 buckets with a sign bit from a disjoint hash range,
+    emitted as the sparse (doc, bucket, count, signed_sum) layout a
+    trainer consumes. Uses the cross-engine portable_hash60 (md5-
+    derived, non-negative) so bucket and sign replay bit-identically
+    in SQL. Zero joins: tokenize → hash → one (doc, bucket)
+    aggregate; dimensionality is fixed at write time, so at 100 TB
+    this is one shuffle keyed on (doc, bucket) regardless of
+    vocabulary growth — the point of hashing features."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
+    h = TX.portable_hash60(F.col("term"))
+    sign = (F.shiftright(h, 5) % 2) * 2 - 1
+    return (
+        toks.select(
+            "doc_id",
+            F.pmod(h, F.lit(32)).alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("s").cast("long").alias("signed_sum"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -3838,6 +3918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution": q_attribution,
         "q_kmeans": q_kmeans,
         "q_ewma": q_ewma,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_feature_hash": q_feature_hash,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -5189,6 +5271,56 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_purchases,
                    COUNT(DISTINCT p_user) AS n_users
             FROM first GROUP BY 1 ORDER BY 1
+        """,
+        # round 5: bigram-LM perplexity — same add-k model, per-bigram
+        # log-probs rounded before the per-doc mean
+        "q_lm_perplexity": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, UNNEST(toks) AS term FROM t
+            ), uni AS (
+                SELECT term, COUNT(*) AS cu FROM tk GROUP BY term
+            ), vs AS (
+                SELECT COUNT(*) AS v FROM uni
+            ), b AS (
+                SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM t WHERE LEN(toks) >= 2
+            ), bgc AS (
+                SELECT bg, COUNT(*) AS cb FROM b GROUP BY bg
+            ), scored AS (
+                SELECT b.doc_id,
+                       CAST(ROUND(LN((bgc.cb + 0.5) / (uni.cu + 0.5 * vs.v))
+                                  * 1000000.0, 0) AS BIGINT) AS lp_unats
+                FROM b JOIN bgc USING (bg)
+                       JOIN uni ON uni.term = SPLIT_PART(b.bg, ' ', 1)
+                       CROSS JOIN vs
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(-SUM(lp_unats) AS BIGINT) AS nll_unats
+            FROM scored GROUP BY doc_id
+        """,
+        # round 5: feature hashing — portable_hash60 twin replays
+        # bucket and sign bit-identically
+        "q_feature_hash": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(CONCAT('0x', SUBSTR(MD5(term), 1, 15)) AS BIGINT) AS hv
+                FROM toks
+            )
+            SELECT doc_id, hv % 32 AS bucket, COUNT(*) AS n_terms,
+                   CAST(SUM(((hv >> 5) % 2) * 2 - 1) AS BIGINT) AS signed_sum
+            FROM h GROUP BY doc_id, hv % 32
         """,
         # round 5: k-means — both Lloyd iterations unrolled; distances
         # and centroid means rounded to 6 dp exactly as the Spark side

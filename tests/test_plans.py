@@ -409,3 +409,26 @@ def test_bm25_broadcasts_stats_and_vocabulary(spark, sf_dir):
     assert "SortMergeJoin" not in p
     # global top-k must be TakeOrderedAndProject, not a full sort
     assert "TakeOrderedAndProject" in p
+
+
+def test_feature_hash_single_exchange_no_joins(spark, sf_dir):
+    # hashing-trick featurization: tokenize -> hash -> one (doc,
+    # bucket) aggregate; fixed dimensionality means NO vocabulary
+    # join ever appears
+    import __spark_entry__ as E
+
+    out = E.q_feature_hash(spark, sf_dir)
+    p = plan_string(out)
+    assert "Join" not in p
+    assert exchange_count(out) == 1
+
+
+def test_lm_perplexity_model_tables_broadcast(spark, sf_dir):
+    # unigram/bigram model tables and the vocab scalar must broadcast
+    # onto the bigram stream — no sort-merge join in the scoring path
+    import __spark_entry__ as E
+
+    out = E.q_lm_perplexity(spark, sf_dir)
+    p = plan_string(out)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
