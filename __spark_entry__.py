@@ -3762,9 +3762,11 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    big = docs.select(
-        "doc_id", F.explode(TX.ngrams(TX.tokenize("text"), 2)).alias("bg")
-    )
+    # codegen shingling (token_ngram_rows), NOT the interpreted
+    # higher-order ngrams lambda — measured 4× on this exact stream
+    # (big.count at sf0.1: 3.5 s interpreted vs codegen sub-second),
+    # and the bigram stream is materialized twice (model + scoring)
+    big = TX.token_ngram_rows(docs, "doc_id", "text", 2, gram_alias="bg").persist()
     bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
         big.join(F.broadcast(bgc), "bg")

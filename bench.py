@@ -56,6 +56,19 @@ VERSIONED_IO = [
     "q_compact",
 ]
 
+# round-5 second wave: the LLM-corpus / retrieval / iterative additions
+# (BM25, chunking, bigram-LM scoring, k-means training, BFS) — tracked
+# as their own section so their cost trend is visible per round without
+# moving the cross-round headline baseline
+CORPUS_OPS = [
+    "q_bm25_rank",
+    "q_doc_chunk",
+    "q_lm_perplexity",
+    "q_feature_hash",
+    "q_kmeans",
+    "q_graph_bfs",
+]
+
 
 PASSES = 3
 
@@ -151,12 +164,13 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
     extended = _timed_pass(qs, EXTENDED, spark, sf_dir)
     versioned_io = _timed_pass(qs, VERSIONED_IO, spark, sf_dir)
+    corpus_ops = _timed_pass(qs, CORPUS_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -171,6 +185,8 @@ def main() -> None:
                 "extended_total": round(sum(extended.values()), 3),
                 "versioned_io": versioned_io,
                 "versioned_io_total": round(sum(versioned_io.values()), 3),
+                "corpus_ops": corpus_ops,
+                "corpus_ops_total": round(sum(corpus_ops.values()), 3),
                 "skew_join": skew_join,
                 "passes": PASSES,
                 "sf": float(sf) if sf else sf_dir,
