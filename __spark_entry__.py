@@ -3819,6 +3819,71 @@ def q_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series robust smoothing (round 5): exact sliding-window
+    median (the median filter — outlier-resistant where q_ewma is not)
+    over the trailing 9 rows per user. ``percentile(…, 0.5)`` as a
+    WINDOW aggregate over a ROWS frame — exact interpolated median on
+    both engines (same (n−1)·p rank rule as q_winsorize). One window
+    exchange shared with the completeness row_number. At 100 TB exact
+    windowed percentiles re-sort each frame — for wide frames switch
+    to approx_percentile or a two-heap applyInPandas; the 9-row frame
+    here is the cheap regime."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-8, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.expr("percentile(value, 0.5)").over(wf), 6).alias("med9"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 9)
+        .drop("rn")
+    )
+
+
+def q_crosstab_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical feature audit (round 5): lang × length-bucket
+    contingency table with per-cell chi-squared contributions — the
+    independence check a corpus curator runs before stratifying on a
+    feature (is document length confounded with language?). Observed
+    counts are exact integers; expected counts and the χ² contribution
+    ``(obs−exp)²/exp`` are a fixed arithmetic tree over those integers
+    (rounded 6 dp), so the oracle replays bit-identically. Plan: one
+    (lang, bucket) aggregate + broadcast marginals — the fact table
+    shuffles once."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        "lang", (F.col("n_chars") >= 300).cast("int").alias("len_bucket")
+    )
+    cells = d.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("obs"))
+    row_m = d.groupBy("lang").agg(F.count(F.lit(1)).alias("row_n"))
+    col_m = d.groupBy("len_bucket").agg(F.count(F.lit(1)).alias("col_n"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    out = (
+        cells.join(F.broadcast(row_m), "lang")
+        .join(F.broadcast(col_m), "len_bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "len_bucket",
+            "obs",
+            F.round(exp, 6).alias("expected"),
+            F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias(
+                "chi2_cell"
+            ),
+        )
+    )
+    return O.sort(out, ["lang", "len_bucket"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -3922,6 +3987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma": q_ewma,
         "q_lm_perplexity": q_lm_perplexity,
         "q_feature_hash": q_feature_hash,
+        "q_rolling_median": q_rolling_median,
+        "q_crosstab_chi2": q_crosstab_chi2,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -5273,6 +5340,49 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_purchases,
                    COUNT(DISTINCT p_user) AS n_users
             FROM first GROUP BY 1 ORDER BY 1
+        """,
+        # round 5: rolling exact median — quantile_cont over the same
+        # 9-row trailing frame
+        "q_rolling_median": """
+            WITH t AS (
+                SELECT event_id, user_id,
+                       ROUND(QUANTILE_CONT(value, 0.5) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), 6) AS med9,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT event_id, user_id, med9 FROM t WHERE rn >= 9
+        """,
+        # round 5: chi-squared contingency — identical arithmetic tree
+        # over exact integer marginals
+        "q_crosstab_chi2": """
+            WITH d AS (
+                SELECT lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS len_bucket
+                FROM documents
+            ), cells AS (
+                SELECT lang, len_bucket, COUNT(*) AS obs FROM d GROUP BY lang, len_bucket
+            ), row_m AS (
+                SELECT lang, COUNT(*) AS row_n FROM d GROUP BY lang
+            ), col_m AS (
+                SELECT len_bucket, COUNT(*) AS col_n FROM d GROUP BY len_bucket
+            ), tot AS (
+                SELECT COUNT(*) AS n FROM d
+            )
+            SELECT c.lang, c.len_bucket, c.obs,
+                   ROUND(CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+                         / CAST(t.n AS DOUBLE), 6) AS expected,
+                   ROUND((c.obs - CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+                                  / CAST(t.n AS DOUBLE))
+                         * (c.obs - CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+                                    / CAST(t.n AS DOUBLE))
+                         / (CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+                            / CAST(t.n AS DOUBLE)), 6) AS chi2_cell
+            FROM cells c JOIN row_m r USING (lang)
+                         JOIN col_m cm USING (len_bucket)
+                         CROSS JOIN tot t
+            ORDER BY c.lang, c.len_bucket
         """,
         # round 5: bigram-LM perplexity — same add-k model, per-bigram
         # log-probs rounded before the per-doc mean

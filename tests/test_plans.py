@@ -432,3 +432,23 @@ def test_lm_perplexity_model_tables_broadcast(spark, sf_dir):
     p = plan_string(out)
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_rolling_median_shares_one_window_exchange(spark, sf_dir):
+    # the frame aggregate and the completeness row_number ride the same
+    # (user_id; ts, event_id) spec: one exchange, one sort
+    import __spark_entry__ as E
+
+    out = E.q_rolling_median(spark, sf_dir)
+    assert exchange_count(out) == 1
+
+
+def test_crosstab_marginals_broadcast(spark, sf_dir):
+    # row/col marginals and the grand total must broadcast onto the
+    # cell table — the fact side shuffles exactly once for its own agg
+    import __spark_entry__ as E
+
+    out = E.q_crosstab_chi2(spark, sf_dir)
+    p = plan_string(out)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
