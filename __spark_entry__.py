@@ -3962,8 +3962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_text_token_count": q_text_token_count,
         # ——— driver-budget boundary (50) ———
-        # — round-5 additions (14 ids, first rotation candidates for
-        #   round 6, together with the 26 r1-green-only ids at the tail) —
+        # — round-5 additions (25 ids across two waves, first rotation
+        #   candidates for round 6 together with the 26 r1-green-only
+        #   ids at the tail; every one is oracle-checked locally at
+        #   sf0.001/0.01/0.1 and vanilla-session rehearsed) —
         "q_vacuum": q_vacuum,
         "q_ann_index_probe": q_ann_index_probe,
         "q_graph_triangles": q_graph_triangles,

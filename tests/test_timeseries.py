@@ -180,3 +180,44 @@ def test_ewma_shares_one_window_exchange(spark, sf_dir):
         .filter(F.col("rn") >= 10)
     )
     assert exchange_count(out) == 1
+
+
+def test_attribution_first_touch_window_semantics(spark):
+    # user 1: view(day1) -> click(day2) -> purchase(day3): first touch
+    # in the 7d window is the VIEW. user 2: only event older than 7d
+    # before the purchase -> no touch, purchase drops out entirely.
+    # user 3: tie on ts -> lower event_id wins.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+
+    t0 = dt.datetime(2024, 1, 10)
+
+    def ts(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(1), 1, "click", 1.0, "{}"),
+        (3, ts(2), 1, "purchase", 1.0, "{}"),
+        (4, ts(0), 2, "view", 1.0, "{}"),
+        (5, ts(8), 2, "purchase", 1.0, "{}"),
+        (6, ts(0), 3, "click", 1.0, "{}"),
+        (7, ts(0), 3, "error", 1.0, "{}"),
+        (8, ts(1), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        out = {
+            r.first_touch_type: (r.n_purchases, r.n_users)
+            for r in E.q_attribution(spark, d).collect()
+        }
+    # user 1 -> view; user 2 -> dropped; user 3 -> click (id 6 < 7)
+    assert out == {"view": (1, 1), "click": (1, 1)}
