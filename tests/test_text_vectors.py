@@ -402,3 +402,25 @@ def test_kmeans_assignment_pass_is_shuffle_free():
     )
     out = V._kmeans_assign_df(emb, [[0.0] * 64, [1.0] * 64])
     assert exchange_count(out) == 0
+
+
+def test_kmeans_centroids_drive_ivf_index_end_to_end(tmp_path):
+    # the full ANN lifecycle: TRAIN (kmeans_train) -> INDEX
+    # (write_ivf_index partitioned by cell) -> PROBE; the probe must
+    # equal the unindexed ivf_topk over the same learned centroids
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("engine-tests")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    _, centroids = V.kmeans_train(emb, k=4, iterations=2)
+    query = [1.0] * 64
+    path = str(tmp_path / "ivf")
+    V.write_ivf_index(emb, path, centroids)
+    probed = V.ivf_probe_index(spark, path, query, centroids, n_probe=2).collect()
+    direct = V.ivf_topk(emb, query, centroids, n_probe=2).collect()
+    assert [(r.vec_id, r.cosine) for r in probed] == [
+        (r.vec_id, r.cosine) for r in direct
+    ]
+    assert len(probed) == 10
