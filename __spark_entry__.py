@@ -3884,6 +3884,52 @@ def q_crosstab_chi2(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["lang", "len_bucket"])
 
 
+def q_source_jsonl(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL corpus source (round 5): newline-delimited JSON — THE
+    interchange format LLM corpora ship in — read under an explicit
+    schema with PERMISSIVE corrupt-record capture (the JSON twin of
+    q_csv_corrupt_isolation's row-level quarantine; reference per-file
+    isolation: ``pasta1_etl/src/main.py:154-199``). A deterministic
+    200-line fixture (every 9th line truncated JSON, every 7th valid
+    JSON whose score field is a wrong-typed string — which in JSON
+    PERMISSIVE parsing corrupts the RECORD, not just the field, unlike
+    CSV) is parsed; the oracle recomputes counts + checksum closed-form.
+    At 100 TB: explicit schema (no inference pass), corrupt rows
+    quarantined not fatal, and .json(path) parallelizes by file
+    split — the standard ingest posture."""
+    n = 200
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "docs.jsonl")
+        with open(path, "w") as fh:
+            for i in range(n):
+                if i % 9 == 0:
+                    fh.write(f'{{"id": {i}, "text": "broke\n')  # truncated JSON
+                elif i % 7 == 0:
+                    fh.write(f'{{"id": {i}, "text": "t{i}", "score": "notnum"}}\n')
+                else:
+                    fh.write(f'{{"id": {i}, "text": "t{i}", "score": {i * 2}}}\n')
+        schema = "id BIGINT, text STRING, score BIGINT, _corrupt_record STRING"
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum(F.col("_corrupt_record").isNull().cast("int"))
+            .cast("long")
+            .alias("n_valid"),
+            F.sum(F.coalesce(F.col("score"), F.lit(0))).cast("long").alias("score_sum"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(row)], "n_rows bigint, n_corrupt bigint, n_valid bigint, score_sum bigint"
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -3991,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feature_hash": q_feature_hash,
         "q_rolling_median": q_rolling_median,
         "q_crosstab_chi2": q_crosstab_chi2,
+        "q_source_jsonl": q_source_jsonl,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -5342,6 +5389,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_purchases,
                    COUNT(DISTINCT p_user) AS n_users
             FROM first GROUP BY 1 ORDER BY 1
+        """,
+        # round 5: JSONL permissive ingest — closed-form replay of the
+        # fixture: i%9==0 truncated (corrupt), else i%7==0 wrong-typed
+        # score (record-corrupt in JSON permissive), else valid
+        "q_source_jsonl": """
+            SELECT CAST(SUM(CASE WHEN i % 9 = 0 OR i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_corrupt,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN i % 9 <> 0 AND i % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_valid,
+                   CAST(SUM(CASE WHEN i % 9 <> 0 AND i % 7 <> 0 THEN i * 2 ELSE 0 END) AS BIGINT)
+                     AS score_sum
+            FROM GENERATE_SERIES(0, 199) t(i)
         """,
         # round 5: rolling exact median — quantile_cont over the same
         # 9-row trailing frame
