@@ -3930,6 +3930,39 @@ def q_source_jsonl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Forensic DQ (round 5): Benford first-significant-digit analysis
+    of o_totalprice — the classic fabricated-data detector (naturally
+    occurring multi-magnitude amounts follow P(d)=log10(1+1/d); entered
+    or synthesized ones usually don't). Exact integer digit counts, the
+    Benford expectation as a fixed arithmetic tree, and the deviation
+    in counts — one aggregate over the scan, a broadcast total, zero
+    joins on the fact side beyond it. Complements q_dq_profile
+    (structure) and q_dq_validate (rules) with a distributional
+    audit."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    # exact integer cents, then the leading digit of the INTEGER's
+    # string form — double→string rendering differs across engines,
+    # bigint→string never does (×100 preserves the significant digit
+    # for any amount ≥ 0.01)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n_obs",
+        F.round(expected, 6).alias("benford_p"),
+        F.round(F.col("n_obs").cast("double") / F.col("n") - expected, 6).alias(
+            "deviation"
+        ),
+    )
+    return O.sort(out, ["d"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4038,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_median": q_rolling_median,
         "q_crosstab_chi2": q_crosstab_chi2,
         "q_source_jsonl": q_source_jsonl,
+        "q_benford": q_benford,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -5389,6 +5423,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_purchases,
                    COUNT(DISTINCT p_user) AS n_users
             FROM first GROUP BY 1 ORDER BY 1
+        """,
+        # round 5: Benford digit audit — same integer-cents leading
+        # digit, same expectation tree
+        "q_benford": """
+            WITH d AS (
+                SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                        AS VARCHAR), 1, 1) AS INT) AS d
+                FROM orders WHERE o_totalprice > 0
+            ), counts AS (
+                SELECT d, COUNT(*) AS n_obs FROM d GROUP BY d
+            ), tot AS (
+                SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts
+            )
+            SELECT c.d, c.n_obs,
+                   ROUND(LOG10(1.0 + 1.0 / c.d), 6) AS benford_p,
+                   ROUND(CAST(c.n_obs AS DOUBLE) / t.n - LOG10(1.0 + 1.0 / c.d), 6)
+                     AS deviation
+            FROM counts c CROSS JOIN tot t
+            ORDER BY c.d
         """,
         # round 5: JSONL permissive ingest — closed-form replay of the
         # fixture: i%9==0 truncated (corrupt), else i%7==0 wrong-typed
