@@ -3851,9 +3851,12 @@ def q_crosstab_chi2(spark: SparkSession, sf: str) -> DataFrame:
     feature (is document length confounded with language?). Observed
     counts are exact integers; expected counts and the χ² contribution
     ``(obs−exp)²/exp`` are a fixed arithmetic tree over those integers
-    (rounded 6 dp), so the oracle replays bit-identically. Plan: one
-    (lang, bucket) aggregate + broadcast marginals — the fact table
-    shuffles once."""
+    (rounded 6 dp), so the oracle replays bit-identically. Plan: the
+    cell table plus each marginal is its own aggregate over the
+    2-column pruned scan (4 cheap passes), all joined by broadcast —
+    deliberately NOT a grouping-sets single pass, which would Expand
+    (×3) the fact rows through one shuffle; re-scanning two pruned
+    columns is the better trade at 100 TB."""
     docs = load_table(spark, sf, "documents")
     d = docs.select(
         "lang", (F.col("n_chars") >= 300).cast("int").alias("len_bucket")
