@@ -3966,6 +3966,63 @@ def q_benford(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["d"])
 
 
+def q_join_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational surface (round 5): null-safe equality join (``<=>`` /
+    IS NOT DISTINCT FROM) — NULL keys MATCH each other instead of
+    dropping, the semantics dedup/merge pipelines need when a business
+    key is nullable. Fixture derives a nullable key on both sides
+    (priority prefix, NULLed for one slice); the hash join still plans as
+    a hash join (null-safe equality is hashable), unlike an OR-based
+    emulation which degrades to nested-loop."""
+    o = load_table(spark, sf, "orders")
+    left = o.select(
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.substring(F.col("o_orderpriority"), 1, 1))
+        .alias("k"),
+    )
+    right = (
+        o.groupBy(
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.substring(F.col("o_orderpriority"), 1, 1))
+            .alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    j = left.join(right, left["k"].eqNullSafe(right["k"])).select(
+        left["k"].alias("k"), "grp_n"
+    )
+    out = j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("grp_n").alias("grp_sum")
+    )
+    return O.sort(out, ["k"])
+
+
+def q_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational surface (round 5): LATERAL correlated subquery — for
+    each region, the top-2 nations by total customer account balance,
+    where the inner query references the outer row (Spark 4 LATERAL,
+    same syntax DuckDB runs verbatim). The decorrelated plan is a
+    window top-k, not N executions of the subquery — Catalyst rewrites
+    the lateral into a join, which is what survives 100 TB."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.bal
+        FROM region r,
+        LATERAL (
+            SELECT n.n_name, ROUND(SUM(c.c_acctbal), 4) AS bal
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY bal DESC, n.n_name
+            LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.bal DESC, t.n_name
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4075,6 +4132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crosstab_chi2": q_crosstab_chi2,
         "q_source_jsonl": q_source_jsonl,
         "q_benford": q_benford,
+        "q_join_nullsafe": q_join_nullsafe,
+        "q_lateral_topk": q_lateral_topk,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
@@ -5426,6 +5485,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_purchases,
                    COUNT(DISTINCT p_user) AS n_users
             FROM first GROUP BY 1 ORDER BY 1
+        """,
+        # round 5: null-safe equality join — IS NOT DISTINCT FROM is
+        # the ANSI spelling of Spark's <=>
+        "q_join_nullsafe": """
+            WITH l AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                            ELSE SUBSTR(o_orderpriority, 1, 1) END AS k
+                FROM orders
+            ), r AS (
+                SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                            ELSE SUBSTR(o_orderpriority, 1, 1) END AS k,
+                       COUNT(*) AS grp_n
+                FROM orders GROUP BY 1
+            )
+            SELECT l.k, COUNT(*) AS n_rows, CAST(SUM(r.grp_n) AS BIGINT) AS grp_sum
+            FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+            GROUP BY l.k ORDER BY l.k
+        """,
+        # round 5: LATERAL — DuckDB runs the identical query text
+        "q_lateral_topk": """
+            SELECT r.r_name, t.n_name, t.bal
+            FROM region r,
+            LATERAL (
+                SELECT n.n_name, ROUND(SUM(c.c_acctbal), 4) AS bal
+                FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_regionkey = r.r_regionkey
+                GROUP BY n.n_name
+                ORDER BY bal DESC, n.n_name
+                LIMIT 2
+            ) t
+            ORDER BY r.r_name, t.bal DESC, t.n_name
         """,
         # round 5: Benford digit audit — same integer-cents leading
         # digit, same expectation tree

@@ -452,3 +452,25 @@ def test_crosstab_marginals_broadcast(spark, sf_dir):
     p = plan_string(out)
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_nullsafe_join_stays_hash_join(spark, sf_dir):
+    # <=> must plan as a (broadcast) hash join — the OR-emulation
+    # (a = b OR (a IS NULL AND b IS NULL)) degrades to nested-loop
+    import __spark_entry__ as E
+
+    out = E.q_join_nullsafe(spark, sf_dir)
+    p = plan_string(out)
+    assert "HashJoin" in p  # BroadcastHashJoin or ShuffledHashJoin
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lateral_decorrelates_to_window_topk(spark, sf_dir):
+    # Catalyst must rewrite the LATERAL into a join + per-group limit,
+    # not re-execute the subquery per outer row (no nested-loop join
+    # carrying a LocalLimit)
+    import __spark_entry__ as E
+
+    out = E.q_lateral_topk(spark, sf_dir)
+    p = plan_string(out)
+    assert "Join" in p
