@@ -4038,11 +4038,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Delta-CRUD/sampling/multimodal-video wave, (b) the two ids whose
     # only driver rows are stale round-1 FAILs predating their round-4
     # oracle rework (q_source_discovery, q_text_fingerprint), (c) the
-    # new round-5 q_stream_cdc_apply, and (d) 20 of the 46 ids whose
-    # only green row is round-1 (they've never faced the reworked
-    # type-sensitive hasher) — UDF/sink/DDL/join/window paths first.
-    # After this round only 26 r1-green low-risk scalar/filter ids
-    # remain single-round-checked.
+    # new round-5 q_stream_cdc_apply, and (d) 20 of this round's 29 new
+    # queries — every prefix slot goes to an id with NO green driver
+    # row, maximizing cumulative distinct coverage (194/203 after this
+    # round). The (d) picks are the environment-sensitive paths first:
+    # filesystem-versioned ops, the Python DataSource, Spark-4 VARIANT /
+    # recursive CTE, Observation API, PERMISSIVE quarantines, and the
+    # iterative/broadcast-model operators. The 9 left for round 6 are
+    # pure-codegen SQL twins (benford, nullsafe/lateral joins, rolling
+    # median, winsorize, ewma, feature-hash, crosstab, attribution).
     return {
         # — (a) never driver-checked: r1b leftovers —
         "q_scd2_merge": q_scd2_merge,
@@ -4078,8 +4082,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_fingerprint": q_text_fingerprint,
         # — (c) new round-5: streamed CDC replay into a versioned table —
         "q_stream_cdc_apply": q_stream_cdc_apply,
-        # — (d) r1-green-only ids, riskiest paths first: UDFs, sinks,
-        #   DDL, joins, windows, semi-structured —
+        # — (d) round-5 additions with no driver row, env-sensitive
+        #   paths first (filesystem-versioned, Python DataSource,
+        #   Spark-4 VARIANT/recursive-CTE, Observation, quarantines,
+        #   iterative/broadcast-model ops) —
+        "q_vacuum": q_vacuum,
+        "q_table_changes": q_table_changes,
+        "q_ann_index_probe": q_ann_index_probe,
+        "q_zonemap_prune": q_zonemap_prune,
+        "q_custom_datasource": q_custom_datasource,
+        "q_file_provenance": q_file_provenance,
+        "q_dq_observe": q_dq_observe,
+        "q_variant_json": q_variant_json,
+        "q_recursive_cte": q_recursive_cte,
+        "q_csv_corrupt_isolation": q_csv_corrupt_isolation,
+        "q_source_jsonl": q_source_jsonl,
+        "q_graph_bfs": q_graph_bfs,
+        "q_graph_triangles": q_graph_triangles,
+        "q_kmeans": q_kmeans,
+        "q_bpe_encode": q_bpe_encode,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_bm25_rank": q_bm25_rank,
+        "q_sample_es": q_sample_es,
+        "q_geo_binning": q_geo_binning,
+        "q_doc_chunk": q_doc_chunk,
+        # ——— driver-budget boundary (50) ———
+        # — remaining round-5 additions (pure-codegen SQL twins, lowest
+        #   env risk) + r1-green-only ids: the round-6 rotation pool —
+        "q_winsorize": q_winsorize,
+        "q_attribution": q_attribution,
+        "q_ewma": q_ewma,
+        "q_feature_hash": q_feature_hash,
+        "q_rolling_median": q_rolling_median,
+        "q_crosstab_chi2": q_crosstab_chi2,
+        "q_benford": q_benford,
+        "q_join_nullsafe": q_join_nullsafe,
+        "q_lateral_topk": q_lateral_topk,
         "q_udf_scalar": q_udf_scalar,
         "q_udaf_grouped": q_udaf_grouped,
         "q_udtf_tokenize": q_udtf_tokenize,
@@ -4100,40 +4138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_wordcount": q_text_wordcount,
         "q_text_quality": q_text_quality,
         "q_text_token_count": q_text_token_count,
-        # ——— driver-budget boundary (50) ———
-        # — round-5 additions (25 ids across two waves, first rotation
-        #   candidates for round 6 together with the 26 r1-green-only
-        #   ids at the tail; every one is oracle-checked locally at
-        #   sf0.001/0.01/0.1 and vanilla-session rehearsed) —
-        "q_vacuum": q_vacuum,
-        "q_ann_index_probe": q_ann_index_probe,
-        "q_graph_triangles": q_graph_triangles,
-        "q_sample_es": q_sample_es,
-        "q_zonemap_prune": q_zonemap_prune,
-        "q_table_changes": q_table_changes,
-        "q_bpe_encode": q_bpe_encode,
-        "q_dq_observe": q_dq_observe,
-        "q_file_provenance": q_file_provenance,
-        "q_custom_datasource": q_custom_datasource,
-        "q_geo_binning": q_geo_binning,
-        "q_variant_json": q_variant_json,
-        "q_recursive_cte": q_recursive_cte,
-        "q_csv_corrupt_isolation": q_csv_corrupt_isolation,
-        "q_graph_bfs": q_graph_bfs,
-        "q_bm25_rank": q_bm25_rank,
-        "q_doc_chunk": q_doc_chunk,
-        "q_winsorize": q_winsorize,
-        "q_attribution": q_attribution,
-        "q_kmeans": q_kmeans,
-        "q_ewma": q_ewma,
-        "q_lm_perplexity": q_lm_perplexity,
-        "q_feature_hash": q_feature_hash,
-        "q_rolling_median": q_rolling_median,
-        "q_crosstab_chi2": q_crosstab_chi2,
-        "q_source_jsonl": q_source_jsonl,
-        "q_benford": q_benford,
-        "q_join_nullsafe": q_join_nullsafe,
-        "q_lateral_topk": q_lateral_topk,
         # — round-4 prefix, all driver-green in CORRECTNESS_r04 —
         "q_sessionize": q_sessionize,
         "q_window_time_range": q_window_time_range,
