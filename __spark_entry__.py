@@ -4023,6 +4023,44 @@ def q_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence analytics (round 5, wave 3): first-order Markov
+    transition matrix over the event stream — count and conditional
+    probability of every observed event-type transition per user
+    session stream (operators/timeseries.py markov_transitions). One
+    lag exchange on user_id; the matrix itself is |states|² rows, so
+    everything after the lag is broadcast-sized at any corpus scale."""
+    e = load_table(spark, sf, "events")
+    out = TS.markov_transitions(
+        e, "event_type", ["user_id"], [F.col("ts"), F.col("event_id")]
+    )
+    return O.sort(out, ["prev_state", "state"])
+
+
+def q_time_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series repair (round 5, wave 3): linear interpolation of
+    NULL value gaps per user (operators/timeseries.py
+    interpolate_linear) — every event whose value is masked (event_id %
+    7 == 0, a deterministic stand-in for sensor dropout) is rebuilt as
+    the time-weighted blend of its nearest surviving neighbours; edge
+    gaps clamp to the single neighbour. Timestamps enter the ratio as
+    exact integer microseconds so both engines divide identical
+    doubles. One window exchange on user_id, no join (the complement of
+    q_time_gapfill, which fills missing ROWS)."""
+    e = (
+        load_table(spark, sf, "events")
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("v", F.when(F.col("event_id") % 7 != 0, F.col("value")))
+    )
+    interp = TS.interpolate_linear(e, "v", "ts_us", ["user_id"], [F.col("ts_us"), F.col("event_id")])
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 7 == 0).alias("was_gap"),
+        F.round(interp, 6).alias("value_filled"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4109,6 +4147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— driver-budget boundary (50) ———
         # — remaining round-5 additions (pure-codegen SQL twins, lowest
         #   env risk) + r1-green-only ids: the round-6 rotation pool —
+        "q_markov_transitions": q_markov_transitions,
+        "q_time_interpolate": q_time_interpolate,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4430,6 +4470,57 @@ def _simhash_oracle(bits: int = 60) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_markov_transitions": """
+            WITH pairs AS (
+                SELECT LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_state,
+                       event_type AS state
+                FROM events
+            ),
+            m AS (
+                SELECT prev_state, state, COUNT(*) AS n_transitions
+                FROM pairs WHERE prev_state IS NOT NULL
+                GROUP BY prev_state, state
+            )
+            SELECT prev_state, state, n_transitions,
+                   ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY prev_state), 6)
+                       AS p_transition
+            FROM m
+            ORDER BY prev_state, state
+        """,
+        "q_time_interpolate": """
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS DOUBLE) AS tu,
+                       CASE WHEN event_id % 7 != 0 THEN value END AS v
+                FROM events
+            ),
+            n AS (
+                SELECT event_id, user_id, tu, v,
+                       last_value(v IGNORE NULLS) OVER wb AS prev_v,
+                       first_value(v IGNORE NULLS) OVER wf AS next_v,
+                       last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+                           OVER wb AS prev_t,
+                       first_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+                           OVER wf AS next_t
+                FROM t
+                WINDOW
+                  wb AS (PARTITION BY user_id ORDER BY tu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY user_id ORDER BY tu, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id, event_id % 7 = 0 AS was_gap,
+                   ROUND(CASE
+                       WHEN v IS NOT NULL THEN v
+                       WHEN prev_v IS NULL THEN next_v
+                       WHEN next_v IS NULL THEN prev_v
+                       WHEN next_t = prev_t THEN prev_v
+                       ELSE prev_v + (next_v - prev_v) * ((tu - prev_t) / (next_t - prev_t))
+                   END, 6) AS value_filled
+            FROM n
+        """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """
             SELECT CAST(l_orderkey AS VARCHAR) AS orderkey_str,

@@ -317,3 +317,92 @@ def ewma(
         norm = norm + weight
         expr = expr + F.lit(weight) * F.lag(F.col(value_col).cast("double"), j).over(w)
     return expr / F.lit(norm)
+
+
+def markov_transitions(
+    df: DataFrame,
+    state_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """First-order Markov transition matrix over an event stream: for
+    every observed (prev_state → state) pair, the count and the
+    row-conditional probability P(state | prev_state). The behavioural
+    state-machine profile behind session analysis, anomaly detection
+    ("error→error loops"), and synthetic-sequence generation.
+
+    Extends the reference's calendar-only temporal surface
+    (``pasta2_analytics/src/main.py:39-42``) with sequence analytics.
+
+    Plan shape: ONE window exchange on the entity key (the lag), then a
+    hash aggregate on (prev, curr) whose cardinality is |states|² —
+    tiny regardless of corpus size — and a broadcast-sized join to the
+    per-prev totals. At 100 TB the only data-sized cost is the lag
+    exchange, which any per-entity sequence op needs; everything after
+    operates on the |states|²-row matrix.
+
+    First event of each entity has no predecessor and is excluded
+    (matches the SQL twin's ``WHERE prev IS NOT NULL``).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    pairs = (
+        df.select(F.lag(state_col).over(w).alias("prev_state"), F.col(state_col).alias("state"))
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = Window.partitionBy("prev_state")
+    return pairs.withColumn(
+        "p_transition",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(totals), 6),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> Column:
+    """Linear interpolation of NULL gaps in a per-entity time series:
+    each missing value becomes the time-weighted blend of the nearest
+    non-null neighbours, ``prev + (next−prev)·(t−t_prev)/(t_next−t_prev)``;
+    leading/trailing gaps clamp to the single available neighbour. The
+    sensor-repair primitive gap-fill pipelines run after `time_spine`
+    (which fills missing ROWS; this fills missing VALUES).
+
+    Two window passes over the SAME entity partition — backward
+    ``last(ignorenulls)`` and forward ``first(ignorenulls)`` — so the
+    whole operator costs one hash exchange + sort on the entity key,
+    no join, no state. 100 TB: identical shape to any per-entity
+    window; skewed entities are the usual caveat.
+
+    The arithmetic (double ratio of epoch-second deltas) is evaluated
+    in the same order as the SQL twin, so results are bit-stable
+    cross-engine before the caller's final rounding.
+    """
+    back = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t = F.col(ts_col).cast("double")
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    frac = (t - prev_t) / (next_t - prev_t)
+    return (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )

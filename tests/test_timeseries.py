@@ -221,3 +221,42 @@ def test_attribution_first_touch_window_semantics(spark):
         }
     # user 1 -> view; user 2 -> dropped; user 3 -> click (id 6 < 7)
     assert out == {"view": (1, 1), "click": (1, 1)}
+
+
+def test_markov_transitions_probabilities(spark):
+    # user 1: A->B, B->A, A->B ; user 2: A->A. First events excluded.
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1, "A"),
+        (1, _ts("2024-01-01 10:01:00"), 2, "B"),
+        (1, _ts("2024-01-01 10:02:00"), 3, "A"),
+        (1, _ts("2024-01-01 10:03:00"), 4, "B"),
+        (2, _ts("2024-01-01 10:00:00"), 5, "A"),
+        (2, _ts("2024-01-01 10:01:00"), 6, "A"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, state string")
+    out = TS.markov_transitions(df, "state", ["user_id"], [F.col("ts"), F.col("event_id")])
+    got = {(r.prev_state, r.state): (r.n_transitions, r.p_transition) for r in out.collect()}
+    # from A: A->B twice, A->A once → P = 2/3, 1/3 ; from B: B->A once → P = 1
+    assert got[("A", "B")] == (2, round(2 / 3, 6))
+    assert got[("A", "A")] == (1, round(1 / 3, 6))
+    assert got[("B", "A")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_interpolate_linear_values_and_edges(spark):
+    # t=0 v=10, t=10 NULL (→ midpoint-weighted), t=40 v=40;
+    # leading NULL clamps forward, trailing NULL clamps backward.
+    rows = [
+        (1, 0.0, 1, 10.0),
+        (1, 10.0, 2, None),   # 10 + (40-10)*(10/40) = 17.5
+        (1, 40.0, 3, 40.0),
+        (2, 0.0, 4, None),    # leading gap → next = 5.0
+        (2, 1.0, 5, 5.0),
+        (2, 2.0, 6, None),    # trailing gap → prev = 5.0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tu double, event_id long, v double")
+    col = TS.interpolate_linear(df, "v", "tu", ["user_id"], [F.col("tu"), F.col("event_id")])
+    got = {r.event_id: r.out for r in df.select("event_id", col.alias("out")).collect()}
+    assert got[1] == 10.0 and got[3] == 40.0          # non-null passthrough
+    assert got[2] == 17.5
+    assert got[4] == 5.0 and got[6] == 5.0            # edge clamps
