@@ -4061,6 +4061,27 @@ def q_time_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_group_regress(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytics surface (round 5, wave 3): per-event-type OLS of value
+    against hour-of-day (operators/aggregates.py ols_group) — the
+    "does this metric drift over the day" trend test, computed from
+    sufficient statistics in ONE aggregate pass (never per-group
+    vectors). x = hour (int), y = centi-units (round(value·100) —
+    the column is 2-dp money, so the quantization is LOSSLESS and
+    Σy² stays far inside bigint; micro-units would overflow Spark's
+    bigint Σy² at 10⁴ rows/group), so both engines sum exact integers
+    and divide identical doubles."""
+    e = load_table(spark, sf, "events")
+    out = agg.ols_group(
+        e,
+        ["event_type"],
+        F.hour("ts"),
+        F.round(F.col("value") * 100, 0),
+        y_scale=100,
+    )
+    return O.sort(out, ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4149,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   env risk) + r1-green-only ids: the round-6 rotation pool —
         "q_markov_transitions": q_markov_transitions,
         "q_time_interpolate": q_time_interpolate,
+        "q_group_regress": q_group_regress,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4520,6 +4542,35 @@ def oracle_sql() -> dict[str, str]:
                        ELSE prev_v + (next_v - prev_v) * ((tu - prev_t) / (next_t - prev_t))
                    END, 6) AS value_filled
             FROM n
+        """,
+        "q_group_regress": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+                FROM events
+            ),
+            s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM q GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   ROUND(CASE WHEN n * sxx - sx * sx != 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+                         / 100.0, 6) AS slope,
+                   ROUND((sy - CASE WHEN n * sxx - sx * sx != 0
+                                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx)
+                         / n / 100.0, 6) AS intercept,
+                   ROUND(CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+                         THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+            FROM s ORDER BY event_type
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -119,3 +119,58 @@ def approx_count_distinct_agg(
     """HLL++ approximate distinct (E12): constant memory per key, single
     shuffle of sketches, mergeable across partitions — the scale path."""
     return df.groupBy(*keys).agg(F.approx_count_distinct(col, rsd=rsd).alias(alias))
+
+
+def ols_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_int: Column,
+    y_scaled: Column,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) from sufficient
+    statistics: one aggregate pass collects (n, Σx, Σy, Σx², Σxy, Σy²),
+    then slope / intercept / r² fall out of closed forms — the
+    map-side-combinable formulation that never materializes per-group
+    vectors (contrast sklearn-style collect-and-fit, which at 100 TB
+    would ship every row to one task per group). Spark exposes
+    ``regr_slope``-family aggregates with the same plan; this spells
+    the statistics out so both engines reduce EXACT INTEGERS.
+
+    Float-order determinism: double sums are order-dependent under
+    Spark's nondeterministic partition reduce order, so callers pass
+    ``x_int`` (already integral) and ``y_scaled`` (value quantized to
+    an integer). Pick the SMALLEST lossless scale: Σy² must fit in
+    bigint, so micro-units overflow around 10⁴ rows/group for
+    1e3-magnitude values — centi-units for 2-dp money. Integer sums
+    are exact regardless of reduce order; the closed-form division is
+    then one fixed expression tree over identical doubles in any
+    engine. ``y_scale`` only rescales slope/intercept back to value
+    units. Degenerate groups (zero x or y variance) yield NULL slope /
+    r² rather than a division error.
+    """
+    x = x_int.cast("long")
+    y = y_scaled.cast("long")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy"))
+    cov_n = n * sxy - sx * sy          # n²·cov(x,y)
+    var_x = n * sxx - sx * sx          # n²·var(x)
+    var_y = n * syy - sy * sy          # n²·var(y)
+    scale = F.lit(float(y_scale))
+    slope = F.when(var_x != 0, cov_n / var_x)
+    return stats.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.round(slope / scale, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / scale, 6).alias("intercept"),
+        F.round(
+            F.when((var_x != 0) & (var_y != 0), cov_n * cov_n / (var_x * var_y)), 6
+        ).alias("r2"),
+    )

@@ -100,3 +100,16 @@ def test_scd2_apply_idempotent_and_versioned(spark, sf_dir):
     v2 = scd2_apply(v1, updates, ["c_custkey"], ["c_name", "c_acctbal"], "2025-01-01")
     assert v2.count() == v1.count()
     assert v2.filter(F.col("is_current")).count() == dim.count()
+
+
+def test_ols_group_perfect_line_and_degenerate(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    rows = [("a", 1, 300), ("a", 2, 500), ("a", 3, 700),   # y=2x+1 in units
+            ("b", 5, 100), ("b", 5, 900)]                  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x int, y long")
+    out = {r.g: r for r in agg.ols_group(df, ["g"], F.col("x"), F.col("y"), y_scale=100).collect()}
+    a = out["a"]
+    assert a.n == 3 and a.slope == 2.0 and a.intercept == 1.0 and a.r2 == 1.0
+    b = out["b"]
+    assert b.n == 2 and b.slope is None and b.r2 is None
