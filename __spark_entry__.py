@@ -4082,6 +4082,21 @@ def q_group_regress(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytics surface (round 5, wave 3): 2-D Pareto frontier over
+    lineitem — the (quantity, extendedprice) points nothing else beats
+    on both axes (operators/windows.py skyline_2d). Sort-based linear
+    algorithm: best-y-per-x aggregate, then one running-max window —
+    never the quadratic NOT-EXISTS self-join the ORACLE deliberately
+    uses (independent formulations, same rows)."""
+    li = load_table(spark, sf, "lineitem")
+    out = W.skyline_2d(li, "l_quantity", "l_extendedprice")
+    return O.sort(
+        out.select(F.col("x").alias("quantity"), F.col("y").alias("best_price")),
+        ["quantity"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4171,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_transitions": q_markov_transitions,
         "q_time_interpolate": q_time_interpolate,
         "q_group_regress": q_group_regress,
+        "q_skyline": q_skyline,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4571,6 +4587,18 @@ def oracle_sql() -> dict[str, str]:
                          THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
                               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
             FROM s ORDER BY event_type
+        """,
+        "q_skyline": """
+            WITH pts AS (
+                SELECT l_quantity AS quantity, MAX(l_extendedprice) AS best_price
+                FROM lineitem GROUP BY l_quantity
+            )
+            SELECT quantity, best_price FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.quantity > p.quantity AND q.best_price >= p.best_price
+            )
+            ORDER BY quantity
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

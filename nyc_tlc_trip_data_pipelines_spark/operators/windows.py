@@ -110,3 +110,35 @@ def running_agg(
     start = Window.unboundedPreceding if rows_preceding is None else -rows_preceding
     w = w.rowsBetween(start, Window.currentRow)
     return df.withColumn(alias, agg.over(w))
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier), maximizing both dimensions: the
+    points no other point beats on x AND y — price/performance
+    frontiers, quality-vs-cost corpus triage. Returns one row per
+    frontier point, columns (x, y).
+
+    The naive formulation is a quadratic NOT-EXISTS self-join. This is
+    the sort-based linear one: collapse to the best y per distinct x
+    (a hash aggregate — also settles within-x dominance), then one
+    window ordered by x DESC keeps a row iff its y exceeds the running
+    max of every strictly-greater x (ROWS … 1 PRECEDING, so ties in x
+    are impossible by construction). Dominance (x'>x, y'≥y) is strict
+    in x and weak in y, which is exactly "y > max over x'>x".
+
+    100 TB: the aggregate bounds the window input to |distinct x| rows
+    — fine for discrete/quantized x. For continuous x, quantize first
+    or run per-partition local skylines and re-run on the union (the
+    skyline of skylines is the skyline); the window stage itself is a
+    single tiny-input task either way.
+    """
+    best = df.groupBy(F.col(x_col).alias("x")).agg(F.max(y_col).alias("y"))
+    w = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        best.withColumn("_ymax_right", F.max("y").over(w))
+        .filter(F.col("_ymax_right").isNull() | (F.col("y") > F.col("_ymax_right")))
+        .drop("_ymax_right")
+    )

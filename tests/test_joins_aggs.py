@@ -113,3 +113,12 @@ def test_ols_group_perfect_line_and_degenerate(spark):
     assert a.n == 3 and a.slope == 2.0 and a.intercept == 1.0 and a.r2 == 1.0
     b = out["b"]
     assert b.n == 2 and b.slope is None and b.r2 is None
+
+
+def test_skyline_2d_dominance_rules(spark):
+    # (3,10) dominates (2,10) [strict x, equal y] and (1,5);
+    # (1,20) survives (best y); (3,10) survives (best x).
+    rows = [(1, 5.0), (1, 20.0), (2, 10.0), (3, 10.0), (3, 7.0)]
+    df = spark.createDataFrame(rows, "x int, y double")
+    got = {(r.x, r.y) for r in W.skyline_2d(df, "x", "y").collect()}
+    assert got == {(1, 20.0), (3, 10.0)}
