@@ -4097,6 +4097,21 @@ def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval surface (round 5, wave 3): exact quoted-phrase search
+    — documents containing "table value" as consecutive tokens,
+    with per-doc occurrence counts (operators/text.py phrase_count).
+    The adjacency test runs inside each row's token array (indexed
+    element_at over a position sequence): zero-shuffle codegen, no
+    posting join, counts overlapping starts — order-aware where BM25
+    is bag-of-words. Oracle replays the same indexed adjacency via a
+    DuckDB list comprehension (regex is not equivalent: non-overlapping
+    and RE2 has no lookahead)."""
+    docs = load_table(spark, sf, "documents")
+    out = TX.phrase_count(docs, ["table", "value"])
+    return O.sort(out, ["doc_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4187,6 +4202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_interpolate": q_time_interpolate,
         "q_group_regress": q_group_regress,
         "q_skyline": q_skyline,
+        "q_phrase_search": q_phrase_search,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4599,6 +4615,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.quantity > p.quantity AND q.best_price >= p.best_price
             )
             ORDER BY quantity
+        """,
+        "q_phrase_search": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   len([i FOR i IN generate_series(1, len(toks) - 1)
+                        IF toks[i] = 'table' AND toks[i+1] = 'value']) AS n_hits
+            FROM t
+            WHERE len(toks) >= 2
+              AND len([i FOR i IN generate_series(1, len(toks) - 1)
+                       IF toks[i] = 'table' AND toks[i+1] = 'value']) > 0
+            ORDER BY doc_id
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -953,3 +953,49 @@ def chunk_sliding(
             F.concat_ws(" ", piece).alias("chunk_text"),
         )
     )
+
+
+def phrase_count(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search: per-document count of positions where the
+    tokenized text contains ``phrase`` as consecutive tokens — the
+    retrieval primitive behind quoted-query search and n-gram
+    blocklist filtering (a BM25 bag-of-words score can't see order;
+    this can). Returns (id, n_hits) for documents with ≥1 hit.
+
+    Plan shape: the adjacency test runs INSIDE each row's token array
+    (``filter`` over an index ``sequence``) — pure whole-stage-codegen
+    expressions, ZERO shuffle, no posting-list join and no window over
+    a corpus-wide token stream. This is the Spark-first formulation of
+    positional search: at 100 TB it is a parallel scan that prunes to
+    (id, int) before anything wider happens. Counts overlapping
+    occurrences (every starting position), which a non-overlapping
+    regex scan would undercount; regex lookahead is also not portable
+    to RE2-based engines — the SQL twin replays the same indexed
+    adjacency over the split tokens instead.
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    toks = tokenize(text_col)
+    L = len(phrase)
+    starts = F.sequence(F.lit(0), F.size(toks) - L)  # 0-based start positions
+    hit = F.filter(
+        starts,
+        lambda i: _phrase_match_at(toks, phrase, i),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.when(F.size(toks) >= L, F.size(hit)).otherwise(F.lit(0)).cast("long").alias("n_hits"),
+    )
+    return out.filter(F.col("n_hits") > 0)
+
+
+def _phrase_match_at(toks: Column, phrase: Sequence[str], i: Column) -> Column:
+    cond = F.element_at(toks, i + 1) == phrase[0]  # element_at is 1-based
+    for j, t in enumerate(phrase[1:], start=1):
+        cond = cond & (F.element_at(toks, i + j + 1) == t)
+    return cond

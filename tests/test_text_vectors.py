@@ -424,3 +424,15 @@ def test_kmeans_centroids_drive_ivf_index_end_to_end(tmp_path):
         (r.vec_id, r.cosine) for r in direct
     ]
     assert len(probed) == 10
+
+
+def test_phrase_count_overlap_and_edges(spark):
+    rows = [
+        (1, "a b a b a"),      # "a b" at positions 0 and 2 → 2 hits
+        (2, "b a"),            # reversed → no hit
+        (3, "a"),              # shorter than phrase → excluded
+        (4, "x a b"),          # 1 hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_hits for r in TX.phrase_count(df, ["a", "b"]).collect()}
+    assert got == {1: 2, 4: 1}
