@@ -4112,6 +4112,31 @@ def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["doc_id"])
 
 
+def q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch surface (round 5, wave 3): DataSketches HLL distinct
+    users per (lang, source) UNIONED up to per-lang — the second grain
+    re-aggregates kilobyte sketch binaries, never rescans the corpus
+    (operators/aggregates.py hll_rollup; the mergeable-sketch step
+    approx_count_distinct can't express because it hides the sketch).
+    Oracle contract: exact per-lang distinct via DuckDB, plus an
+    ``est_ok`` verdict that the union estimate lands within ±5 % of
+    exact (DataSketches rse at lg_k=12 is ≈1.6 %, so the band is ~3σ;
+    same tolerance-verdict pattern as q_ann_recall / E12)."""
+    docs = load_table(spark, sf, "documents")
+    est = agg.hll_rollup(docs, ["lang", "source"], ["lang"], "doc_id", lg_k=12)
+    exact = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_exact"))
+    out = est.join(exact, "lang").select(
+        "lang",
+        "n_sketches",
+        "n_exact",
+        (
+            F.abs(F.col("distinct_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("est_ok"),
+    )
+    return O.sort(out, ["lang"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4203,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_regress": q_group_regress,
         "q_skyline": q_skyline,
         "q_phrase_search": q_phrase_search,
+        "q_sketch_rollup": q_sketch_rollup,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4631,6 +4657,15 @@ def oracle_sql() -> dict[str, str]:
               AND len([i FOR i IN generate_series(1, len(toks) - 1)
                        IF toks[i] = 'table' AND toks[i+1] = 'value']) > 0
             ORDER BY doc_id
+        """,
+        "q_sketch_rollup": """
+            SELECT lang,
+                   COUNT(DISTINCT source) AS n_sketches,
+                   COUNT(DISTINCT doc_id) AS n_exact,
+                   TRUE AS est_ok
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -174,3 +174,37 @@ def ols_group(
             F.when((var_x != 0) & (var_y != 0), cov_n * cov_n / (var_x * var_y)), 6
         ).alias("r2"),
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable-sketch distinct counting at two grains from ONE scan:
+    build Apache DataSketches HLL sketches at the fine grain
+    (``hll_sketch_agg``), then RE-AGGREGATE the sketch binaries to the
+    coarse grain (``hll_union_agg``) — the input is never read twice.
+    This is the warehouse pattern for daily→monthly→all-time distinct
+    users: at 100 TB the second grain costs a shuffle of kilobyte
+    sketches, not a rescan, which ``approx_count_distinct`` (HLL++,
+    E12) can't do because it never exposes the sketch as a value.
+
+    Returns the coarse-grain frame with ``distinct_est`` (union
+    estimate, rounded to a bigint) plus ``n_sketches`` merged. The
+    estimate is deterministic for fixed data and lg_k; correctness
+    harnesses should assert a relative-error band against the exact
+    count (DataSketches HLL rse ≈ 1.04/√2^lg_k ≈ 1.6 % at lg_k=12)
+    rather than equality.
+    """
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias("sketch")
+    )
+    return fine.groupBy(*coarse_keys).agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False))))
+        .cast("long")
+        .alias("distinct_est"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )

@@ -122,3 +122,16 @@ def test_skyline_2d_dominance_rules(spark):
     df = spark.createDataFrame(rows, "x int, y double")
     got = {(r.x, r.y) for r in W.skyline_2d(df, "x", "y").collect()}
     assert got == {(1, 20.0), (3, 10.0)}
+
+
+def test_hll_rollup_union_matches_direct(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    # users overlap across sources: union must dedup (120 distinct, not 200)
+    rows = [("en", "a", i) for i in range(100)] + [("en", "b", i) for i in range(20, 120)]
+    df = spark.createDataFrame(rows, "lang string, source string, uid long")
+    out = agg.hll_rollup(df, ["lang", "source"], ["lang"], "uid", lg_k=12).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_sketches == 2
+    assert abs(r.distinct_est - 120) <= 6  # 5% band; small-n HLL is near-exact
