@@ -4137,6 +4137,32 @@ def q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["lang"])
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch surface (round 5, wave 3): Count-Min point-frequency
+    estimates for the event-type heavy hitters (operators/aggregates.py
+    cms_point_estimates) — one fixed-size mergeable sketch pass, probed
+    for the 5 known types. Oracle contract: exact counts from DuckDB
+    plus a ``cms_ok`` verdict replaying the one-sided CM guarantee
+    ``exact ≤ est ≤ exact + eps·N`` (est can only overcount; at
+    eps=1e-4 the slack is N/10000)."""
+    e = load_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    est = agg.cms_point_estimates(e, "event_type", types, eps=0.0001, seed=42)
+    exact = e.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_total = e.count()
+    out = est.join(exact, "key").select(
+        F.col("key").alias("event_type"),
+        "n_exact",
+        (
+            (F.col("est") >= F.col("n_exact"))
+            & (F.col("est") <= F.col("n_exact") + 0.0001 * n_total)
+        ).alias("cms_ok"),
+    )
+    return O.sort(out, ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4229,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_phrase_search": q_phrase_search,
         "q_sketch_rollup": q_sketch_rollup,
+        "q_heavy_hitters_cms": q_heavy_hitters_cms,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4666,6 +4693,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang
             ORDER BY lang
+        """,
+        "q_heavy_hitters_cms": """
+            SELECT event_type, COUNT(*) AS n_exact, TRUE AS cms_ok
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

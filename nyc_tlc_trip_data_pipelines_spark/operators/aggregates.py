@@ -208,3 +208,35 @@ def hll_rollup(
         .alias("distinct_est"),
         F.count(F.lit(1)).alias("n_sketches"),
     )
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    col: str,
+    probe_keys: Sequence[int | str],
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min point-frequency estimates: ONE pass builds a
+    fixed-size mergeable sketch (``count_min_sketch`` — map-side
+    partials, kilobyte shuffle), then the named keys are probed from
+    the final binary. The streaming-telemetry primitive for "how often
+    did THIS key occur" without a per-key groupBy state: at 100 TB the
+    sketch is d×w counters regardless of key cardinality, and the CM
+    guarantee is one-sided — ``exact ≤ est ≤ exact + eps·N`` with
+    probability ≥ ``confidence`` (est never undercounts).
+
+    The probe readback parses the sketch binary on the DRIVER via the
+    JVM's ``CountMinSketch.readFrom`` — a deliberate driver-side step
+    over ONE aggregated value (same class as the sink/DDL readbacks),
+    not a per-row path. Keys must match the column's JVM type (pass
+    ints for a long column). Returns (key, est) rows.
+    """
+    row = df.agg(
+        F.count_min_sketch(F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)).alias("s")
+    ).head()
+    spark = df.sparkSession
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["s"]))
+    rows = [(k, int(cms.estimateCount(k))) for k in probe_keys]
+    return spark.createDataFrame(rows, f"key {'string' if isinstance(probe_keys[0], str) else 'long'}, est long")

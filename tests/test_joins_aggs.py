@@ -135,3 +135,13 @@ def test_hll_rollup_union_matches_direct(spark):
     r = out[0]
     assert r.n_sketches == 2
     assert abs(r.distinct_est - 120) <= 6  # 5% band; small-n HLL is near-exact
+
+
+def test_cms_point_estimates_guarantee(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    n = 2000
+    df = spark.createDataFrame([(i % 4,) for i in range(n)], "k long")
+    got = {r.key: r.est for r in agg.cms_point_estimates(df, "k", [0, 1, 2, 3], eps=0.001).collect()}
+    for k in range(4):
+        assert 500 <= got[k] <= 500 + 0.001 * n  # one-sided CM bound
