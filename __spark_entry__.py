@@ -4163,6 +4163,30 @@ def q_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Join optimization (round 5, wave 3): bloom-filter semi-join
+    reduction — lineitem is filtered by a portable 8192-bit bloom over
+    the p_size=15 part keys BEFORE the exact join (operators/joins.py
+    bloom_prefilter), the standard technique for cutting a 100 TB fact
+    shuffle down to near the match set. False negatives are impossible,
+    so the aggregated result is byte-identical to the plain join — the
+    oracle IS the plain join, which checks exactly that invariant."""
+    li = load_table(spark, sf, "lineitem")
+    parts = load_table(spark, sf, "part").filter(F.col("p_size") == 15)
+    pruned = J.bloom_prefilter(li, "l_partkey", parts, "p_partkey")
+    out = (
+        pruned.join(F.broadcast(parts), pruned.l_partkey == parts.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+    return O.sort(out, ["l_returnflag"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4256,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": q_phrase_search,
         "q_sketch_rollup": q_sketch_rollup,
         "q_heavy_hitters_cms": q_heavy_hitters_cms,
+        "q_join_bloom_prefilter": q_join_bloom_prefilter,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4699,6 +4724,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "q_join_bloom_prefilter": """
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size = 15
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

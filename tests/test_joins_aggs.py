@@ -145,3 +145,22 @@ def test_cms_point_estimates_guarantee(spark):
     got = {r.key: r.est for r in agg.cms_point_estimates(df, "k", [0, 1, 2, 3], eps=0.001).collect()}
     for k in range(4):
         assert 500 <= got[k] <= 500 + 0.001 * n  # one-sided CM bound
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    big = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "d long")  # 20 keys
+    kept = {r.k for r in J.bloom_prefilter(big, "k", dim, "d").collect()}
+    members = set(range(0, 2000, 100))
+    assert members <= kept                      # no false negative, ever
+    # 8192 bits / 20 keys / 3 hashes → fpp ~1e-6; allow a generous margin
+    assert len(kept) <= len(members) + 5
+
+
+def test_bloom_prefilter_rejects_bad_geometry(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    import pytest
+    with pytest.raises(ValueError):
+        J.bloom_bit_positions(F.col("k"), 1000, 3)     # not a power of two
+    with pytest.raises(ValueError):
+        J.bloom_bit_positions(F.col("k"), 65536, 4)    # 4*16 > 60 bits
