@@ -474,3 +474,50 @@ def test_lateral_decorrelates_to_window_topk(spark, sf_dir):
     out = E.q_lateral_topk(spark, sf_dir)
     p = plan_string(out)
     assert "Join" in p
+
+
+def test_phrase_search_zero_exchanges(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.phrase_count(docs, ["table", "value"])
+    # in-array adjacency: a parallel scan + filter, nothing wider
+    assert exchange_count(out) == 0
+    assert node_count(out, "Join") == 0
+
+
+def test_skyline_is_agg_plus_window_not_join(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import windows as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = W.skyline_2d(li, "l_quantity", "l_extendedprice")
+    s = plan_string(out)
+    # sort-based frontier: no NOT-EXISTS self-join, no nested loop
+    assert node_count(out, "Join") == 0
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+    assert node_count(out, "Window") == 1
+
+
+def test_bloom_prefilter_filter_is_codegen_no_join(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    pruned = J.bloom_prefilter(li, "l_partkey", parts, "p_partkey")
+    s = plan_string(pruned)
+    # the probe side is a pure filter over the scan: no join, no
+    # exchange, no Python eval — the bitset is a literal array
+    assert node_count(pruned, "Join") == 0
+    assert exchange_count(pruned) == 0
+    assert "Python" not in s
+
+
+def test_markov_reuses_lag_exchange(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.markov_transitions(ev, "event_type", ["user_id"], [F.col("ts"), F.col("event_id")])
+    # lag window (1 exchange) + pair aggregate (1) + broadcast-sized
+    # totals window over prev_state (1): the corpus shuffles ONCE
+    assert exchange_count(out) <= 3
+    assert node_count(out, "HashAggregate") == 2  # partial + final
