@@ -69,6 +69,17 @@ CORPUS_OPS = [
     "q_graph_bfs",
 ]
 
+# round-5 third wave: analytics / sketch / retrieval operators
+ANALYTICS_OPS = [
+    "q_markov_transitions",
+    "q_time_interpolate",
+    "q_group_regress",
+    "q_skyline",
+    "q_phrase_search",
+    "q_sketch_rollup",
+    "q_heavy_hitters_cms",
+]
+
 
 PASSES = 3
 
@@ -87,6 +98,44 @@ def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     return timings
+
+
+def _bloom_bench(spark, sf_dir) -> dict[str, float]:
+    """Bloom semi-join reduction, measured: lineitem ⋈ (p_size=15
+    parts) as a plain broadcast join vs the same join behind
+    bloom_prefilter. On local[32] at sf0.1 the scan dominates, so the
+    interesting number is that the bloom's extra codegen filter is
+    ~free; on a real cluster the prefilter pays off as shuffle/IO
+    avoided (probe side drops to ~the match set before any exchange)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators.joins import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+
+    def plain():
+        return li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).groupBy(
+            "l_returnflag"
+        ).count()
+
+    def bloomed():
+        pruned = bloom_prefilter(li, "l_partkey", parts, "p_partkey")
+        return pruned.join(F.broadcast(parts), pruned.l_partkey == parts.p_partkey).groupBy(
+            "l_returnflag"
+        ).count()
+
+    out: dict[str, float] = {}
+    for name, fn in (("plain_join", plain), ("bloom_prefiltered", bloomed)):
+        fn().count()  # warmup
+        best = float("inf")
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            fn().count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
 
 
 def _skew_bench(spark, sf_dir) -> dict[str, float]:
@@ -164,14 +213,16 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
     extended = _timed_pass(qs, EXTENDED, spark, sf_dir)
     versioned_io = _timed_pass(qs, VERSIONED_IO, spark, sf_dir)
     corpus_ops = _timed_pass(qs, CORPUS_OPS, spark, sf_dir)
+    analytics_ops = _timed_pass(qs, ANALYTICS_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
+    bloom_join = _bloom_bench(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -187,7 +238,10 @@ def main() -> None:
                 "versioned_io_total": round(sum(versioned_io.values()), 3),
                 "corpus_ops": corpus_ops,
                 "corpus_ops_total": round(sum(corpus_ops.values()), 3),
+                "analytics_ops": analytics_ops,
+                "analytics_ops_total": round(sum(analytics_ops.values()), 3),
                 "skew_join": skew_join,
+                "bloom_join": bloom_join,
                 "passes": PASSES,
                 "sf": float(sf) if sf else sf_dir,
             }
