@@ -4187,6 +4187,19 @@ def q_join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["l_returnflag"])
 
 
+def q_train_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-export surface (round 5, wave 3): deterministic seeded
+    shuffle of the corpus into 8 shards with stable in-shard positions
+    (operators/corpus.py stable_shuffle) — the reproducible-epoch
+    contract: same salt ⇒ same permutation on any engine or cluster
+    size; the oracle replays the md5 draw and the (hash, id) rank, so
+    the hash match proves the EXACT permutation, not just shard
+    counts."""
+    docs = load_table(spark, sf, "documents")
+    out = CP.stable_shuffle(docs, id_col="doc_id", n_shards=8, salt="epoch1")
+    return O.sort(out.select("doc_id", "shard", "shard_pos"), ["doc_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4281,6 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_rollup": q_sketch_rollup,
         "q_heavy_hitters_cms": q_heavy_hitters_cms,
         "q_join_bloom_prefilter": q_join_bloom_prefilter,
+        "q_train_shuffle": q_train_shuffle,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4732,6 +4746,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_size = 15
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "q_train_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(CONCAT('0x', SUBSTR(md5(CONCAT('epoch1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(hv % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT)
+                       AS shard_pos
+            FROM h
+            ORDER BY doc_id
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

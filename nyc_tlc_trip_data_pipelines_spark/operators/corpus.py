@@ -445,3 +445,42 @@ def unigram_logprob(
             F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("mean_logprob"),
         )
     )
+
+
+def stable_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "v1",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic training-export shuffle: every row gets a
+    ``shard`` and a ``shard_pos`` that are stable across runs, engines,
+    cluster size, and input order — the reproducibility contract a
+    training job needs so that "epoch 1, shard 3, position 17" means
+    the same example on every rerun. Changing ``salt`` re-rolls the
+    whole permutation (a new epoch order without rewriting data).
+
+    Both outputs derive from one seeded hash draw (the portable 60-bit
+    md5 by default, :func:`stable_split`'s contract): shard =
+    ``hash mod n_shards`` (balanced by hash uniformity, never by a
+    round-robin that depends on row order), position = rank of
+    ``(hash, id)`` within the shard — the id tiebreak keeps the
+    permutation total even on hash collisions. One hash exchange on
+    ``shard`` + a per-shard sort; at 100 TB that is exactly the
+    shuffle the export write needs anyway (`partitionBy(shard)`), so
+    the ordering rides the write for free. A GLOBAL position would
+    serialize in one task — the per-shard rank is the scale-correct
+    contract, and readers consume shards in parallel anyway.
+    """
+    from pyspark.sql import Window as _W
+
+    from .text import portable_hash60
+
+    key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    h = portable_hash60(key) if portable else F.xxhash64(key)
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(int(n_shards))).cast("int")
+    )
+    w = _W.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return out.withColumn("shard_pos", F.row_number().over(w)).drop("__h")

@@ -176,3 +176,23 @@ def test_weighted_sample_es_exact_replay_and_bias(spark):
     z = _docs(spark, [(1, "", "en"), (2, "ab", "en")])
     only = CP.weighted_sample_without_replacement(z, weight=F.length("text"), k=5).collect()
     assert [r.doc_id for r in only] == [2]
+
+
+def test_stable_shuffle_reproducible_and_total(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    a = {(r.doc_id, r.shard, r.shard_pos) for r in CP.stable_shuffle(df, n_shards=4).collect()}
+    b = {(r.doc_id, r.shard, r.shard_pos) for r in
+         CP.stable_shuffle(df.repartition(7), n_shards=4).collect()}
+    assert a == b                                     # partitioning-independent
+    # positions are a total permutation within each shard: 1..n contiguous
+    by_shard = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # different salt -> different permutation
+    c = {(r.doc_id, r.shard, r.shard_pos) for r in
+         CP.stable_shuffle(df, n_shards=4, salt="v2").collect()}
+    assert a != c
