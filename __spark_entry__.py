@@ -4200,6 +4200,35 @@ def q_train_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out.select("doc_id", "shard", "shard_pos"), ["doc_id"])
 
 
+def q_dedup_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingestion dedup (round 5, wave 3): the LSH index as
+    a MATERIALIZED table — signatures+bands of the existing corpus
+    (doc_id % 10 != 0) written to parquet partitioned by band, then a
+    new ingest batch (doc_id % 10 == 0) probes the stored index and
+    exact-verifies candidates (operators/text.py minhash_band_index /
+    probe_band_index). The 100 TB mode: each document is
+    signature-hashed ONCE ever; later batches never re-LSH the corpus
+    (the text twin of q_ann_index_probe). Oracle is the independent
+    all-pairs exact cross-batch Jaccard at the same threshold."""
+    docs = load_table(spark, sf, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lsh_index")
+        TX.minhash_band_index(existing).write.partitionBy("band").parquet(path)
+        idx = spark.read.parquet(path)
+        rows = [
+            (r.new_id, r.idx_id, r.jaccard)
+            for r in TX.probe_band_index(idx, batch, docs, threshold=0.8).collect()
+        ]
+    out = spark.createDataFrame(
+        rows or [(None, None, None)], "new_id bigint, idx_id bigint, jaccard double"
+    )
+    if not rows:
+        out = out.filter(F.col("new_id").isNotNull())
+    return O.sort(out, ["new_id", "idx_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4295,6 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters_cms": q_heavy_hitters_cms,
         "q_join_bloom_prefilter": q_join_bloom_prefilter,
         "q_train_shuffle": q_train_shuffle,
+        "q_dedup_index_probe": q_dedup_index_probe,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4759,6 +4789,27 @@ def oracle_sql() -> dict[str, str]:
                        AS shard_pos
             FROM h
             ORDER BY doc_id
+        """,
+        "q_dedup_index_probe": """
+            WITH d AS (
+                SELECT doc_id, LOWER(text) AS t FROM documents WHERE LENGTH(text) >= 5
+            ), sh AS (
+                SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                    GENERATE_SERIES(1, LENGTH(t) - 4), i -> SUBSTRING(t, i, 5)))) AS s
+                FROM d
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS new_id, b.doc_id AS idx_id, COUNT(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT new_id, idx_id,
+                   ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = idx_id
+            WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.8
+            ORDER BY new_id, idx_id
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -999,3 +999,137 @@ def _phrase_match_at(toks: Column, phrase: Sequence[str], i: Column) -> Column:
     for j, t in enumerate(phrase[1:], start=1):
         cond = cond & (F.element_at(toks, i + j + 1) == t)
     return cond
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The MinHash-LSH index AS A TABLE: (band, bucket, id, sig, n_sh)
+    rows ready to be written out (``partitionBy("band")``) and probed
+    by later ingest batches — the incremental-ingestion mode a 100 TB
+    corpus actually runs: signatures+banding are computed ONCE per
+    document ever; each new batch probes the stored index instead of
+    re-LSH-ing the corpus (same lifecycle as ``write_ivf_index`` for
+    vectors). Bucket hashing, band slicing and the exact-size column
+    (``n_sh``, for the PPJoin ratio prefilter) all match
+    :func:`minhash_near_duplicates`, so probe semantics are identical
+    to the batch self-join."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, with_size=True)
+    return (
+        sig.select(
+            id_col, "sig", "n_sh",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        )
+        .withColumn(
+            "bucket",
+            F.xxhash64(F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)),
+        )
+    )
+
+
+def probe_band_index(
+    index: DataFrame,
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    est_margin: float = 0.3,
+) -> DataFrame:
+    """Probe a stored :func:`minhash_band_index` with a NEW ingest
+    batch: band the batch identically, join on (band, bucket) against
+    the index, keep pairs colliding in ≥2 bands that pass the exact
+    size-ratio prefilter and the signature estimate, then verify exact
+    Jaccard against the true shingle sets — (new_id, idx_id, jaccard)
+    with the same recall/precision guarantees as
+    :func:`minhash_verified_pairs` (miss ≈ (1−J^r)^b + estimate tail;
+    precision exact).
+
+    Scale shape: the batch (≪ corpus) is signatures-hashed once; the
+    index join shuffles only (band, bucket, id) pairs; ``corpus`` is
+    touched a second time ONLY through the broadcast-semi-join prune
+    to the candidate ids for verification — the full corpus is never
+    re-shingled. ``corpus`` must contain the text of both sides
+    (indexes store signatures, not text — by design: the index stays
+    kilobytes per document)."""
+    rows_per_band = num_hashes // bands
+    sig_b = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k, with_size=True).persist()
+    banded_b = (
+        sig_b.select(
+            id_col, "n_sh",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            "sig",
+        )
+        .withColumn(
+            "bucket",
+            F.xxhash64(F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)),
+        )
+    )
+    a = banded_b.alias("a")
+    b = index.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                F.least("a.n_sh", "b.n_sh").cast("double")
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh") - F.lit(_FILTER_EPS),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"), F.col(f"b.{id_col}").alias("idx_id")
+        )
+        .groupBy("new_id", "idx_id")
+        .agg(F.count(F.lit(1)).alias("__n_bands"))
+        .filter(F.col("__n_bands") >= 2)
+        .drop("__n_bands")
+    )
+    sa = sig_b.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = index.select(F.col(id_col).alias("idx_id"), "sig").distinct().withColumnRenamed("sig", "sig_b")
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    cand = (
+        pairs.join(sa, "new_id")
+        .join(sb, "idx_id")
+        .filter(F.round(est, 6) >= F.lit(max(0.0, threshold - est_margin)))
+        .select("new_id", "idx_id")
+        .persist()
+    )
+    cand_ids = (
+        cand.select(F.col("new_id").alias(id_col))
+        .union(cand.select(F.col("idx_id").alias(id_col)))
+        .distinct()
+    )
+    docs_c = corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+    shset = docs_c.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(char_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+        ).alias("shset"),
+    ).persist()
+    va = shset.select(F.col(id_col).alias("new_id"), F.col("shset").alias("sh_a"))
+    vb = shset.select(F.col(id_col).alias("idx_id"), F.col("shset").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    return (
+        cand.join(va, "new_id")
+        .join(vb, "idx_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "idx_id", "jaccard")
+    )

@@ -436,3 +436,23 @@ def test_phrase_count_overlap_and_edges(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.n_hits for r in TX.phrase_count(df, ["a", "b"]).collect()}
     assert got == {1: 2, 4: 1}
+
+
+def test_band_index_probe_finds_cross_batch_dups(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),                       # existing
+        (2, "completely different content here with nothing shared at all x " * 3),
+        (10, base),                      # new batch: near-exact dup of 1
+        (20, "unique new batch document that matches nothing else at all y " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    existing = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    path = str(tmp_path / "lsh")
+    TX.minhash_band_index(existing).write.partitionBy("band").parquet(path)
+    idx = spark.read.parquet(path)
+    got = {(r.new_id, r.idx_id): r.jaccard for r in
+           TX.probe_band_index(idx, batch, docs, threshold=0.8).collect()}
+    assert (10, 1) in got and got[(10, 1)] == 1.0
+    assert all(k == (10, 1) for k in got)
