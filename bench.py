@@ -78,6 +78,7 @@ ANALYTICS_OPS = [
     "q_phrase_search",
     "q_sketch_rollup",
     "q_heavy_hitters_cms",
+    "q_train_shuffle",
 ]
 
 
