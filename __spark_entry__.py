@@ -4101,10 +4101,10 @@ def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval surface (round 5, wave 3): exact quoted-phrase search
     — documents containing "table value" as consecutive tokens,
     with per-doc occurrence counts (operators/text.py phrase_count).
-    The adjacency test runs inside each row's token array (indexed
-    element_at over a position sequence): zero-shuffle codegen, no
-    posting join, counts overlapping starts — order-aware where BM25
-    is bag-of-words. Oracle replays the same indexed adjacency via a
+    Codegen position-explode + scalar element_at adjacency, filtered
+    BEFORE the aggregate so the only shuffle is hits-sized; no posting
+    join; counts overlapping starts — order-aware where BM25 is
+    bag-of-words. Oracle replays the same indexed adjacency via a
     DuckDB list comprehension (regex is not equivalent: non-overlapping
     and RE2 has no lookahead)."""
     docs = load_table(spark, sf, "documents")

@@ -104,10 +104,15 @@ def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
 def _bloom_bench(spark, sf_dir) -> dict[str, float]:
     """Bloom semi-join reduction, measured: lineitem ⋈ (p_size=15
     parts) as a plain broadcast join vs the same join behind
-    bloom_prefilter. On local[32] at sf0.1 the scan dominates, so the
-    interesting number is that the bloom's extra codegen filter is
-    ~free; on a real cluster the prefilter pays off as shuffle/IO
-    avoided (probe side drops to ~the match set before any exchange)."""
+    bloom_prefilter. Each timed pass re-runs the whole lifecycle, so
+    the bloom line carries the CONSTANT build cost (a second Spark job:
+    dim aggregate + ≤256-row collect, ~0.5 s of local job latency) on
+    top of the probe filter, which itself is ~free (xxhash64 +
+    literal-array element_at measured at scan speed). On local[32]
+    against a broadcast join there is no shuffle to avoid, so plain
+    wins; at 100 TB the build amortizes over the fact scan and the
+    prefilter pays as shuffle/IO avoided (probe side drops to ~the
+    match set before any exchange)."""
     from pyspark.sql import functions as F
 
     from nyc_tlc_trip_data_pipelines_spark.catalog import load_table

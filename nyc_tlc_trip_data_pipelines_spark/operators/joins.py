@@ -132,19 +132,26 @@ def as_of_join(
 
 def bloom_bit_positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
     """The shared hash contract for :func:`bloom_prefilter`: positions
-    are disjoint bit-ranges of ONE portable 60-bit md5 hash of the
-    stringified key, so any SQL engine replays them bit-for-bit
-    (``(h >> 13·i) & (n_bits−1)``). n_bits must be a power of two with
-    n_hashes·log2(n_bits) ≤ 60."""
-    from .text import portable_hash60
-
+    are disjoint bit-ranges of ONE ``xxhash64`` of the key
+    (``(h >>> log2(n_bits)·i) & (n_bits−1)``, unsigned shift so the
+    sign bit never leaks into a slice). xxhash64 is a JVM codegen
+    intrinsic — the md5-based portable hash was measured 15× slower
+    here (1.94 s → 0.13 s probe filter over sf0.1 lineitem, 3×md5 NOT
+    subexpression-eliminated across the conjunction), and portability
+    buys nothing for a bloom: false positives are removed by the exact
+    join, so no oracle ever replays the bitset. n_bits must be a power
+    of two with n_hashes·log2(n_bits) ≤ 60 (slices stay inside the low
+    60 bits so build and probe agree for any n_hashes ≤ the cap)."""
     bits = n_bits.bit_length() - 1
     if n_bits != 1 << bits:
         raise ValueError("n_bits must be a power of two")
     if n_hashes * bits > 60:
-        raise ValueError("n_hashes * log2(n_bits) must fit in the 60-bit hash")
-    h = portable_hash60(key.cast("string"))
-    return [F.shiftright(h, bits * i).bitwiseAND(F.lit(n_bits - 1)) for i in range(n_hashes)]
+        raise ValueError("n_hashes * log2(n_bits) must fit in 60 bits")
+    h = F.xxhash64(key)
+    return [
+        F.shiftrightunsigned(h, bits * i).bitwiseAND(F.lit(n_bits - 1))
+        for i in range(n_hashes)
+    ]
 
 
 def bloom_prefilter(
@@ -163,10 +170,11 @@ def bloom_prefilter(
     through the join; false negatives are impossible, so the final
     result is byte-identical with or without the prefilter.
 
-    Fully codegen and cross-engine portable — no JVM BloomFilter
-    binary, no Python UDF: the bitset is 32-bit words in an array
-    literal (32 so ``1 << bit`` never touches a sign bit in any
-    engine), positions come from :func:`bloom_bit_positions`. The
+    Fully whole-stage-codegen — no JVM BloomFilter binary, no Python
+    UDF: the bitset is 32-bit words in an array literal (32 so
+    ``1 << bit`` never touches a sign bit), positions come from ONE
+    xxhash64 via :func:`bloom_bit_positions` (literal-array element_at
+    and the hash both measured ~free over a sf0.1 scan). The
     build is a distributed ``bit_or`` aggregate over exploded
     (word, mask) rows — ≤ n_bits/32 rows shuffle — collected once and
     re-broadcast as a literal, the same lifecycle as a broadcast-join

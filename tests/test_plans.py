@@ -476,14 +476,19 @@ def test_lateral_decorrelates_to_window_topk(spark, sf_dir):
     assert "Join" in p
 
 
-def test_phrase_search_zero_exchanges(spark, sf_dir):
+def test_phrase_search_single_hits_sized_exchange(spark, sf_dir):
     from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
 
     docs = load_table(spark, sf_dir, "documents")
     out = TX.phrase_count(docs, ["table", "value"])
-    # in-array adjacency: a parallel scan + filter, nothing wider
-    assert exchange_count(out) == 0
+    # codegen position-explode + scalar adjacency filter BEFORE the
+    # aggregate: one hits-sized exchange, no join, no Python, and no
+    # interpreted higher-order lambda (the in-array filter formulation
+    # measured 10× slower at sf0.1)
+    assert exchange_count(out) == 1
     assert node_count(out, "Join") == 0
+    s = plan_string(out)
+    assert "ArrayFilter" not in s and "Python" not in s
 
 
 def test_skyline_is_agg_plus_window_not_join(spark, sf_dir):
