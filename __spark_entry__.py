@@ -4215,7 +4215,12 @@ def q_dedup_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "lsh_index")
-        TX.minhash_band_index(existing).write.partitionBy("band").parquet(path)
+        # repartition by the partition column first: one file per band
+        # (16) instead of tasks × bands small files (512 measured) —
+        # the same layout rule write_ivf_index applies
+        TX.minhash_band_index(existing).repartition("band").write.partitionBy(
+            "band"
+        ).parquet(path)
         idx = spark.read.parquet(path)
         rows = [
             (r.new_id, r.idx_id, r.jaccard)
