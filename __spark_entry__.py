@@ -4234,6 +4234,34 @@ def q_dedup_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["new_id", "idx_id"])
 
 
+def q_join_interval_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Join optimization (round 5, wave 3): bucketed interval-overlap
+    join (operators/joins.py interval_bucket_join) — purchases that
+    fall inside "incident windows" (error events above the ~p99 value,
+    window = value minutes). With NO equi-key, Spark plans the raw
+    range predicate as BroadcastNestedLoopJoin — O(n·m); the bucket
+    decomposition (intervals exploded to 1 h buckets, points mapped
+    to their single bucket, hash equi-join on bucket, exact re-check)
+    is linear and AQE-splittable. Coordinates are exact integer
+    microseconds. Oracle is the plain theta join — byte-identical
+    results, different plan class."""
+    e = load_table(spark, sf, "events")
+    incidents = e.filter((F.col("event_type") == "error") & (F.col("value") > 200)).select(
+        F.col("event_id").alias("incident_id"),
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.round(F.col("value") * 60_000_000, 0).cast("long")).alias(
+            "e_us"
+        ),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.unix_micros("ts").alias("p_us")
+    )
+    out = J.interval_bucket_join(
+        incidents, purchases, "s_us", "e_us", "p_us", bucket_width=3_600_000_000
+    )
+    return O.sort(out.select("incident_id", "purchase_id"), ["incident_id", "purchase_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4330,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_bloom_prefilter": q_join_bloom_prefilter,
         "q_train_shuffle": q_train_shuffle,
         "q_dedup_index_probe": q_dedup_index_probe,
+        "q_join_interval_bucket": q_join_interval_bucket,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4815,6 +4844,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = idx_id
             WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.8
             ORDER BY new_id, idx_id
+        """,
+        "q_join_interval_bucket": """
+            WITH incidents AS (
+                SELECT event_id AS incident_id,
+                       epoch_us(ts) AS s_us,
+                       epoch_us(ts) + CAST(ROUND(value * 60000000, 0) AS BIGINT) AS e_us
+                FROM events WHERE event_type = 'error' AND value > 200
+            ),
+            purchases AS (
+                SELECT event_id AS purchase_id, epoch_us(ts) AS p_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT incident_id, purchase_id
+            FROM incidents JOIN purchases
+              ON p_us >= s_us AND p_us < e_us
+            ORDER BY incident_id, purchase_id
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -209,3 +209,51 @@ def bloom_prefilter(
         mask = F.call_function("shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(31)))
         cond = cond & (word.bitwiseAND(mask) != 0)
     return big.filter(cond)
+
+
+def interval_bucket_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bucket_width: int,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-overlap join without a nested loop: match each point
+    row to every interval containing it (``start ≤ p < end``). Spark
+    plans a pure range predicate as BroadcastNestedLoopJoin — O(n·m)
+    and a driver OOM once neither side broadcasts. This is the bucket
+    decomposition every large-scale interval engine uses (genomics
+    overlap joins, log-incident correlation): explode each interval
+    into the fixed-width time buckets it touches, map each point to
+    its single bucket, EQUI-join on bucket (+ any ``extra_on`` keys),
+    then re-check the exact predicate. Each (interval, point) pair
+    meets in exactly one bucket — the point's — so no post-join dedup
+    is needed.
+
+    Scale: shuffle = |intervals|·avg_buckets_per_interval + |points|,
+    hash-partitioned on bucket — linear, AQE-splittable on hot
+    buckets. Pick ``bucket_width`` ≈ the typical interval length:
+    much smaller multiplies the interval explode; much larger piles
+    unrelated rows into shared buckets (both only cost, never wrong).
+    Columns ``start/end/point`` must be INTEGERS (cast timestamps to
+    epoch seconds/micros first): the last touched bucket is
+    ``floor((end−1)/W)``, which covers every representable point below
+    an exclusive integer end — with floats, a sub-unit end-epsilon can
+    be absorbed by double rounding and silently drop the last bucket
+    (a false negative, the one failure mode a prefilter must never
+    have).
+    """
+    b_start = F.floor(F.col(start_col) / bucket_width).cast("long")
+    b_end = F.floor((F.col(end_col) - 1) / bucket_width).cast("long")
+    iv = intervals.withColumn("__bucket", F.explode(F.sequence(b_start, b_end)))
+    pt = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    on = ["__bucket", *extra_on]
+    return (
+        iv.join(pt, on=on)
+        .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col)))
+        .drop("__bucket")
+    )

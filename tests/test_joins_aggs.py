@@ -164,3 +164,34 @@ def test_bloom_prefilter_rejects_bad_geometry(spark):
         J.bloom_bit_positions(F.col("k"), 1000, 3)     # not a power of two
     with pytest.raises(ValueError):
         J.bloom_bit_positions(F.col("k"), 65536, 4)    # 4*16 > 60 bits
+
+
+def test_interval_bucket_join_matches_theta_join(spark):
+    # intervals crossing bucket boundaries, exact-boundary ends, and a
+    # point exactly at an exclusive end (must NOT match)
+    iv = spark.createDataFrame(
+        [(1, 5, 25), (2, 10, 20), (3, 30, 40)], "iid long, s long, e long"
+    )
+    pt = spark.createDataFrame(
+        [(100, 5), (101, 19), (102, 20), (103, 24), (104, 39), (105, 40)],
+        "pid long, p long",
+    )
+    got = {(r.iid, r.pid) for r in
+           J.interval_bucket_join(iv, pt, "s", "e", "p", bucket_width=10).collect()}
+    expected = {(i, pid) for i, s, e in [(1, 5, 25), (2, 10, 20), (3, 30, 40)]
+                for pid, p in [(100, 5), (101, 19), (102, 20), (103, 24), (104, 39), (105, 40)]
+                if s <= p < e}
+    assert got == expected
+    assert (2, 102) not in got           # exclusive end honored
+    assert (1, 103) in got               # third bucket of a 3-bucket interval
+
+
+def test_interval_bucket_join_no_nested_loop_plan(spark):
+    from nyc_tlc_trip_data_pipelines_spark.plans import plan_string
+
+    iv = spark.range(100).select(F.col("id").alias("iid"), (F.col("id") * 10).alias("s"),
+                                 (F.col("id") * 10 + 15).alias("e"))
+    pt = spark.range(1000).select(F.col("id").alias("pid"), F.col("id").alias("p"))
+    out = J.interval_bucket_join(iv, pt, "s", "e", "p", bucket_width=10)
+    s = plan_string(out)
+    assert "BroadcastNestedLoop" not in s and "CartesianProduct" not in s
