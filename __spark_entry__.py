@@ -4262,6 +4262,40 @@ def q_join_interval_bucket(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out.select("incident_id", "purchase_id"), ["incident_id", "purchase_id"])
 
 
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """DQ surface (round 5, wave 3): Population Stability Index — did
+    the event-type mix move between the baseline week and the rest of
+    the month (operators/dq.py psi_drift)? The production drift
+    monitor: per-bucket (p−q)·ln(p/q) terms from one hash aggregate
+    per side plus a broadcast totals join; buckets on one side only
+    surface as NULL terms instead of a clamped ±inf. The
+    distributional complement to q_dq_profile (structure) /
+    q_dq_validate (rules) / q_benford (digit law)."""
+    e = load_table(spark, sf, "events")
+    cut = "2024-01-08 00:00:00"
+    out = DQ.psi_drift(
+        e.filter(F.col("ts") < cut),
+        e.filter(F.col("ts") >= cut),
+        "event_type",
+        alias="event_type",
+    )
+    return O.sort(out, ["event_type"])
+
+
+def q_jackknife(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistics surface (round 5, wave 3): delete-one-group jackknife
+    (operators/aggregates.py jackknife_group_means) — for each event
+    type, the global mean value WITHOUT that type, from sufficient
+    statistics in one pass: the "is one source dragging the metric"
+    error-bar primitive, at aggregate cost instead of B bootstrap
+    rescans. Centi-unit integer sums keep both engines exact."""
+    e = load_table(spark, sf, "events")
+    out = agg.jackknife_group_means(
+        e, "event_type", F.round(F.col("value") * 100, 0), y_scale=100
+    )
+    return O.sort(out, ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4359,6 +4393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_shuffle": q_train_shuffle,
         "q_dedup_index_probe": q_dedup_index_probe,
         "q_join_interval_bucket": q_join_interval_bucket,
+        "q_psi_drift": q_psi_drift,
+        "q_jackknife": q_jackknife,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4860,6 +4896,44 @@ def oracle_sql() -> dict[str, str]:
             FROM incidents JOIN purchases
               ON p_us >= s_us AND p_us < e_us
             ORDER BY incident_id, purchase_id
+        """,
+        "q_psi_drift": """
+            WITH b AS (
+                SELECT event_type, COUNT(*) AS n_base FROM events
+                WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY event_type
+            ),
+            c AS (
+                SELECT event_type, COUNT(*) AS n_curr FROM events
+                WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY event_type
+            ),
+            j AS (
+                SELECT COALESCE(b.event_type, c.event_type) AS event_type,
+                       COALESCE(n_base, 0) AS n_base, COALESCE(n_curr, 0) AS n_curr
+                FROM b FULL OUTER JOIN c ON b.event_type = c.event_type
+            ),
+            t AS (SELECT SUM(n_base) AS tb, SUM(n_curr) AS tc FROM j)
+            SELECT event_type, n_base, n_curr,
+                   ROUND(n_base / tb, 6) AS p_base,
+                   ROUND(n_curr / tc, 6) AS p_curr,
+                   ROUND(CASE WHEN n_base > 0 AND n_curr > 0 THEN
+                       (n_curr / tc - n_base / tb) * LN((n_curr / tc) / (n_base / tb))
+                   END, 6) AS psi_term
+            FROM j, t
+            ORDER BY event_type
+        """,
+        "q_jackknife": """
+            WITH per AS (
+                SELECT event_type, COUNT(*) AS n_g,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s_g
+                FROM events GROUP BY event_type
+            ),
+            t AS (SELECT SUM(n_g) AS n, SUM(s_g) AS s FROM per)
+            SELECT event_type, n_g,
+                   ROUND(CASE WHEN n > n_g THEN
+                       CAST(s - s_g AS DOUBLE) / (CAST(n - n_g AS DOUBLE) * 100.0)
+                   END, 6) AS loo_mean
+            FROM per, t
+            ORDER BY event_type
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -240,3 +240,40 @@ def cms_point_estimates(
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["s"]))
     rows = [(k, int(cms.estimateCount(k))) for k in probe_keys]
     return spark.createDataFrame(rows, f"key {'string' if isinstance(probe_keys[0], str) else 'long'}, est long")
+
+
+def jackknife_group_means(
+    df: DataFrame,
+    group_col: str,
+    y_scaled: Column,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Delete-one-group jackknife for the global mean: for every group
+    g, the mean computed WITHOUT g — ``(S − s_g)/(N − n_g)`` from the
+    per-group sufficient statistics. The spread of these leave-one-out
+    means is the standard error bar for "is any single source/shard
+    dragging the metric", the grouped-data replacement for bootstrap
+    resampling (which would rescan the data B times; this is ONE
+    aggregate pass + arithmetic on a groups-sized table).
+
+    Same reduce-order-determinism contract as :func:`ols_group`:
+    ``y_scaled`` must be integral (e.g. centi-units) so the sums are
+    exact; each leave-one-out mean is then a single division of
+    identical doubles in any engine. Groups covering the entire input
+    (N == n_g) yield NULL."""
+    y = y_scaled.cast("long")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum(y).alias("s_g")
+    )
+    totals = per.agg(F.sum("n_g").alias("__n"), F.sum("s_g").alias("__s"))
+    out = per.crossJoin(F.broadcast(totals))
+    loo = (F.col("__s") - F.col("s_g")).cast("double") / (
+        (F.col("__n") - F.col("n_g")).cast("double") * F.lit(float(y_scale))
+    )
+    return out.select(
+        group_col,
+        "n_g",
+        F.round(
+            F.when(F.col("__n") > F.col("n_g"), loo), 6
+        ).alias("loo_mean"),
+    )

@@ -192,3 +192,54 @@ def write_with_metrics(
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.mode(mode).parquet(path)
     return obs.get
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    bucket: Column | str,
+    alias: str = "bucket",
+) -> DataFrame:
+    """Population Stability Index per bucket — THE production
+    drift metric for "did this feature's distribution move between
+    the baseline window and now" (credit-risk monitoring lineage;
+    > 0.25 total conventionally means investigate). Per-bucket
+    contribution ``(p − q)·ln(p/q)`` with p = current share,
+    q = baseline share; the total is the sum over buckets.
+
+    Plan shape: one hash aggregate per side (shuffle = bucket
+    cardinality, map-side combined), a broadcast-sized outer join of
+    the two bucket tables, shares from a broadcast one-row totals
+    join. At 100 TB each side is scanned once; everything
+    after is bucket-cardinality-sized. Buckets present on only one
+    side get a NULL psi term (ln(0) is undefined) rather than the
+    +inf a naive formula produces — surface them via the null, don't
+    hide them in a clamp.
+
+    Returns (bucket, n_base, n_curr, p_base, p_curr, psi_term)."""
+    key = F.col(bucket) if isinstance(bucket, str) else bucket
+    b = baseline.groupBy(key.alias(alias)).agg(F.count(F.lit(1)).alias("n_base"))
+    c = current.groupBy(key.alias(alias)).agg(F.count(F.lit(1)).alias("n_curr"))
+    joined = b.join(c, alias, "full_outer").select(
+        alias,
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+    )
+    totals = joined.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_curr").alias("__tc")
+    )
+    joined = joined.crossJoin(F.broadcast(totals))
+    p_base = F.col("n_base") / F.col("__tb")
+    p_curr = F.col("n_curr") / F.col("__tc")
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_curr") > 0),
+        (p_curr - p_base) * F.log(p_curr / p_base),
+    )
+    return joined.select(
+        alias,
+        "n_base",
+        "n_curr",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_curr, 6).alias("p_curr"),
+        F.round(term, 6).alias("psi_term"),
+    )

@@ -291,3 +291,28 @@ def test_geohash_encode_canonical_vectors(spark):
     ).collect()
     for r in short:
         assert r.expect.startswith(r.g)
+
+
+def test_psi_drift_terms_and_one_sided_buckets(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+
+    base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
+    curr = spark.createDataFrame([("a",)] * 80 + [("b",)] * 10 + [("c",)] * 10, "k string")
+    got = {r.k: r for r in DQ.psi_drift(base, curr, "k", alias="k").collect()}
+    import math
+    expect_a = round((0.8 - 0.5) * math.log(0.8 / 0.5), 6)
+    assert got["a"].psi_term == expect_a
+    assert got["c"].psi_term is None          # one-sided bucket surfaces as NULL
+    assert got["c"].n_base == 0 and got["c"].n_curr == 10
+    assert abs(sum(r.p_curr for r in got.values()) - 1.0) < 1e-9
+
+
+def test_jackknife_loo_means(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+    from pyspark.sql import functions as F
+
+    # groups: a = {100, 300} (cents), b = {500}; loo(a)=5.0, loo(b)=2.0
+    df = spark.createDataFrame([("a", 100), ("a", 300), ("b", 500)], "g string, y long")
+    got = {r.g: r.loo_mean for r in
+           agg.jackknife_group_means(df, "g", F.col("y"), y_scale=100).collect()}
+    assert got == {"a": 5.0, "b": 2.0}
