@@ -271,3 +271,82 @@ def test_bfs_hops_matches_dijkstra_on_random_graph():
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r.node: r.hops for r in bfs_hops(e, seeds, max_hops=12).collect()}
     assert got == expected
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(0, 500), min_size=1, max_size=200),
+)
+@settings(max_examples=12, deadline=None)
+def test_bloom_prefilter_never_drops_members(spark, dim_keys, big_keys):
+    from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
+
+    big = spark.createDataFrame([(k,) for k in big_keys], "k long")
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "d long")
+    kept = [r.k for r in J.bloom_prefilter(big, "k", dim, "d").collect()]
+    members = [k for k in big_keys if k in set(dim_keys)]
+    # multiset inclusion: every member row survives, duplicates intact
+    from collections import Counter
+    ck, cm = Counter(kept), Counter(members)
+    assert all(ck[k] >= cm[k] for k in cm)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 90), st.integers(1, 30)), min_size=1, max_size=40),
+    st.lists(st.integers(0, 130), min_size=1, max_size=80),
+    st.sampled_from([5, 10, 32]),
+)
+@settings(max_examples=10, deadline=None)
+def test_interval_bucket_join_equals_theta_join(spark, ivs, pts, width):
+    from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
+
+    iv = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(ivs)], "iid long, s long, e long"
+    )
+    pt = spark.createDataFrame(list(enumerate(pts)), "pid long, p long")
+    got = {(r.iid, r.pid) for r in
+           J.interval_bucket_join(iv, pt, "s", "e", "p", bucket_width=width).collect()}
+    expected = {(i, j) for i, (s, d) in enumerate(ivs)
+                for j, p in enumerate(pts) if s <= p < s + d}
+    assert got == expected
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=60))
+@settings(max_examples=15, deadline=None)
+def test_skyline_matches_brute_force(spark, pts):
+    from nyc_tlc_trip_data_pipelines_spark.operators import windows as W
+
+    df = spark.createDataFrame([(x, float(y)) for x, y in pts], "x int, y double")
+    got = {(r.x, r.y) for r in W.skyline_2d(df, "x", "y").collect()}
+    uniq = set(pts)
+    brute = {
+        (x, float(y))
+        for x, y in uniq
+        if not any(
+            (qx >= x and qy >= y and (qx > x or qy > y)) for qx, qy in uniq
+        )
+    }
+    assert got == brute
+
+
+@given(st.lists(st.tuples(st.booleans(), st.floats(0, 100, allow_nan=False)), min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_interpolate_bounded_by_neighbours(spark, rows):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    data = [(1, float(i), i, v if keep else None) for i, (keep, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, tu double, i long, v double")
+    col = TS.interpolate_linear(df, "v", "tu", ["g"], [F.col("tu"), F.col("i")])
+    out = df.select("i", "v", col.alias("filled")).collect()
+    known = [r.v for r in out if r.v is not None]
+    if not known:
+        assert all(r.filled is None for r in out)
+        return
+    lo, hi = min(known), max(known)
+    for r in out:
+        if r.v is not None:
+            assert r.filled == r.v          # passthrough
+        else:
+            assert lo - 1e-9 <= r.filled <= hi + 1e-9   # convex blend stays in range
