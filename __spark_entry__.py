@@ -4296,6 +4296,21 @@ def q_jackknife(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_multimodal_scene_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal surface (round 5, wave 3): shot-boundary keyframe
+    detection — decode every Y4M frame's luma mean and flag jumps
+    > 20 from the previous frame (operators/multimodal.py
+    detect_scene_changes). The temporal diff happens INSIDE the decode
+    UDF (a video's frames are row-local): one Arrow mapInPandas pass,
+    no window, no shuffle of payload bytes. Oracle replays the fixture
+    pixel formula with a LAG — the hash match proves decode AND the
+    scene flags."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    media = MM.make_y4m_media(spark, 24)
+    return O.sort(MM.detect_scene_changes(media, threshold=20.0), ["media_id", "frame"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4395,6 +4410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_interval_bucket": q_join_interval_bucket,
         "q_psi_drift": q_psi_drift,
         "q_jackknife": q_jackknife,
+        "q_multimodal_scene_detect": q_multimodal_scene_detect,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4934,6 +4950,28 @@ def oracle_sql() -> dict[str, str]:
                    END, 6) AS loo_mean
             FROM per, t
             ORDER BY event_type
+        """,
+        "q_multimodal_scene_detect": """
+            WITH par AS (
+                SELECT i.i AS media_id, 3 + (i.i % 3) AS nf
+                FROM GENERATE_SERIES(0, 23) AS i(i)
+            ),
+            m AS (
+                SELECT p.media_id, f.f::INT AS frame,
+                       ROUND(AVG(CAST((p.media_id * 11 + f.f * 19 + x.x * 5 + y.y * 7) % 256 AS DOUBLE)), 6) AS mean_y
+                FROM par p, GENERATE_SERIES(0, 4) AS f(f),
+                     GENERATE_SERIES(0, 15) AS x(x), GENERATE_SERIES(0, 11) AS y(y)
+                WHERE f.f < p.nf
+                GROUP BY p.media_id, f.f
+            ),
+            d AS (
+                SELECT media_id, frame, mean_y,
+                       ROUND(mean_y - LAG(mean_y) OVER (PARTITION BY media_id ORDER BY frame), 6) AS delta_y
+                FROM m
+            )
+            SELECT media_id, frame, mean_y, delta_y,
+                   CASE WHEN delta_y IS NULL THEN TRUE ELSE ABS(delta_y) > 20.0 END AS is_change
+            FROM d ORDER BY media_id, frame
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

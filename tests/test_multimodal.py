@@ -162,3 +162,19 @@ def test_real_image_features_vector(spark):
     assert r.feature[0] == 16.0 and r.feature[1] == 12.0
     assert r.feature[2] == round(sum(reds) / 192.0, 6)
     assert r.feature[5] == float(max(reds) - min(reds))
+
+
+def test_scene_detect_flags_and_frame_zero(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    media = MM.make_y4m_media(spark, 6)
+    rows = MM.detect_scene_changes(media, threshold=20.0).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, frames in by_media.items():
+        frames.sort(key=lambda r: r.frame)
+        assert frames[0].frame == 0 and frames[0].is_change and frames[0].delta_y is None
+        for prev, cur in zip(frames, frames[1:]):
+            assert cur.delta_y == round(cur.mean_y - prev.mean_y, 6)
+            assert cur.is_change == (abs(cur.delta_y) > 20.0)
