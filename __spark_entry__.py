@@ -4311,6 +4311,22 @@ def q_multimodal_scene_detect(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(MM.detect_scene_changes(media, threshold=20.0), ["media_id", "frame"])
 
 
+def q_multimodal_silence_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal surface (round 5, wave 3): VAD-style silence
+    segmentation — 80-sample (10 ms) energy frames per WAV, a frame is
+    silent when its peak |amplitude| stays under 5000, trim points are
+    the first/last voiced frame (operators/multimodal.py
+    segment_silence). The leading/trailing-silence trim audio training
+    pipelines run before featurization, and the audio counterpart of
+    q_multimodal_scene_detect — temporal structure resolved INSIDE one
+    row's payload, no window, no shuffle. Oracle replays the PCM
+    fixture formula per frame."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    media = MM.make_wav_media(spark, 48)
+    return O.sort(MM.segment_silence(media, frame_len=80, threshold=5000), ["media_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4411,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_jackknife": q_jackknife,
         "q_multimodal_scene_detect": q_multimodal_scene_detect,
+        "q_multimodal_silence_trim": q_multimodal_silence_trim,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4972,6 +4989,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, frame, mean_y, delta_y,
                    CASE WHEN delta_y IS NULL THEN TRUE ELSE ABS(delta_y) > 20.0 END AS is_change
             FROM d ORDER BY media_id, frame
+        """,
+        "q_multimodal_silence_trim": """
+            WITH par AS (
+                SELECT i.i AS media_id, 400 + (i.i % 5) * 100 AS n
+                FROM GENERATE_SERIES(0, 47) AS i(i)
+            ),
+            s AS (
+                SELECT p.media_id, (j.j // 80)::INT AS frame,
+                       ABS((p.media_id * 7919 + j.j * 31) % 65536 - 32768) AS a
+                FROM par p, GENERATE_SERIES(0, 799) AS j(j)
+                WHERE j.j < p.n
+            ),
+            fr AS (
+                SELECT media_id, frame, MAX(a) >= 5000 AS voiced
+                FROM s GROUP BY media_id, frame
+            )
+            SELECT media_id,
+                   COUNT(*)::INT AS n_frames,
+                   SUM(CASE WHEN voiced THEN 0 ELSE 1 END)::INT AS n_silent,
+                   MIN(CASE WHEN voiced THEN frame END)::INT AS first_voiced,
+                   MAX(CASE WHEN voiced THEN frame END)::INT AS last_voiced
+            FROM fr GROUP BY media_id ORDER BY media_id
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -67,8 +67,8 @@ MEDIA_SCHEMA = StructType(
 # files, the decoders parse the actual format, and — because the
 # fixture generator writes samples/pixels from a closed-form integer
 # formula — the decoded statistics are provable in plain SQL, so the
-# decode round-trip is oracle-checked end to end. Video decode remains
-# stubbed (no ffmpeg), with the explode-then-process plan shape tested.
+# decode round-trip is oracle-checked end to end. Video decode is real
+# too since round 4 (YUV4MPEG2 — plain-text header + raw planar 4:2:0).
 # ---------------------------------------------------------------------------
 
 
@@ -667,3 +667,65 @@ def detect_scene_changes(df: DataFrame, threshold: float = 20.0) -> DataFrame:
             )
 
     return df.filter(F.col("kind") == "video").mapInPandas(_detect, SCENE_CHANGE_SCHEMA)
+
+
+SILENCE_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_silent", IntegerType()),
+        StructField("first_voiced", IntegerType()),
+        StructField("last_voiced", IntegerType()),
+    ]
+)
+
+
+def segment_silence(
+    df: DataFrame, frame_len: int = 80, threshold: int = 5000
+) -> DataFrame:
+    """Energy-based silence segmentation (VAD-style): split each PCM
+    stream into ``frame_len``-sample frames (10 ms at 8 kHz), mark a
+    frame silent when its peak |amplitude| stays under ``threshold``,
+    and report the trim points (first/last voiced frame) — the
+    leading/trailing-silence trim an audio training pipeline runs
+    before feature extraction, and the audio counterpart of
+    :func:`detect_scene_changes` (temporal structure INSIDE one row's
+    payload: no window, no shuffle, one Arrow ``mapInPandas`` decode
+    pass; the final frame may be partial). All-silent files report
+    NULL trim points rather than sentinel indices."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ids, nfs, nsil, first, last = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(b), "rb") as w:
+                    nf = w.getnframes()
+                    samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                voiced = []
+                for s0 in range(0, nf, frame_len):
+                    fr = samples[s0 : s0 + frame_len]
+                    voiced.append(max(abs(s) for s in fr) >= threshold)
+                ids.append(mid)
+                nfs.append(len(voiced))
+                nsil.append(sum(1 for v in voiced if not v))
+                vi = [i for i, v in enumerate(voiced) if v]
+                first.append(vi[0] if vi else None)
+                last.append(vi[-1] if vi else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "n_silent": pd.Series(nsil, dtype="int32"),
+                    "first_voiced": pd.Series(first, dtype="Int32"),
+                    "last_voiced": pd.Series(last, dtype="Int32"),
+                }
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(_segment, SILENCE_SEGMENT_SCHEMA)

@@ -178,3 +178,31 @@ def test_scene_detect_flags_and_frame_zero(spark):
         for prev, cur in zip(frames, frames[1:]):
             assert cur.delta_y == round(cur.mean_y - prev.mean_y, 6)
             assert cur.is_change == (abs(cur.delta_y) > 20.0)
+
+
+def test_silence_trim_all_silent_and_mixed(spark):
+    import io
+    import struct
+    import wave
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
+
+    def wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    quiet = [10] * 160                       # 2 silent frames
+    mixed = [10] * 80 + [9000] * 80 + [10] * 80   # silent, voiced, silent
+    rows = [
+        (1, "audio", wav(quiet), "audio/wav", None, None, 20),
+        (2, "audio", wav(mixed), "audio/wav", None, None, 30),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.segment_silence(df, 80, 5000).collect()}
+    assert got[1].n_frames == 2 and got[1].n_silent == 2
+    assert got[1].first_voiced is None and got[1].last_voiced is None
+    assert got[2].n_frames == 3 and got[2].n_silent == 2
+    assert got[2].first_voiced == 1 and got[2].last_voiced == 1
