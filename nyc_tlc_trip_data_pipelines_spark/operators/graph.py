@@ -231,6 +231,16 @@ def bfs_hops(
     pre-partition edges by ``src`` (bucketing) so every expansion
     joins exchange-free on the edge side, and keep ``visited``
     hash-partitioned on node so the anti-join reuses the layout.
+
+    Evaluated and rejected (round 5, with measurements): keeping
+    ``visited`` as a LAZY union of the checkpointed per-round
+    frontiers instead of re-checkpointing the cumulative set. It
+    saves the O(V·hops) visited rewrite on paper, but the anti-join
+    right side then re-reads a widening union of checkpoint blocks
+    every round and the per-round plan grows with depth — measured
+    4.78 s vs 4.14 s (min of 5) at sf0.1 on local[32]. On a real
+    cluster with deep walks the trade can reverse; revisit with the
+    bucketed-visited layout above before assuming either way.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().localCheckpoint()
     frontier = sources.toDF("node").distinct().localCheckpoint()
