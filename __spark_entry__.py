@@ -4327,6 +4327,44 @@ def q_multimodal_silence_trim(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(MM.segment_silence(media, frame_len=80, threshold=5000), ["media_id"])
 
 
+def q_custom_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Connector surface (round 5, wave 3): custom Python DataSource
+    WRITER (datasource.py ObjectStoreJsonlSink) — executor-parallel
+    JSONL shards with a temp-file + driver-manifest commit protocol,
+    the egress twin of q_custom_datasource's listing reader (reference
+    boto3 upload, utils.py:68-84). The query plants a stray
+    non-committed shard before reading back THROUGH the manifest, so
+    the hash match proves both the write path and that readers can't
+    see uncommitted files. Oracle aggregates the source directly."""
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DS
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "sink")
+        DS.register(spark)
+        docs.write.format("objectstore_jsonl").option("root", root).mode(
+            "append"
+        ).save()
+        with open(os.path.join(root, "part-zzz-stray.jsonl"), "w") as fh:
+            fh.write('{"doc_id": 999999999, "lang": "xx", "n_chars": 1}\n')
+        back = DS.read_jsonl_sink(
+            spark, root, "doc_id bigint, lang string, n_chars bigint"
+        )
+        rows = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .collect()
+        )
+    out = spark.createDataFrame(
+        [(r.lang, r.n_docs, r.sum_chars) for r in rows],
+        "lang string, n_docs bigint, sum_chars bigint",
+    )
+    return O.sort(out, ["lang"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4428,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jackknife": q_jackknife,
         "q_multimodal_scene_detect": q_multimodal_scene_detect,
         "q_multimodal_silence_trim": q_multimodal_silence_trim,
+        "q_custom_sink": q_custom_sink,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5011,6 +5050,10 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN voiced THEN frame END)::INT AS first_voiced,
                    MAX(CASE WHEN voiced THEN frame END)::INT AS last_voiced
             FROM fr GROUP BY media_id ORDER BY media_id
+        """,
+        "q_custom_sink": """
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -29,8 +29,15 @@ DataFrame surface stay identical.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _ShardPartition(InputPartition):
@@ -103,3 +110,96 @@ def register(spark) -> None:
     refuses to initialize without it)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ObjectStoreListingSource)
+    spark.dataSource.register(ObjectStoreJsonlSink)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource WRITER: a JSONL object-store sink with a
+# temp-file + manifest commit protocol.
+#
+# The reference's egress is a driver-side boto3 upload
+# (``pasta1_etl/src/utils.py:68-84``); this is the executor-parallel
+# re-expression: each partition streams its rows to a private temp
+# object, the DRIVER finalizes by renaming the temps and writing ONE
+# ``_MANIFEST.json`` naming the committed shards — readers that resolve
+# through the manifest never see half-written output (the same
+# claim-then-publish shape as io.append_versioned; on S3 "rename"
+# becomes copy-or-multipart-complete, the manifest step is identical).
+# A failed job leaves only ``_tmp_*`` litter that ``abort`` removes.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _ShardFile(WriterCommitMessage):
+    tmp_name: str
+    final_name: str
+    n_rows: int
+
+
+class ObjectStoreJsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("objectstore_jsonl requires option 'root'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        shard = uuid.uuid4().hex
+        final = f"part-{shard}.jsonl"
+        tmp = f"_tmp_{final}"
+        n = 0
+        with open(os.path.join(self.root, tmp), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardFile(tmp_name=tmp, final_name=final, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = []
+        for m in messages:
+            os.rename(
+                os.path.join(self.root, m.tmp_name),
+                os.path.join(self.root, m.final_name),
+            )
+            files.append({"file": m.final_name, "n_rows": m.n_rows})
+        with open(os.path.join(self.root, "_MANIFEST.json"), "w") as fh:
+            json.dump({"files": sorted(files, key=lambda f: f["file"])}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.root, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class ObjectStoreJsonlSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "objectstore_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return ObjectStoreJsonlWriter(self.options, schema, overwrite)
+
+
+def read_jsonl_sink(spark, root: str, schema: str):
+    """Read back ONLY the manifest-committed shards of an
+    ``objectstore_jsonl`` write — stray or half-written files are
+    invisible, which is the commit protocol's whole point."""
+    import json
+    import os
+
+    with open(os.path.join(root, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    paths = [os.path.join(root, f["file"]) for f in manifest["files"]]
+    return spark.read.schema(schema).json(paths)

@@ -188,3 +188,26 @@ def test_custom_datasource_prefix_pushdown(spark, tmp_path):
     # plan shows the filter was pushed into the scan node
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" not in plan or "StartsWith" in plan
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    import json
+    import os
+
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DS
+
+    DS.register(spark)
+    root = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, k string")
+    df.repartition(2).write.format("objectstore_jsonl").option("root", root).mode("append").save()
+    # manifest exists, lists only committed shards, no temp litter
+    names = sorted(os.listdir(root))
+    assert "_MANIFEST.json" in names
+    assert not any(n.startswith("_tmp_") for n in names)
+    manifest = json.load(open(os.path.join(root, "_MANIFEST.json")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 3
+    # a stray uncommitted file is invisible through the manifest reader
+    with open(os.path.join(root, "part-stray.jsonl"), "w") as fh:
+        fh.write('{"id": 99, "k": "z"}\n')
+    back = DS.read_jsonl_sink(spark, root, "id bigint, k string")
+    assert {r.id for r in back.collect()} == {1, 2, 3}
