@@ -4365,6 +4365,33 @@ def q_custom_sink(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["lang"])
 
 
+def q_stream_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """E35g (round 5, wave 3): streaming drift monitor — the
+    current-window event-type counts are maintained INCREMENTALLY by a
+    streaming aggregation (availableNow replay, complete mode), then
+    PSI'd against the static baseline week via operators/dq.py
+    psi_from_counts, so the monitor never re-reads the stream. Output
+    and oracle are IDENTICAL to the batch q_psi_drift — the
+    batch-stream equivalence contract the other E35 queries use."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    cut = "2024-01-08 00:00:00"
+    stream = _replay_events(spark, sf)
+    curr_stream = (
+        stream.filter(F.col("ts") >= cut)
+        .groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_curr"))
+    )
+    curr = ST.run_to_memory_sink(curr_stream, "q_stream_drift_sink")
+    base = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts") < cut)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    return O.sort(DQ.psi_from_counts(base, curr, alias="event_type"), ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4467,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_scene_detect": q_multimodal_scene_detect,
         "q_multimodal_silence_trim": q_multimodal_silence_trim,
         "q_custom_sink": q_custom_sink,
+        "q_stream_drift": q_stream_drift,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -4970,6 +4998,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY incident_id, purchase_id
         """,
         "q_psi_drift": """
+            WITH b AS (
+                SELECT event_type, COUNT(*) AS n_base FROM events
+                WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY event_type
+            ),
+            c AS (
+                SELECT event_type, COUNT(*) AS n_curr FROM events
+                WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY event_type
+            ),
+            j AS (
+                SELECT COALESCE(b.event_type, c.event_type) AS event_type,
+                       COALESCE(n_base, 0) AS n_base, COALESCE(n_curr, 0) AS n_curr
+                FROM b FULL OUTER JOIN c ON b.event_type = c.event_type
+            ),
+            t AS (SELECT SUM(n_base) AS tb, SUM(n_curr) AS tc FROM j)
+            SELECT event_type, n_base, n_curr,
+                   ROUND(n_base / tb, 6) AS p_base,
+                   ROUND(n_curr / tc, 6) AS p_curr,
+                   ROUND(CASE WHEN n_base > 0 AND n_curr > 0 THEN
+                       (n_curr / tc - n_base / tb) * LN((n_curr / tc) / (n_base / tb))
+                   END, 6) AS psi_term
+            FROM j, t
+            ORDER BY event_type
+        """,
+        "q_stream_drift": """
             WITH b AS (
                 SELECT event_type, COUNT(*) AS n_base FROM events
                 WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY event_type

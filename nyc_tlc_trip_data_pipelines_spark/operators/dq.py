@@ -220,7 +220,18 @@ def psi_drift(
     key = F.col(bucket) if isinstance(bucket, str) else bucket
     b = baseline.groupBy(key.alias(alias)).agg(F.count(F.lit(1)).alias("n_base"))
     c = current.groupBy(key.alias(alias)).agg(F.count(F.lit(1)).alias("n_curr"))
-    joined = b.join(c, alias, "full_outer").select(
+    return psi_from_counts(b, c, alias)
+
+
+def psi_from_counts(
+    base_counts: DataFrame, curr_counts: DataFrame, alias: str = "bucket"
+) -> DataFrame:
+    """The PSI core over PRE-AGGREGATED (bucket, n_base) / (bucket,
+    n_curr) tables — exposed for callers whose counts come from
+    somewhere other than a raw scan, e.g. a streaming aggregation's
+    final state (the monitor never re-reads the stream) or a stored
+    rollup. Same semantics and output columns as :func:`psi_drift`."""
+    joined = base_counts.join(curr_counts, alias, "full_outer").select(
         alias,
         F.coalesce("n_base", F.lit(0)).alias("n_base"),
         F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
