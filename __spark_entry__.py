@@ -4392,6 +4392,26 @@ def q_stream_drift(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(DQ.psi_from_counts(base, curr, alias="event_type"), ["event_type"])
 
 
+def q_geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial surface (round 5, wave 3): grid-bucketed radius
+    self-join (operators/layout.py grid_radius_pairs) — all point
+    pairs within Euclidean distance 1.5 over the same synthetic
+    lat/lon as q_geo_binning, via cells of side r and a 3×3 neighbor
+    explode on one side: hash equi-join on cell, exact squared-
+    distance re-check, never the O(n²) nested loop the raw predicate
+    plans as. The 2-D sibling of q_join_interval_bucket. Oracle is
+    the plain theta self-join — byte-identical pairs, different plan
+    class."""
+    ev = load_table(spark, sf, "events")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        ((F.col("user_id") % 180) - 90 + 0.25).cast("double").alias("x"),
+        ((F.col("event_id") % 360) - 180 + 0.25).cast("double").alias("y"),
+    )
+    out = LO.grid_radius_pairs(pts, "pid", "x", "y", radius=1.5)
+    return O.sort(out, ["id_a", "id_b"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4495,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_silence_trim": q_multimodal_silence_trim,
         "q_custom_sink": q_custom_sink,
         "q_stream_drift": q_stream_drift,
+        "q_geo_radius_join": q_geo_radius_join,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5106,6 +5127,20 @@ def oracle_sql() -> dict[str, str]:
         "q_custom_sink": """
             SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_geo_radius_join": """
+            WITH p AS (
+                SELECT event_id AS pid,
+                       CAST(user_id % 180 - 90 + 0.25 AS DOUBLE) AS x,
+                       CAST(event_id % 360 - 180 + 0.25 AS DOUBLE) AS y
+                FROM events
+            )
+            SELECT a.pid AS id_a, b.pid AS id_b,
+                   ROUND(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+            FROM p a JOIN p b
+              ON a.pid < b.pid
+             AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2.25
+            ORDER BY id_a, id_b
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

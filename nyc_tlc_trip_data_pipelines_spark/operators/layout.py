@@ -201,3 +201,70 @@ def zorder_sql(x_sql: str, y_sql: str, bits: int = 8) -> str:
         ys = f"(CAST(FLOOR(({y_sql}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}"
         terms.extend([xs, ys])
     return " + ".join(terms)
+
+
+def grid_radius_pairs(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """Spatial radius self-join without a nested loop: all point pairs
+    within Euclidean ``radius`` of each other — GPS near-duplicate
+    blocking, co-location mining, spatial entity resolution. A raw
+    distance predicate plans as BroadcastNestedLoopJoin (O(n²)); this
+    is the grid decomposition (the 2-D sibling of
+    ``joins.interval_bucket_join``): cells of side ``radius``, one
+    side exploded to its 3×3 cell neighborhood, EQUI-join on cell,
+    exact distance re-check. Any pair within ``radius`` differs by at
+    most one cell per axis, so the neighborhood is sufficient — false
+    negatives impossible; the exact predicate kills false positives.
+
+    Each candidate pair meets exactly once: in the UN-exploded side's
+    home cell (the exploded side visits it via a neighbor offset), and
+    ``id_a < id_b`` de-mirrors the self-join. Shuffle = 9·|points| +
+    |points| rows hash-partitioned on cell — linear, AQE-splittable on
+    dense cells. The re-check compares SQUARED distance against
+    ``radius²`` (no sqrt): with integral or low-precision coordinates
+    the arithmetic is exact in float64, so the boundary is
+    engine-stable; trig-based great-circle distances are deliberately
+    NOT used here (libm ulp differences across engines make the
+    boundary nondeterministic) — for geodesic semantics pre-project
+    coordinates to planar meters, then call this.
+    """
+    cx = F.floor(F.col(x_col) / radius).cast("long")
+    cy = F.floor(F.col(y_col) / radius).cast("long")
+    home = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("xb"),
+        F.col(y_col).alias("yb"),
+        cx.alias("__cx"),
+        cy.alias("__cy"),
+    )
+    probe = (
+        points.select(
+            F.col(id_col).alias("id_a"),
+            F.col(x_col).alias("xa"),
+            F.col(y_col).alias("ya"),
+            cx.alias("__hx"),
+            cy.alias("__hy"),
+        )
+        .withColumn("__dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("__dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "id_a", "xa", "ya",
+            (F.col("__hx") + F.col("__dx")).alias("__cx"),
+            (F.col("__hy") + F.col("__dy")).alias("__cy"),
+        )
+    )
+    # explicit multiply, not **2: POWER lowers to libm pow, whose
+    # rounding is not engine-portable; a product of identical doubles is
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    d2 = dx * dx + dy * dy
+    return (
+        probe.join(home, on=["__cx", "__cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(float(radius) ** 2)))
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
+    )

@@ -316,3 +316,34 @@ def test_jackknife_loo_means(spark):
     got = {r.g: r.loo_mean for r in
            agg.jackknife_group_means(df, "g", F.col("y"), y_scale=100).collect()}
     assert got == {"a": 5.0, "b": 2.0}
+
+
+def test_grid_radius_pairs_matches_brute_force(spark):
+    import itertools
+    import math
+    import random
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 20) / 2.0, rng.randint(0, 20) / 2.0) for i in range(60)]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    r = 1.25
+    got = {(a.id_a, a.id_b) for a in LO.grid_radius_pairs(df, "pid", "x", "y", r).collect()}
+    brute = {
+        (i, j)
+        for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2)
+        if (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r
+    }
+    assert got == brute
+
+
+def test_grid_radius_pairs_no_nested_loop(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+    from nyc_tlc_trip_data_pipelines_spark.plans import plan_string
+
+    df = spark.range(100).selectExpr("id AS pid", "CAST(id % 10 AS DOUBLE) AS x",
+                                     "CAST(id % 7 AS DOUBLE) AS y")
+    out = LO.grid_radius_pairs(df, "pid", "x", "y", 1.0)
+    s = plan_string(out)
+    assert "BroadcastNestedLoop" not in s and "CartesianProduct" not in s
