@@ -526,3 +526,24 @@ def test_markov_reuses_lag_exchange(spark, sf_dir):
     # totals window over prev_state (1): the corpus shuffles ONCE
     assert exchange_count(out) <= 3
     assert node_count(out, "HashAggregate") == 2  # partial + final
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    # The 100 TB star-join contract: a partitioned fact joined to a
+    # FILTERED dim must scan only the partitions the dim filter selects
+    # — Spark injects a dynamicpruning subquery into the fact scan.
+    fact_path = str(tmp_path / "fact_part")
+    li = load_table(spark, sf_dir, "lineitem").limit(20000)
+    li.withColumn("pk", F.col("l_partkey") % 10).write.partitionBy("pk").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(10).select(
+        F.col("id").alias("pk"), (F.col("id") * 100).alias("attr")
+    ).filter(F.col("attr") == 300)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        out = fact.join(dim, "pk").groupBy("pk").count()
+        s = plan_string(out).lower()
+        assert "dynamicpruning" in s or "dynamicpruningexpression" in s
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
