@@ -4427,15 +4427,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Delta-CRUD/sampling/multimodal-video wave, (b) the two ids whose
     # only driver rows are stale round-1 FAILs predating their round-4
     # oracle rework (q_source_discovery, q_text_fingerprint), (c) the
-    # new round-5 q_stream_cdc_apply, and (d) 20 of this round's 29 new
-    # queries — every prefix slot goes to an id with NO green driver
-    # row, maximizing cumulative distinct coverage (194/203 after this
-    # round). The (d) picks are the environment-sensitive paths first:
-    # filesystem-versioned ops, the Python DataSource, Spark-4 VARIANT /
-    # recursive CTE, Observation API, PERMISSIVE quarantines, and the
-    # iterative/broadcast-model operators. The 9 left for round 6 are
+    # new round-5 q_stream_cdc_apply, and (d) 20 of the round-5 second
+    # wave — every prefix slot goes to an id with NO green driver
+    # row, maximizing cumulative distinct coverage (194 distinct after
+    # this round). The (d) picks are the environment-sensitive paths
+    # first: filesystem-versioned ops, the Python DataSource, Spark-4
+    # VARIANT / recursive CTE, Observation API, PERMISSIVE quarantines,
+    # and the iterative/broadcast-model operators. The round-6 rotation
+    # pool starts right after the boundary: the 9 second-wave
     # pure-codegen SQL twins (benford, nullsafe/lateral joins, rolling
-    # median, winsorize, ewma, feature-hash, crosstab, attribution).
+    # median, winsorize, ewma, feature-hash, crosstab, attribution)
+    # plus the whole THIRD round-5 wave (markov … geo_radius_join, the
+    # analytics/sketch/retrieval/spatial/connector ids added after this
+    # prefix froze) — all oracle- and vanilla-session-checked locally.
     return {
         # — (a) never driver-checked: r1b leftovers —
         "q_scd2_merge": q_scd2_merge,
