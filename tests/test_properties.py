@@ -350,3 +350,57 @@ def test_interpolate_bounded_by_neighbours(spark, rows):
             assert r.filled == r.v          # passthrough
         else:
             assert lo - 1e-9 <= r.filled <= hi + 1e-9   # convex blend stays in range
+
+
+@given(st.lists(st.tuples(st.integers(1, 4), st.sampled_from(["A", "B", "C"])),
+                min_size=2, max_size=80))
+@settings(max_examples=12, deadline=None)
+def test_markov_rows_are_conditional_distributions(spark, events):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    rows = [(u, float(i), i, s) for i, (u, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "u long, ts double, i long, s string")
+    out = TS.markov_transitions(df, "s", ["u"], [F.col("ts"), F.col("i")]).collect()
+    from collections import defaultdict
+    by_prev = defaultdict(list)
+    for r in out:
+        assert r.n_transitions >= 1
+        by_prev[r.prev_state].append(r.p_transition)
+    for probs in by_prev.values():
+        assert abs(sum(probs) - 1.0) < 1e-4   # rows are P(.|prev), rounded 6dp
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_psi_zero_for_identical_distributions(spark, ks):
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+
+    df = spark.createDataFrame([(k,) for k in ks], "k string")
+    out = DQ.psi_drift(df, df, "k", alias="k").collect()
+    assert all(r.psi_term == 0.0 for r in out)
+    assert all(r.p_base == r.p_curr for r in out)
+
+
+@given(st.lists(st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.integers(0, 1000)),
+                min_size=2, max_size=50))
+@settings(max_examples=12, deadline=None)
+def test_jackknife_matches_python_reference(spark, rows):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(rows, "g string, y long")
+    got = {r.g: r.loo_mean for r in
+           agg.jackknife_group_means(df, "g", F.col("y"), y_scale=100).collect()}
+    from collections import defaultdict
+    sums, counts = defaultdict(int), defaultdict(int)
+    for g, y in rows:
+        sums[g] += y; counts[g] += 1
+    S, N = sum(sums.values()), sum(counts.values())
+    for g in sums:
+        if N == counts[g]:
+            assert got[g] is None
+        else:
+            assert got[g] == round((S - sums[g]) / ((N - counts[g]) * 100.0), 6)
