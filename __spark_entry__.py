@@ -4412,6 +4412,48 @@ def q_geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["id_a", "id_b"])
 
 
+def q_xml_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Format surface (round 5, wave 3): XML ingest via Spark 4's
+    native ``from_xml`` — the third semi-structured format beside JSON
+    (q_json_flatten / q_source_jsonl) and VARIANT (q_variant_json),
+    and a real enterprise interchange gap until Spark 4 absorbed
+    spark-xml. Round-trip contract: XML records are BUILT from orders
+    rows (entity-escaped), parsed back under an explicit schema, and
+    the aggregate of the parsed fields must equal the direct source
+    aggregate — proving build, escape, parse, and typed extraction in
+    one hash. DuckDB has no XML parser, so the oracle aggregates the
+    source directly (the round-trip identity IS the test, same pattern
+    as q_json_flatten)."""
+    o = load_table(spark, sf, "orders")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("o_orderpriority"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    xml = o.select(
+        F.format_string(
+            "<order><k>%d</k><st>%s</st><tp>%.2f</tp><pri>%s</pri></order>",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            esc,
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "k BIGINT, st STRING, tp DOUBLE, pri STRING").alias("r")
+    ).select("r.*")
+    out = parsed.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("tp"), 2).alias("sum_price"),
+        F.countDistinct("pri").alias("n_priorities"),
+    )
+    return O.sort(out, ["st"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4520,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custom_sink": q_custom_sink,
         "q_stream_drift": q_stream_drift,
         "q_geo_radius_join": q_geo_radius_join,
+        "q_xml_ingest": q_xml_ingest,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5145,6 +5188,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.pid < b.pid
              AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2.25
             ORDER BY id_a, id_b
+        """,
+        "q_xml_ingest": """
+            SELECT o_orderstatus AS st, COUNT(*) AS n_orders,
+                   ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS sum_price,
+                   COUNT(DISTINCT o_orderpriority) AS n_priorities
+            FROM orders GROUP BY o_orderstatus ORDER BY st
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

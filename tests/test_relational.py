@@ -89,3 +89,19 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30).select("l_orderkey")
     assert has_pushed_filters(li)
+
+
+def test_xml_roundtrip_escaping(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a&b<c>d")], "id long, s string")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("s"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    xml = df.select(F.format_string("<r><id>%d</id><s>%s</s></r>", "id", esc).alias("x"))
+    got = xml.select(F.from_xml("x", "id BIGINT, s STRING").alias("r")).select("r.*").collect()
+    assert got[0].id == 1 and got[0].s == "a&b<c>d"
