@@ -4454,6 +4454,62 @@ def q_xml_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["st"])
 
 
+def q_sql_parameterized(spark: SparkSession, sf: str) -> DataFrame:
+    """API surface (round 5, wave 3): parameterized SQL (Spark 3.4+
+    named parameters) — the TPC-H Q6 shape with every constant bound
+    via ``args={...}`` instead of string interpolation: the
+    injection-proof templating a multi-tenant query service needs
+    (parameters are typed literals in the plan, never re-parsed text,
+    so a hostile string cannot change query structure). Same pushed
+    scan filters as the inlined Q6 (plan-identical)."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= :date_lo AND l_shipdate < :date_hi
+          AND l_discount BETWEEN :disc - 0.01 AND :disc + 0.01
+          AND l_quantity < :qty
+        """,
+        args={"date_lo": "1994-01-01", "date_hi": "1995-01-01", "disc": 0.06, "qty": 24},
+    )
+
+
+def q_grouped_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """API surface (round 5, wave 3): Arrow-NATIVE grouped map
+    (``applyInArrow``, Spark 4) — the zero-pandas lane of the Python
+    execution surface: each group arrives as a ``pyarrow.Table`` and
+    per-group stats come from Arrow compute kernels, skipping the
+    pandas conversion tax ``applyInPandas`` (q_grouped_map) pays.
+    For exact built-in-expressible stats like these the JVM aggregate
+    is still the right plan — this query exists to pin the API lane a
+    real pipeline needs when a Python-only library must see whole
+    groups; outputs are rounded so the Arrow kernel results replay in
+    SQL exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load_table(spark, sf, "events")
+
+    # NOTE: no type annotations on the UDF — applyInArrow infers its
+    # eval type from hints and trips over string annotations
+    def stats(key, table):
+        v = table["value"]
+        return pa.table(
+            {
+                "event_type": [key[0]],
+                "n": [table.num_rows],
+                "mean_v": [round(pc.mean(v).as_py(), 6)],
+                "max_v": [pc.max(v).as_py()],
+            }
+        )
+
+    out = e.groupBy("event_type").applyInArrow(
+        stats, "event_type string, n bigint, mean_v double, max_v double"
+    )
+    return O.sort(out, ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4563,6 +4619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_drift": q_stream_drift,
         "q_geo_radius_join": q_geo_radius_join,
         "q_xml_ingest": q_xml_ingest,
+        "q_sql_parameterized": q_sql_parameterized,
+        "q_grouped_arrow": q_grouped_arrow,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5194,6 +5252,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS sum_price,
                    COUNT(DISTINCT o_orderpriority) AS n_priorities
             FROM orders GROUP BY o_orderstatus ORDER BY st
+        """,
+        "q_sql_parameterized": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.06 - 0.01 AND 0.06 + 0.01
+              AND l_quantity < 24
+        """,
+        "q_grouped_arrow": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(value), 6) AS mean_v,
+                   MAX(value) AS max_v
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """
