@@ -4510,6 +4510,61 @@ def q_grouped_arrow(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_csv_inrow(spark: SparkSession, sf: str) -> DataFrame:
+    """Format surface (round 5, wave 3): IN-ROW CSV — ``to_csv`` packs
+    typed columns into one delimited string per row, ``from_csv``
+    parses it back under an explicit schema (the embedded-CSV-column
+    shape: Kafka payloads, log fields — distinct from the file-level
+    q_sink_csv). Round-trip contract like q_xml_ingest: the aggregate
+    of the re-parsed fields must equal the direct source aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    packed = li.select(
+        F.to_csv(F.struct("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")).alias(
+            "line"
+        )
+    )
+    parsed = packed.select(
+        F.from_csv(
+            "line", F.lit("k bigint, qty double, price double, rf string")
+        ).alias("r")
+    ).select("r.*")
+    out = parsed.groupBy("rf").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+    )
+    return O.sort(out, ["rf"])
+
+
+def q_collated_group(spark: SparkSession, sf: str) -> DataFrame:
+    """String-semantics surface (round 5, wave 3): collation-aware
+    grouping (Spark 4 collations) — a mixed-case lang column groups
+    case-insensitively under ``UTF8_LCASE`` without rewriting the data
+    through lower(); the deterministic canonical key is recovered as
+    ``min(lower(col))`` inside the aggregate (the grouped
+    REPRESENTATIVE of a collated key is otherwise first-seen — never
+    hash on it). SCALE TRAP, measured here and worth knowing: collated
+    strings lose binary equality, so Spark 4.1 refuses HASH joins on
+    collated keys (falls back to BroadcastNestedLoop — the planner
+    warns "keys that don't support binary equality"). Collation is a
+    comparison-semantics tool; for 100 TB JOINS keep a normalized
+    binary-stable key column and reserve collation for
+    filters/grouping like this one."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "lang_mixed",
+        F.when(F.col("doc_id") % 2 == 0, F.initcap("lang")).otherwise(F.col("lang")),
+    )
+    out = (
+        docs.groupBy(F.collate(F.col("lang_mixed"), "UTF8_LCASE").alias("__ck"))
+        .agg(
+            F.min(F.lower("lang_mixed")).alias("lang_key"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("lang_key", "n_docs")
+    )
+    return O.sort(out, ["lang_key"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4621,6 +4676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xml_ingest": q_xml_ingest,
         "q_sql_parameterized": q_sql_parameterized,
         "q_grouped_arrow": q_grouped_arrow,
+        "q_csv_inrow": q_csv_inrow,
+        "q_collated_group": q_collated_group,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5266,6 +5323,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(value), 6) AS mean_v,
                    MAX(value) AS max_v
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_csv_inrow": """
+            SELECT l_returnflag AS rf, COUNT(*) AS n_rows,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY rf
+        """,
+        "q_collated_group": """
+            SELECT lang AS lang_key, COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang_key
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """
