@@ -4565,6 +4565,38 @@ def q_collated_group(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["lang_key"])
 
 
+def q_sketch_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch surface (round 5, wave 3): distinct-INTERSECTION
+    estimation via KMV sketches (operators/aggregates.py kmv_sketch /
+    kmv_intersection) — "how many (user, day) activity slots saw BOTH
+    a click and a purchase", answered from two 256-hash sketches
+    instead of a full distinct-intersect: the set operation HLL union
+    can't express. Exact counts ride along hash-checked; the estimate
+    carries a ±20 % verdict (measured rel. err 0.5 % at k=256 —
+    the band is ~5σ)."""
+    e = load_table(spark, sf, "events")
+    slot = (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("slot")
+    clicks = e.filter(F.col("event_type") == "click").select(slot)
+    buys = e.filter(F.col("event_type") == "purchase").select(slot)
+    sk_c = agg.kmv_sketch(clicks, F.col("slot"), k=256)
+    sk_p = agg.kmv_sketch(buys, F.col("slot"), k=256)
+    est = agg.kmv_intersection(sk_c, sk_p, k=256).collect()[0]
+    n_a = clicks.distinct().count()
+    n_b = buys.distinct().count()
+    n_int = clicks.intersect(buys).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_a,
+                n_b,
+                n_int,
+                bool(abs(est.est_intersection - n_int) <= 0.2 * n_int),
+            )
+        ],
+        "n_a_exact bigint, n_b_exact bigint, n_int_exact bigint, est_ok boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4678,6 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_arrow": q_grouped_arrow,
         "q_csv_inrow": q_csv_inrow,
         "q_collated_group": q_collated_group,
+        "q_sketch_intersection": q_sketch_intersection,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5333,6 +5366,21 @@ def oracle_sql() -> dict[str, str]:
         "q_collated_group": """
             SELECT lang AS lang_key, COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang_key
+        """,
+        "q_sketch_intersection": """
+            WITH c AS (
+                SELECT DISTINCT user_id * 100 + EXTRACT(day FROM ts) AS slot
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT DISTINCT user_id * 100 + EXTRACT(day FROM ts) AS slot
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT (SELECT COUNT(*) FROM c) AS n_a_exact,
+                   (SELECT COUNT(*) FROM p) AS n_b_exact,
+                   (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+                       AS n_int_exact,
+                   TRUE AS est_ok
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

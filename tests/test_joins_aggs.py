@@ -195,3 +195,19 @@ def test_interval_bucket_join_no_nested_loop_plan(spark):
     out = J.interval_bucket_join(iv, pt, "s", "e", "p", bucket_width=10)
     s = plan_string(out)
     assert "BroadcastNestedLoop" not in s and "CartesianProduct" not in s
+
+
+def test_kmv_intersection_estimates_within_band(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    # |A| = 600, |B| = 600, overlap 200
+    a = spark.createDataFrame([(i,) for i in range(600)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(400, 1000)], "v long")
+    sa = agg.kmv_sketch(a, F.col("v"), k=256)
+    sb = agg.kmv_sketch(b, F.col("v"), k=256)
+    est = agg.kmv_intersection(sa, sb, k=256).collect()[0]
+    assert abs(est.est_union - 1000) <= 0.2 * 1000
+    assert abs(est.est_intersection - 200) <= 0.35 * 200  # rho term is noisier
+    # sketch is exactly k rows of ascending distinct hashes
+    hs = [r.h for r in sa.collect()]
+    assert len(hs) == 256 and hs == sorted(set(hs))
