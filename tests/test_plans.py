@@ -547,3 +547,15 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         assert "dynamicpruning" in s or "dynamicpruningexpression" in s
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_kmv_sketch_uses_take_ordered_no_global_sort(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = agg.kmv_sketch(ev, F.col("user_id"), k=256)
+    p = plan_string(sk, "simple")
+    # k smallest hashes at 100 TB = per-partition heaps + k-row merge,
+    # never a full range-exchange sort of the distinct set
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
