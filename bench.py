@@ -79,6 +79,10 @@ ANALYTICS_OPS = [
     "q_sketch_rollup",
     "q_heavy_hitters_cms",
     "q_train_shuffle",
+    "q_join_interval_bucket",
+    "q_geo_radius_join",
+    "q_sketch_intersection",
+    "q_xml_ingest",
 ]
 
 
