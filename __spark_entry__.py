@@ -4597,6 +4597,23 @@ def q_sketch_intersection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corr_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistics surface (round 5, wave 3): per-returnflag Pearson
+    correlation of quantity vs extended price (operators/aggregates.py
+    corr_group) — integer sufficient statistics accumulated as exact
+    128-bit DECIMAL (bigint Σy² would overflow at sf0.1's row counts),
+    one cast to double per sum, closed form over identical doubles.
+    The bit-stable contract twin of the built-in ``corr``."""
+    li = load_table(spark, sf, "lineitem")
+    out = agg.corr_group(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity"),                       # integer-valued already
+        F.round(F.col("l_extendedprice") * 100, 0),  # lossless centi-units
+    )
+    return O.sort(out, ["l_returnflag"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4711,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_inrow": q_csv_inrow,
         "q_collated_group": q_collated_group,
         "q_sketch_intersection": q_sketch_intersection,
+        "q_corr_group": q_corr_group,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5381,6 +5399,30 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
                        AS n_int_exact,
                    TRUE AS est_ok
+        """,
+        "q_corr_group": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                         THEN (n * sxy - sx * sy)
+                              / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+                         6) AS pearson_r
+            FROM s ORDER BY l_returnflag
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

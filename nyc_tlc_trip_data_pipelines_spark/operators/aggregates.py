@@ -334,3 +334,41 @@ def kmv_intersection(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) -> 
         "rho",
         F.round(F.col("rho") * F.col("est_union"), 1).alias("est_intersection"),
     )
+
+
+def corr_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_scaled: Column,
+    y_scaled: Column,
+) -> DataFrame:
+    """Per-group Pearson correlation from integer sufficient statistics
+    — one map-side-combinable aggregate pass, the ols_group pattern
+    applied to ``r = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²))``. Callers
+    quantize both columns to lossless integers; the sums accumulate as
+    DECIMAL (128-bit, exact and reduce-order-independent — bigint Σy²
+    overflows around 10⁵ rows/group for centi-scaled 1e5-magnitude
+    values, which this survives to ~10²⁸). The one final CAST of each
+    exact decimal sum to double is round-to-nearest in every engine,
+    so the closed form then divides identical doubles. Zero-variance
+    groups yield NULL. Built-in ``corr`` computes the same number but
+    accumulates doubles in reduce order — fine for analytics, not for
+    a bit-stable cross-engine contract."""
+    x = x_scaled.cast("decimal(18,0)")
+    y = y_scaled.cast("decimal(18,0)")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy"))
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r = F.when(
+        (var_x > 0) & (var_y > 0),
+        (n * sxy - sx * sy) / F.sqrt(var_x * var_y),
+    )
+    return stats.select(*keys, n.cast("long").alias("n"), F.round(r, 6).alias("pearson_r"))

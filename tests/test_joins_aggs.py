@@ -211,3 +211,15 @@ def test_kmv_intersection_estimates_within_band(spark):
     # sketch is exactly k rows of ascending distinct hashes
     hs = [r.h for r in sa.collect()]
     assert len(hs) == 256 and hs == sorted(set(hs))
+
+
+def test_corr_group_perfect_and_degenerate(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    rows = ([("up", i, 2 * i + 5) for i in range(10)]       # r = 1
+            + [("down", i, 100 - 3 * i) for i in range(10)]  # r = -1
+            + [("flat", i, 7) for i in range(10)])           # zero y-variance
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r.pearson_r for r in
+           agg.corr_group(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert got["up"] == 1.0 and got["down"] == -1.0 and got["flat"] is None
