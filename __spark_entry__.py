@@ -4614,6 +4614,19 @@ def q_corr_group(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["l_returnflag"])
 
 
+def q_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Engagement surface (round 5, wave 3): longest consecutive-day
+    activity streak per user (operators/timeseries.py longest_streak)
+    — the canonical islands-and-gaps pattern: day − row_number() is
+    constant within each island, so streaks cost one window pass + two
+    aggregates over the distinct (user, day) grid; no self-join, no
+    iteration. The day key is an absolute epoch-day so month
+    boundaries don't split streaks."""
+    e = load_table(spark, sf, "events")
+    out = TS.longest_streak(e, "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
+    return O.sort(out, ["user_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4729,6 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collated_group": q_collated_group,
         "q_sketch_intersection": q_sketch_intersection,
         "q_corr_group": q_corr_group,
+        "q_streaks": q_streaks,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5423,6 +5437,27 @@ def oracle_sql() -> dict[str, str]:
                               / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
                          6) AS pearson_r
             FROM s ORDER BY l_returnflag
+        """,
+        "q_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+                FROM events
+            ),
+            islands AS (
+                SELECT user_id, d,
+                       d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+                FROM days
+            ),
+            per_island AS (
+                SELECT user_id, island, COUNT(*) AS len
+                FROM islands GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak,
+                   COUNT(*) AS n_streaks
+            FROM per_island GROUP BY user_id ORDER BY user_id
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """

@@ -406,3 +406,35 @@ def interpolate_linear(
         .when(next_t == prev_t, prev_v)
         .otherwise(prev_v + (next_v - prev_v) * frac)
     )
+
+
+def longest_streak(
+    df: DataFrame,
+    entity_col: str,
+    day_col: Column,
+) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per entity — the
+    engagement-streak metric, and the canonical islands-and-gaps
+    pattern: over the distinct (entity, day) grid, ``day −
+    row_number()`` is constant exactly within each island of
+    consecutive days, so islands fall out of one window pass + one
+    aggregate — no self-join, no iteration.
+
+    Plan: distinct (hash agg) → one window exchange on the entity →
+    two nested aggregates, all map-side combinable; shuffle is
+    bounded by active (entity, day) pairs, never raw events. Returns
+    (entity, n_active_days, longest_streak, n_streaks).
+    """
+    days = df.select(F.col(entity_col).alias("e"), day_col.cast("long").alias("d")).distinct()
+    w = Window.partitionBy("e").orderBy("d")
+    islands = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    per_island = islands.groupBy("e", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        per_island.groupBy("e")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .withColumnRenamed("e", entity_col)
+    )

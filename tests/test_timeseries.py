@@ -260,3 +260,13 @@ def test_interpolate_linear_values_and_edges(spark):
     assert got[1] == 10.0 and got[3] == 40.0          # non-null passthrough
     assert got[2] == 17.5
     assert got[4] == 5.0 and got[6] == 5.0            # edge clamps
+
+
+def test_longest_streak_islands(spark):
+    # user 1: days 1,2,3, 7,8, 20 -> streaks 3,2,1 ; user 2: 5 alone
+    rows = [(1, d) for d in [1, 2, 3, 7, 8, 20, 2]] + [(2, 5)]  # dup day 2 collapses
+    df = spark.createDataFrame(rows, "user_id long, day long")
+    got = {r.user_id: r for r in
+           TS.longest_streak(df, "user_id", F.col("day")).collect()}
+    assert got[1].n_active_days == 6 and got[1].longest_streak == 3 and got[1].n_streaks == 3
+    assert got[2].n_active_days == 1 and got[2].longest_streak == 1 and got[2].n_streaks == 1
