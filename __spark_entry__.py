@@ -4627,6 +4627,45 @@ def q_streaks(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["user_id"])
 
 
+def q_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse semantics (round 5, wave 3): DYNAMIC partition
+    overwrite — ``partitionOverwriteMode=dynamic`` replaces ONLY the
+    partitions present in the incoming batch (here: one re-stated day
+    of events), leaving every other partition untouched; static mode
+    would wipe the whole table first. The restatement pattern every
+    partitioned warehouse runs nightly. Verified by reading the final
+    table state back: day 5 must contain exactly the restated rows
+    (values doubled), all other days the original rows."""
+    e = load_table(spark, sf, "events").withColumn("day", F.dayofmonth("ts"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_by_day")
+        e.write.partitionBy("day").parquet(path)
+        restated = (
+            e.filter(F.col("day") == 5)
+            .withColumn("value", F.round(F.col("value") * 2, 2))
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            restated.write.mode("overwrite").partitionBy("day").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        back = spark.read.parquet(path)
+        rows = (
+            back.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        )
+    out = spark.createDataFrame(
+        [(int(r.day), r.n_rows, float(r.sum_value)) for r in rows],
+        "day int, n_rows bigint, sum_value double",
+    )
+    return O.sort(out, ["day"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4743,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_intersection": q_sketch_intersection,
         "q_corr_group": q_corr_group,
         "q_streaks": q_streaks,
+        "q_partition_overwrite_dynamic": q_partition_overwrite_dynamic,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5458,6 +5498,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(len) AS BIGINT) AS longest_streak,
                    COUNT(*) AS n_streaks
             FROM per_island GROUP BY user_id ORDER BY user_id
+        """,
+        "q_partition_overwrite_dynamic": """
+            SELECT CAST(EXTRACT(day FROM ts) AS INT) AS day,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(CASE WHEN EXTRACT(day FROM ts) = 5
+                                  THEN ROUND(value * 2, 2) ELSE value END), 2)
+                       AS sum_value
+            FROM events
+            GROUP BY EXTRACT(day FROM ts)
+            ORDER BY day
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """
