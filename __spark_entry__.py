@@ -4666,6 +4666,54 @@ def q_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["day"])
 
 
+def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization, native lane (round 5, wave 3): Spark's built-in
+    ``session_window(ts, gap)`` in BATCH mode — the same 30-minute
+    session semantics q_sessionize derives manually (lag-flag +
+    running sum); running both lanes under ONE oracle pins their
+    equivalence: the oracle replays the MANUAL formulation in SQL, so
+    a hash match proves the native session assignment agrees with the
+    textbook one. Per (user, session): event count and value sum.
+    Session-window grouping shuffles once on the entity key like any
+    per-entity window."""
+    e = load_table(spark, sf, "events")
+    out = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return O.sort(out, ["user_id", "session_start"])
+
+
+def q_udf_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """UDF surface, third lane (round 5, wave 3): the Arrow-OPTIMIZED
+    scalar Python UDF (``useArrow=True``, Spark 3.5+) — row-at-a-time
+    author ergonomics with Arrow-batched transfer, sitting between the
+    interpreted pickle UDF (never used in this repo) and the
+    vectorized pandas_udf (q_udf_scalar). The kernel is the same
+    surcharge rule as the pandas lane so the two Python lanes are
+    pinned to identical results; rounding inside the UDF keeps the
+    oracle replay exact."""
+
+    @F.udf("double", useArrow=True)
+    def surcharge(v: float) -> float:
+        return round(v * 1.07 + 0.5, 4)
+
+    e = load_table(spark, sf, "events")
+    out = e.groupBy("event_type").agg(
+        F.round(F.sum(surcharge("value")), 2).alias("sum_surcharged")
+    )
+    return O.sort(out, ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4783,6 +4831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_group": q_corr_group,
         "q_streaks": q_streaks,
         "q_partition_overwrite_dynamic": q_partition_overwrite_dynamic,
+        "q_session_window_native": q_session_window_native,
+        "q_udf_arrow": q_udf_arrow,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5508,6 +5558,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY EXTRACT(day FROM ts)
             ORDER BY day
+        """,
+        "q_session_window_native": """
+            WITH t AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM t
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "q_udf_arrow": """
+            SELECT event_type,
+                   ROUND(SUM(ROUND(value * 1.07 + 0.5, 4)), 2) AS sum_surcharged
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
         "q_cast_schema": """
