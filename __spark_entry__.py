@@ -27,6 +27,7 @@ from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
 from nyc_tlc_trip_data_pipelines_spark.operators import entity as EN
 from nyc_tlc_trip_data_pipelines_spark.operators import graph as GR
 from nyc_tlc_trip_data_pipelines_spark.operators import layout as LO
+from nyc_tlc_trip_data_pipelines_spark.operators import mining as MN
 from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
 from nyc_tlc_trip_data_pipelines_spark.operators import joins as J
 from nyc_tlc_trip_data_pipelines_spark.operators import relational as R
@@ -4714,6 +4715,119 @@ def q_udf_arrow(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Mining surface (round 5, wave 4): pairwise association rules —
+    support / confidence / lift over order baskets (operators/mining.py
+    assoc_rules; Apriori depth 2). Items are part-families (l_partkey
+    mod 40) so pair supports are dense enough to rank. The pair fanout
+    is bounded BEFORE the self-join by the (basket, item) dedup; the
+    single-item count table is broadcast."""
+    li = load_table(spark, sf, "lineitem")
+    baskets = li.select(
+        "l_orderkey", F.pmod(F.col("l_partkey"), F.lit(40)).alias("item")
+    )
+    out = MN.assoc_rules(baskets, "l_orderkey", "item", min_pair_count=5)
+    return O.sort(out, ["item_a", "item_b"])
+
+
+def q_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Mining surface (round 5, wave 4): word-pair PMI collocations over
+    document co-occurrence (operators/mining.py collocations_pmi,
+    Church & Hanks). The vocabulary is df-pruned with a broadcast
+    semi-join BEFORE pair generation — the step that keeps the
+    self-join vocab-bounded at corpus scale — and PMI is one double
+    expression over exact integer document frequencies, rounded 6 dp."""
+    d = load_table(spark, sf, "documents")
+    out = MN.collocations_pmi(d, min_df=20, min_pair_df=10)
+    return O.sort(out, ["tok_a", "tok_b"])
+
+
+def q_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Engagement surface (round 5, wave 4): trailing-7-day distinct
+    active users per day (operators/timeseries.py
+    rolling_distinct_count) — the sliding COUNT(DISTINCT) no RANGE
+    window can express. Day-grain dedup first (the volume reducer),
+    then a broadcast day-spine join with fanout ≤ 7, then one
+    distinct-agg keyed by day."""
+    e = load_table(spark, sf, "events")
+    out = TS.rolling_distinct_count(e, "ts", "user_id", window_days=7)
+    return O.sort(out, ["target_day"])
+
+
+def q_abtest_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistics surface (round 5, wave 4): Welch two-sample t-test per
+    event type — week 1 (ts < 2024-01-08) as arm A vs the rest of the
+    month (operators/aggregates.py welch_ttest). Centi-scaled values
+    accumulate as exact DECIMAL sufficient statistics in ONE aggregate
+    pass; t and the Welch–Satterthwaite df are closed forms over
+    identical doubles, so the oracle replays them bit-for-bit."""
+    e = load_table(spark, sf, "events")
+    out = agg.welch_ttest(
+        e,
+        ["event_type"],
+        F.round(F.col("value") * 100, 0),  # lossless centi-units
+        F.col("ts") < F.to_timestamp(F.lit("2024-01-08")),
+    )
+    return O.sort(out, ["event_type"])
+
+
+def q_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 5, wave 4): SimHash near-dup pairs within
+    Hamming distance ≤ 3 via block permutation (operators/text.py
+    simhash_hamming_pairs; Manku/Jain/Sarma WWW'07) — the tolerance
+    generalization of q_dedup_simhash's identical-signature buckets.
+    4 × 15-bit block equality joins guarantee 100% recall at distance
+    ≤ 3 by pigeonhole; verification is one codegen XOR + popcount. The
+    portable 60-bit hash lets the oracle replay the full pipeline."""
+    d = load_table(spark, sf, "documents")
+    out = TX.simhash_hamming_pairs(
+        d, bits=60, n_blocks=4, max_hamming=3, portable=True
+    )
+    return O.sort(out, ["id_a", "id_b"])
+
+
+def q_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch surface (round 5, wave 4): mergeable fixed-bin quantile
+    rollup (operators/aggregates.py binned_quantile_rollup) — the
+    quantile twin of q_sketch_rollup's HLL re-aggregation: per-(type,
+    week) histograms built in one scan are SUMMED up to per-type and
+    p50/p95 interpolated from the exact cumulative counts, never
+    rescanning the raw data. Deterministic (unlike t-digest/KLL),
+    accuracy bounded by the bin width."""
+    e = load_table(spark, sf, "events").withColumn(
+        "wk", F.floor((F.dayofmonth("ts") - 1) / 7)
+    )
+    out = agg.binned_quantile_rollup(
+        e,
+        ["event_type", "wk"],
+        ["event_type"],
+        F.col("value"),
+        lo=0.0,
+        width=16.0,
+        n_bins=32,
+        quantiles=(0.5, 0.95),
+    )
+    return O.sort(out, ["event_type"])
+
+
+def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """DQ surface (round 5, wave 4): anti-entropy table diff — compare
+    two copies of events via order-independent per-bucket content
+    checksums (operators/dq.py checksum_diff): portable 60-bit row
+    fingerprints summed as exact DECIMAL per bucket, each side reducing
+    to 16 summary rows before any data crosses. The right copy
+    deterministically "lost" every 97th row; exactly the buckets those
+    rows hash into must surface, with row-count deltas. Fingerprint
+    columns are ints/strings only (double rendering is engine-
+    specific)."""
+    e = load_table(spark, sf, "events")
+    damaged = e.where(F.pmod(F.col("event_id"), F.lit(97)) != 0)
+    out = DQ.checksum_diff(
+        e, damaged, ["event_id", "user_id", "event_type"], n_buckets=16
+    )
+    return O.sort(out, ["bucket"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4833,6 +4947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partition_overwrite_dynamic": q_partition_overwrite_dynamic,
         "q_session_window_native": q_session_window_native,
         "q_udf_arrow": q_udf_arrow,
+        # — round-5 wave 4 (mining/statistics/anti-entropy; round-6 pool) —
+        "q_assoc_rules": q_assoc_rules,
+        "q_collocations_pmi": q_collocations_pmi,
+        "q_rolling_distinct": q_rolling_distinct,
+        "q_abtest_welch": q_abtest_welch,
+        "q_simhash_hamming": q_simhash_hamming,
+        "q_quantile_rollup": q_quantile_rollup,
+        "q_table_diff": q_table_diff,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5152,8 +5274,237 @@ def _simhash_oracle(bits: int = 60) -> str:
     """
 
 
+def _simhash_hamming_oracle(
+    bits: int = 60, n_blocks: int = 4, max_hamming: int = 3
+) -> str:
+    """Full SQL replay of the block-permutation simhash pipeline
+    (q_simhash_hamming): same generated tokenize → md5-60-bit →
+    sign-vote → pack stages as ``_simhash_oracle``, then an OR-of-block-
+    equalities self-join (fine at oracle scale; the Spark side runs the
+    scalable union of per-block equi-joins) and the exact
+    ``bit_count(xor)`` verify."""
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    votes = ",\n                       ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    packed = "\n                       + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    blocks = "\n                     OR ".join(
+        f"(a.simhash >> {k * block_bits}) & {mask} = (b.simhash >> {k * block_bits}) & {mask}"
+        for k in range(n_blocks)
+    )
+    return f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 15)) AS BIGINT) AS h
+                FROM tok
+            ), votes AS (
+                SELECT doc_id,
+                       {votes}
+                FROM h GROUP BY doc_id
+            ), sim AS (
+                SELECT doc_id,
+                       {packed} AS simhash
+                FROM votes
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b
+              ON a.doc_id < b.doc_id
+             AND ({blocks})
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+            ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # — round-5 wave 4 —
+        "q_assoc_rules": """
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey % 40 AS item
+                FROM lineitem
+            ),
+            nb AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
+            ic AS (SELECT item, COUNT(*) AS n_item FROM bi GROUP BY item),
+            pairs AS (
+                SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+                FROM bi a JOIN bi b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY a.item, b.item
+                HAVING COUNT(*) >= 5
+            )
+            SELECT p.item_a, p.item_b, p.n_ab,
+                   ROUND(p.n_ab / nb.n, 6) AS support,
+                   ROUND(p.n_ab / ia.n_item, 6) AS conf_a_b,
+                   ROUND(p.n_ab / ib.n_item, 6) AS conf_b_a,
+                   ROUND(p.n_ab * nb.n / (ia.n_item * ib.n_item), 6) AS lift
+            FROM pairs p
+            CROSS JOIN nb
+            JOIN ic ia ON ia.item = p.item_a
+            JOIN ic ib ON ib.item = p.item_b
+            ORDER BY p.item_a, p.item_b
+        """,
+        "q_collocations_pmi": """
+            WITH dt AS (
+                SELECT DISTINCT doc_id AS doc,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            vocab AS (
+                SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+                HAVING COUNT(*) >= 20
+            ),
+            pruned AS (SELECT dt.doc, dt.tok FROM dt SEMI JOIN vocab ON dt.tok = vocab.tok),
+            pairs AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS df_ab
+                FROM pruned a JOIN pruned b
+                  ON a.doc = b.doc AND a.tok < b.tok
+                GROUP BY a.tok, b.tok
+                HAVING COUNT(*) >= 10
+            )
+            SELECT p.tok_a, p.tok_b, p.df_ab,
+                   ROUND(LN(CAST(p.df_ab AS DOUBLE) * CAST(nd.n AS DOUBLE)
+                            / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 6) AS pmi
+            FROM pairs p
+            CROSS JOIN nd
+            JOIN vocab va ON va.tok = p.tok_a
+            JOIN vocab vb ON vb.tok = p.tok_b
+            ORDER BY p.tok_a, p.tok_b
+        """,
+        "q_rolling_distinct": """
+            WITH de AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+                FROM events
+            ),
+            spine AS (SELECT DISTINCT day AS target_day FROM de)
+            SELECT s.target_day,
+                   COUNT(DISTINCT de.user_id) AS active_entities
+            FROM spine s JOIN de
+              ON date_diff('day', de.day, s.target_day) >= 0
+             AND date_diff('day', de.day, s.target_day) < 7
+            GROUP BY s.target_day
+            ORDER BY s.target_day
+        """,
+        "q_abtest_welch": """
+            WITH scaled AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100, 0) AS DECIMAL(28,0)) AS x,
+                       (ts < TIMESTAMP '2024-01-08') AS flag
+                FROM events
+            ),
+            stats AS (
+                SELECT event_type,
+                       CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+                       CAST(SUM(CASE WHEN NOT flag THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+                       CAST(SUM(CASE WHEN flag THEN x ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) AS sa,
+                       CAST(SUM(CASE WHEN NOT flag THEN x ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) AS sb,
+                       CAST(SUM(CASE WHEN flag THEN x * x ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) AS qa,
+                       CAST(SUM(CASE WHEN NOT flag THEN x * x ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) AS qb
+                FROM scaled GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   ROUND(sa / na, 6) AS mean_a,
+                   ROUND(sb / nb, 6) AS mean_b,
+                   CASE WHEN na >= 2 AND nb >= 2
+                             AND ((qa - sa * sa / na) / (na - 1) / na
+                                  + (qb - sb * sb / nb) / (nb - 1) / nb) > 0
+                        THEN ROUND((sa / na - sb / nb)
+                                   / SQRT((qa - sa * sa / na) / (na - 1) / na
+                                          + (qb - sb * sb / nb) / (nb - 1) / nb), 6)
+                   END AS t_stat,
+                   CASE WHEN na >= 2 AND nb >= 2
+                             AND ((qa - sa * sa / na) / (na - 1) / na
+                                  + (qb - sb * sb / nb) / (nb - 1) / nb) > 0
+                        THEN ROUND(POW((qa - sa * sa / na) / (na - 1) / na
+                                       + (qb - sb * sb / nb) / (nb - 1) / nb, 2)
+                                   / (POW((qa - sa * sa / na) / (na - 1) / na, 2) / (na - 1)
+                                      + POW((qb - sb * sb / nb) / (nb - 1) / nb, 2) / (nb - 1)), 6)
+                   END AS welch_df
+            FROM stats
+            ORDER BY event_type
+        """,
+        "q_simhash_hamming": _simhash_hamming_oracle(60, 4, 3),
+        "q_quantile_rollup": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(LEAST(31, GREATEST(0, FLOOR(value / 16.0))) AS INT) AS bin
+                FROM events
+            ),
+            c AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY event_type, bin),
+            cum AS (
+                SELECT event_type, bin, n,
+                       SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum_n,
+                       SUM(n) OVER (PARTITION BY event_type) AS total_n
+                FROM c
+            ),
+            h50 AS (
+                SELECT event_type, MIN(bin) AS qbin FROM cum
+                WHERE cum_n >= CAST(total_n AS DOUBLE) * 0.5 GROUP BY event_type
+            ),
+            e50 AS (
+                SELECT cum.event_type, cum.total_n,
+                       ROUND(0.0 + (CAST(bin AS DOUBLE)
+                             + ((CAST(total_n AS DOUBLE) * 0.5 - (cum_n - n)) / n)) * 16.0, 6)
+                           AS p50_est
+                FROM cum JOIN h50 ON cum.event_type = h50.event_type AND cum.bin = h50.qbin
+            ),
+            h95 AS (
+                SELECT event_type, MIN(bin) AS qbin FROM cum
+                WHERE cum_n >= CAST(total_n AS DOUBLE) * 0.95 GROUP BY event_type
+            ),
+            e95 AS (
+                SELECT cum.event_type,
+                       ROUND(0.0 + (CAST(bin AS DOUBLE)
+                             + ((CAST(total_n AS DOUBLE) * 0.95 - (cum_n - n)) / n)) * 16.0, 6)
+                           AS p95_est
+                FROM cum JOIN h95 ON cum.event_type = h95.event_type AND cum.bin = h95.qbin
+            )
+            SELECT e50.event_type, CAST(e50.total_n AS BIGINT) AS n_rows,
+                   e50.p50_est, e95.p95_est
+            FROM e50 JOIN e95 ON e50.event_type = e95.event_type
+            ORDER BY e50.event_type
+        """,
+        "q_table_diff": """
+            WITH fp AS (
+                SELECT CAST(CONCAT('0x', SUBSTR(md5(CONCAT_WS('|',
+                           CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                           event_type)), 1, 15)) AS BIGINT) AS fp,
+                       event_id
+                FROM events
+            ),
+            a AS (
+                SELECT CAST(fp % 16 AS INT) AS bucket,
+                       SUM(CAST(fp AS DECIMAL(28,0))) AS checksum,
+                       COUNT(*) AS n
+                FROM fp GROUP BY bucket
+            ),
+            b AS (
+                SELECT CAST(fp % 16 AS INT) AS bucket,
+                       SUM(CAST(fp AS DECIMAL(28,0))) AS checksum,
+                       COUNT(*) AS n
+                FROM fp WHERE event_id % 97 <> 0 GROUP BY bucket
+            )
+            SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+                   COALESCE(a.n, 0) AS n_rows_left,
+                   COALESCE(b.n, 0) AS n_rows_right,
+                   COALESCE(a.n, 0) - COALESCE(b.n, 0) AS row_delta
+            FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+            WHERE COALESCE(a.checksum, 0) <> COALESCE(b.checksum, 0)
+            ORDER BY bucket
+        """,
         "q_markov_transitions": """
             WITH pairs AS (
                 SELECT LAG(event_type) OVER (

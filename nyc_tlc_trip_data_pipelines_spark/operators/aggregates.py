@@ -372,3 +372,140 @@ def corr_group(
         (n * sxy - sx * sy) / F.sqrt(var_x * var_y),
     )
     return stats.select(*keys, n.cast("long").alias("n"), F.round(r, 6).alias("pearson_r"))
+
+
+def welch_ttest(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_scaled: Column,
+    in_group_a: Column,
+) -> DataFrame:
+    """Per-key Welch two-sample t-test (unequal variances) from exact
+    integer sufficient statistics — the A/B-comparison primitive,
+    computed in ONE map-side-combinable aggregate pass over the data
+    (no per-group re-scan, no collect).
+
+    Same bit-stability contract as :func:`corr_group`: callers quantize
+    the metric to a lossless integer; Σx and Σx² accumulate as
+    DECIMAL(28,0) (exact, reduce-order-independent), and each exact sum
+    is cast to double ONCE before the closed forms
+        t  = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+    with v = sample variance (n−1 denominator). Keys where either arm
+    has < 2 rows or both variances are 0 yield NULL t/df.
+
+    100 TB: one hash aggregate, shuffle = |keys| rows × 6 numbers; the
+    t statistic itself is per-row arithmetic on that tiny table."""
+    x = value_scaled.cast("decimal(28,0)")
+    flag = in_group_a.cast("boolean")
+    stats = df.groupBy(*keys).agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~flag, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(flag, x).otherwise(F.lit(0).cast("decimal(28,0)"))).cast("double").alias("sa"),
+        F.sum(F.when(~flag, x).otherwise(F.lit(0).cast("decimal(28,0)"))).cast("double").alias("sb"),
+        F.sum(F.when(flag, x * x).otherwise(F.lit(0).cast("decimal(28,0)"))).cast("double").alias("qa"),
+        F.sum(F.when(~flag, x * x).otherwise(F.lit(0).cast("decimal(28,0)"))).cast("double").alias("qb"),
+    )
+    na, nb, sa, sb, qa, qb = (F.col(c) for c in ("na", "nb", "sa", "sb", "qa", "qb"))
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        (se2 * se2)
+        / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)),
+    )
+    return stats.select(
+        *keys,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
+def binned_quantile_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    value: Column,
+    lo: float,
+    width: float,
+    n_bins: int,
+    quantiles: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Mergeable fixed-bin quantile estimation at two grains — the
+    quantile twin of :func:`hll_rollup`: per-``fine_keys`` histograms
+    are built in one scan, then RE-AGGREGATED (summed) up to
+    ``coarse_keys`` without touching the raw data again. This is the
+    continuous-aggregate / hypertable-rollup pattern: the fine-grain
+    histogram table is what you'd persist; any coarser rollup or
+    quantile re-derives from it.
+
+    Bins are ``floor((v - lo)/width)`` clamped to [0, n_bins-1]; the
+    quantile estimate interpolates linearly inside the target bin from
+    the exact cumulative counts, so the result is deterministic and any
+    SQL engine reproduces it bit-for-bit (unlike t-digest/KLL whose
+    merge order matters). Accuracy is bounded by ``width`` — choose
+    bins from the domain, exactly like production fixed-bin monitors
+    (Prometheus histograms) do.
+
+    100 TB: shuffle = |fine_keys| × n_bins count rows, constant per
+    key; the rollup and quantile stages run on kilobytes."""
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((value - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    fine = df.groupBy(*fine_keys, bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    coarse = fine.groupBy(*coarse_keys, "bin").agg(F.sum("n").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*coarse_keys).orderBy("bin")
+    wk = Window.partitionBy(*coarse_keys)
+    cum = coarse.select(
+        *coarse_keys,
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wk).alias("total_n"),
+    )
+    outs = []
+    for q in quantiles:
+        target = F.col("total_n") * F.lit(q)
+        # first bin whose cumulative count reaches the target
+        hit = cum.where(F.col("cum_n") >= target).groupBy(*coarse_keys).agg(
+            F.min("bin").alias("qbin")
+        )
+        est = (
+            cum.join(hit, on=[*coarse_keys])
+            .where(F.col("bin") == F.col("qbin"))
+            .select(
+                *coarse_keys,
+                F.col("total_n"),
+                F.round(
+                    F.lit(lo)
+                    + (
+                        F.col("bin").cast("double")
+                        + (
+                            (F.col("total_n") * F.lit(q) - (F.col("cum_n") - F.col("n")))
+                            / F.col("n")
+                        )
+                    )
+                    * F.lit(width),
+                    6,
+                ).alias(f"p{int(q * 100)}_est"),
+            )
+        )
+        outs.append(est)
+    result = outs[0]
+    for extra in outs[1:]:
+        keep = [c for c in extra.columns if c not in (*coarse_keys, "total_n")]
+        result = result.join(extra.select(*coarse_keys, *keep), on=[*coarse_keys])
+    return result.withColumnRenamed("total_n", "n_rows")

@@ -254,3 +254,64 @@ def psi_from_counts(
         F.round(p_curr, 6).alias("p_curr"),
         F.round(term, 6).alias("psi_term"),
     )
+
+
+def bucket_checksums(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Order-independent per-bucket content checksums — the
+    anti-entropy primitive for comparing two copies of a table
+    (replica validation, migration sign-off, versioned-snapshot diff)
+    WITHOUT shuffling either table to the other: each side reduces to
+    ``n_buckets`` (checksum, count) rows; only those tiny summaries
+    ever travel.
+
+    Row fingerprint = portable 60-bit md5 over the '|'-joined string
+    rendering of ``cols`` (caller picks bit-stable columns — ints /
+    strings / timestamps; double rendering is engine-specific);
+    bucket = fingerprint mod ``n_buckets``; checksum = SUM(fingerprint)
+    as DECIMAL(28,0) — exact and reduce-order-independent, so the same
+    rows in any order and any partitioning give the same checksum. A
+    single changed/missing row flips exactly one bucket.
+
+    100 TB: one map-side-combinable aggregate; shuffle = n_buckets rows."""
+    from .text import portable_hash60
+
+    fp = portable_hash60(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    return (
+        df.select(fp.alias("fp"))
+        .groupBy(F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int").alias("bucket"))
+        .agg(
+            F.sum(F.col("fp").cast("decimal(28,0)")).alias("checksum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def checksum_diff(
+    left: DataFrame,
+    right: DataFrame,
+    cols: list[str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Buckets where two tables' contents differ, with row-count deltas
+    — full-outer join of the two :func:`bucket_checksums` summaries
+    (n_buckets rows each side, broadcast-sized at any table scale).
+    Equal tables produce ZERO rows; each differing bucket narrows a
+    follow-up row-level diff to 1/n_buckets of the data."""
+    a = bucket_checksums(left, cols, n_buckets).alias("a")
+    b = bucket_checksums(right, cols, n_buckets).alias("b")
+    j = a.join(b, on=F.col("a.bucket") == F.col("b.bucket"), how="full_outer")
+    return (
+        j.where(
+            F.coalesce(F.col("a.checksum"), F.lit(0)) != F.coalesce(F.col("b.checksum"), F.lit(0))
+        )
+        .select(
+            F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+            F.coalesce(F.col("a.n_rows"), F.lit(0)).alias("n_rows_left"),
+            F.coalesce(F.col("b.n_rows"), F.lit(0)).alias("n_rows_right"),
+            (F.coalesce(F.col("a.n_rows"), F.lit(0)) - F.coalesce(F.col("b.n_rows"), F.lit(0))).alias("row_delta"),
+        )
+    )

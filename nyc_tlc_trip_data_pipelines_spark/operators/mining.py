@@ -1,0 +1,166 @@
+"""Co-occurrence mining: market-basket association rules and word-pair
+PMI collocations.
+
+The reference has no mining surface (its analytics stop at grouped
+averages, ``pasta2_analytics/src/main.py:30-56``); these operators cover
+the "what co-occurs with what" questions every events/corpus warehouse
+gets asked — item affinity over order baskets, collocation strength over
+a document corpus — as pure DataFrame ops.
+
+Scale notes (100 TB):
+- Both operators are pair-generation problems, and both bound the pair
+  fanout BEFORE the self-join: ``assoc_rules`` dedups (basket, item)
+  first so the join fanout is per-basket-size², which for retail-shaped
+  data is a small constant (baskets have tens of items, never millions);
+  ``collocations_pmi`` prunes the vocabulary to tokens above ``min_df``
+  with a broadcast semi-join before pairing, so stopword-free pair
+  growth is vocab-bounded, not corpus-bounded.
+- The single-item count tables are tiny (|items| or |vocab| rows) and
+  broadcast into the rule/PMI computation — the only real exchange in
+  either plan is the groupBy that counts pairs, whose key space is
+  bounded (items² / vocab²), so map-side partial aggregation absorbs
+  most of the volume.
+- Neither operator ever shuffles text: tokens reduce to counts at the
+  first aggregation boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+
+def basket_pairs(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Distinct co-occurring item pairs per basket, canonicalized
+    ``item_a < item_b`` so each unordered pair is generated exactly
+    once. Input rows are deduped to (basket, item) first — the join
+    fanout is then per-basket-distinct-size², independent of how many
+    raw rows repeat an item."""
+    bi = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).distinct()
+    a = bi.alias("a")
+    b = bi.alias("b")
+    return (
+        a.join(b, on=F.col("a.__basket") == F.col("b.__basket"))
+        .where(F.col("a.__item") < F.col("b.__item"))
+        .select(
+            F.col("a.__basket").alias("basket"),
+            F.col("a.__item").alias("item_a"),
+            F.col("b.__item").alias("item_b"),
+        )
+    )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    baskets — the counting core of Apriori at depth 2, which is the
+    depth retail/affinity analyses actually use.
+
+    For each unordered pair {a, b} with at least ``min_pair_count``
+    co-occurring baskets:
+      support    = n_ab / n_baskets
+      conf_a_b   = n_ab / n_a          (a ⇒ b)
+      conf_b_a   = n_ab / n_b          (b ⇒ a)
+      lift       = n_ab * n_baskets / (n_a * n_b)
+    All ratios are exact integer divisions rounded to 6 dp, so any SQL
+    engine reproduces them bit-for-bit."""
+    bi = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = bi.select("basket").distinct().count()
+    item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        basket_pairs(df, basket_col, item_col)
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_count)
+    )
+    ia = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(n_baskets), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+            F.round(
+                F.col("n_ab") * F.lit(n_baskets) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+def collocations_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 20,
+    min_pair_df: int = 10,
+) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in the
+    same document — the classic collocation-strength measure (Church &
+    Hanks 1990), over document-level presence (not adjacency; adjacency
+    is ``text.bigram_counts``).
+
+    PMI(a,b) = ln( df_ab * N / (df_a * df_b) )  with N = corpus size,
+    df_* = document frequencies. Only tokens with ``df >= min_df``
+    enter the pair stage (broadcast semi-join prune — this is what
+    keeps the self-join fanout vocab-bounded at corpus scale), and only
+    pairs with ``df_ab >= min_pair_df`` are emitted."""
+    dt = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok")
+    ).distinct()
+    n_docs = df.select(id_col).distinct().count()
+    vocab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") >= min_df
+    )
+    pruned = dt.join(F.broadcast(vocab.select("tok")), "tok", "semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pair_df = (
+        a.join(b, on=F.col("a.doc") == F.col("b.doc"))
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .where(F.col("df_ab") >= min_pair_df)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pair_df.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "df_ab",
+            F.round(
+                F.log(
+                    F.col("df_ab").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1134,3 +1134,64 @@ def probe_band_index(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "idx_id", "jaccard")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
+    via block permutation (Manku/Jain/Sarma, WWW'07 — the web-scale
+    simhash dedup design): split each ``bits``-bit signature into
+    ``n_blocks`` contiguous blocks; by pigeonhole, any pair within
+    Hamming distance ``n_blocks - 1`` agrees EXACTLY on at least one
+    block, so equality self-joins on each block find every qualifying
+    pair (100% recall for ``max_hamming <= n_blocks - 1``), and the
+    exact distance check ``bit_count(a XOR b)`` filters the candidates.
+
+    This generalizes :func:`simhash_signatures`-based exact-bucket
+    grouping (Hamming 0) to the tolerance real corpora need.
+
+    100 TB: ``n_blocks`` hash self-joins each keyed on a 15-bit block
+    value — the same banded-join shape as MinHash-LSH (text.py
+    minhash_lsh_pairs), shuffling only (block, id, signature) rows;
+    candidates concentrate only if many documents share a block, which
+    for sign-random simhash bits means they ARE near-duplicates. The
+    verify step is one integer XOR+popcount per candidate, fully
+    codegen."""
+    assert max_hamming <= n_blocks - 1, "pigeonhole recall needs max_hamming < n_blocks"
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits, portable=portable)
+    cands = None
+    for k in range(n_blocks):
+        blk = F.shiftright(F.col("simhash"), k * block_bits).bitwiseAND(F.lit(mask))
+        side = sigs.select(
+            blk.alias("blk"), F.col(id_col).alias("id"), F.col("simhash").alias("sim")
+        )
+        a, b = side.alias("a"), side.alias("b")
+        pair = (
+            a.join(b, on=F.col("a.blk") == F.col("b.blk"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sim").alias("sim_a"),
+                F.col("b.sim").alias("sim_b"),
+            )
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    verified = (
+        cands.distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return verified.select("id_a", "id_b", "hamming")

@@ -438,3 +438,38 @@ def longest_streak(
         )
         .withColumnRenamed("e", entity_col)
     )
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct entities per day (e.g. weekly-active
+    users per day) — the sliding-distinct metric a naive RANGE window
+    cannot express (COUNT(DISTINCT) over a moving frame isn't
+    decomposable), computed without ever holding per-day entity sets.
+
+    Shape: dedup to (day, entity) at the day grain first — THE volume
+    reducer: everything after it scales with days × active entities,
+    not raw events — then broadcast-join the tiny distinct-day spine
+    with a ``0 <= datediff < window_days`` trailing predicate and count
+    distinct entities per target day. Each (day, entity) row fans out
+    to at most ``window_days`` target days.
+
+    100 TB: one exchange for the day-grain dedup, a broadcast nested
+    loop against a few-hundred-row day spine (fanout ≤ window_days),
+    one final distinct-agg exchange keyed by day — no state, no sort,
+    batch-incremental (yesterday's day-grain table is reusable)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    de = df.select(day.alias("day"), F.col(entity_col).alias("entity")).distinct()
+    spine = de.select(F.col("day").alias("target_day")).distinct()
+    joined = de.join(
+        F.broadcast(spine),
+        on=(F.datediff(F.col("target_day"), F.col("day")) >= 0)
+        & (F.datediff(F.col("target_day"), F.col("day")) < window_days),
+    )
+    return joined.groupBy("target_day").agg(
+        F.countDistinct("entity").alias("active_entities")
+    )

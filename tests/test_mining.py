@@ -1,0 +1,213 @@
+"""Wave-4 operators: association rules, PMI collocations, rolling
+distinct, Welch t-test, simhash Hamming pairs, binned quantile rollup,
+checksum table diff.
+
+Edge cases on tiny inline frames: known-by-hand rule metrics, PMI of an
+always-together pair vs a never-together pair, window boundaries of the
+trailing distinct count, Welch vs a hand-computed two-sample case,
+pigeonhole recall of the block join, quantile interpolation inside a
+bin, and equal tables producing an EMPTY diff.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+from nyc_tlc_trip_data_pipelines_spark.operators import mining as MN
+from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- assoc rules
+
+
+def test_assoc_rules_metrics(spark):
+    # 4 baskets: {a,b} {a,b} {a,c} {b}
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in MN.assoc_rules(df, "basket", "item", min_pair_count=1).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_ab"] == 2
+    assert ab["support"] == 0.5          # 2/4
+    assert ab["conf_a_b"] == pytest.approx(2 / 3)   # n_a=3
+    assert ab["conf_b_a"] == pytest.approx(2 / 3)   # n_b=3
+    assert ab["lift"] == pytest.approx(2 * 4 / (3 * 3), abs=1e-6)
+    assert ("a", "c") in out and out[("a", "c")]["n_ab"] == 1
+
+
+def test_assoc_rules_dedups_repeated_items(spark):
+    # item repeated in a basket must count once
+    rows = [(1, "a"), (1, "a"), (1, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = MN.assoc_rules(df, "basket", "item", min_pair_count=1).collect()
+    assert len(out) == 1 and out[0]["n_ab"] == 1
+
+
+def test_assoc_rules_min_count_filters(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = MN.assoc_rules(df, "basket", "item", min_pair_count=2).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------- PMI
+
+
+def test_collocations_pmi_signs(spark):
+    # x and y always together in 2 of 4 docs; x and z never together
+    docs = [
+        (1, "x y"),
+        (2, "x y"),
+        (3, "z w"),
+        (4, "z w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["tok_a"], r["tok_b"]): r["pmi"]
+        for r in MN.collocations_pmi(df, min_df=1, min_pair_df=1).collect()
+    }
+    # pmi(x,y) = ln(2*4/(2*2)) = ln 2 > 0
+    assert out[("x", "y")] == pytest.approx(math.log(2), abs=1e-6)
+    assert ("x", "z") not in out  # never co-occur → no pair row
+
+
+def test_collocations_df_prune(spark):
+    docs = [(1, "common rare"), (2, "common other")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = MN.collocations_pmi(df, min_df=2, min_pair_df=1).collect()
+    # only 'common' survives min_df=2, and a single token makes no pair
+    assert out == []
+
+
+# ---------------------------------------------------------------- rolling distinct
+
+
+def test_rolling_distinct_window_boundaries(spark):
+    rows = [
+        (_ts("2024-01-01 10:00:00"), 1),
+        (_ts("2024-01-01 11:00:00"), 1),   # same user same day counts once
+        (_ts("2024-01-05 10:00:00"), 2),
+        (_ts("2024-01-08 10:00:00"), 3),   # day 8: day 1 is 7 days back → OUT
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {
+        r["target_day"].isoformat(): r["active_entities"]
+        for r in TS.rolling_distinct_count(df, "ts", "user_id", 7).collect()
+    }
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-05"] == 2          # users 1 and 2 within [dec30..jan5]
+    assert out["2024-01-08"] == 2          # users 2,3; user 1 aged out
+
+
+# ---------------------------------------------------------------- Welch t-test
+
+
+def test_welch_ttest_hand_case(spark):
+    # A = [1,2,3], B = [2,4,6,8]: computed with scipy semantics by hand
+    rows = [("g", v, True) for v in (1.0, 2.0, 3.0)] + [
+        ("g", v, False) for v in (2.0, 4.0, 6.0, 8.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, a boolean")
+    out = agg.welch_ttest(
+        df, ["k"], F.round(F.col("v") * 100, 0), F.col("a")
+    ).collect()[0]
+    ma, mb = 2.0, 5.0
+    va, vb = 1.0, 20.0 / 3.0
+    se2 = va / 3 + vb / 4
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / 3) ** 2 / 2 + (vb / 4) ** 2 / 3)
+    assert out["n_a"] == 3 and out["n_b"] == 4
+    # values are in centi-units: means scale by 100, t/df are scale-free
+    assert out["mean_a"] == pytest.approx(100 * ma)
+    assert out["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert out["welch_df"] == pytest.approx(dof, abs=1e-5)
+
+
+def test_welch_ttest_degenerate_group(spark):
+    rows = [("g", 1.0, True), ("g", 2.0, False), ("g", 3.0, False)]
+    df = spark.createDataFrame(rows, "k string, v double, a boolean")
+    out = agg.welch_ttest(df, ["k"], F.col("v") * 100, F.col("a")).collect()[0]
+    assert out["t_stat"] is None and out["welch_df"] is None  # n_a < 2
+
+
+# ---------------------------------------------------------------- simhash hamming
+
+
+def test_simhash_hamming_finds_identical_docs(spark):
+    docs = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz qqq xxx uvw")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = TX.simhash_hamming_pairs(df, max_hamming=3, portable=True).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((1, 2)) == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_hamming_pair_dedup(spark):
+    # identical docs share ALL 4 blocks; the pair must still appear once
+    docs = [(1, "same text here"), (2, "same text here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = TX.simhash_hamming_pairs(df, max_hamming=3, portable=True).collect()
+    assert len(out) == 1
+
+
+# ---------------------------------------------------------------- quantile rollup
+
+
+def test_binned_quantile_interpolation(spark):
+    # 10 values uniform in bin 0 ([0,16)): p50 lands mid-bin
+    rows = [("t", 1, float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "k string, wk int, v double")
+    out = agg.binned_quantile_rollup(
+        df, ["k", "wk"], ["k"], F.col("v"), lo=0.0, width=16.0, n_bins=32,
+        quantiles=(0.5,),
+    ).collect()[0]
+    # all 10 rows in bin 0: est = (0 + (5 - 0)/10) * 16 = 8.0
+    assert out["p50_est"] == pytest.approx(8.0)
+    assert out["n_rows"] == 10
+
+
+def test_binned_quantile_rollup_merges_fine_grains(spark):
+    # same data split across two weeks must equal the single-grain answer
+    rows = [("t", wk, float(v)) for wk in (1, 2) for v in range(32)]
+    df = spark.createDataFrame(rows, "k string, wk int, v double")
+    two = agg.binned_quantile_rollup(
+        df, ["k", "wk"], ["k"], F.col("v"), 0.0, 4.0, 8, (0.5, 0.95)
+    ).collect()[0]
+    one = agg.binned_quantile_rollup(
+        df.withColumn("wk", F.lit(0)), ["k", "wk"], ["k"], F.col("v"), 0.0, 4.0, 8,
+        (0.5, 0.95),
+    ).collect()[0]
+    assert two["p50_est"] == one["p50_est"]
+    assert two["p95_est"] == one["p95_est"]
+
+
+# ---------------------------------------------------------------- checksum diff
+
+
+def test_checksum_diff_equal_tables_empty(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = DQ.checksum_diff(df, df.orderBy(F.desc("id")), ["id", "s"]).collect()
+    assert out == []  # order-independent
+
+
+def test_checksum_diff_localizes_missing_row(spark):
+    rows = [(i, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    damaged = df.where(F.col("id") != 42)
+    out = DQ.checksum_diff(df, damaged, ["id", "s"], n_buckets=8).collect()
+    assert len(out) == 1
+    assert out[0]["row_delta"] == 1
+    assert out[0]["n_rows_left"] == out[0]["n_rows_right"] + 1
