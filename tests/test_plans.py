@@ -559,3 +559,61 @@ def test_kmv_sketch_uses_take_ordered_no_global_sort(spark, sf_dir):
     # never a full range-exchange sort of the distinct set
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_assoc_rules_broadcasts_item_counts(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import mining as MN
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", (F.pmod(F.col("l_partkey"), F.lit(40))).alias("item"))
+    out = MN.assoc_rules(baskets, "l_orderkey", "item", min_pair_count=5)
+    p = plan_string(out, "simple")
+    # the |items|-row count tables join broadcast; only the basket
+    # self-join and the pair groupBy may shuffle
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_collocations_prunes_vocab_with_broadcast_semi(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import mining as MN
+
+    d = load_table(spark, sf_dir, "documents")
+    out = MN.collocations_pmi(d, min_df=20, min_pair_df=10)
+    p = plan_string(out, "simple")
+    # vocab prune BEFORE pair generation must be a broadcast semi join
+    assert "LeftSemi, BuildRight" in p or ("LeftSemi" in p and "BroadcastHashJoin" in p)
+
+
+def test_rolling_distinct_broadcasts_day_spine(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    e = load_table(spark, sf_dir, "events")
+    out = TS.rolling_distinct_count(e, "ts", "user_id", 7)
+    p = plan_string(out, "simple")
+    # the few-hundred-row day spine joins as a broadcast nested loop
+    # (range predicate) — the fact side must never range-shuffle
+    assert "BroadcastNestedLoopJoin" in p
+    assert "rangepartitioning" not in p.lower() or "Sort" not in p
+
+
+def test_welch_ttest_single_aggregate_pass(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = agg.welch_ttest(
+        e, ["event_type"], F.round(F.col("value") * 100, 0),
+        F.col("ts") < F.to_timestamp(F.lit("2024-01-08")),
+    )
+    # both arms' sufficient statistics in ONE partial+final aggregate
+    assert node_count(out, "HashAggregate") == 2
+    assert exchange_count(out) == 1
+
+
+def test_checksum_diff_shuffles_only_summaries(spark, sf_dir):
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+
+    e = load_table(spark, sf_dir, "events")
+    out = DQ.checksum_diff(e, e.where(F.col("event_id") % 97 != 0),
+                           ["event_id", "user_id", "event_type"], 16)
+    # each side reduces map-side before its exchange: 2 checksum
+    # exchanges + the tiny full-outer join; no raw-row exchange
+    assert node_count(out, "HashAggregate") == 4  # partial+final per side
