@@ -4810,6 +4810,21 @@ def q_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_minhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 5, wave 4): MinHash estimator-quality harness —
+    the text twin of q_ann_recall (operators/text.py minhash_accuracy).
+    For every LSH candidate pair (16 hashes, 4 bands of 4), the
+    signature-estimated Jaccard vs the EXACT shingle Jaccard and the
+    absolute error — the measurement a real pipeline runs on a sample
+    before trusting an LSH configuration at corpus scale. Portable
+    signature path, so the ENTIRE pipeline (md5-60-bit shingle hash,
+    affine permutations, banding, estimate, exact verify) replays in
+    the oracle bit-for-bit."""
+    d = load_table(spark, sf, "documents")
+    out = TX.minhash_accuracy(d, num_hashes=16, bands=4, shingle_k=5)
+    return O.sort(out, ["id_a", "id_b"])
+
+
 def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     """DQ surface (round 5, wave 4): anti-entropy table diff — compare
     two copies of events via order-independent per-bucket content
@@ -4954,6 +4969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_welch": q_abtest_welch,
         "q_simhash_hamming": q_simhash_hamming,
         "q_quantile_rollup": q_quantile_rollup,
+        "q_minhash_accuracy": q_minhash_accuracy,
         "q_table_diff": q_table_diff,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
@@ -5325,9 +5341,80 @@ def _simhash_hamming_oracle(
     """
 
 
+def _minhash_accuracy_oracle(
+    num_hashes: int = 16, bands: int = 4, shingle_k: int = 5
+) -> str:
+    """Full SQL replay of the portable MinHash accuracy harness
+    (q_minhash_accuracy): shingle → md5-60-bit hash mod the Mersenne
+    prime → per-permutation MIN → banded candidate join → estimated vs
+    exact Jaccard. Permutation constants come from the SAME module
+    constants the Spark side uses (operators/text.py _MINHASH_A/_B) so
+    the two sides cannot drift."""
+    p = TX._MINHASH_PRIME
+    rows = num_hashes // bands
+    mins = ",\n                       ".join(
+        f"MIN((h * {TX._MINHASH_A[i]} + {TX._MINHASH_B[i]}) % {p}) AS v_{i}"
+        for i in range(num_hashes)
+    )
+    band_pred = "\n                      OR ".join(
+        "("
+        + " AND ".join(f"a.v_{i} = b.v_{i}" for i in range(k * rows, (k + 1) * rows))
+        + ")"
+        for k in range(bands)
+    )
+    match_expr = " + ".join(
+        f"(CASE WHEN a.v_{i} = b.v_{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+            WITH d AS (
+                SELECT doc_id, LOWER(text) AS t FROM documents
+                WHERE LENGTH(text) >= {shingle_k}
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT) % {p} AS h
+                FROM (
+                    SELECT doc_id, UNNEST(LIST_TRANSFORM(
+                        GENERATE_SERIES(1, LENGTH(t) - {shingle_k - 1}),
+                        i -> SUBSTRING(t, i, {shingle_k}))) AS s
+                    FROM d
+                )
+            ), sig AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh GROUP BY doc_id
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), cands AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       ROUND(({match_expr}) / {float(num_hashes)}, 6) AS est_jaccard
+                FROM sig a JOIN sig b
+                  ON a.doc_id < b.doc_id
+                 AND ({band_pred})
+            ), cm AS (
+                SELECT c.id_a, c.id_b, COUNT(*) AS common
+                FROM cands c
+                JOIN sh x ON x.doc_id = c.id_a
+                JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT c.id_a, c.id_b, c.est_jaccard,
+                   ROUND(CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common), 6)
+                       AS exact_jaccard,
+                   ROUND(ABS(c.est_jaccard
+                             - ROUND(CAST(cm.common AS DOUBLE)
+                                     / (sa.n + sb.n - cm.common), 6)), 6) AS abs_err
+            FROM cands c
+            JOIN cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            ORDER BY c.id_a, c.id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # — round-5 wave 4 —
+        "q_minhash_accuracy": _minhash_accuracy_oracle(16, 4, 5),
         "q_assoc_rules": """
             WITH bi AS (
                 SELECT DISTINCT l_orderkey AS basket, l_partkey % 40 AS item

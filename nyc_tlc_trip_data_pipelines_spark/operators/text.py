@@ -322,10 +322,21 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 5,
     with_size: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures via the aggregation formulation: explode
     shingle positions, hash each shingle ONCE, then
     ``groupBy(id).agg(min(perm_i))`` per permutation.
+
+    ``portable=True`` swaps the xxhash64 shingle hash for
+    :func:`portable_hash60` (mod the Mersenne prime) so a SQL oracle
+    can replay the full signature computation bit-for-bit — same
+    contract as the portable simhash. xxhash64 stays the production
+    default (JVM-intrinsic, ~3× faster). The affine permutations
+    ``(a_i·h + b_i) mod p`` are identical in both modes (p prime and
+    a_i coprime ⇒ each permutation is a bijection of Z_p, so equal
+    min values imply a genuinely shared shingle hash, not an affine
+    coincidence).
 
     This is the 100 TB shape: each permutation is a trivial agg
     expression over one shared hash column, partial aggregation
@@ -364,13 +375,9 @@ def minhash_signatures(
         "__t",
         F.explode(F.sequence(F.lit(1), F.length("__t") - shingle_k + 1)).alias("__p"),
     )
-    h = pos.select(
-        id_col,
-        F.pmod(
-            F.xxhash64(F.expr(f"substring(__t, __p, {int(shingle_k)})"), F.lit(42)),
-            F.lit(_MINHASH_PRIME),
-        ).alias("h"),
-    )
+    shingle = F.expr(f"substring(__t, __p, {int(shingle_k)})")
+    raw = portable_hash60(shingle) if portable else F.xxhash64(shingle, F.lit(42))
+    h = pos.select(id_col, F.pmod(raw, F.lit(_MINHASH_PRIME)).alias("h"))
     if with_size:
         # exact |distinct shingles| rides along as COUNT(1) over an
         # explicit (id, h) pre-dedup — NOT count_distinct, whose
@@ -1195,3 +1202,103 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return verified.select("id_a", "id_b", "hamming")
+
+
+def minhash_accuracy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Estimator-quality harness for the MinHash dedup stack — the text
+    twin of ``q_ann_recall``: for every LSH candidate pair, the
+    signature-estimated Jaccard (matching-component fraction) side by
+    side with the EXACT shingle Jaccard and the absolute error. A real
+    pipeline runs this on a sample before trusting a (num_hashes,
+    bands, threshold) configuration at corpus scale.
+
+    Uses the portable signature path so the whole computation — hash,
+    permutations, banding, estimate, exact — replays in any SQL engine.
+    Candidate generation is the union of per-band slice-equality
+    self-joins (the same banded shape as production; pairs dedup'd).
+    The exact-Jaccard stage joins the per-doc shingle-hash sets ONLY
+    for candidate pairs, so its cost is candidate-bounded, never
+    corpus².
+
+    100 TB: signatures and shingle sets are each computed once
+    (persisted here; written to tables in a deployment); every join
+    after that carries ids + fixed-width numbers only."""
+    rows_per_band = num_hashes // bands
+    lc = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t")).filter(
+        F.length("__t") >= shingle_k
+    )
+    sh = lc.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("__t") - shingle_k + 1)).alias("__p"),
+        "__t",
+    ).select(
+        id_col,
+        F.pmod(
+            portable_hash60(F.expr(f"substring(__t, __p, {int(shingle_k)})")),
+            F.lit(_MINHASH_PRIME),
+        ).alias("h"),
+    ).distinct().persist()
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_PRIME))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs).persist()
+    cands = None
+    for k in range(bands):
+        cols = [f"mh_{i}" for i in range(k * rows_per_band, (k + 1) * rows_per_band)]
+        side = sig.select(F.col(id_col).alias("id"), F.struct(*cols).alias("bnd"))
+        a, b = side.alias("a"), side.alias("b")
+        pair = (
+            a.join(b, on=F.col("a.bnd") == F.col("b.bnd"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct()
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    match_sum = None
+    for i in range(num_hashes):
+        m = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        match_sum = m if match_sum is None else match_sum + m
+    est = F.round(match_sum.cast("double") / F.lit(float(num_hashes)), 6)
+    with_est = cands.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est.alias("est_jaccard"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    xa = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
+    xb = sh.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
+    common = (
+        with_est.select("id_a", "id_b")
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .where(F.col("ha") == F.col("hb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    exact = F.round(
+        F.col("common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        6,
+    )
+    return (
+        with_est.join(common, ["id_a", "id_b"])
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )

@@ -211,3 +211,44 @@ def test_checksum_diff_localizes_missing_row(spark):
     assert len(out) == 1
     assert out[0]["row_delta"] == 1
     assert out[0]["n_rows_left"] == out[0]["n_rows_right"] + 1
+
+
+# ---------------------------------------------------------------- minhash accuracy
+
+
+def test_minhash_accuracy_identical_docs(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different content with no overlap at all zz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in TX.minhash_accuracy(df).collect()}
+    pair = out[(1, 2)]
+    assert pair["est_jaccard"] == 1.0
+    assert pair["exact_jaccard"] == 1.0
+    assert pair["abs_err"] == 0.0
+
+
+def test_minhash_accuracy_err_is_est_minus_exact(spark):
+    docs = [
+        (1, "aaaa bbbb cccc dddd eeee ffff"),
+        (2, "aaaa bbbb cccc dddd eeee xxxx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = TX.minhash_accuracy(df).collect()
+    for r in rows:
+        assert r["abs_err"] == pytest.approx(
+            abs(r["est_jaccard"] - r["exact_jaccard"]), abs=1e-6
+        )
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 < r["exact_jaccard"] <= 1.0
+
+
+def test_minhash_portable_signatures_differ_from_default_but_same_shape(spark):
+    docs = [(1, "some text for hashing goes here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    s1 = TX.minhash_signatures(df, num_hashes=8).collect()[0]["sig"]
+    s2 = TX.minhash_signatures(df, num_hashes=8, portable=True).collect()[0]["sig"]
+    assert len(s1) == len(s2) == 8
+    assert all(0 <= v < 2147483647 for v in s2)
