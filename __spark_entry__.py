@@ -4870,7 +4870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # median, winsorize, ewma, feature-hash, crosstab, attribution)
     # plus the whole THIRD round-5 wave (markov … geo_radius_join, the
     # analytics/sketch/retrieval/spatial/connector ids added after this
-    # prefix froze) — all oracle- and vanilla-session-checked locally.
+    # prefix froze) and the FOURTH wave (q_assoc_rules …
+    # q_table_diff + q_minhash_accuracy: mining / statistics /
+    # anti-entropy) — all oracle- and vanilla-session-checked locally
+    # at sf0.001/0.01/0.1.
     return {
         # — (a) never driver-checked: r1b leftovers —
         "q_scd2_merge": q_scd2_merge,

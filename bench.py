@@ -85,6 +85,21 @@ ANALYTICS_OPS = [
     "q_xml_ingest",
 ]
 
+# round-5 fourth wave: mining / statistics / anti-entropy — the pair-
+# generation operators (assoc rules, PMI, simhash blocks, minhash
+# accuracy) are the ones whose cost would drift first if a prune
+# regressed, so their trend is tracked per round
+MINING_OPS = [
+    "q_assoc_rules",
+    "q_collocations_pmi",
+    "q_simhash_hamming",
+    "q_minhash_accuracy",
+    "q_rolling_distinct",
+    "q_abtest_welch",
+    "q_quantile_rollup",
+    "q_table_diff",
+]
+
 
 PASSES = 3
 
@@ -223,7 +238,7 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
@@ -231,6 +246,7 @@ def main() -> None:
     versioned_io = _timed_pass(qs, VERSIONED_IO, spark, sf_dir)
     corpus_ops = _timed_pass(qs, CORPUS_OPS, spark, sf_dir)
     analytics_ops = _timed_pass(qs, ANALYTICS_OPS, spark, sf_dir)
+    mining_ops = _timed_pass(qs, MINING_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
     bloom_join = _bloom_bench(spark, sf_dir)
     total = round(sum(timings.values()), 3)
@@ -250,6 +266,8 @@ def main() -> None:
                 "corpus_ops_total": round(sum(corpus_ops.values()), 3),
                 "analytics_ops": analytics_ops,
                 "analytics_ops_total": round(sum(analytics_ops.values()), 3),
+                "mining_ops": mining_ops,
+                "mining_ops_total": round(sum(mining_ops.values()), 3),
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,
                 "passes": PASSES,
