@@ -4843,6 +4843,58 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["bucket"])
 
 
+def q_agg_maxby(spark: SparkSession, sf: str) -> DataFrame:
+    """E10c (round 5, wave 4): arg-aggregates — max_by / min_by ("which
+    user produced the extreme value"), the lookup that otherwise costs
+    a window + filter or a self-join back to the base table. Ordering
+    key is a composite bigint (centi-value · 10¹⁰ + event_id) so ties
+    on value resolve deterministically by event_id in every engine —
+    bare max_by over a non-unique key is tie-nondeterministic and
+    would never hash-match an oracle."""
+    e = load_table(spark, sf, "events")
+    key = (
+        F.round(F.col("value") * 100, 0).cast("long") * F.lit(10_000_000_000)
+        + F.col("event_id")
+    )
+    out = e.groupBy("event_type").agg(
+        F.max_by("user_id", key).alias("top_user"),
+        F.min_by("user_id", key).alias("bottom_user"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+    )
+    return O.sort(out, ["event_type"])
+
+
+def q_log_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-parsing staple (round 5, wave 4): structured fields recovered
+    from unstructured log lines with regexp groups — the classic
+    ingest shape for printf-style application logs. Lines are RENDERED
+    from events (integer cents, so the round trip is lossless and
+    engine-identical), then parsed back with ``regexp_extract`` and
+    aggregated; the parse path is pure codegen (no UDF) and the
+    aggregate proves every field survived. At 100 TB parsing happens
+    in the scan stage — zero extra shuffles."""
+    e = load_table(spark, sf, "events")
+    line = F.concat(
+        F.lit("evt id="), F.col("event_id").cast("string"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" type="), F.col("event_type"),
+        F.lit(" cents="), F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+    )
+    logs = e.select(line.alias("line"))
+    parsed = logs.select(
+        F.regexp_extract("line", r"user=([0-9]+)", 1).cast("long").alias("uid"),
+        F.regexp_extract("line", r"type=([a-z]+)", 1).alias("typ"),
+        F.regexp_extract("line", r"cents=([0-9]+)", 1).cast("long").alias("cents"),
+    )
+    out = parsed.groupBy("typ").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.countDistinct("uid").alias("n_users"),
+    )
+    return O.sort(out, ["typ"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4974,6 +5026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_rollup": q_quantile_rollup,
         "q_minhash_accuracy": q_minhash_accuracy,
         "q_table_diff": q_table_diff,
+        "q_agg_maxby": q_agg_maxby,
+        "q_log_parse": q_log_parse,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5418,6 +5472,37 @@ def oracle_sql() -> dict[str, str]:
     return {
         # — round-5 wave 4 —
         "q_minhash_accuracy": _minhash_accuracy_oracle(16, 4, 5),
+        "q_agg_maxby": """
+            SELECT event_type,
+                   arg_max(user_id, CAST(ROUND(value * 100, 0) AS BIGINT) * 10000000000
+                                    + event_id) AS top_user,
+                   arg_min(user_id, CAST(ROUND(value * 100, 0) AS BIGINT) * 10000000000
+                                    + event_id) AS bottom_user,
+                   ROUND(MAX(value), 6) AS max_value,
+                   ROUND(MIN(value), 6) AS min_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "q_log_parse": """
+            WITH logs AS (
+                SELECT CONCAT('evt id=', CAST(event_id AS VARCHAR),
+                              ' user=', CAST(user_id AS VARCHAR),
+                              ' type=', event_type,
+                              ' cents=', CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR))
+                           AS line
+                FROM events
+            ),
+            parsed AS (
+                SELECT CAST(regexp_extract(line, 'user=([0-9]+)', 1) AS BIGINT) AS uid,
+                       regexp_extract(line, 'type=([a-z]+)', 1) AS typ,
+                       CAST(regexp_extract(line, 'cents=([0-9]+)', 1) AS BIGINT) AS cents
+                FROM logs
+            )
+            SELECT typ, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   COUNT(DISTINCT uid) AS n_users
+            FROM parsed GROUP BY typ ORDER BY typ
+        """,
         "q_assoc_rules": """
             WITH bi AS (
                 SELECT DISTINCT l_orderkey AS basket, l_partkey % 40 AS item
