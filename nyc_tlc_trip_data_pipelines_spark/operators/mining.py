@@ -74,14 +74,23 @@ def assoc_rules(
       lift       = n_ab * n_baskets / (n_a * n_b)
     All ratios are exact integer divisions rounded to 6 dp, so any SQL
     engine reproduces them bit-for-bit."""
-    bi = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    # the deduped (basket, item) table feeds FOUR consumers (basket
+    # count, item counts, both self-join sides); persist it so the
+    # scan+dedup runs once — at 100 TB this is the table you'd write
+    # out before mining (same persist rationale as minhash signatures)
+    bi = (
+        df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
+        .distinct()
+        .persist()
+    )
     n_baskets = bi.select("basket").distinct().count()
     item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = bi.alias("a")
+    b = bi.alias("b")
     pairs = (
-        basket_pairs(df, basket_col, item_col)
-        .groupBy("item_a", "item_b")
+        a.join(b, on=F.col("a.basket") == F.col("b.basket"))
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_pair_count)
     )
@@ -126,14 +135,20 @@ def collocations_pmi(
     enter the pair stage (broadcast semi-join prune — this is what
     keeps the self-join fanout vocab-bounded at corpus scale), and only
     pairs with ``df_ab >= min_pair_df`` are emitted."""
-    dt = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok")
-    ).distinct()
+    # (doc, token) presence is tokenize+explode+dedup over the corpus —
+    # persist it (vocab build + prune read it) and persist the pruned
+    # table too (BOTH self-join sides read it); without these the
+    # corpus text is re-tokenized four times
+    dt = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok"))
+        .distinct()
+        .persist()
+    )
     n_docs = df.select(id_col).distinct().count()
     vocab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") >= min_df
     )
-    pruned = dt.join(F.broadcast(vocab.select("tok")), "tok", "semi")
+    pruned = dt.join(F.broadcast(vocab.select("tok")), "tok", "semi").persist()
     a = pruned.alias("a")
     b = pruned.alias("b")
     pair_df = (

@@ -1174,7 +1174,11 @@ def simhash_hamming_pairs(
     assert max_hamming <= n_blocks - 1, "pigeonhole recall needs max_hamming < n_blocks"
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col, bits=bits, portable=portable)
+    # the signature build (tokenize + 60 bit-vote sums) feeds both
+    # sides of every per-block join — persist it or it runs 2·n_blocks
+    # times (measured 3.6 s → 1.3 s at sf0.1; at 100 TB the signatures
+    # would be written to a table once, same as MinHash)
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits, portable=portable).persist()
     cands = None
     for k in range(n_blocks):
         blk = F.shiftright(F.col("simhash"), k * block_bits).bitwiseAND(F.lit(mask))
@@ -1272,28 +1276,24 @@ def minhash_accuracy(
         match_sum = m if match_sum is None else match_sum + m
     est = F.round(match_sum.cast("double") / F.lit(float(num_hashes)), 6)
     with_est = cands.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est.alias("est_jaccard"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    xa = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
-    xb = sh.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
-    common = (
-        with_est.select("id_a", "id_b")
-        .join(xa, "id_a")
-        .join(xb, "id_b")
-        .where(F.col("ha") == F.col("hb"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    # Exact stage: per-doc shingle-hash ARRAYS + array_intersect per
+    # pair — the verify formulation minhash_verified_pairs measured
+    # against the posting expansion: exploding candidate pairs × doc
+    # shingles shuffles |pairs|·|doc| rows (53M at sf0.1, 7.7 s),
+    # while the array intersect is hash-set-local per pair (~1 s).
+    # Arrays aggregate straight off the already-persisted distinct
+    # (id, h) rows, so no second tokenize pass either.
+    shset = sh.groupBy(id_col).agg(F.collect_list("h").alias("shs"))
+    aa = shset.select(F.col(id_col).alias("id_a"), F.col("shs").alias("sh_a"))
+    bb = shset.select(F.col(id_col).alias("id_b"), F.col("shs").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     exact = F.round(
-        F.col("common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        common / (F.size("sh_a") + F.size("sh_b") - common),
         6,
     )
     return (
-        with_est.join(common, ["id_a", "id_b"])
-        .join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        with_est.join(aa, "id_a")
+        .join(bb, "id_b")
         .select(
             "id_a",
             "id_b",
