@@ -404,3 +404,69 @@ def test_jackknife_matches_python_reference(spark, rows):
             assert got[g] is None
         else:
             assert got[g] == round((S - sums[g]) / ((N - counts[g]) * 100.0), 6)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.text("ab", min_size=0, max_size=4)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 59),
+)
+@settings(max_examples=10, deadline=None)
+def test_checksum_diff_localizes_any_single_row_drop(spark, rows, drop_idx):
+    from nyc_tlc_trip_data_pipelines_spark.operators import dq as DQ
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    victim = rows[drop_idx % len(rows)][0]
+    from pyspark.sql import functions as F
+
+    damaged = df.where(F.col("id") != victim)
+    out = DQ.checksum_diff(df, damaged, ["id", "s"], n_buckets=4).collect()
+    # exactly one bucket differs, by exactly one row
+    assert len(out) == 1 and out[0]["row_delta"] == 1
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=2, max_size=40),
+    st.lists(st.integers(0, 500), min_size=2, max_size=40),
+)
+@settings(max_examples=10, deadline=None)
+def test_welch_ttest_antisymmetric_under_arm_swap(spark, xs, ys):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    rows = [("g", float(v), True) for v in xs] + [("g", float(v), False) for v in ys]
+    df = spark.createDataFrame(rows, "k string, v double, a boolean")
+    fwd = agg.welch_ttest(df, ["k"], F.col("v"), F.col("a")).collect()[0]
+    rev = agg.welch_ttest(df, ["k"], F.col("v"), ~F.col("a")).collect()[0]
+    assert fwd["n_a"] == rev["n_b"] and fwd["n_b"] == rev["n_a"]
+    if fwd["t_stat"] is not None:
+        assert rev["t_stat"] == -fwd["t_stat"]          # t flips sign
+        assert abs(rev["welch_df"] - fwd["welch_df"]) < 1e-6  # df invariant
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(0, 5)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_assoc_rules_identities(spark, rows):
+    from nyc_tlc_trip_data_pipelines_spark.operators import mining as MN
+
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = MN.assoc_rules(df, "basket", "item", min_pair_count=1).collect()
+    n_baskets = len({b for b, _ in rows})
+    for r in out:
+        assert r["item_a"] < r["item_b"]
+        # lift = conf_a_b / P(b): identity up to 6dp rounding
+        assert 0 < r["support"] <= 1
+        assert 0 < r["conf_a_b"] <= 1 and 0 < r["conf_b_a"] <= 1
+        # support * n_baskets = n_ab exactly
+        assert abs(r["support"] * n_baskets - r["n_ab"]) < 1e-3
