@@ -4843,6 +4843,33 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["bucket"])
 
 
+def q_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal surface (round 5, wave 4): perceptual-hash image
+    near-dup buckets — average-hash (aHash) fingerprints computed from
+    REAL decoded BMP payloads inside Arrow mapInPandas
+    (operators/multimodal.py ahash_images: integer block sums,
+    cross-multiplied against the image average, packed into one long),
+    then the SAME hash-groupBy the text dedup stack uses. The fixture's
+    closed-form pixels make the full decode→hash→bucket chain
+    SQL-replayable; aHash's brightness-invariance is exactly what makes
+    the synthetic gradient images collide — the property real pipelines
+    exploit for near-dup detection."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_bmp_media(spark, 48)
+    hashed = M.ahash_images(media, block=2)
+    out = (
+        hashed.groupBy("ahash")
+        .agg(
+            F.min("media_id").alias("first_media"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .where(F.col("n_images") >= 2)
+        .select("first_media", "n_images")
+    )
+    return O.sort(out, ["first_media"])
+
+
 def q_agg_maxby(spark: SparkSession, sf: str) -> DataFrame:
     """E10c (round 5, wave 4): arg-aggregates — max_by / min_by ("which
     user produced the extreme value"), the lookup that otherwise costs
@@ -5028,6 +5055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_diff": q_table_diff,
         "q_agg_maxby": q_agg_maxby,
         "q_log_parse": q_log_parse,
+        "q_image_dedup": q_image_dedup,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5472,6 +5500,39 @@ def oracle_sql() -> dict[str, str]:
     return {
         # — round-5 wave 4 —
         "q_minhash_accuracy": _minhash_accuracy_oracle(16, 4, 5),
+        # wave 4: full SQL replay of decode→aHash→bucket over the
+        # closed-form BMP fixture pixels (same oracle style as the
+        # other multimodal queries: the Spark side decodes REAL bytes,
+        # the oracle recomputes from the pixel formula)
+        "q_image_dedup": """
+            WITH px AS (
+                SELECT i, x, y,
+                       ((i*7 + x*5 + y*17) % 256
+                        + (i*5 + x*13 + y*3) % 256
+                        + (i*3 + x*7 + y*11) % 256) AS s
+                FROM generate_series(0, 47) t0(i),
+                     generate_series(0, 15) t1(x),
+                     generate_series(0, 11) t2(y)
+            ), cells AS (
+                SELECT i, y // 2 AS by, x // 2 AS bx, SUM(s) AS cs
+                FROM px GROUP BY i, y // 2, x // 2
+            ), tot AS (
+                SELECT i, SUM(cs) AS ts FROM cells GROUP BY i
+            ), bits AS (
+                SELECT c.i, (c.by * 8 + c.bx) AS pos,
+                       CASE WHEN c.cs * 48 > t.ts THEN 1 ELSE 0 END AS bit
+                FROM cells c JOIN tot t ON c.i = t.i
+            ), h AS (
+                SELECT i,
+                       CAST(SUM(CASE WHEN bit = 1
+                                     THEN (CAST(1 AS BIGINT) << pos)
+                                     ELSE 0 END) AS BIGINT) AS ahash
+                FROM bits GROUP BY i
+            )
+            SELECT MIN(i) AS first_media, COUNT(*) AS n_images
+            FROM h GROUP BY ahash HAVING COUNT(*) >= 2
+            ORDER BY first_media
+        """,
         "q_agg_maxby": """
             SELECT event_type,
                    arg_max(user_id, CAST(ROUND(value * 100, 0) AS BIGINT) * 10000000000

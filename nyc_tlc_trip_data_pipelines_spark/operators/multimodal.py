@@ -729,3 +729,64 @@ def segment_silence(
             )
 
     return df.filter(F.col("kind") == "audio").mapInPandas(_segment, SILENCE_SEGMENT_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def ahash_bmp(payload: bytes, block: int = 2) -> int:
+    """Average-hash (aHash) perceptual fingerprint from a REAL decoded
+    BMP: sum r+g+b per ``block``×``block`` cell, set bit i when cell i's
+    sum (cross-multiplied — pure integer arithmetic, no float mean) is
+    above the image average. Brightness-only shifts preserve the bit
+    pattern — the classic aHash property that makes it a near-dup
+    bucket key, and exactly why a SQL oracle can replay it exactly."""
+    import numpy as np
+
+    arr = _bmp_array(payload).astype(np.int64)  # (h, w, 3) BGR
+    h, w = arr.shape[0], arr.shape[1]
+    s = arr.sum(axis=2)  # r+g+b per pixel
+    by, bx = h // block, w // block
+    cells = s[: by * block, : bx * block].reshape(by, block, bx, block).sum(axis=(1, 3))
+    total = int(cells.sum())
+    n_cells = by * bx
+    bits = (cells.astype(object) * n_cells > total).astype(np.uint8)
+    hash_v = 0
+    for yy in range(by):
+        for xx in range(bx):
+            if bits[yy, xx]:
+                hash_v |= 1 << (yy * bx + xx)
+    return hash_v
+
+
+def ahash_images(df: DataFrame, block: int = 2) -> DataFrame:
+    """Perceptual-hash fingerprints for image payloads via Arrow-batched
+    ``mapInPandas`` — the multimodal twin of the text fingerprint: one
+    64-bit key per image, so image near-dup detection is the SAME cheap
+    hash-groupBy the text stack uses (payloads never shuffle; the hash
+    is computed where the bytes already sit).
+
+    100 TB: decode + hash are row-local in the scan stage; everything
+    downstream (bucket groupBy, keep-best, diff against an index) moves
+    8-byte keys."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.Series(
+                        [ahash_bmp(b, block) for b in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_hash, AHASH_SCHEMA)

@@ -206,3 +206,52 @@ def test_silence_trim_all_silent_and_mixed(spark):
     assert got[1].first_voiced is None and got[1].last_voiced is None
     assert got[2].n_frames == 3 and got[2].n_silent == 2
     assert got[2].first_voiced == 1 and got[2].last_voiced == 1
+
+
+def test_ahash_brightness_invariance_and_separation(spark):
+    """aHash must collide for brightness-shifted copies of the same
+    image and separate structurally different ones."""
+    import numpy as np
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    def bmp_from(arr):
+        return M._encode_bmp(arr)
+
+    h, w = 12, 16
+    base = np.zeros((h, w, 3), dtype=np.uint8)
+    base[:, : w // 2] = 10          # dark left half
+    base[:, w // 2 :] = 200         # bright right half
+    brighter = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    flipped = base[:, ::-1].copy()  # structure reversed
+    rows = [
+        (0, "image", bmp_from(base), "image/bmp", w, h, None),
+        (1, "image", bmp_from(brighter), "image/bmp", w, h, None),
+        (2, "image", bmp_from(flipped), "image/bmp", w, h, None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["ahash"] for r in M.ahash_images(df).collect()}
+    assert got[0] == got[1]   # brightness shift preserves the hash
+    assert got[0] != got[2]   # structural change flips bits
+
+
+def test_ahash_matches_formula_replay(spark):
+    """The real-decode hash equals a direct recomputation from the
+    fixture pixel formula (the oracle contract)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_bmp_media(spark, 6)
+    got = {r["media_id"]: r["ahash"] for r in M.ahash_images(media).collect()}
+    for i in range(6):
+        cells = {}
+        for y in range(12):
+            for x in range(16):
+                r, g, b = M._bmp_pixel(i, x, y)
+                key = (y // 2, x // 2)
+                cells[key] = cells.get(key, 0) + r + g + b
+        total = sum(cells.values())
+        expect = 0
+        for (by, bx), cs in cells.items():
+            if cs * len(cells) > total:
+                expect |= 1 << (by * 8 + bx)
+        assert got[i] == expect
