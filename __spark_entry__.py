@@ -4843,6 +4843,54 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["bucket"])
 
 
+def q_stream_source_custom(spark: SparkSession, sf: str) -> DataFrame:
+    """E35h (round 5, wave 4): custom Python DataSource STREAM reader
+    (PySpark 4 SimpleDataSourceStreamReader) — the last connector
+    quadrant (batch read/write and stream write existed; this is
+    stream READ): the object-store listing replayed INCREMENTALLY,
+    ``batch_size`` objects per microbatch in sorted-key order with
+    durable JSON offsets (datasource.py ObjectStoreListingStreamSource
+    — the local stand-in for S3 StartAfter-incremental ingest).
+    Fixture: 16 files with closed-form sizes (i*10+3), batch_size=5 →
+    batches 5/5/5/1 whose per-batch byte totals the oracle recomputes
+    from first principles. Python microbatch streams don't support
+    Trigger.AvailableNow (Spark falls back to one batch), so the query
+    polls foreachBatch until the listing is exhausted — the
+    processingTime path a production incremental ingest runs."""
+    import time as _time
+
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
+
+    DSRC.register(spark)
+    d = tempfile.mkdtemp(prefix="osls_q_")
+    for i in range(16):
+        with open(os.path.join(d, f"obj_{i:02d}.bin"), "wb") as fh:
+            fh.write(b"x" * (i * 10 + 3))
+    got: list[tuple[int, int, int]] = []
+
+    def fb(df: DataFrame, bid: int) -> None:
+        rows = df.collect()
+        if rows:
+            got.append((int(bid), len(rows), int(sum(r["n_bytes"] for r in rows))))
+
+    q = (
+        spark.readStream.format("objectstore_listing_stream")
+        .option("root", d)
+        .option("batch_size", "5")
+        .load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", d + "_ckpt")
+        .start()
+    )
+    t0 = _time.time()
+    while _time.time() - t0 < 120 and sum(g[1] for g in got) < 16:
+        _time.sleep(0.25)
+    q.stop()
+    return spark.createDataFrame(
+        sorted(got), "batch_id int, n_objects bigint, total_bytes bigint"
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal surface (round 5, wave 4): perceptual-hash image
     near-dup buckets — average-hash (aHash) fingerprints computed from
@@ -5056,6 +5104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_maxby": q_agg_maxby,
         "q_log_parse": q_log_parse,
         "q_image_dedup": q_image_dedup,
+        "q_stream_source_custom": q_stream_source_custom,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5532,6 +5581,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(i) AS first_media, COUNT(*) AS n_images
             FROM h GROUP BY ahash HAVING COUNT(*) >= 2
             ORDER BY first_media
+        """,
+        # wave 4: incremental custom-source stream — closed-form fixture
+        "q_stream_source_custom": """
+            WITH f AS (
+                SELECT i, i * 10 + 3 AS sz, CAST(i // 5 AS INT) AS batch_id
+                FROM generate_series(0, 15) t(i)
+            )
+            SELECT batch_id, COUNT(*) AS n_objects,
+                   CAST(SUM(sz) AS BIGINT) AS total_bytes
+            FROM f GROUP BY batch_id ORDER BY batch_id
         """,
         "q_agg_maxby": """
             SELECT event_type,

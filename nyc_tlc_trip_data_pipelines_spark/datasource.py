@@ -107,10 +107,29 @@ class ObjectStoreListingSource(DataSource):
 def register(spark) -> None:
     """Register the listing source and enable Python-source filter
     pushdown (off by default; a reader that implements ``pushFilters``
-    refuses to initialize without it)."""
+    refuses to initialize without it). Ships the package to Python
+    workers first: DataSource classes pickle BY REFERENCE, so a session
+    whose workers can't import this module (any external/vanilla
+    session) fails at plan time with ModuleNotFoundError otherwise —
+    found by a fresh-session rehearsal of the stream source."""
+    import sys as _sys
+
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    # addPyFile covers executor task workers, but the STREAMING planner
+    # spawns a separate "initialize source" Python worker that does not
+    # see SparkContext pyFiles — serialize this module BY VALUE so the
+    # DataSource classes unpickle anywhere (module source rides inside
+    # the pickle; this file deliberately has no package-level imports
+    # from the rest of the repo).
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ObjectStoreListingSource)
     spark.dataSource.register(ObjectStoreJsonlSink)
+    spark.dataSource.register(ObjectStoreListingStreamSource)
 
 
 # ---------------------------------------------------------------------------
@@ -203,3 +222,61 @@ def read_jsonl_sink(spark, root: str, schema: str):
         manifest = json.load(fh)
     paths = [os.path.join(root, f["file"]) for f in manifest["files"]]
     return spark.read.schema(schema).json(paths)
+
+
+class ObjectStoreListingStreamReader:
+    """Incremental listing STREAM (PySpark 4 SimpleDataSourceStreamReader):
+    each microbatch emits the next ``batch_size`` objects in sorted-key
+    order; the offset is simply how many keys have been emitted. This
+    is the local stand-in for incremental bucket ingest (S3 inventory /
+    ListObjects with StartAfter = last seen key): new objects appear at
+    the end of the keyspace walk and flow into later batches.
+
+    Offsets are durable JSON dicts, so checkpoint recovery replays
+    exactly (``readBetweenOffsets`` re-slices the same sorted listing —
+    deterministic because keys sort totally and sizes are immutable).
+    """
+
+    def __init__(self, options):
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("objectstore_listing_stream requires .option('root', <path>)")
+        self.batch_size = int(options.get("batch_size", "10"))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _keys(self):
+        import os as _os
+
+        out = []
+        for dirpath, _dirs, files in _os.walk(self.root):
+            for f in files:
+                full = _os.path.join(dirpath, f)
+                out.append((_os.path.relpath(full, self.root), _os.path.getsize(full)))
+        return sorted(out)
+
+    def read(self, start: dict):
+        i = int(start["index"])
+        ks = self._keys()
+        j = min(len(ks), i + self.batch_size)
+        return iter(ks[i:j]), {"index": j}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        ks = self._keys()
+        return iter(ks[int(start["index"]) : int(end["index"])])
+
+    def commit(self, end: dict) -> None:  # listing is stateless
+        pass
+
+
+class ObjectStoreListingStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "objectstore_listing_stream"
+
+    def schema(self) -> str:
+        return "key string, n_bytes bigint"
+
+    def simpleStreamReader(self, schema):
+        return ObjectStoreListingStreamReader(self.options)

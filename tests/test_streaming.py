@@ -248,3 +248,84 @@ def test_quarantine_sink_routes_and_loses_nothing(spark, replay_dir, tmp_path):
         bad = spark.read.parquet(bad_p)
         assert bad.count() == n_bad_expect
         assert "__quarantined_at_batch" in bad.columns
+
+
+def test_custom_stream_source_incremental_batches(spark, tmp_path):
+    """SimpleDataSourceStreamReader listing stream: sorted-key order,
+    batch_size objects per microbatch, offsets advance monotonically."""
+    import time
+
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
+
+    spark.dataSource.register(DSRC.ObjectStoreListingStreamSource)
+    root = tmp_path / "objs"
+    root.mkdir()
+    for i in range(7):
+        (root / f"k_{i}.bin").write_bytes(b"y" * (i + 1))
+    seen = []
+
+    def fb(df, bid):
+        rows = sorted(r["key"] for r in df.collect())
+        if rows:
+            seen.append((int(bid), rows))
+
+    q = (
+        spark.readStream.format("objectstore_listing_stream")
+        .option("root", str(root))
+        .option("batch_size", "3")
+        .load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    t0 = time.time()
+    while time.time() - t0 < 90 and sum(len(r) for _, r in seen) < 7:
+        time.sleep(0.25)
+    q.stop()
+    seen.sort()
+    assert [len(r) for _, r in seen] == [3, 3, 1]
+    flat = [k for _, rows in seen for k in rows]
+    assert flat == sorted(f"k_{i}.bin" for i in range(7))
+
+
+def test_custom_stream_source_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """Offsets are durable: a restarted stream with the same checkpoint
+    continues AFTER the last committed batch — new files flow, old ones
+    never re-emit."""
+    import time
+
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
+
+    spark.dataSource.register(DSRC.ObjectStoreListingStreamSource)
+    root = tmp_path / "objs2"
+    root.mkdir()
+    for i in range(4):
+        (root / f"a_{i}.bin").write_bytes(b"z")
+    ckpt = str(tmp_path / "ckpt2")
+    seen: list[str] = []
+
+    def fb(df, bid):
+        seen.extend(r["key"] for r in df.collect())
+
+    def run_until(n):
+        q = (
+            spark.readStream.format("objectstore_listing_stream")
+            .option("root", str(root))
+            .option("batch_size", "2")
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        t0 = time.time()
+        while time.time() - t0 < 90 and len(seen) < n:
+            time.sleep(0.25)
+        q.stop()
+
+    run_until(4)
+    assert sorted(seen) == [f"a_{i}.bin" for i in range(4)]
+    # new objects arrive while the stream is down
+    for i in range(4, 6):
+        (root / f"a_{i}.bin").write_bytes(b"z")
+    run_until(6)
+    assert sorted(seen) == [f"a_{i}.bin" for i in range(6)]  # no dupes
