@@ -4970,6 +4970,89 @@ def q_log_parse(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["typ"])
 
 
+def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-corpus staple (round 5, wave 5): URL canonicalization +
+    URL-keyed dedup (operators/web.py) — the FIRST dedup pass a
+    crawl-derived pipeline runs, before any content hashing. URLs are
+    RENDERED deterministically from documents (mixed-case scheme/host,
+    ``utm_*`` tracking params, fragments — the three classic spurious
+    variants), canonicalized with pure regexp codegen (host lowercased,
+    tracking stripped, fragment dropped, path case preserved), then
+    grouped keep-first exactly like the text exact-dedup stack. At
+    100 TB canonicalization happens in the scan stage and the only
+    shuffle is the canonical-key groupBy."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import web as WB
+
+    d = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_source=feed&utm_campaign=c"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    out = WB.url_dedup(pages).where(F.col("n_docs") >= 2)
+    return O.sort(out, ["canonical_url"])
+
+
+def q_html_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-corpus staple (round 5, wave 5): HTML boilerplate removal
+    (operators/web.py strip_html) — script/style blocks dropped
+    wholesale, tags to spaces, prose entities unescaped, whitespace
+    collapsed; all RE2∩Java-regex codegen (no backreferences, no UDF).
+    Pages are RENDERED around the document text so the strip is exactly
+    invertible for the oracle; per-source token totals prove the text
+    survived and the markup did not. The regex tier is the pass that
+    touches every byte at 100 TB — a DOM-aware extractor for the hard
+    pages layers behind mapInPandas like the multimodal decoders."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import web as WB
+
+    d = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">if (x&&y) { nav(); }'
+            "</script><style>.m{color:#333}</style></head><body><h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>footer &amp; links&nbsp;&lt;here&gt;</div></body></html>"),
+    )
+    stripped = WB.strip_html(html)
+    out = (
+        d.select(
+            F.col("source"),
+            F.size(TX.tokenize(stripped)).alias("tok_stripped"),
+            F.size(TX.tokenize(F.col("text"))).alias("tok_text"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_stripped").alias("sum_tok_stripped"),
+            F.sum("tok_text").alias("sum_tok_text"),
+        )
+    )
+    return O.sort(out, ["source"])
+
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-signal staple (round 5, wave 5): within-document token
+    Shannon entropy (operators/corpus.py token_entropy) — the
+    model-free detector for keyword-stuffed / template pages that
+    never repeat an exact n-gram (complementing q_repetition_profile)
+    and needs no corpus LM pass (complementing q_unigram_logprob).
+    Shuffle-friendly ``ln(n) − Σ c·ln c / n`` form: two keyed hash
+    exchanges, both bounded by per-doc vocabulary then doc count."""
+    d = load_table(spark, sf, "documents")
+    return O.sort(CP.token_entropy(d), ["doc_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -5105,6 +5188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_log_parse": q_log_parse,
         "q_image_dedup": q_image_dedup,
         "q_stream_source_custom": q_stream_source_custom,
+        "q_url_canonicalize": q_url_canonicalize,
+        "q_html_strip": q_html_strip,
+        "q_token_entropy": q_token_entropy,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5591,6 +5677,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT batch_id, COUNT(*) AS n_objects,
                    CAST(SUM(sz) AS BIGINT) AS total_bytes
             FROM f GROUP BY batch_id ORDER BY batch_id
+        """,
+        "q_url_canonicalize": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       CONCAT('HTTPS://',
+                              CASE WHEN doc_id % 3 = 0 THEN UPPER(source) ELSE source END,
+                              '.Example.COM/docs/', CAST(doc_id % 50 AS VARCHAR),
+                              '?id=', CAST(doc_id % 50 AS VARCHAR),
+                              '&utm_source=feed&utm_campaign=c', CAST(doc_id % 7 AS VARCHAR),
+                              '#sec', CAST(doc_id % 4 AS VARCHAR)) AS url
+                FROM documents
+            ),
+            cleaned AS (
+                SELECT doc_id,
+                       REGEXP_REPLACE(REGEXP_REPLACE(url, '#.*$', ''),
+                                      '&utm_[a-z_]+=[^&#]*', '', 'g') AS u
+                FROM pages
+            ),
+            canon AS (
+                SELECT doc_id,
+                       LOWER(REGEXP_EXTRACT(u, '(?i)^(https?://[^/?#]*)', 1))
+                       || REGEXP_REPLACE(u, '(?i)^https?://[^/?#]*', '') AS canonical_url
+                FROM cleaned
+            )
+            SELECT canonical_url, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+            FROM canon GROUP BY canonical_url
+            HAVING COUNT(*) >= 2
+            ORDER BY canonical_url
+        """,
+        "q_html_strip": r"""
+            WITH pages AS (
+                SELECT source, text,
+                       CONCAT('<html><head><script type="text/javascript">if (x&&y) { nav(); }',
+                              '</script><style>.m{color:#333}</style></head><body><h1>',
+                              source, '</h1><p>', text,
+                              '</p><div>footer &amp; links&nbsp;&lt;here&gt;</div></body></html>')
+                           AS html
+                FROM documents
+            ),
+            s1 AS (
+                SELECT source, text,
+                       TRIM(REGEXP_REPLACE(
+                           REPLACE(REPLACE(REPLACE(REPLACE(
+                               REGEXP_REPLACE(
+                                   REGEXP_REPLACE(
+                                       REGEXP_REPLACE(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                                   '<[^>]+>', ' ', 'g'),
+                               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                           '\s+', ' ', 'g')) AS stripped
+                FROM pages
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(stripped)), '\s+'),
+                                t -> t <> ''))) AS BIGINT) AS sum_tok_stripped,
+                   CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                t -> t <> ''))) AS BIGINT) AS sum_tok_text
+            FROM s1 GROUP BY source ORDER BY source
+        """,
+        "q_token_entropy": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                              t -> t <> '')) AS w
+                FROM documents
+            ),
+            per AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n,
+                       COUNT(*) AS nd,
+                       LN(CAST(SUM(c) AS DOUBLE)) - SUM(c * LN(c)) / CAST(SUM(c) AS DOUBLE) AS ent
+                FROM per GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(nd AS INT) AS n_distinct,
+                   ROUND(ent, 4) AS entropy,
+                   ROUND(CASE WHEN nd > 1 THEN ent / LN(CAST(nd AS DOUBLE)) END, 4) AS entropy_ratio
+            FROM agg ORDER BY doc_id
         """,
         "q_agg_maxby": """
             SELECT event_type,

@@ -447,6 +447,48 @@ def unigram_logprob(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document token-distribution Shannon entropy — the
+    information-theoretic quality signal that separates natural prose
+    (high entropy) from keyword-stuffed / template / repeated-phrase
+    pages (low entropy) without any reference model. Complements
+    :func:`repetition_profile` (which detects REPEATED n-grams) by
+    catching skew that never repeats an exact n-gram, and
+    :func:`unigram_logprob` (which needs a corpus-level LM pass).
+
+    H(doc) = −Σ p(w)·ln p(w) over the doc's token frequencies,
+    computed in shuffle-friendly form as ``ln(n) − Σ c·ln(c) / n`` so
+    the aggregation is a plain SUM (map-side combinable), not a
+    normalized-then-summed two-pass.
+
+    Returns ``(id, n_tokens, n_distinct, entropy, entropy_ratio)``
+    where ``entropy_ratio = H / ln(n_distinct)`` ∈ [0,1] (1 = perfectly
+    uniform usage; NULL for single-token docs) — the scale-free number
+    a filter thresholds on.
+
+    Scale shape: two hash exchanges, both keyed (id, w) then (id) —
+    partial aggregation bounds the first shuffle by per-doc vocabulary,
+    the second by document count. No windows, no UDFs, pure codegen.
+    """
+    words = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w"))
+    per = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    c_ln_c = F.sum(F.col("c") * F.log(F.col("c")))
+    ent = F.log(n) - c_ln_c / n
+    n_distinct = F.count(F.lit(1))
+    return per.groupBy(id_col).agg(
+        n.cast("int").alias("n_tokens"),
+        n_distinct.cast("int").alias("n_distinct"),
+        F.round(ent, 4).alias("entropy"),
+        F.round(
+            F.when(n_distinct > 1, ent / F.log(n_distinct.cast("double"))),
+            4,
+        ).alias("entropy_ratio"),
+    )
+
+
 def stable_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -648,3 +648,46 @@ def test_image_dedup_shuffles_hashes_not_payloads(spark):
     assert exchange_count(out) == 1
     assert "hashpartitioning(ahash" in p
     assert p.index("Exchange") < p.index("MapInPandas")
+
+
+def test_url_dedup_single_keyed_exchange(spark, sf_dir):
+    # canonicalization is scan-stage codegen; the ONLY exchange is the
+    # canonical-key groupBy (partial + final hash aggregate around it)
+    from nyc_tlc_trip_data_pipelines_spark.operators import web as WB
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("https://h.com/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    out = WB.url_dedup(d)
+    assert exchange_count(out) == 1
+    assert "hashpartitioning(canonical_url" in plan_string(out, "simple")
+    assert node_count(out, "HashAggregate") == 2
+
+
+def test_html_strip_is_codegen_no_extra_exchange(spark, sf_dir):
+    # the whole strip pipeline lives in one WholeStageCodegen project
+    # over the scan; a per-source rollup adds exactly one exchange
+    from nyc_tlc_trip_data_pipelines_spark.operators import web as WB
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    out = (
+        d.select("source", WB.strip_html(html).alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = plan_string(out, "simple")
+    assert exchange_count(out) == 1
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_token_entropy_two_keyed_exchanges(spark, sf_dir):
+    # (id, w) count then (id) rollup — both hash-keyed, both with
+    # map-side partial aggregation; no windows, no Python
+    from nyc_tlc_trip_data_pipelines_spark.operators import corpus as CP
+
+    out = CP.token_entropy(load_table(spark, sf_dir, "documents"))
+    p = plan_string(out, "simple")
+    assert exchange_count(out) == 2
+    assert node_count(out, "HashAggregate") == 4
+    assert "Window" not in p and "BatchEvalPython" not in p
