@@ -5041,6 +5041,48 @@ def q_html_strip(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["source"])
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship composition (round 5, wave 5): the full corpus-curation
+    pipeline as ONE dataflow — exact dedup (keep-first by md5
+    fingerprint) → Gopher-style quality filter (corpus.quality_filter)
+    → token-entropy diversity filter (corpus.token_entropy, rounded
+    ratio ≥ 0.85) → deterministic train/holdout split
+    (corpus.stable_split, portable hash) → per-(split, lang) corpus
+    accounting. Proves the curation operators COMPOSE: every stage is
+    the same library call the standalone queries use, chained on doc_id
+    keys. Scale shape: one md5-keyed exchange for dedup, two id-keyed
+    exchanges for the shared quality+entropy aggregate, co-partitioned
+    id joins (AQE), a pure-expression split, and a ~|splits×langs|
+    final aggregate; the deduped corpus is persisted once because three
+    stages consume it — at 100 TB that persist is the checkpoint a real
+    pipeline writes between curation phases anyway."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    first = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+    stats = CP.quality_filter(first).where(F.col("keep")).select("doc_id", "n_words")
+    ent = (
+        CP.token_entropy(first)
+        .where(F.col("entropy_ratio") >= 0.85)
+        .select("doc_id")
+    )
+    kept = first.select("doc_id", "lang").join(stats, "doc_id").join(ent, "doc_id")
+    out = (
+        CP.stable_split(kept)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+    return O.sort(out, ["split", "lang"])
+
+
 def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-signal staple (round 5, wave 5): within-document token
     Shannon entropy (operators/corpus.py token_entropy) — the
@@ -5191,6 +5233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonicalize": q_url_canonicalize,
         "q_html_strip": q_html_strip,
         "q_token_entropy": q_token_entropy,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5755,6 +5798,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ent, 4) AS entropy,
                    ROUND(CASE WHEN nd > 1 THEN ent / LN(CAST(nd AS DOUBLE)) END, 4) AS entropy_ratio
             FROM agg ORDER BY doc_id
+        """,
+        "q_curation_pipeline": r"""
+            WITH first AS (
+                SELECT doc_id, text, lang FROM (
+                    SELECT doc_id, text, lang,
+                           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                    FROM documents
+                ) WHERE rn = 1
+            ),
+            toks AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          x -> x <> '')) AS w
+                FROM first
+            ),
+            per_word AS (
+                SELECT doc_id, w, COUNT(*) AS c, SUM(LENGTH(w)) AS chars
+                FROM toks GROUP BY doc_id, w
+            ),
+            stats AS (
+                SELECT doc_id,
+                       SUM(c)::INT AS n_words,
+                       ROUND(SUM(chars)::DOUBLE / SUM(c), 6) AS mean_wlen,
+                       ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac,
+                       COUNT(*) AS nd,
+                       LN(CAST(SUM(c) AS DOUBLE))
+                           - SUM(c * LN(c)) / CAST(SUM(c) AS DOUBLE) AS ent
+                FROM per_word GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT doc_id, n_words FROM stats
+                WHERE n_words >= 40 AND n_words <= 100000
+                  AND mean_wlen >= 2.0 AND mean_wlen <= 12.0
+                  AND top_word_frac <= 0.12
+                  AND ROUND(CASE WHEN nd > 1 THEN ent / LN(CAST(nd AS DOUBLE)) END, 4) >= 0.85
+            )
+            SELECT CASE WHEN CAST(CONCAT('0x', SUBSTR(md5(CONCAT('v1:', CAST(f.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 10
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   f.lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(k.n_words) AS BIGINT) AS sum_words,
+                   CAST(SUM(f.doc_id) AS BIGINT) AS id_checksum
+            FROM first f JOIN kept k ON f.doc_id = k.doc_id
+            GROUP BY 1, 2 ORDER BY split, lang
         """,
         "q_agg_maxby": """
             SELECT event_type,

@@ -691,3 +691,15 @@ def test_token_entropy_two_keyed_exchanges(spark, sf_dir):
     assert exchange_count(out) == 2
     assert node_count(out, "HashAggregate") == 4
     assert "Window" not in p and "BatchEvalPython" not in p
+
+
+def test_curation_pipeline_composes_without_python_or_bnlj(spark, sf_dir):
+    # flagship composition: dedup window keyed on the md5 fingerprint,
+    # id-keyed joins stay hash joins, every stage codegen (no Python)
+    import __spark_entry__ as E
+
+    out = E.queries()["q_curation_pipeline"](spark, sf_dir)
+    p = plan_string(out, "simple")
+    assert "hashpartitioning(_w0" in p or "hashpartitioning(md5" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
