@@ -5041,6 +5041,32 @@ def q_html_strip(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["source"])
 
 
+def q_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal surface (round 5, wave 5): energy-envelope audio
+    near-dup buckets — eHash fingerprints computed from REAL decoded
+    WAV payloads inside Arrow mapInPandas (operators/multimodal.py
+    ehash_wav: per-frame integer |amplitude| sums compared against the
+    clip-head mean, packed into one long), then the SAME hash-groupBy
+    the text and image dedup stacks use. Completes the near-dup matrix
+    (minhash/simhash text, aHash image, eHash audio); loudness
+    invariance is the production collision property, and the fixture's
+    closed-form PCM samples make decode→hash→bucket SQL-replayable."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_wav_media(spark, 48)
+    hashed = M.ehash_audio(media)
+    out = (
+        hashed.groupBy("ehash")
+        .agg(
+            F.min("media_id").alias("first_media"),
+            F.count(F.lit(1)).alias("n_clips"),
+        )
+        .where(F.col("n_clips") >= 2)
+        .select("first_media", "n_clips")
+    )
+    return O.sort(out, ["first_media"])
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship composition (round 5, wave 5): the full corpus-curation
     pipeline as ONE dataflow — exact dedup (keep-first by md5
@@ -5234,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_strip": q_html_strip,
         "q_token_entropy": q_token_entropy,
         "q_curation_pipeline": q_curation_pipeline,
+        "q_audio_dedup": q_audio_dedup,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5798,6 +5825,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ent, 4) AS entropy,
                    ROUND(CASE WHEN nd > 1 THEN ent / LN(CAST(nd AS DOUBLE)) END, 4) AS entropy_ratio
             FROM agg ORDER BY doc_id
+        """,
+        "q_audio_dedup": r"""
+            WITH s AS (
+                SELECT m.i AS media_id, j.j AS j,
+                       ABS(((m.i * 7919 + j.j * 31) % 65536) - 32768) AS a,
+                       CAST(j.j // 50 AS INT) AS f
+                FROM GENERATE_SERIES(0, 47) m(i), GENERATE_SERIES(0, 399) j(j)
+            ),
+            fr AS (SELECT media_id, f, CAST(SUM(a) AS BIGINT) AS fs
+                   FROM s GROUP BY media_id, f),
+            tot AS (SELECT media_id, CAST(SUM(fs) AS BIGINT) AS ts
+                    FROM fr GROUP BY media_id),
+            bits AS (
+                SELECT fr.media_id,
+                       CAST(SUM(CASE WHEN fr.fs * 8 >= t.ts
+                                     THEN (CAST(1 AS BIGINT) << fr.f) ELSE 0 END)
+                            AS BIGINT) AS ehash
+                FROM fr JOIN tot t USING (media_id) GROUP BY fr.media_id
+            )
+            SELECT MIN(media_id) AS first_media, COUNT(*) AS n_clips
+            FROM bits GROUP BY ehash HAVING COUNT(*) >= 2
+            ORDER BY first_media
         """,
         "q_curation_pipeline": r"""
             WITH first AS (

@@ -67,6 +67,12 @@ CORPUS_OPS = [
     "q_feature_hash",
     "q_kmeans",
     "q_graph_bfs",
+    # round-5 fifth wave: web-corpus ingest + the flagship composition —
+    # the pipeline query's trend catches a regression in ANY of the four
+    # curation stages it chains
+    "q_url_canonicalize",
+    "q_token_entropy",
+    "q_curation_pipeline",
 ]
 
 # round-5 third wave: analytics / sketch / retrieval operators

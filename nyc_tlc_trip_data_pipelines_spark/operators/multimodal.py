@@ -790,3 +790,69 @@ def ahash_images(df: DataFrame, block: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(_hash, AHASH_SCHEMA)
+
+
+EHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ehash", LongType()),
+    ]
+)
+
+
+def ehash_wav(payload: bytes, n_frames: int = 8, frame_len: int = 50) -> int:
+    """Energy-envelope fingerprint ('eHash') of a WAV clip — the audio
+    analog of :func:`ahash_bmp`: the clip's opening
+    ``n_frames × frame_len`` PCM samples are split into fixed frames,
+    each frame's mean |amplitude| is compared against the clip-head
+    mean, and the resulting above/below-average bits pack into one
+    integer. Loudness-invariant the way aHash is brightness-invariant
+    (scaling every sample scales both sides of each comparison), so
+    re-level-ed copies of the same clip collide — the production
+    near-dup property. All-integer arithmetic (``frame_sum · n_frames
+    ≥ total_sum`` avoids the division), hence bit-identical in any
+    engine and SQL-replayable from the fixture's sample formula."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getsampwidth() == 2 and w.getnchannels() == 1
+        nf = w.getnframes()
+        samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+    head = samples[: n_frames * frame_len]
+    frames = [
+        sum(abs(s) for s in head[f * frame_len : (f + 1) * frame_len])
+        for f in range(n_frames)
+    ]
+    total = sum(frames)
+    h = 0
+    for f, fs in enumerate(frames):
+        if fs * n_frames >= total:
+            h |= 1 << f
+    return h
+
+
+def ehash_audio(df: DataFrame, n_frames: int = 8, frame_len: int = 50) -> DataFrame:
+    """Energy-envelope fingerprints for WAV payloads via Arrow-batched
+    ``mapInPandas`` — completes the near-dup fingerprint matrix
+    (text: minhash/simhash, image: aHash, audio: eHash). The decode +
+    hash are row-local in the scan stage; only (media_id, 8-byte key)
+    rows ever shuffle."""
+    from nyc_tlc_trip_data_pipelines_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ehash": pd.Series(
+                        [ehash_wav(b, n_frames, frame_len) for b in pdf["payload"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_hash, EHASH_SCHEMA)

@@ -255,3 +255,60 @@ def test_ahash_matches_formula_replay(spark):
             if cs * len(cells) > total:
                 expect |= 1 << (by * 8 + bx)
         assert got[i] == expect
+
+
+def test_ehash_loudness_invariance_and_separation(spark):
+    """eHash must collide for re-leveled (scaled) copies of the same
+    clip and separate envelope-different clips."""
+    import io
+    import struct
+    import wave
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    def wav_from(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    # loud/quiet alternating frames (50 samples each, 8 frames)
+    base = []
+    for f in range(8):
+        amp = 1000 if f % 2 == 0 else 10
+        base += [amp if j % 2 == 0 else -amp for j in range(50)]
+    halved = [s // 2 for s in base]           # re-leveled copy
+    inverted = []
+    for f in range(8):                        # envelope phase-flipped
+        amp = 10 if f % 2 == 0 else 1000
+        inverted += [amp if j % 2 == 0 else -amp for j in range(50)]
+    rows = [
+        (0, "audio", wav_from(base), "audio/wav", None, None, 50),
+        (1, "audio", wav_from(halved), "audio/wav", None, None, 50),
+        (2, "audio", wav_from(inverted), "audio/wav", None, None, 50),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["ehash"] for r in M.ehash_audio(df).collect()}
+    assert got[0] == got[1]   # loudness scaling preserves the hash
+    assert got[0] != got[2]   # envelope change flips bits
+
+
+def test_ehash_matches_formula_replay(spark):
+    """The real-decode hash equals a direct recomputation from the
+    fixture PCM formula (the oracle contract)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_wav_media(spark, 6)
+    got = {r["media_id"]: r["ehash"] for r in M.ehash_audio(media).collect()}
+    for i in range(6):
+        head = [abs(s) for s in M._wav_samples(i, 400)]
+        frames = [sum(head[f * 50 : (f + 1) * 50]) for f in range(8)]
+        total = sum(frames)
+        expect = 0
+        for f, fs in enumerate(frames):
+            if fs * 8 >= total:
+                expect |= 1 << f
+        assert got[i] == expect

@@ -703,3 +703,22 @@ def test_curation_pipeline_composes_without_python_or_bnlj(spark, sf_dir):
     assert "hashpartitioning(_w0" in p or "hashpartitioning(md5" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_audio_dedup_shuffles_hashes_not_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    media = M.make_wav_media(spark, 8)
+    out = (
+        M.ehash_audio(media)
+        .groupBy("ehash")
+        .agg(F.min("media_id").alias("first_media"), F.count(F.lit(1)).alias("n"))
+    )
+    # exactly one exchange, keyed on the 8-byte hash, sitting ABOVE the
+    # decode UDF — the payload cannot cross it
+    p = plan_string(out, "simple")
+    assert exchange_count(out) == 1
+    assert "hashpartitioning(ehash" in p
+    assert p.index("Exchange") < p.index("MapInPandas")
