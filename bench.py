@@ -106,6 +106,15 @@ MINING_OPS = [
     "q_table_diff",
 ]
 
+# round-5 fifth wave: real-decode multimodal fingerprints — fixture-
+# generated payloads (SF-independent), so these lines isolate the
+# Arrow mapInPandas decode+hash cost from any table-scan effect
+MULTIMODAL_OPS = [
+    "q_image_dedup",
+    "q_audio_dedup",
+    "q_multimodal_scene_detect",
+]
+
 
 PASSES = 3
 
@@ -244,7 +253,7 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
@@ -253,6 +262,7 @@ def main() -> None:
     corpus_ops = _timed_pass(qs, CORPUS_OPS, spark, sf_dir)
     analytics_ops = _timed_pass(qs, ANALYTICS_OPS, spark, sf_dir)
     mining_ops = _timed_pass(qs, MINING_OPS, spark, sf_dir)
+    multimodal_ops = _timed_pass(qs, MULTIMODAL_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
     bloom_join = _bloom_bench(spark, sf_dir)
     total = round(sum(timings.values()), 3)
@@ -273,6 +283,8 @@ def main() -> None:
                 "analytics_ops": analytics_ops,
                 "analytics_ops_total": round(sum(analytics_ops.values()), 3),
                 "mining_ops": mining_ops,
+                "multimodal_ops": multimodal_ops,
+                "multimodal_ops_total": round(sum(multimodal_ops.values()), 3),
                 "mining_ops_total": round(sum(mining_ops.values()), 3),
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,

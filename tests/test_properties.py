@@ -470,3 +470,56 @@ def test_assoc_rules_identities(spark, rows):
         assert 0 < r["conf_a_b"] <= 1 and 0 < r["conf_b_a"] <= 1
         # support * n_baskets = n_ab exactly
         assert abs(r["support"] * n_baskets - r["n_ab"]) < 1e-3
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abAB/.?&=#_:%0 9u tm",
+            max_size=40,
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_canonical_url_idempotent(spark, urls):
+    """canonical_url is a canonicalization: applying it twice equals
+    applying it once, for arbitrary URL-ish strings (including ones
+    with no scheme, stray '#'/'&utm_' fragments, mixed case)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls] or [("",)], "url string")
+    rows = df.select(
+        canonical_url(F.col("url")).alias("once"),
+        canonical_url(canonical_url(F.col("url"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+
+
+@given(
+    st.lists(st.integers(-16000, 16000), min_size=400, max_size=400),
+)
+@settings(max_examples=25, deadline=None)
+def test_ehash_wav_scale_invariant(samples):
+    """eHash is loudness-invariant: doubling every sample (exact in
+    int16 for |s| <= 16000) scales both sides of each frame comparison
+    by 2 and must preserve the hash bit-for-bit."""
+    import io
+    import struct
+    import wave
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.multimodal import ehash_wav
+
+    def wav_of(ss):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(ss)}h", *ss))
+        return buf.getvalue()
+
+    assert ehash_wav(wav_of(samples)) == ehash_wav(wav_of([2 * s for s in samples]))
