@@ -5041,6 +5041,43 @@ def q_html_strip(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["source"])
 
 
+def q_fixed_width_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest staple (round 5, wave 5): FIXED-WIDTH record parsing —
+    the mainframe/EDI flat-file shape where fields live at byte
+    offsets, not behind delimiters (the substring-offset twin of
+    q_log_parse's regexp groups). Records are RENDERED from orders
+    with zero-padded numeric fields (integer cents, so the round trip
+    is lossless and engine-identical), then parsed back with pure
+    ``substring`` offsets and aggregated per (status, year); every
+    field must survive the round trip for the totals to hash-match.
+    At 100 TB the parse is scan-stage codegen — zero extra shuffles,
+    and the fixed offsets make it branchless (no regex engine)."""
+    o = load_table(spark, sf, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            12,
+            "0",
+        ),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+    )
+    recs = o.select(line.alias("line"))
+    parsed = recs.select(
+        F.substring("line", 1, 10).cast("long").alias("okey"),
+        F.substring("line", 11, 1).alias("status"),
+        F.substring("line", 12, 12).cast("long").alias("cents"),
+        F.substring("line", 24, 4).cast("int").alias("year"),
+    )
+    out = parsed.groupBy("status", "year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("okey").alias("key_checksum"),
+    )
+    return O.sort(out, ["status", "year"])
+
+
 def q_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal surface (round 5, wave 5): energy-envelope audio
     near-dup buckets — eHash fingerprints computed from REAL decoded
@@ -5261,6 +5298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_entropy": q_token_entropy,
         "q_curation_pipeline": q_curation_pipeline,
         "q_audio_dedup": q_audio_dedup,
+        "q_fixed_width_ingest": q_fixed_width_ingest,
         "q_winsorize": q_winsorize,
         "q_attribution": q_attribution,
         "q_ewma": q_ewma,
@@ -5825,6 +5863,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ent, 4) AS entropy,
                    ROUND(CASE WHEN nd > 1 THEN ent / LN(CAST(nd AS DOUBLE)) END, 4) AS entropy_ratio
             FROM agg ORDER BY doc_id
+        """,
+        "q_fixed_width_ingest": """
+            WITH recs AS (
+                SELECT CONCAT(LPAD(CAST(o_orderkey AS VARCHAR), 10, '0'),
+                              o_orderstatus,
+                              LPAD(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 12, '0'),
+                              CAST(o_orderdate AS VARCHAR)) AS line
+                FROM orders
+            ),
+            parsed AS (
+                SELECT CAST(SUBSTRING(line, 1, 10) AS BIGINT) AS okey,
+                       SUBSTRING(line, 11, 1) AS status,
+                       CAST(SUBSTRING(line, 12, 12) AS BIGINT) AS cents,
+                       CAST(SUBSTRING(line, 24, 4) AS INT) AS year
+                FROM recs
+            )
+            SELECT status, year, COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(okey) AS BIGINT) AS key_checksum
+            FROM parsed GROUP BY status, year ORDER BY status, year
         """,
         "q_audio_dedup": r"""
             WITH s AS (
