@@ -5188,7 +5188,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix froze) and the FOURTH wave (q_assoc_rules …
     # q_table_diff + q_minhash_accuracy: mining / statistics /
     # anti-entropy) — all oracle- and vanilla-session-checked locally
-    # at sf0.001/0.01/0.1.
+    # at sf0.001/0.01/0.1, and now also the FIFTH wave (web-corpus
+    # ingest: q_url_canonicalize, q_html_strip, q_token_entropy,
+    # q_curation_pipeline, q_audio_dedup, q_fixed_width_ingest, plus
+    # q_agg_maxby / q_log_parse / q_image_dedup /
+    # q_stream_source_custom from wave 4½) — same tri-SF + vanilla
+    # evidence. Round-6 rotation: move those pools into the prefix,
+    # newest environment-sensitive ids first (the Python DataSource
+    # stream reader and the persist-heavy curation pipeline ahead of
+    # the pure-codegen SQL twins).
     return {
         # — (a) never driver-checked: r1b leftovers —
         "q_scd2_merge": q_scd2_merge,
