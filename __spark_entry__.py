@@ -5807,8 +5807,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             cleaned AS (
                 SELECT doc_id,
-                       REGEXP_REPLACE(REGEXP_REPLACE(url, '#.*$', ''),
-                                      '&utm_[a-z_]+=[^&#]*', '', 'g') AS u
+                       REGEXP_REPLACE(REGEXP_REPLACE(
+                           REGEXP_REPLACE(REGEXP_REPLACE(url, '#.*$', ''),
+                                          '&utm_[a-z_]+=[^&#]*', '', 'g'),
+                           '\?utm_[a-z_]+=[^&#]*&', '?'),
+                           '\?utm_[a-z_]+=[^&#]*$', '') AS u
                 FROM pages
             ),
             canon AS (

@@ -31,6 +31,12 @@ __all__ = ["canonical_url", "url_dedup", "strip_html"]
 # q_html_strip) — drift silently breaks oracle parity.
 _FRAGMENT = "#.*$"
 _TRACKING = "&utm_[a-z_]+=[^&#]*"
+# a utm param in FIRST position: promote the next param to first
+# ('?utm_a=1&b=2' → '?b=2'), or drop an only-param query entirely
+# ('?utm_a=1' → ''). Applied AFTER the '&' rule, so at most one
+# leading utm param can remain when these run.
+_TRACKING_LEAD_MID = "\\?utm_[a-z_]+=[^&#]*&"
+_TRACKING_LEAD_END = "\\?utm_[a-z_]+=[^&#]*$"
 _SCHEME_HOST = "(?i)^(https?://[^/?#]*)"
 _SCHEME_HOST_ANON = "(?i)^https?://[^/?#]*"
 _SCRIPT_BLOCK = "(?is)<script[^>]*>.*?</script>"
@@ -51,6 +57,8 @@ def canonical_url(url: Column) -> Column:
     """
     u = F.regexp_replace(url, _FRAGMENT, "")
     u = F.regexp_replace(u, _TRACKING, "")
+    u = F.regexp_replace(u, _TRACKING_LEAD_MID, "?")
+    u = F.regexp_replace(u, _TRACKING_LEAD_END, "")
     host = F.lower(F.regexp_extract(u, _SCHEME_HOST, 1))
     rest = F.regexp_replace(u, _SCHEME_HOST_ANON, "")
     return F.concat(host, rest)

@@ -35,6 +35,15 @@ def test_canonical_url_strips_multiple_tracking_params(spark):
     assert got == "http://h.com/p?a=1&b=2"
 
 
+def test_canonical_url_strips_first_position_tracking(spark):
+    # utm as the FIRST query param: the next param is promoted
+    assert _canon(spark, "https://h.com/p?utm_a=x&b=2") == "https://h.com/p?b=2"
+    # utm as the ONLY query param: the query string disappears
+    assert _canon(spark, "https://h.com/p?utm_a=x") == "https://h.com/p"
+    # several leading utm params collapse through the '&' rule first
+    assert _canon(spark, "https://h.com/p?utm_a=x&utm_b=y&c=3") == "https://h.com/p?c=3"
+
+
 def test_canonical_url_passes_through_schemeless(spark):
     # no scheme://host prefix → nothing to lowercase, URL survives
     # (minus fragment/tracking) byte-for-byte
