@@ -5112,12 +5112,14 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ratio ≥ 0.85) → deterministic train/holdout split
     (corpus.stable_split, portable hash) → per-(split, lang) corpus
     accounting. Proves the curation operators COMPOSE: every stage is
-    the same library call the standalone queries use, chained on doc_id
-    keys. Scale shape: one md5-keyed exchange for dedup, two id-keyed
-    exchanges for the shared quality+entropy aggregate, co-partitioned
-    id joins (AQE), a pure-expression split, and a ~|splits×langs|
-    final aggregate; the deduped corpus is persisted once because three
-    stages consume it — at 100 TB that persist is the checkpoint a real
+    the same library calls the standalone queries use, chained on
+    doc_id keys. Scale shape: one md5-keyed exchange for dedup, two
+    id-keyed exchanges for the FUSED quality+entropy aggregate
+    (corpus.curation_stats — one tokenize/explode pass feeds both
+    filters instead of two independent chains), a co-partitioned id
+    join (AQE), a pure-expression split, and a ~|splits×langs| final
+    aggregate; the deduped corpus is persisted once because two stages
+    consume it — at 100 TB that persist is the checkpoint a real
     pipeline writes between curation phases anyway."""
     d = load_table(spark, sf, "documents")
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
@@ -5127,13 +5129,17 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .drop("__rn")
         .persist()
     )
-    stats = CP.quality_filter(first).where(F.col("keep")).select("doc_id", "n_words")
-    ent = (
-        CP.token_entropy(first)
-        .where(F.col("entropy_ratio") >= 0.85)
-        .select("doc_id")
+    stats = (
+        CP.curation_stats(first)
+        .where(
+            (F.col("n_words") >= 40) & (F.col("n_words") <= 100000)
+            & (F.col("mean_wlen") >= 2.0) & (F.col("mean_wlen") <= 12.0)
+            & (F.col("top_word_frac") <= 0.12)
+            & (F.col("entropy_ratio") >= 0.85)
+        )
+        .select("doc_id", "n_words")
     )
-    kept = first.select("doc_id", "lang").join(stats, "doc_id").join(ent, "doc_id")
+    kept = first.select("doc_id", "lang").join(stats, "doc_id")
     out = (
         CP.stable_split(kept)
         .groupBy("split", "lang")
@@ -5805,19 +5811,28 @@ def oracle_sql() -> dict[str, str]:
                               '#sec', CAST(doc_id % 4 AS VARCHAR)) AS url
                 FROM documents
             ),
-            cleaned AS (
-                SELECT doc_id,
-                       REGEXP_REPLACE(REGEXP_REPLACE(
-                           REGEXP_REPLACE(REGEXP_REPLACE(url, '#.*$', ''),
-                                          '&utm_[a-z_]+=[^&#]*', '', 'g'),
-                           '\?utm_[a-z_]+=[^&#]*&', '?'),
-                           '\?utm_[a-z_]+=[^&#]*$', '') AS u
+            nofrag AS (
+                SELECT doc_id, REGEXP_REPLACE(url, '#.*$', '') AS u0,
+                       STRPOS(REGEXP_REPLACE(url, '#.*$', ''), '?') AS qp
                 FROM pages
+            ),
+            cleaned AS (
+                -- tracking strip scoped to the query-string slice only
+                SELECT doc_id,
+                       CASE WHEN qp > 0 THEN SUBSTRING(u0, 1, qp - 1) ELSE u0 END
+                       || CASE WHEN qp > 0 THEN
+                              REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                                  SUBSTRING(u0, qp),
+                                  '&utm_[a-z_]+=[^&#]*', '', 'g'),
+                                  '\?utm_[a-z_]+=[^&#]*&', '?', 'g'),
+                                  '\?utm_[a-z_]+=[^&#]*$', '', 'g')
+                          ELSE '' END AS u
+                FROM nofrag
             ),
             canon AS (
                 SELECT doc_id,
                        LOWER(REGEXP_EXTRACT(u, '(?i)^(https?://[^/?#]*)', 1))
-                       || REGEXP_REPLACE(u, '(?i)^https?://[^/?#]*', '') AS canonical_url
+                       || REGEXP_REPLACE(u, '(?i)^(https?://[^/?#]*)', '') AS canonical_url
                 FROM cleaned
             )
             SELECT canonical_url, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs

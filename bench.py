@@ -283,9 +283,9 @@ def main() -> None:
                 "analytics_ops": analytics_ops,
                 "analytics_ops_total": round(sum(analytics_ops.values()), 3),
                 "mining_ops": mining_ops,
+                "mining_ops_total": round(sum(mining_ops.values()), 3),
                 "multimodal_ops": multimodal_ops,
                 "multimodal_ops_total": round(sum(multimodal_ops.values()), 3),
-                "mining_ops_total": round(sum(mining_ops.values()), 3),
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,
                 "passes": PASSES,

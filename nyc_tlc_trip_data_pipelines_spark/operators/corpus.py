@@ -489,6 +489,40 @@ def token_entropy(
     )
 
 
+def curation_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The :func:`quality_filter` metrics AND the :func:`token_entropy`
+    metrics from ONE shared explode → (id, word) → (id) aggregate chain
+    — the fused form a curation pipeline should run when it needs both
+    (two keyed exchanges total instead of four; the tokenize/explode
+    pass over the corpus happens once). Returns one row per document:
+    ``(id, n_words, mean_wlen, top_word_frac, n_distinct, entropy,
+    entropy_ratio)``. Thresholding is left to the caller so one stats
+    pass can feed several filter policies.
+    """
+    toks = tokenize(F.col(text_col))
+    per_word = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(F.length("w")).alias("chars"))
+    )
+    n = F.sum("c")
+    c_ln_c = F.sum(F.col("c") * F.log(F.col("c")))
+    ent = F.log(n) - c_ln_c / n
+    n_distinct = F.count(F.lit(1))
+    return per_word.groupBy(id_col).agg(
+        n.cast("int").alias("n_words"),
+        F.round(F.sum("chars") / n, 6).alias("mean_wlen"),
+        F.round(F.max("c") / n, 6).alias("top_word_frac"),
+        n_distinct.cast("int").alias("n_distinct"),
+        F.round(ent, 4).alias("entropy"),
+        F.round(
+            F.when(n_distinct > 1, ent / F.log(n_distinct.cast("double"))), 4
+        ).alias("entropy_ratio"),
+    )
+
+
 def stable_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -78,24 +78,32 @@ def _wav_samples(media_id: int, n: int) -> list[int]:
     return [((media_id * 7919 + j * 31) % 65536) - 32768 for j in range(n)]
 
 
-def make_wav_media(spark, n: int = 48) -> DataFrame:
-    """Real RIFF/WAVE payloads (PCM 16-bit mono, 8 kHz) with
-    formula-generated samples; n_samples varies per id."""
+def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """PCM 16-bit mono RIFF/WAVE encode — the ONE copy of the fixture
+    encoding parameters; tests build their hand-crafted clips through
+    this too, so a format change cannot silently diverge between the
+    operator fixtures and the tests."""
     import io
     import struct
     import wave
 
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def make_wav_media(spark, n: int = 48) -> DataFrame:
+    """Real RIFF/WAVE payloads (PCM 16-bit mono, 8 kHz) with
+    formula-generated samples; n_samples varies per id."""
     rows = []
     for i in range(n):
         n_samples = 400 + (i % 5) * 100
-        samples = _wav_samples(i, n_samples)
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(8000)
-            w.writeframes(struct.pack(f"<{n_samples}h", *samples))
-        rows.append((i, "audio", buf.getvalue(), "audio/wav", None, None, n_samples * 1000 // 8000))
+        payload = encode_wav(_wav_samples(i, n_samples))
+        rows.append((i, "audio", payload, "audio/wav", None, None, n_samples * 1000 // 8000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -30,15 +30,19 @@ __all__ = ["canonical_url", "url_dedup", "strip_html"]
 # DuckDB twins in __spark_entry__.oracle_sql (q_url_canonicalize /
 # q_html_strip) — drift silently breaks oracle parity.
 _FRAGMENT = "#.*$"
+# tracking rules run ONLY on the query-string slice (first '?' onward),
+# so '&utm' byte sequences in the PATH are preserved. Within the query
+# string: the '&' rule strips non-first utm params globally; then the
+# '?' rules fix a utm param left in FIRST position — promote the next
+# param ('?utm_a=1&b=2' → '?b=2') or drop an only-param query
+# ('?utm_a=1' → ''). All global in both engines (a '?' can legally
+# recur inside param values).
 _TRACKING = "&utm_[a-z_]+=[^&#]*"
-# a utm param in FIRST position: promote the next param to first
-# ('?utm_a=1&b=2' → '?b=2'), or drop an only-param query entirely
-# ('?utm_a=1' → ''). Applied AFTER the '&' rule, so at most one
-# leading utm param can remain when these run.
 _TRACKING_LEAD_MID = "\\?utm_[a-z_]+=[^&#]*&"
 _TRACKING_LEAD_END = "\\?utm_[a-z_]+=[^&#]*$"
+# one pattern for both extract (group 1) and strip — regexp_replace
+# ignores the capture group, so a single constant cannot drift
 _SCHEME_HOST = "(?i)^(https?://[^/?#]*)"
-_SCHEME_HOST_ANON = "(?i)^https?://[^/?#]*"
 _SCRIPT_BLOCK = "(?is)<script[^>]*>.*?</script>"
 _STYLE_BLOCK = "(?is)<style[^>]*>.*?</style>"
 _TAG = "<[^>]+>"
@@ -47,20 +51,27 @@ _WS_RUN = "\\s+"
 
 def canonical_url(url: Column) -> Column:
     """Canonical form of a URL for dedup keying: fragment dropped,
-    ``utm_*`` tracking params removed, scheme+host lowercased, path and
-    surviving query string byte-preserved (paths ARE case-sensitive;
-    hosts are not — RFC 3986 §6.2.2.1).
+    ``utm_*`` tracking params removed from the query string (and ONLY
+    from the query string — the path is byte-preserved, paths ARE
+    case-sensitive), scheme+authority lowercased (hosts are
+    case-insensitive — RFC 3986 §6.2.2.1; the authority slice also
+    covers port and any userinfo, which is vanishingly rare in crawl
+    URLs and documented as folded here).
 
     Pure codegen expression — at 100 TB this is computed in the scan
     stage of the crawl table, and the canonical key (not the raw URL)
     is what every downstream groupBy/join shuffles on.
     """
     u = F.regexp_replace(url, _FRAGMENT, "")
-    u = F.regexp_replace(u, _TRACKING, "")
-    u = F.regexp_replace(u, _TRACKING_LEAD_MID, "?")
-    u = F.regexp_replace(u, _TRACKING_LEAD_END, "")
+    qpos = F.instr(u, "?")  # 1-based, 0 if no query string
+    pre = F.when(qpos > 0, F.substr(u, F.lit(1), qpos - 1)).otherwise(u)
+    qs = F.when(qpos > 0, F.substr(u, qpos)).otherwise(F.lit(""))
+    qs = F.regexp_replace(qs, _TRACKING, "")
+    qs = F.regexp_replace(qs, _TRACKING_LEAD_MID, "?")
+    qs = F.regexp_replace(qs, _TRACKING_LEAD_END, "")
+    u = F.concat(pre, qs)
     host = F.lower(F.regexp_extract(u, _SCHEME_HOST, 1))
-    rest = F.regexp_replace(u, _SCHEME_HOST_ANON, "")
+    rest = F.regexp_replace(u, _SCHEME_HOST, "")
     return F.concat(host, rest)
 
 

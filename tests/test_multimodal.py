@@ -260,20 +260,9 @@ def test_ahash_matches_formula_replay(spark):
 def test_ehash_loudness_invariance_and_separation(spark):
     """eHash must collide for re-leveled (scaled) copies of the same
     clip and separate envelope-different clips."""
-    import io
-    import struct
-    import wave
-
     from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
 
-    def wav_from(samples):
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(8000)
-            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
-        return buf.getvalue()
+    wav_from = M.encode_wav
 
     # loud/quiet alternating frames (50 samples each, 8 frames)
     base = []

@@ -507,19 +507,11 @@ def test_ehash_wav_scale_invariant(samples):
     """eHash is loudness-invariant: doubling every sample (exact in
     int16 for |s| <= 16000) scales both sides of each frame comparison
     by 2 and must preserve the hash bit-for-bit."""
-    import io
-    import struct
-    import wave
+    from nyc_tlc_trip_data_pipelines_spark.operators.multimodal import (
+        ehash_wav,
+        encode_wav,
+    )
 
-    from nyc_tlc_trip_data_pipelines_spark.operators.multimodal import ehash_wav
-
-    def wav_of(ss):
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(8000)
-            w.writeframes(struct.pack(f"<{len(ss)}h", *ss))
-        return buf.getvalue()
-
-    assert ehash_wav(wav_of(samples)) == ehash_wav(wav_of([2 * s for s in samples]))
+    assert ehash_wav(encode_wav(samples)) == ehash_wav(
+        encode_wav([2 * s for s in samples])
+    )

@@ -44,6 +44,18 @@ def test_canonical_url_strips_first_position_tracking(spark):
     assert _canon(spark, "https://h.com/p?utm_a=x&utm_b=y&c=3") == "https://h.com/p?c=3"
 
 
+def test_canonical_url_preserves_utm_like_path_bytes(spark):
+    # tracking strip is scoped to the query string: '&utm' sequences in
+    # the PATH must survive byte-for-byte (two distinct pages must NOT
+    # collapse to one canonical key)
+    assert (
+        _canon(spark, "https://h.com/a&utm_x=1/b") == "https://h.com/a&utm_x=1/b"
+    )
+    assert _canon(spark, "https://h.com/a&utm_x=1/b?utm_s=f&id=2") == (
+        "https://h.com/a&utm_x=1/b?id=2"
+    )
+
+
 def test_canonical_url_passes_through_schemeless(spark):
     # no scheme://host prefix → nothing to lowercase, URL survives
     # (minus fragment/tracking) byte-for-byte
