@@ -4867,8 +4867,15 @@ def q_stream_source_custom(spark: SparkSession, sf: str) -> DataFrame:
         with open(os.path.join(d, f"obj_{i:02d}.bin"), "wb") as fh:
             fh.write(b"x" * (i * 10 + 3))
     got: list[tuple[int, int, int]] = []
+    done_bids: set[int] = set()
 
     def fb(df: DataFrame, bid: int) -> None:
+        # batch-id idempotence: foreachBatch is at-least-once (a batch
+        # interrupted between sink and offset-commit is redelivered
+        # with the SAME id), so a production sink dedupes by bid
+        if int(bid) in done_bids:
+            return
+        done_bids.add(int(bid))
         rows = df.collect()
         if rows:
             got.append((int(bid), len(rows), int(sum(r["n_bytes"] for r in rows))))
@@ -4886,6 +4893,13 @@ def q_stream_source_custom(spark: SparkSession, sf: str) -> DataFrame:
     while _time.time() - t0 < 120 and sum(g[1] for g in got) < 16:
         _time.sleep(0.25)
     q.stop()
+    # fail LOUDLY on timeout: a truncated result would reach the oracle
+    # comparison as a confusing value mismatch instead of this error
+    n_got = sum(g[1] for g in got)
+    if n_got < 16:
+        raise TimeoutError(
+            f"objectstore stream delivered {n_got}/16 objects within 120s"
+        )
     return spark.createDataFrame(
         sorted(got), "batch_id int, n_objects bigint, total_bytes bigint"
     )

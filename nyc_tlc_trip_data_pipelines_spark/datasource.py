@@ -227,14 +227,19 @@ def read_jsonl_sink(spark, root: str, schema: str):
 class ObjectStoreListingStreamReader:
     """Incremental listing STREAM (PySpark 4 SimpleDataSourceStreamReader):
     each microbatch emits the next ``batch_size`` objects in sorted-key
-    order; the offset is simply how many keys have been emitted. This
-    is the local stand-in for incremental bucket ingest (S3 inventory /
-    ListObjects with StartAfter = last seen key): new objects appear at
-    the end of the keyspace walk and flow into later batches.
+    order. The offset is the LAST EMITTED KEY — genuine S3 StartAfter
+    semantics (ListObjectsV2 ``start-after``), NOT a positional index:
+    a key-based cursor survives listing churn, where an index cursor
+    re-emits already-seen objects (a new key sorting before the cursor
+    shifts every index) or silently skips unseen ones (a deletion
+    shifts them under the cursor).
 
-    Offsets are durable JSON dicts, so checkpoint recovery replays
-    exactly (``readBetweenOffsets`` re-slices the same sorted listing —
-    deterministic because keys sort totally and sizes are immutable).
+    Offsets are durable JSON dicts, so checkpoint recovery resumes
+    after the last committed key. ``readBetweenOffsets`` replays the
+    half-open key range ``(start, end]``; replay is exact while the
+    keys in that range are immutable — the same contract a real
+    StartAfter ingest has (objects landing INSIDE an already-emitted
+    range need a compaction/backfill pass, not a listing cursor).
     """
 
     def __init__(self, options):
@@ -244,7 +249,7 @@ class ObjectStoreListingStreamReader:
         self.batch_size = int(options.get("batch_size", "10"))
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"last_key": ""}  # "" sorts before every real key
 
     def _keys(self):
         import os as _os
@@ -257,14 +262,15 @@ class ObjectStoreListingStreamReader:
         return sorted(out)
 
     def read(self, start: dict):
-        i = int(start["index"])
-        ks = self._keys()
-        j = min(len(ks), i + self.batch_size)
-        return iter(ks[i:j]), {"index": j}
+        after = start["last_key"]
+        batch = [kv for kv in self._keys() if kv[0] > after][: self.batch_size]
+        if not batch:
+            return iter(()), {"last_key": after}
+        return iter(batch), {"last_key": batch[-1][0]}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        ks = self._keys()
-        return iter(ks[int(start["index"]) : int(end["index"])])
+        lo, hi = start["last_key"], end["last_key"]
+        return iter([kv for kv in self._keys() if lo < kv[0] <= hi])
 
     def commit(self, end: dict) -> None:  # listing is stateless
         pass

@@ -32,30 +32,6 @@ from pyspark.sql import functions as F
 from .text import tokenize
 
 
-def basket_pairs(
-    df: DataFrame, basket_col: str, item_col: str
-) -> DataFrame:
-    """Distinct co-occurring item pairs per basket, canonicalized
-    ``item_a < item_b`` so each unordered pair is generated exactly
-    once. Input rows are deduped to (basket, item) first — the join
-    fanout is then per-basket-distinct-size², independent of how many
-    raw rows repeat an item."""
-    bi = df.select(
-        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
-    ).distinct()
-    a = bi.alias("a")
-    b = bi.alias("b")
-    return (
-        a.join(b, on=F.col("a.__basket") == F.col("b.__basket"))
-        .where(F.col("a.__item") < F.col("b.__item"))
-        .select(
-            F.col("a.__basket").alias("basket"),
-            F.col("a.__item").alias("item_a"),
-            F.col("b.__item").alias("item_b"),
-        )
-    )
-
-
 def assoc_rules(
     df: DataFrame,
     basket_col: str,

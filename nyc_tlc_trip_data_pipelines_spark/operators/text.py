@@ -300,6 +300,51 @@ def fingerprint(text: str | Column, window: int = 8) -> Column:
     return F.xxhash64(F.col(text) if isinstance(text, str) else text)
 
 
+def shingle_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, h) rows — char-k-shingle hashes mod the Mersenne prime, the
+    ONE copy of the shingle-hash contract every MinHash consumer builds
+    on (:func:`minhash_signatures`, :func:`minhash_accuracy`): a change
+    to the hash or the modulus propagates to all of them and to exactly
+    one SQL-oracle twin. ``portable=True`` uses the 60-bit md5 hash
+    (bit-identical in any engine); the default is xxhash64 seed 42
+    (JVM-intrinsic, ~3× faster). Emits multiplicity (no dedup) — MIN
+    aggregation is multiset-safe; callers needing set semantics call
+    ``.distinct()``."""
+    # docs shorter than k yield no shingles and drop out of the result;
+    # the filter also guards Spark's sequence(a, b) counting DOWN when
+    # b < a (see `ngrams`)
+    lc = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t")).filter(
+        F.length("__t") >= shingle_k
+    )
+    pos = lc.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.length("__t") - shingle_k + 1)).alias("__p"),
+    )
+    shingle = F.expr(f"substring(__t, __p, {int(shingle_k)})")
+    raw = portable_hash60(shingle) if portable else F.xxhash64(shingle, F.lit(42))
+    return pos.select(id_col, F.pmod(raw, F.lit(_MINHASH_PRIME)).alias("h"))
+
+
+def minhash_perm_aggs(num_hashes: int) -> list[Column]:
+    """The affine-permutation MIN aggregates ``mh_0 … mh_{n-1}`` over a
+    :func:`shingle_hashes` column ``h`` — the one copy of the
+    ``(a_i·h + b_i) mod p`` permutation contract (p prime, a_i odd ⇒
+    each permutation is a bijection of Z_p)."""
+    return [
+        F.min(
+            F.pmod(F.col("h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_PRIME))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(tokens_or_shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature as array<bigint>, computed with higher-order
     functions: sig[i] = min over shingles of (a_i * h(s) + b_i) mod P.
@@ -364,20 +409,7 @@ def minhash_signatures(
     swapping in a higher-variance estimator (empty-bucket
     densification) under an exact-output oracle.
     """
-    # docs shorter than k yield no shingles and drop out of the result,
-    # same as the array formulation; the filter also guards Spark's
-    # sequence(a, b) counting DOWN when b < a (see `ngrams`)
-    lc = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t")).filter(
-        F.length("__t") >= shingle_k
-    )
-    pos = lc.select(
-        id_col,
-        "__t",
-        F.explode(F.sequence(F.lit(1), F.length("__t") - shingle_k + 1)).alias("__p"),
-    )
-    shingle = F.expr(f"substring(__t, __p, {int(shingle_k)})")
-    raw = portable_hash60(shingle) if portable else F.xxhash64(shingle, F.lit(42))
-    h = pos.select(id_col, F.pmod(raw, F.lit(_MINHASH_PRIME)).alias("h"))
+    h = shingle_hashes(df, id_col, text_col, shingle_k, portable=portable)
     if with_size:
         # exact |distinct shingles| rides along as COUNT(1) over an
         # explicit (id, h) pre-dedup — NOT count_distinct, whose
@@ -386,10 +418,7 @@ def minhash_signatures(
         # the min-aggs partially into the dedup aggregate, so the extra
         # groupBy costs almost nothing.
         h = h.distinct()
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_PRIME))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = minhash_perm_aggs(num_hashes)
     if with_size:
         aggs.append(F.count(F.lit(1)).cast("int").alias("n_sh"))
     out_cols = [id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig")]
@@ -1235,27 +1264,12 @@ def minhash_accuracy(
     (persisted here; written to tables in a deployment); every join
     after that carries ids + fixed-width numbers only."""
     rows_per_band = num_hashes // bands
-    lc = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t")).filter(
-        F.length("__t") >= shingle_k
+    sh = (
+        shingle_hashes(df, id_col, text_col, shingle_k, portable=True)
+        .distinct()
+        .persist()
     )
-    sh = lc.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.length("__t") - shingle_k + 1)).alias("__p"),
-        "__t",
-    ).select(
-        id_col,
-        F.pmod(
-            portable_hash60(F.expr(f"substring(__t, __p, {int(shingle_k)})")),
-            F.lit(_MINHASH_PRIME),
-        ).alias("h"),
-    ).distinct().persist()
-    aggs = [
-        F.min(
-            F.pmod(F.col("h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_PRIME))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs).persist()
+    sig = sh.groupBy(id_col).agg(*minhash_perm_aggs(num_hashes)).persist()
     cands = None
     for k in range(bands):
         cols = [f"mh_{i}" for i in range(k * rows_per_band, (k + 1) * rows_per_band)]

@@ -252,3 +252,6 @@ def test_minhash_portable_signatures_differ_from_default_but_same_shape(spark):
     s2 = TX.minhash_signatures(df, num_hashes=8, portable=True).collect()[0]["sig"]
     assert len(s1) == len(s2) == 8
     assert all(0 <= v < 2147483647 for v in s2)
+    # the whole point of portable=True is a DIFFERENT shingle hash
+    # (md5-60 vs xxhash64) — a no-op regression must fail here
+    assert s1 != s2

@@ -592,7 +592,7 @@ def test_rolling_distinct_broadcasts_day_spine(spark, sf_dir):
     # the few-hundred-row day spine joins as a broadcast nested loop
     # (range predicate) — the fact side must never range-shuffle
     assert "BroadcastNestedLoopJoin" in p
-    assert "rangepartitioning" not in p.lower() or "Sort" not in p
+    assert "rangepartitioning" not in p.lower()
 
 
 def test_welch_ttest_single_aggregate_pass(spark, sf_dir):

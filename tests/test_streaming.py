@@ -291,7 +291,13 @@ def test_custom_stream_source_incremental_batches(spark, tmp_path):
 def test_custom_stream_source_checkpoint_resume_no_duplicates(spark, tmp_path):
     """Offsets are durable: a restarted stream with the same checkpoint
     continues AFTER the last committed batch — new files flow, old ones
-    never re-emit."""
+    never re-emit. The sink dedupes by BATCH id (the standard
+    foreachBatch idempotence pattern): stopping a query between sink
+    and offset-commit makes Spark redeliver that batch with the SAME id
+    on restart — at-least-once delivery is the engine contract, and
+    batch-id idempotence is how a production sink turns it into
+    exactly-once. The no-duplicate assertion below is therefore about
+    the SOURCE (no key is ever emitted in two different batches)."""
     import time
 
     from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
@@ -303,8 +309,12 @@ def test_custom_stream_source_checkpoint_resume_no_duplicates(spark, tmp_path):
         (root / f"a_{i}.bin").write_bytes(b"z")
     ckpt = str(tmp_path / "ckpt2")
     seen: list[str] = []
+    done_batches: set[int] = set()
 
     def fb(df, bid):
+        if int(bid) in done_batches:  # redelivered uncommitted batch
+            return
+        done_batches.add(int(bid))
         seen.extend(r["key"] for r in df.collect())
 
     def run_until(n):
@@ -329,3 +339,45 @@ def test_custom_stream_source_checkpoint_resume_no_duplicates(spark, tmp_path):
         (root / f"a_{i}.bin").write_bytes(b"z")
     run_until(6)
     assert sorted(seen) == [f"a_{i}.bin" for i in range(6)]  # no dupes
+
+
+def test_listing_stream_reader_key_cursor_not_positional(tmp_path):
+    """The offset is the last emitted KEY (S3 StartAfter semantics):
+    listing churn must never re-emit an already-seen object. A key that
+    lands BEFORE the cursor is the documented backfill case — skipped
+    by the cursor, never a duplicate of what was emitted."""
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
+
+    root = tmp_path / "objs3"
+    root.mkdir()
+    (root / "b.bin").write_bytes(b"xx")
+    (root / "c.bin").write_bytes(b"yyy")
+    r = DSRC.ObjectStoreListingStreamReader({"root": str(root), "batch_size": 2})
+
+    batch, off = r.read(r.initialOffset())
+    assert [k for k, _ in batch] == ["b.bin", "c.bin"]
+    assert off == {"last_key": "c.bin"}
+
+    # replay of the committed range is exact (half-open (start, end])
+    # while the keys in range are unchanged
+    replay = list(r.readBetweenOffsets({"last_key": ""}, {"last_key": "c.bin"}))
+    assert [k for k, _ in replay] == ["b.bin", "c.bin"]
+
+    # a new key sorting BEFORE the cursor appears while the stream runs
+    (root / "a.bin").write_bytes(b"z")
+    batch2, off2 = r.read(off)
+    # nothing after 'c.bin' → empty batch, cursor unmoved, and crucially
+    # NOT a re-emission of b/c (the positional-index failure mode)
+    assert list(batch2) == [] and off2 == off
+
+    # a key after the cursor flows normally
+    (root / "d.bin").write_bytes(b"w")
+    batch3, off3 = r.read(off2)
+    assert [k for k, _ in batch3] == ["d.bin"]
+    assert off3 == {"last_key": "d.bin"}
+
+    # the backfilled key IS visible to a fresh cursor (and to a range
+    # replay over its interval) — churn inside an already-emitted range
+    # is the documented backfill case, not silent loss of the object
+    fresh, _ = r.read(r.initialOffset())
+    assert [k for k, _ in fresh][0] == "a.bin"
