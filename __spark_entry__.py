@@ -3641,9 +3641,15 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_chars") < F.col("p05")).cast("int").alias("lo"),
         (F.col("n_chars") > F.col("p95")).cast("int").alias("hi"),
     )
+    # mean over exact integer micro-units (partition-order-free; the
+    # clipped values are interpolated-percentile doubles, and a bare
+    # round(avg(double)) is order-dependent in its last ulp)
+    micro_w = F.round(F.col("w") * F.lit(1000000.0), 0).cast("long")
     out = clipped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("w"), 6).alias("winsor_mean"),
+        F.round(F.sum(micro_w) / F.count(F.lit(1)) / F.lit(1000000.0), 6).alias(
+            "winsor_mean"
+        ),
         F.sum("lo").alias("n_clipped_low"),
         F.sum("hi").alias("n_clipped_high"),
     )
@@ -3724,7 +3730,7 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     smoothed = TS.ewma(
-        e, "value", ["user_id"], [F.col("ts"), F.col("event_id")], alpha=0.5, window=10
+        "value", ["user_id"], [F.col("ts"), F.col("event_id")], alpha=0.5, window=10
     )
     return (
         e.select(
@@ -4053,7 +4059,7 @@ def q_time_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("ts_us", F.unix_micros("ts"))
         .withColumn("v", F.when(F.col("event_id") % 7 != 0, F.col("value")))
     )
-    interp = TS.interpolate_linear(e, "v", "ts_us", ["user_id"], [F.col("ts_us"), F.col("event_id")])
+    interp = TS.interpolate_linear("v", "ts_us", ["user_id"], [F.col("ts_us"), F.col("event_id")])
     return e.select(
         "event_id",
         "user_id",
@@ -4149,16 +4155,21 @@ def q_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     types = ["click", "error", "purchase", "signup", "view"]
     est = agg.cms_point_estimates(e, "event_type", types, eps=0.0001, seed=42)
+    # N for the eps·N slack comes from a global window over the exact
+    # per-type aggregate (a handful of rows) — NOT a third full scan of
+    # events via an eager count()
     exact = e.groupBy(F.col("event_type").alias("key")).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
-    n_total = e.count()
+    exact = exact.withColumn(
+        "__n_total", F.sum("n_exact").over(Window.partitionBy(F.lit(1)))
+    )
     out = est.join(exact, "key").select(
         F.col("key").alias("event_type"),
         "n_exact",
         (
             (F.col("est") >= F.col("n_exact"))
-            & (F.col("est") <= F.col("n_exact") + 0.0001 * n_total)
+            & (F.col("est") <= F.col("n_exact") + 0.0001 * F.col("__n_total"))
         ).alias("cms_ok"),
     )
     return O.sort(out, ["event_type"])
@@ -7658,8 +7669,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.lang,
                    COUNT(*) AS n_docs,
-                   ROUND(AVG(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), c.p05), c.p95)), 6)
-                     AS winsor_mean,
+                   ROUND(SUM(CAST(ROUND(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), c.p05),
+                                              c.p95) * 1000000, 0) AS BIGINT))
+                         / COUNT(*) / 1000000.0, 6) AS winsor_mean,
                    CAST(SUM(CASE WHEN d.n_chars < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_clipped_low,
                    CAST(SUM(CASE WHEN d.n_chars > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
@@ -7865,12 +7877,20 @@ def oracle_sql() -> dict[str, str]:
                     FROM d0
                 ) WHERE rn = 1
             ), c1 AS (
-                SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
-                    SELECT a.cluster, gs.dim, ROUND(AVG(e.v[gs.dim]), 6) AS m
-                    FROM a0 a JOIN emb e USING (vec_id)
-                    CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
-                    GROUP BY a.cluster, gs.dim
-                ) GROUP BY cluster
+                -- exact integer micro-unit mean (partition-order-free,
+                -- mirrors kmeans_train); empty clusters KEEP the
+                -- previous centroid (LEFT JOIN + COALESCE)
+                SELECT i.cid, COALESCE(n.c, i.c) AS c
+                FROM init i LEFT JOIN (
+                    SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
+                        SELECT a.cluster, gs.dim,
+                               ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
+                                     / COUNT(*) / 1000000.0, 6) AS m
+                        FROM a0 a JOIN emb e USING (vec_id)
+                        CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                        GROUP BY a.cluster, gs.dim
+                    ) GROUP BY cluster
+                ) n USING (cid)
             ), d1 AS (
                 SELECT e.vec_id, i.cid,
                        ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
@@ -7883,12 +7903,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM d1
                 ) WHERE rn = 1
             ), c2 AS (
-                SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
-                    SELECT a.cluster, gs.dim, ROUND(AVG(e.v[gs.dim]), 6) AS m
-                    FROM a1 a JOIN emb e USING (vec_id)
-                    CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
-                    GROUP BY a.cluster, gs.dim
-                ) GROUP BY cluster
+                SELECT i.cid, COALESCE(n.c, i.c) AS c
+                FROM c1 i LEFT JOIN (
+                    SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
+                        SELECT a.cluster, gs.dim,
+                               ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
+                                     / COUNT(*) / 1000000.0, 6) AS m
+                        FROM a1 a JOIN emb e USING (vec_id)
+                        CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                        GROUP BY a.cluster, gs.dim
+                    ) GROUP BY cluster
+                ) n USING (cid)
             ), df AS (
                 SELECT e.vec_id, i.cid,
                        ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),

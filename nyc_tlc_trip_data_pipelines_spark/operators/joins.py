@@ -247,7 +247,15 @@ def interval_bucket_join(
     """
     b_start = F.floor(F.col(start_col) / bucket_width).cast("long")
     b_end = F.floor((F.col(end_col) - 1) / bucket_width).cast("long")
-    iv = intervals.withColumn("__bucket", F.explode(F.sequence(b_start, b_end)))
+    # empty intervals (end <= start) match nothing under the half-open
+    # predicate — drop them BEFORE the explode: sequence(a, b) with
+    # b < a counts DOWN (two bogus wrong-direction buckets per
+    # degenerate row), and at scale a feed full of zero-length
+    # intervals would multiply shuffle rows that the exact re-check
+    # then discards
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bucket", F.explode(F.sequence(b_start, b_end))
+    )
     pt = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
     )

@@ -281,7 +281,6 @@ def mad_anomalies(
 
 
 def ewma(
-    df: DataFrame,
     value_col: str,
     partition_cols: Sequence[str],
     order_cols: Sequence[str],
@@ -359,7 +358,6 @@ def markov_transitions(
 
 
 def interpolate_linear(
-    df: DataFrame,
     value_col: str,
     ts_col: str,
     partition_cols: Sequence[str],

@@ -311,10 +311,14 @@ def kmeans_train(
 
     Deterministic end to end: init = the vectors of the ``k`` smallest
     ids (no RNG), distances rounded to 6 dp before the argmin with
-    centroid-id tie-break, updated centroid coordinates rounded to
-    6 dp IN the aggregate (``F.round(avg)``, Spark HALF_UP — matching
-    a SQL replay; never Python's banker's ``round``). Empty clusters
-    keep their previous centroid.
+    centroid-id tie-break, and updated centroid coordinates computed
+    from EXACT integer micro-unit sums (each coordinate quantized to
+    ``round(x·10⁶)`` as BIGINT before the SUM — integer addition is
+    associative, so the mean is independent of partition order, the
+    same micro-quantization contract as lm_perplexity / group_regress;
+    a bare ``round(avg(double))`` is partition-order-dependent in its
+    last ulp and can flip the 6-dp rounding). Empty clusters keep
+    their previous centroid.
 
     Scale shape: per iteration one posexplode shuffle keyed on
     (cluster, dim) — k·dim cells regardless of corpus size — and a
@@ -334,10 +338,15 @@ def kmeans_train(
     dim = len(centroids[0])
     for _ in range(iterations):
         assigned = _kmeans_assign_df(emb, centroids)
+        micro = F.round(F.col("x") * F.lit(1000000.0), 0).cast("long")
         mean_rows = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .agg(
+                F.round(
+                    F.sum(micro) / F.count(F.lit(1)) / F.lit(1000000.0), 6
+                ).alias("m")
+            )
             .collect()
         )
         new_c = [list(c) for c in centroids]

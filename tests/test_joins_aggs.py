@@ -223,3 +223,23 @@ def test_corr_group_perfect_and_degenerate(spark):
     got = {r.g: r.pearson_r for r in
            agg.corr_group(df, ["g"], F.col("x"), F.col("y")).collect()}
     assert got["up"] == 1.0 and got["down"] == -1.0 and got["flat"] is None
+
+
+def test_interval_bucket_join_drops_empty_intervals(spark):
+    """end <= start matches nothing under [start, end): degenerate
+    intervals must not explode into wrong-direction buckets (sequence
+    counts DOWN when b_end < b_start)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.joins import interval_bucket_join
+
+    iv = spark.createDataFrame(
+        [(1, 100, 200), (2, 150, 150), (3, 300, 250)],
+        "iv_id long, s long, e long",
+    )
+    pt = spark.createDataFrame(
+        [(10, 150), (11, 150), (12, 260)], "pt_id long, p long"
+    )
+    got = interval_bucket_join(iv, pt, "s", "e", "p", bucket_width=50)
+    rows = {(r["iv_id"], r["pt_id"]) for r in got.collect()}
+    # only the real interval matches; zero-length and inverted ones
+    # produce nothing (and no bogus bucket rows reach the join)
+    assert rows == {(1, 10), (1, 11)}

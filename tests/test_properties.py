@@ -338,7 +338,7 @@ def test_interpolate_bounded_by_neighbours(spark, rows):
 
     data = [(1, float(i), i, v if keep else None) for i, (keep, v) in enumerate(rows)]
     df = spark.createDataFrame(data, "g long, tu double, i long, v double")
-    col = TS.interpolate_linear(df, "v", "tu", ["g"], [F.col("tu"), F.col("i")])
+    col = TS.interpolate_linear("v", "tu", ["g"], [F.col("tu"), F.col("i")])
     out = df.select("i", "v", col.alias("filled")).collect()
     known = [r.v for r in out if r.v is not None]
     if not known:

@@ -147,7 +147,7 @@ def test_ewma_matches_hand_rolled_weights(spark, sf_dir):
     out = (
         df.select(
             "event_id",
-            TS.ewma(df, "value", ["user_id"], ["event_id"], alpha=0.5, window=10).alias("e"),
+            TS.ewma("value", ["user_id"], ["event_id"], alpha=0.5, window=10).alias("e"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") >= 10)
@@ -173,7 +173,7 @@ def test_ewma_shares_one_window_exchange(spark, sf_dir):
         e.select(
             "event_id",
             F.round(
-                TS.ewma(e, "value", ["user_id"], [F.col("ts"), F.col("event_id")]), 6
+                TS.ewma("value", ["user_id"], [F.col("ts"), F.col("event_id")]), 6
             ).alias("v"),
             F.row_number().over(w).alias("rn"),
         )
@@ -255,7 +255,7 @@ def test_interpolate_linear_values_and_edges(spark):
         (2, 2.0, 6, None),    # trailing gap → prev = 5.0
     ]
     df = spark.createDataFrame(rows, "user_id long, tu double, event_id long, v double")
-    col = TS.interpolate_linear(df, "v", "tu", ["user_id"], [F.col("tu"), F.col("event_id")])
+    col = TS.interpolate_linear("v", "tu", ["user_id"], [F.col("tu"), F.col("event_id")])
     got = {r.event_id: r.out for r in df.select("event_id", col.alias("out")).collect()}
     assert got[1] == 10.0 and got[3] == 40.0          # non-null passthrough
     assert got[2] == 17.5
