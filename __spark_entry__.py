@@ -2615,13 +2615,25 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     stub): 8-dim image descriptor [w, h, channel means, channel ranges]
     decoded from real BMP payloads via Arrow mapInPandas. Every entry is
     integer-exact or an exact integer ratio, so the whole vector is
-    oracle-checked from the fixture pixel formula."""
+    oracle-checked from the fixture pixel formula. The contract query
+    unpacks the descriptor into 8 scalar columns — the driver's pandas
+    canonicalizer crashes on array cells (r5 verdict §wrong-2); the
+    library operator keeps the vector form."""
     from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as MM
 
     # repartition to a few substantial Arrow batches — 32 near-empty
     # partitions would each pay a Python-worker round trip
     media = MM.make_bmp_media(spark, 48).repartition(4)
-    return O.sort(MM.extract_image_features(media), ["media_id"])
+    feats = MM.extract_image_features(media)
+    dims = ["w", "h", "mean_r", "mean_g", "mean_b", "range_r", "range_g", "range_b"]
+    return O.sort(
+        feats.select(
+            "media_id",
+            "n_bytes",
+            *[F.element_at("feature", i + 1).alias(d) for i, d in enumerate(dims)],
+        ),
+        ["media_id"],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3119,10 +3131,14 @@ def q_window_first_last(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_agg_collect_list(spark: SparkSession, sf: str) -> DataFrame:
     """E11b: grouped array construction — array_sort(collect_list) so the
-    result is set-deterministic despite Spark's unordered aggregation."""
+    result is set-deterministic despite Spark's unordered aggregation.
+    The final select serializes the array with to_json: the driver's
+    pandas canonicalizer sorts rows by every column and crashes on
+    unhashable list cells, so contract outputs must be scalar-only
+    (r5 verdict §wrong-1); Spark and DuckDB both render '[1,2,3]'."""
     c = load_table(spark, sf, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        F.to_json(F.array_sort(F.collect_list("c_custkey"))).alias("custkeys_json"),
         F.count(F.lit(1)).alias("n_cust"),
     )
 
@@ -7307,13 +7323,13 @@ def oracle_sql() -> dict[str, str]:
                      GENERATE_SERIES(0, 11) AS y(y)
             )
             SELECT media_id, 630::INT AS n_bytes,
-                   [16.0, 12.0,
-                    ROUND(AVG(CAST(r AS DOUBLE)), 6),
-                    ROUND(AVG(CAST(g AS DOUBLE)), 6),
-                    ROUND(AVG(CAST(b AS DOUBLE)), 6),
-                    CAST(MAX(r) - MIN(r) AS DOUBLE),
-                    CAST(MAX(g) - MIN(g) AS DOUBLE),
-                    CAST(MAX(b) - MIN(b) AS DOUBLE)] AS feature
+                   CAST(16 AS DOUBLE) AS w, CAST(12 AS DOUBLE) AS h,
+                   ROUND(AVG(CAST(r AS DOUBLE)), 6) AS mean_r,
+                   ROUND(AVG(CAST(g AS DOUBLE)), 6) AS mean_g,
+                   ROUND(AVG(CAST(b AS DOUBLE)), 6) AS mean_b,
+                   CAST(MAX(r) - MIN(r) AS DOUBLE) AS range_r,
+                   CAST(MAX(g) - MIN(g) AS DOUBLE) AS range_g,
+                   CAST(MAX(b) - MIN(b) AS DOUBLE) AS range_b
             FROM px GROUP BY media_id ORDER BY media_id
         """,
         "q_stream_quarantine": """
@@ -8997,7 +9013,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_agg_collect_list": """
             SELECT c_nationkey,
-                   LIST_SORT(LIST(c_custkey)) AS custkeys,
+                   CAST(to_json(LIST_SORT(LIST(c_custkey))) AS VARCHAR) AS custkeys_json,
                    COUNT(*) AS n_cust
             FROM customer GROUP BY c_nationkey
         """,

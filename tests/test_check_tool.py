@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, "/root/repo/tools")
 
-from check import compare_results, normalize  # noqa: E402
+from check import compare_results, driver_canon, normalize  # noqa: E402
 
 
 def _ok_case():
@@ -72,6 +72,35 @@ def test_rowcount_and_column_mismatches():
     case = _ok_case()
     case["ocols"] = ["k", "other"]
     assert any("columns" in p for p in compare_results(**case))
+
+
+def test_nonscalar_spark_array_column_flagged():
+    """r5 driver ERRs (q_agg_collect_list / q_multimodal_features): an
+    array-typed final column must fail the LOCAL sweep — the driver's
+    pandas canonicalizer crashes on list cells."""
+    case = _ok_case()
+    case["sdtypes"] = ["bigint", "array<bigint>"]
+    case["srows"] = [(1, [1, 2]), (2, [3])]
+    case["orows"] = [(1, [1, 2]), (2, [3])]
+    problems = compare_results(**case)
+    assert any("non-scalar output" in p and "spark v:array<bigint>" in p for p in problems)
+
+
+def test_nonscalar_oracle_list_column_flagged():
+    case = _ok_case()
+    case["otypes"] = ["BIGINT", "BIGINT[]"]
+    problems = compare_results(**case)
+    assert any("non-scalar output" in p and "oracle v:BIGINT[]" in p for p in problems)
+
+
+def test_driver_canon_crashes_on_list_cells_like_the_driver():
+    """The replicated canonicalizer must raise exactly where the driver
+    does (pandas sort_values → factorize → unhashable list)."""
+    import pytest
+
+    driver_canon(["k", "v"], [(1, 1.5), (2, 2.5)])  # scalars fine
+    with pytest.raises(TypeError):
+        driver_canon(["k", "v"], [(1, [1, 2]), (2, [3])])
 
 
 def test_normalize_rounds_and_handles_sentinels():

@@ -52,6 +52,38 @@ def df_to_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
 
 
+def driver_canon(cols, rows):
+    """Replicate the driver's pandas canonicalization exactly (r5 verdict:
+    the driver builds a pandas frame and ``sort_values`` over every
+    column; factorizing a column of unhashable cells — list/dict — raises
+    ``TypeError: unhashable type``). Run it here so the local sweep fails
+    the same way the driver does instead of passing on a tuple-based
+    normalization the driver never uses."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf = pdf[sorted(cols)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    return pdf
+
+
+def _nonscalar_fields(scols, sdtypes, ocols, otypes):
+    """Top-level Array/Map/Struct columns on either side — the driver's
+    canonicalizer crashes on these even when values agree."""
+    bad = [
+        f"spark {c}:{t}"
+        for c, t in zip(scols, sdtypes)
+        if t.startswith(("array<", "map<", "struct<"))
+    ]
+    bad += [
+        f"oracle {c}:{t}"
+        for c, t in zip(ocols, otypes)
+        if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST"))
+    ]
+    return bad
+
+
 def compare_results(
     scols: list[str],
     sdtypes: list[str],
@@ -86,6 +118,13 @@ def compare_results(
         problems.append(
             "type trap (driver hasher sees decimal128): "
             + ", ".join(traps) + " — CAST to BIGINT/DOUBLE"
+        )
+    nonscalar = _nonscalar_fields(scols, sdtypes, ocols, otypes)
+    if nonscalar:
+        problems.append(
+            "non-scalar output (driver canonicalizer crashes on list/struct"
+            " cells): " + ", ".join(nonscalar)
+            + " — to_json or unpack to scalar columns"
         )
     if len(srows) != len(orows):
         problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
@@ -130,6 +169,12 @@ def main():
             failed += 1
             continue
         if name not in oracles:
+            try:
+                driver_canon(scols, srows)
+            except Exception as exc:
+                print(f"FAIL  {name}: driver canonicalizer crash: {type(exc).__name__}: {exc}")
+                failed += 1
+                continue
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             skipped += 1
             continue
@@ -144,6 +189,16 @@ def main():
             continue
         sdtypes = [f.dataType.simpleString() for f in sdf.schema.fields]
         problems = compare_results(scols, sdtypes, srows, ocols, otypes, orows)
+        # belt-and-braces: run the driver's actual pandas canonicalization
+        # so any unhashable cell the type fence misses crashes HERE, not
+        # in the driver rotation window
+        for side, cols, rows in (("spark", scols, srows), ("oracle", ocols, orows)):
+            try:
+                driver_canon(cols, rows)
+            except Exception as exc:
+                problems.append(
+                    f"driver canonicalizer crash ({side}): {type(exc).__name__}: {exc}"
+                )
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed += 1
