@@ -5864,9 +5864,9 @@ def oracle_sql() -> dict[str, str]:
                        || CASE WHEN qp > 0 THEN
                               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
                                   SUBSTRING(u0, qp),
-                                  '&utm_[a-z_]+=[^&#]*', '', 'g'),
-                                  '\?utm_[a-z_]+=[^&#]*&', '?', 'g'),
-                                  '\?utm_[a-z_]+=[^&#]*$', '', 'g')
+                                  '(?i)&utm_[a-z_]+=[^&#]*', '', 'g'),
+                                  '(?i)\?utm_[a-z_]+=[^&#]*&', '?', 'g'),
+                                  '(?i)\?utm_[a-z_]+=[^&#]*$', '', 'g')
                           ELSE '' END AS u
                 FROM nofrag
             ),

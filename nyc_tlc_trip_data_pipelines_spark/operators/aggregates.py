@@ -398,9 +398,13 @@ def welch_ttest(
     t statistic itself is per-row arithmetic on that tiny table."""
     x = value_scaled.cast("decimal(28,0)")
     flag = in_group_a.cast("boolean")
+    # n must count exactly the rows the Σx/Σx² sums see: a NULL metric
+    # contributes nothing to the sums, so counting it would understate
+    # means/variances while inflating n (wrong t and df)
+    seen = x.isNotNull()
     stats = df.groupBy(*keys).agg(
-        F.sum(F.when(flag, 1).otherwise(0)).cast("double").alias("na"),
-        F.sum(F.when(~flag, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(flag & seen, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~flag & seen, 1).otherwise(0)).cast("double").alias("nb"),
         F.sum(F.when(flag, x).otherwise(F.lit(0).cast("decimal(28,0)"))).cast("double").alias("sa"),
         F.sum(F.when(~flag, x).otherwise(F.lit(0).cast("decimal(28,0)"))).cast("double").alias("sb"),
         F.sum(F.when(flag, x * x).otherwise(F.lit(0).cast("decimal(28,0)"))).cast("double").alias("qa"),
@@ -461,7 +465,10 @@ def binned_quantile_rollup(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.floor((value - F.lit(lo)) / F.lit(width))),
     ).cast("int")
-    fine = df.groupBy(*fine_keys, bin_col.alias("bin")).agg(
+    # a NULL metric must not become an observation: floor(NULL/width) is
+    # NULL and greatest() SKIPS nulls, so without this filter NULLs land
+    # in bin 0 as phantom values at `lo`, skewing every quantile
+    fine = df.filter(value.isNotNull()).groupBy(*fine_keys, bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n")
     )
     coarse = fine.groupBy(*coarse_keys, "bin").agg(F.sum("n").alias("n"))

@@ -53,13 +53,20 @@ def assoc_rules(
     # the deduped (basket, item) table feeds FOUR consumers (basket
     # count, item counts, both self-join sides); persist it so the
     # scan+dedup runs once — at 100 TB this is the table you'd write
-    # out before mining (same persist rationale as minhash signatures)
+    # out before mining (same persist rationale as minhash signatures).
+    # Caching contract: the cache backs the RETURNED lazy plan, so it is
+    # not unpersisted here; it ages out under Spark's LRU block manager,
+    # or callers can `spark.catalog.clearCache()` after their action.
     bi = (
         df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
         .distinct()
         .persist()
     )
-    n_baskets = bi.select("basket").distinct().count()
+    # basket total as a broadcast 1-row aggregate, NOT an eager .count()
+    # baked into the plan as a literal — keeps the whole operator lazy
+    # (nothing runs at construction time; the denominator is consistent
+    # with whatever snapshot the terminal action reads)
+    nb = bi.select(F.countDistinct("basket").alias("n_baskets"))
     item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     a = bi.alias("a")
     b = bi.alias("b")
@@ -79,15 +86,16 @@ def assoc_rules(
     out = (
         pairs.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
         .select(
             "item_a",
             "item_b",
             "n_ab",
-            F.round(F.col("n_ab") / F.lit(n_baskets), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
             F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
             F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
             F.round(
-                F.col("n_ab") * F.lit(n_baskets) / (F.col("n_a") * F.col("n_b")), 6
+                F.col("n_ab") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")), 6
             ).alias("lift"),
         )
     )
@@ -115,12 +123,16 @@ def collocations_pmi(
     # persist it (vocab build + prune read it) and persist the pruned
     # table too (BOTH self-join sides read it); without these the
     # corpus text is re-tokenized four times
+    # (same caching contract as assoc_rules: caches back the returned
+    # lazy plan, LRU-evicted or caller-cleared after the action)
     dt = (
         df.select(F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("tok"))
         .distinct()
         .persist()
     )
-    n_docs = df.select(id_col).distinct().count()
+    # corpus size as a broadcast 1-row aggregate — lazy, not an eager
+    # .count() literal (same rationale as assoc_rules)
+    nd = df.select(F.countDistinct(id_col).cast("double").alias("n_docs"))
     vocab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") >= min_df
     )
@@ -141,6 +153,7 @@ def collocations_pmi(
     return (
         pair_df.join(F.broadcast(va), "tok_a")
         .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(nd))
         .select(
             "tok_a",
             "tok_b",
@@ -148,7 +161,7 @@ def collocations_pmi(
             F.round(
                 F.log(
                     F.col("df_ab").cast("double")
-                    * F.lit(float(n_docs))
+                    * F.col("n_docs")
                     / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
                 ),
                 6,

@@ -760,7 +760,19 @@ def ahash_bmp(payload: bytes, block: int = 2) -> int:
     h, w = arr.shape[0], arr.shape[1]
     s = arr.sum(axis=2)  # r+g+b per pixel
     by, bx = h // block, w // block
-    cells = s[: by * block, : bx * block].reshape(by, block, bx, block).sum(axis=(1, 3))
+    cell_h = cell_w = block
+    if by * bx > 64:
+        # honor `block` only while the grid fits one 64-bit word; larger
+        # images fall back to the classic fixed 8×8 aHash grid (cells grow
+        # with the image) so the fingerprint is 64-bit for ANY input size
+        # instead of overflowing the int64 column (r5 advice)
+        by, bx = min(8, h), min(8, w)
+        cell_h, cell_w = h // by, w // bx
+    cells = (
+        s[: by * cell_h, : bx * cell_w]
+        .reshape(by, cell_h, bx, cell_w)
+        .sum(axis=(1, 3))
+    )
     total = int(cells.sum())
     n_cells = by * bx
     bits = (cells.astype(object) * n_cells > total).astype(np.uint8)
@@ -769,7 +781,8 @@ def ahash_bmp(payload: bytes, block: int = 2) -> int:
         for xx in range(bx):
             if bits[yy, xx]:
                 hash_v |= 1 << (yy * bx + xx)
-    return hash_v
+    # bit 63 set → two's-complement into the signed int64 column range
+    return hash_v - (1 << 64) if hash_v >= 1 << 63 else hash_v
 
 
 def ahash_images(df: DataFrame, block: int = 2) -> DataFrame:

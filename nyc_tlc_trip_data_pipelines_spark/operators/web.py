@@ -37,9 +37,9 @@ _FRAGMENT = "#.*$"
 # param ('?utm_a=1&b=2' → '?b=2') or drop an only-param query
 # ('?utm_a=1' → ''). All global in both engines (a '?' can legally
 # recur inside param values).
-_TRACKING = "&utm_[a-z_]+=[^&#]*"
-_TRACKING_LEAD_MID = "\\?utm_[a-z_]+=[^&#]*&"
-_TRACKING_LEAD_END = "\\?utm_[a-z_]+=[^&#]*$"
+_TRACKING = "(?i)&utm_[a-z_]+=[^&#]*"
+_TRACKING_LEAD_MID = "(?i)\\?utm_[a-z_]+=[^&#]*&"
+_TRACKING_LEAD_END = "(?i)\\?utm_[a-z_]+=[^&#]*$"
 # one pattern for both extract (group 1) and strip — regexp_replace
 # ignores the capture group, so a single constant cannot drift
 _SCHEME_HOST = "(?i)^(https?://[^/?#]*)"

@@ -257,6 +257,30 @@ def test_ahash_matches_formula_replay(spark):
         assert got[i] == expect
 
 
+def test_ahash_large_image_fits_int64(spark):
+    """r5 advice: a 32×32 image at block=2 is 256 cells — the packed hash
+    must NOT overflow the int64 column. Large images fall back to the
+    classic fixed 8×8 aHash grid; brightness invariance still holds."""
+    import numpy as np
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import multimodal as M
+
+    h = w = 32
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, size=(h, w, 3)).astype(np.uint8)
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    rows = [
+        (0, "image", M._encode_bmp(base), "image/bmp", w, h, None),
+        (1, "image", M._encode_bmp(brighter), "image/bmp", w, h, None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["ahash"] for r in M.ahash_images(df).collect()}
+    assert got[0] == got[1]
+    assert -(2**63) <= got[0] < 2**63
+    # direct kernel check: the value round-trips the signed packing
+    assert M.ahash_bmp(M._encode_bmp(base)) == got[0]
+
+
 def test_ehash_loudness_invariance_and_separation(spark):
     """eHash must collide for re-leveled (scaled) copies of the same
     clip and separate envelope-different clips."""

@@ -44,6 +44,16 @@ def test_canonical_url_strips_first_position_tracking(spark):
     assert _canon(spark, "https://h.com/p?utm_a=x&utm_b=y&c=3") == "https://h.com/p?c=3"
 
 
+def test_canonical_url_strips_uppercase_tracking_params(spark):
+    """r5 advice: real crawls carry UTM_SOURCE=... variants — the
+    tracking patterns are case-insensitive (in lockstep with the
+    DuckDB oracle twin)."""
+    got = _canon(spark, "https://h.com/p?id=7&UTM_Source=feed&UTM_CAMPAIGN=c#x")
+    assert got == "https://h.com/p?id=7"
+    assert _canon(spark, "https://h.com/p?Utm_a=x&b=2") == "https://h.com/p?b=2"
+    assert _canon(spark, "https://h.com/p?UTM_A=x") == "https://h.com/p"
+
+
 def test_canonical_url_preserves_utm_like_path_bytes(spark):
     # tracking strip is scoped to the query string: '&utm' sequences in
     # the PATH must survive byte-for-byte (two distinct pages must NOT
