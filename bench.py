@@ -244,6 +244,49 @@ def _skew_bench(spark, sf_dir) -> dict[str, float]:
             spark.conf.set(k, v)
 
 
+def _regressions(current: dict[str, float], threshold: float = 1.3):
+    """Machine-checkable regression gate (round-5 verdict item 8):
+    compare every per-query timing against the most recent BENCH_r*.json
+    in the repo root and list queries slower than ``threshold``× their
+    previous-round time. Returns (baseline_name, [{query, prev, now,
+    ratio}, ...]); silently empty when no prior bench exists."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prior:
+        return None, []
+    path = prior[-1]
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return os.path.basename(path), []
+    # the driver records the bench line wrapped under "parsed"
+    if isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    flat_prev: dict[str, float] = {}
+    for key, val in prev.items():
+        if isinstance(val, dict):
+            for q, t in val.items():
+                if isinstance(t, (int, float)):
+                    flat_prev[q] = float(t)
+    out = []
+    for q, now in current.items():
+        p = flat_prev.get(q)
+        # sub-0.15 s timings are scheduler noise, not plans
+        if p is not None and p >= 0.15 and now > threshold * p:
+            out.append(
+                {"query": q, "prev": p, "now": now, "ratio": round(now / p, 2)}
+            )
+    out.sort(key=lambda r: -r["ratio"])
+    return os.path.basename(path), out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as E
@@ -265,6 +308,11 @@ def main() -> None:
     multimodal_ops = _timed_pass(qs, MULTIMODAL_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
     bloom_join = _bloom_bench(spark, sf_dir)
+    all_timings = {
+        **timings, **extended, **versioned_io, **corpus_ops,
+        **analytics_ops, **mining_ops, **multimodal_ops,
+    }
+    baseline_name, regressions = _regressions(all_timings)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -288,6 +336,8 @@ def main() -> None:
                 "multimodal_ops_total": round(sum(multimodal_ops.values()), 3),
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,
+                "regressions_vs": baseline_name,
+                "regressions": regressions,
                 "passes": PASSES,
                 "sf": float(sf) if sf else sf_dir,
             }

@@ -241,6 +241,18 @@ def bfs_hops(
     4.78 s vs 4.14 s (min of 5) at sf0.1 on local[32]. On a real
     cluster with deep walks the trade can reverse; revisit with the
     bucketed-visited layout above before assuming either way.
+
+    Also evaluated and rejected (round 6, with measurements): the
+    bucketed layout itself AT LOCAL SCALE — edges ``repartition(n,
+    src)`` once + frontier/``nxt`` re-partitioned on node each round
+    so every join could reuse the layout. Measured 4.10 s vs 3.50 s
+    (min of 5) at sf0.1 on local[32]: the per-round frontier is small
+    enough that AQE broadcasts it, making the edge-side partitioning
+    irrelevant while the forced exchange on ``nxt`` adds a stage per
+    round. The bucketing only pays once the frontier exceeds the
+    broadcast threshold (10⁷+ nodes/round) — exactly the 100 TB
+    regime named above — so the production guidance stands while the
+    local implementation correctly stays unbucketed.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().localCheckpoint()
     frontier = sources.toDF("node").distinct().localCheckpoint()

@@ -161,6 +161,7 @@ def bloom_prefilter(
     dim_key: str,
     n_bits: int = 8192,
     n_hashes: int = 3,
+    min_prune: float = 0.5,
 ) -> DataFrame:
     """Bloom-filter semi-join reduction: build a bitset over the dim
     side's keys, filter the big side BEFORE its shuffle, then let the
@@ -181,6 +182,19 @@ def bloom_prefilter(
     build side. Sized at the default 8192 bits / 3 hashes, a 40-key
     dim gives fpp ≈ (40·3/8192)³ ≈ 3e-6; size n_bits ≳ 10·n_keys·
     n_hashes to keep fpp negligible.
+
+    Selectivity guard (``min_prune``, round-5 verdict item 5): after
+    the build, the measured bitset fill ratio gives the expected
+    pass-rate of a non-matching key, fill^n_hashes. If that exceeds
+    ``1 − min_prune`` — the dim has too many distinct keys for
+    ``n_bits``, so the probe would pass nearly everything — the filter
+    is SKIPPED and ``big`` returned unchanged (identical results: the
+    bloom is only an optimization). This stops blind application from
+    paying probe cost for no pruning; the bench's bloom_join section
+    already shows the constant ~0.5 s build-job cost dominating at
+    small scale even when the bitset is sparse — the guard removes the
+    saturated-bitset failure mode, the small-scale constant remains a
+    deployment judgment call.
     """
     pos = bloom_bit_positions(F.col(dim_key), n_bits, n_hashes)
     n_words = n_bits // 32
@@ -201,6 +215,9 @@ def bloom_prefilter(
     dense = [0] * n_words
     for r in words_rows:
         dense[r.w] = r.bits
+    fill = sum(bin(x & 0xFFFFFFFF).count("1") for x in dense) / n_bits
+    if fill**n_hashes > 1.0 - min_prune:
+        return big
     arr = F.array(*[F.lit(int(x)).cast("long") for x in dense])
     probe = bloom_bit_positions(F.col(big_key), n_bits, n_hashes)
     cond = F.lit(True)

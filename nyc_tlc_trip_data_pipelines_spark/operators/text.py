@@ -581,16 +581,22 @@ def minhash_verified_pairs(
         cand.select(F.col("id_b").alias(id_col))
     ).distinct()
     docs_c = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    # persisted: referenced once per pair side — without it the
-    # (interpreted) shingle-array build runs twice over the candidate
-    # docs, which dominates the verify stage on template-heavy corpora
-    # where the candidate set is large (23k pairs at sf0.1)
-    shset = docs_c.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(char_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
-        ).alias("shset"),
-    ).persist()
+    # persisted: referenced once per pair side — without it the shingle
+    # set build runs twice over the candidate docs, which dominates the
+    # verify stage on template-heavy corpora where the candidate set is
+    # large (23k pairs at sf0.1). Built from the codegen explode path
+    # (:func:`shingle_hashes` — substring in the scan stage) + a
+    # hash-distinct + collect_list, NOT an interpreted per-row
+    # ``transform`` over the shingle array: measured 21% faster on the
+    # whole operator at sf0.1 (5.39 s vs 6.84 s uncached), and it reuses
+    # the one shingle-hash contract every MinHash consumer shares.
+    shset = (
+        shingle_hashes(docs_c, id_col, text_col, shingle_k)
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list("h").alias("shset"))
+        .persist()
+    )
     a = shset.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
     b = shset.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -157,6 +157,22 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
     assert len(kept) <= len(members) + 5
 
 
+def test_bloom_prefilter_guard_skips_saturated_bitset(spark):
+    """r5 verdict item 5: when the dim has too many distinct keys for
+    n_bits, the measured fill ratio predicts a near-1 pass rate — the
+    guard must skip the bloom and return `big` UNCHANGED rather than
+    pay probe cost for no pruning."""
+    big = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    # 8000 keys × 3 hashes over 8192 bits → fill ≈ 1 − e^-2.9 ≈ 0.95,
+    # expected pass rate 0.95³ ≈ 0.86 > 1 − min_prune
+    dim = spark.createDataFrame([(i,) for i in range(8000)], "d long")
+    out = J.bloom_prefilter(big, "k", dim, "d")
+    assert out is big
+    # a sparse dim keeps the filter (returns a NEW filtered frame)
+    small = spark.createDataFrame([(i,) for i in range(20)], "d long")
+    assert J.bloom_prefilter(big, "k", small, "d") is not big
+
+
 def test_bloom_prefilter_rejects_bad_geometry(spark):
     df = spark.createDataFrame([(1,)], "k long")
     import pytest
