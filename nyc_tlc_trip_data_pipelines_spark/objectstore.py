@@ -68,16 +68,78 @@ class LocalStore:
             return fh.read()
 
 
+class S3Store:
+    """boto3 S3 backend — the reference's actual production path
+    (``pasta1_etl/src/utils.py:16-43`` paginated ``list_objects_v2``
+    listing, ``utils.py:69-84`` string puts), behind the same interface
+    LocalStore models. boto3 is an OPTIONAL dependency: the import lives
+    in ``__init__`` so environments without it still import this module
+    and use LocalStore; :func:`get_store` turns the missing import into
+    the documented loud failure.
+
+    ``base`` scopes the store to a key prefix (``s3://bucket/base``):
+    keys in and out are relative to it, exactly as LocalStore keys are
+    relative to its root — so call sites are backend-agnostic. Listing
+    order and pagination come from S3 itself (lexicographic,
+    ``PageSize``-capped pages), matching the LocalStore emulation.
+    """
+
+    def __init__(self, bucket: str, base: str = ""):
+        import boto3  # optional; gated by get_store
+
+        self.client = boto3.client("s3")
+        self.bucket = bucket
+        self.base = base.strip("/")
+
+    def _full(self, key: str) -> str:
+        return f"{self.base}/{key}" if self.base else key
+
+    def iter_pages(self, prefix: str = "", page_size: int = PAGE_SIZE) -> Iterator[list[str]]:
+        full_prefix = self._full(prefix) if prefix else (f"{self.base}/" if self.base else "")
+        strip = len(self.base) + 1 if self.base else 0
+        paginator = self.client.get_paginator("list_objects_v2")
+        empty = True
+        for page in paginator.paginate(
+            Bucket=self.bucket,
+            Prefix=full_prefix,
+            PaginationConfig={"PageSize": page_size},
+        ):
+            keys = [o["Key"][strip:] for o in page.get("Contents", [])]
+            if keys:
+                empty = False
+                yield keys
+        if empty:
+            yield []
+
+    def put_text(self, key: str, content: str) -> str:
+        self.client.put_object(
+            Bucket=self.bucket, Key=self._full(key), Body=content.encode("utf-8")
+        )
+        return f"s3://{self.bucket}/{self._full(key)}"
+
+    def get_text(self, key: str) -> str:
+        obj = self.client.get_object(Bucket=self.bucket, Key=self._full(key))
+        return obj["Body"].read().decode("utf-8")
+
+
 def get_store(url: str):
     """Scheme registry (the analog of ``get_s3_client``,
     ``utils.py:16-28``): ``/local/path`` or ``file:///...`` → LocalStore;
-    ``s3://`` / ``s3a://`` would map to an S3 client on a real deploy —
-    deliberately unimplemented here (no boto3 in this environment) so a
-    mis-configured path fails loudly instead of writing somewhere odd.
+    ``s3://`` / ``s3a://`` → :class:`S3Store` when boto3 is importable,
+    else a loud NotImplementedError so a mis-configured path fails
+    instead of writing somewhere odd. Unknown schemes always fail loudly.
     """
     parsed = urlparse(url)
     if parsed.scheme in ("", "file"):
         return LocalStore(parsed.path or url)
+    if parsed.scheme in ("s3", "s3a"):
+        try:
+            import boto3  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "s3/s3a object store requires boto3, which is not installed"
+            ) from exc
+        return S3Store(parsed.netloc, parsed.path.lstrip("/"))
     raise NotImplementedError(
         f"scheme {parsed.scheme!r} has no registered object store in this environment"
     )
@@ -107,6 +169,7 @@ def save_text(url: str, key: str, content: str) -> str:
 
 __all__: Sequence[str] = (
     "LocalStore",
+    "S3Store",
     "get_store",
     "list_objects",
     "list_parquet_files",
