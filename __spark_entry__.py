@@ -3735,6 +3735,57 @@ def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["vec_id"])
 
 
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 6): SemDeDup semantic near-dup scan (Abbas et
+    al. 2023, arXiv:2303.09540 — operators/vectors.py
+    semantic_dedup_pairs): k-means clusters the embedding corpus
+    (q_kmeans's exact deterministic training), then pairwise cosine
+    runs ONLY within each cluster — learned buckets where
+    q_dedup_embedding uses LSH buckets. The driver corpus is random
+    vectors with no true near-dups, so this returns the top-50
+    most-similar within-cluster pairs — the same plan a real
+    cosine ≥ τ dedup would run. The oracle replays the full chain:
+    both Lloyd iterations (shared CTE with q_kmeans's oracle) + the
+    within-cluster pair scan."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = V.semantic_dedup_pairs(emb, k=4, iterations=2)
+    return O.top_k(pairs, [F.col("cosine").desc(), F.col("id_a"), F.col("id_b")], 50)
+
+
+def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 6): top principal component of the embedding
+    covariance by matrix-free distributed power iteration
+    (operators/vectors.py pca_top_component) — the whitening /
+    compression primitive before quantization or IVF-PQ. Each
+    iteration is ONE aggregate pass (per-row centered dot against the
+    broadcast v, then per-dimension exact integer micro-unit sums —
+    the kmeans determinism contract), with v re-normalized and rounded
+    to 6 dp at every boundary so the DuckDB twin replays the entire
+    trajectory (mean → two iterations → Rayleigh eigenvalue)
+    bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    return O.sort(V.pca_top_component(emb, iterations=2), ["dim"])
+
+
+def q_dp_release(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 6): ε-differentially-private aggregate release
+    (operators/privacy.py — Laplace mechanism, Dwork et al. TCC 2006):
+    per-event-type noisy counts (Δ=1) and contribution-CLIPPED noisy
+    sums (value clamped to [0, 50] ⇒ Δ=50), ε=1. The Laplace draws are
+    deterministic inverse-CDF transforms of the portable 60-bit hash of
+    (key, seed), so the oracle replays hash → u → −(Δ/ε)·sign(u)·
+    ln(1−2|u|) → release exactly; swapping the hash draw for rand()
+    recovers the production mechanism with the same aggregate plan."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import privacy as PV
+
+    e = load_table(spark, sf, "events")
+    counts = PV.dp_noisy_counts(e, ["event_type"], epsilon=1.0, seed=7)
+    sums = PV.dp_noisy_sum(
+        e, ["event_type"], F.col("value"), 0.0, 50.0, epsilon=1.0, seed=7
+    )
+    return O.sort(counts.join(sums, "event_type"), ["event_type"])
+
+
 def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series smoothing (round 5): bounded-window EWMA (α=0.5,
     window=10) of event value per user (operators/timeseries.py ewma).
@@ -5297,6 +5348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_bfs": q_graph_bfs,
         "q_graph_triangles": q_graph_triangles,
         "q_kmeans": q_kmeans,
+        "q_dedup_semantic": q_dedup_semantic,
+        "q_pca_power": q_pca_power,
+        "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
         "q_lm_perplexity": q_lm_perplexity,
         "q_bm25_rank": q_bm25_rank,
@@ -5630,6 +5684,102 @@ def _dedup_embedding_oracle() -> str:
                      (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) AS cosine
         FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         ORDER BY cosine DESC, id_a, id_b LIMIT 50
+    """
+
+
+_KMEANS_ASSIGN_CTE = """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), init AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)
+            ), d0 AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN init i
+            ), a0 AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d0
+                ) WHERE rn = 1
+            ), c1 AS (
+                -- exact integer micro-unit mean (partition-order-free,
+                -- mirrors kmeans_train); empty clusters KEEP the
+                -- previous centroid (LEFT JOIN + COALESCE)
+                SELECT i.cid, COALESCE(n.c, i.c) AS c
+                FROM init i LEFT JOIN (
+                    SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
+                        SELECT a.cluster, gs.dim,
+                               ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
+                                     / COUNT(*) / 1000000.0, 6) AS m
+                        FROM a0 a JOIN emb e USING (vec_id)
+                        CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                        GROUP BY a.cluster, gs.dim
+                    ) GROUP BY cluster
+                ) n USING (cid)
+            ), d1 AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN c1 i
+            ), a1 AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d1
+                ) WHERE rn = 1
+            ), c2 AS (
+                SELECT i.cid, COALESCE(n.c, i.c) AS c
+                FROM c1 i LEFT JOIN (
+                    SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
+                        SELECT a.cluster, gs.dim,
+                               ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
+                                     / COUNT(*) / 1000000.0, 6) AS m
+                        FROM a1 a JOIN emb e USING (vec_id)
+                        CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                        GROUP BY a.cluster, gs.dim
+                    ) GROUP BY cluster
+                ) n USING (cid)
+            ), df AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN c2 i
+            ), af AS (
+                SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM df
+                ) WHERE rn = 1
+            )
+"""
+
+
+def _kmeans_oracle() -> str:
+    """Both Lloyd iterations unrolled (distances and centroid means
+    rounded to 6 dp exactly as the Spark side); the shared CTE is the
+    ONE copy of the assignment replay — q_dedup_semantic builds its
+    within-cluster pair scan on the identical chain."""
+    return _KMEANS_ASSIGN_CTE + """
+            SELECT vec_id, cluster FROM af ORDER BY vec_id
+    """
+
+
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup replay: the kmeans assignment chain (shared CTE), then
+    pairwise cosine WITHIN each cluster, global top-50 with the
+    (cosine desc, id_a, id_b) tie-break — the same cosine formulation
+    q_dedup_embedding's oracle uses."""
+    return _KMEANS_ASSIGN_CTE + """
+            SELECT fa.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                         (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+            FROM af fa JOIN af fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+            JOIN emb a ON a.vec_id = fa.vec_id
+            JOIN emb b ON b.vec_id = fb.vec_id
+            ORDER BY cosine DESC, id_a, id_b LIMIT 50
     """
 
 
@@ -7875,72 +8025,93 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round 5: k-means — both Lloyd iterations unrolled; distances
         # and centroid means rounded to 6 dp exactly as the Spark side
-        "q_kmeans": """
+        "q_kmeans": _kmeans_oracle(),
+        "q_dedup_semantic": _semantic_dedup_oracle(),
+        # round 6: power iteration — mean, both iterations, and the
+        # Rayleigh eigenvalue replayed with the same fold orders and
+        # 6-dp/micro-unit rounding boundaries as pca_top_component
+        "q_pca_power": """
             WITH emb AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            ), init AS (
-                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-                FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)
-            ), d0 AS (
-                SELECT e.vec_id, i.cid,
+            ), mu AS (
+                SELECT LIST(m ORDER BY dim) AS m FROM (
+                    SELECT gs.dim,
+                           ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
+                                 / COUNT(*) / 1000000.0, 6) AS m
+                    FROM emb e CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                    GROUP BY gs.dim
+                )
+            ), cen AS (
+                SELECT e.vec_id,
+                       LIST_TRANSFORM(GENERATE_SERIES(1, 64), j -> e.v[j] - mu.m[j]) AS c
+                FROM emb e CROSS JOIN mu
+            ), s1 AS (
+                SELECT vec_id, c,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(c, x -> x * 0.125)), 6) AS s
+                FROM cen
+            ), w1 AS (
+                SELECT LIST(w ORDER BY dim) AS w FROM (
+                    SELECT gs.dim,
+                           ROUND(SUM(CAST(ROUND(s1.s * s1.c[gs.dim] * 1000000, 0) AS BIGINT))
+                                 / COUNT(*) / 1000000.0, 6) AS w
+                    FROM s1 CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                    GROUP BY gs.dim
+                )
+            ), v1 AS (
+                SELECT LIST_TRANSFORM(w, x ->
+                           ROUND(x / SQRT(LIST_SUM(LIST_TRANSFORM(w, y -> y * y))), 6)) AS v
+                FROM w1
+            ), s2 AS (
+                SELECT cen.vec_id, cen.c,
                        ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
-                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
-                FROM emb e CROSS JOIN init i
-            ), a0 AS (
-                SELECT vec_id, cid AS cluster FROM (
-                    SELECT vec_id, cid,
-                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                    FROM d0
-                ) WHERE rn = 1
-            ), c1 AS (
-                -- exact integer micro-unit mean (partition-order-free,
-                -- mirrors kmeans_train); empty clusters KEEP the
-                -- previous centroid (LEFT JOIN + COALESCE)
-                SELECT i.cid, COALESCE(n.c, i.c) AS c
-                FROM init i LEFT JOIN (
-                    SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
-                        SELECT a.cluster, gs.dim,
-                               ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
-                                     / COUNT(*) / 1000000.0, 6) AS m
-                        FROM a0 a JOIN emb e USING (vec_id)
-                        CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
-                        GROUP BY a.cluster, gs.dim
-                    ) GROUP BY cluster
-                ) n USING (cid)
-            ), d1 AS (
-                SELECT e.vec_id, i.cid,
-                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
-                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
-                FROM emb e CROSS JOIN c1 i
-            ), a1 AS (
-                SELECT vec_id, cid AS cluster FROM (
-                    SELECT vec_id, cid,
-                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                    FROM d1
-                ) WHERE rn = 1
-            ), c2 AS (
-                SELECT i.cid, COALESCE(n.c, i.c) AS c
-                FROM c1 i LEFT JOIN (
-                    SELECT cluster AS cid, LIST(m ORDER BY dim) AS c FROM (
-                        SELECT a.cluster, gs.dim,
-                               ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
-                                     / COUNT(*) / 1000000.0, 6) AS m
-                        FROM a1 a JOIN emb e USING (vec_id)
-                        CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
-                        GROUP BY a.cluster, gs.dim
-                    ) GROUP BY cluster
-                ) n USING (cid)
-            ), df AS (
-                SELECT e.vec_id, i.cid,
-                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
-                             j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
-                FROM emb e CROSS JOIN c2 i
+                             j -> cen.c[j] * v1.v[j])), 6) AS s
+                FROM cen CROSS JOIN v1
+            ), w2 AS (
+                SELECT LIST(w ORDER BY dim) AS w FROM (
+                    SELECT gs.dim,
+                           ROUND(SUM(CAST(ROUND(s2.s * s2.c[gs.dim] * 1000000, 0) AS BIGINT))
+                                 / COUNT(*) / 1000000.0, 6) AS w
+                    FROM s2 CROSS JOIN GENERATE_SERIES(1, 64) gs(dim)
+                    GROUP BY gs.dim
+                )
+            ), v2 AS (
+                SELECT LIST_TRANSFORM(w, x ->
+                           ROUND(x / SQRT(LIST_SUM(LIST_TRANSFORM(w, y -> y * y))), 6)) AS v,
+                       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(w, y -> y * y))), 6) AS eig
+                FROM w2
             )
-            SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
-                SELECT vec_id, cid,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                FROM df
-            ) WHERE rn = 1 ORDER BY vec_id
+            SELECT CAST(gs.j - 1 AS INT) AS dim, v2.v[gs.j] AS loading,
+                   v2.eig AS eigenvalue
+            FROM v2 CROSS JOIN GENERATE_SERIES(1, 64) gs(j)
+            ORDER BY dim
+        """,
+        # round 6: DP release — hash -> inverse-CDF Laplace replayed
+        # with the identical expression shape (left-assoc multiplies)
+        "q_dp_release": """
+            WITH c AS (
+                SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type
+            ), s AS (
+                SELECT event_type,
+                       ROUND(CAST(SUM(CAST(ROUND(LEAST(50.0, GREATEST(0.0, value)) * 100.0, 0)
+                                          AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_clipped
+                FROM events GROUP BY event_type
+            ), nc AS (
+                SELECT event_type, n_true,
+                       CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(event_type, CHR(31), '7')), 1, 15))
+                                 AS BIGINT) AS DOUBLE) / 1152921504606846976.0 - 0.5 AS u
+                FROM c
+            ), ns AS (
+                SELECT event_type, sum_clipped,
+                       CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(event_type, CHR(31), '8')), 1, 15))
+                                 AS BIGINT) AS DOUBLE) / 1152921504606846976.0 - 0.5 AS u
+                FROM s
+            )
+            SELECT nc.event_type, nc.n_true,
+                   ROUND(nc.n_true + SIGN(nc.u) * 1.0 * 1.0 * (-LN(1.0 - 2.0 * ABS(nc.u))), 6) AS n_released,
+                   ns.sum_clipped,
+                   ROUND(ns.sum_clipped + SIGN(ns.u) * 1.0 * 50.0 * (-LN(1.0 - 2.0 * ABS(ns.u))), 6) AS sum_released
+            FROM nc JOIN ns USING (event_type)
+            ORDER BY event_type
         """,
         # round 5: EWMA — identical left-associated power-of-two chain
         "q_ewma": """

@@ -115,6 +115,15 @@ MULTIMODAL_OPS = [
     "q_multimodal_scene_detect",
 ]
 
+# round 6: embedding-space curation (SemDeDup clusters, PCA power
+# iteration) + the DP release — iterative/model-state ops whose cost
+# is dominated by per-iteration aggregate passes, tracked per round
+ROUND6_OPS = [
+    "q_dedup_semantic",
+    "q_pca_power",
+    "q_dp_release",
+]
+
 
 PASSES = 3
 
@@ -296,7 +305,7 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS + ROUND6_OPS:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
@@ -306,11 +315,12 @@ def main() -> None:
     analytics_ops = _timed_pass(qs, ANALYTICS_OPS, spark, sf_dir)
     mining_ops = _timed_pass(qs, MINING_OPS, spark, sf_dir)
     multimodal_ops = _timed_pass(qs, MULTIMODAL_OPS, spark, sf_dir)
+    round6_ops = _timed_pass(qs, ROUND6_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
     bloom_join = _bloom_bench(spark, sf_dir)
     all_timings = {
         **timings, **extended, **versioned_io, **corpus_ops,
-        **analytics_ops, **mining_ops, **multimodal_ops,
+        **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
     }
     baseline_name, regressions = _regressions(all_timings)
     total = round(sum(timings.values()), 3)
@@ -334,6 +344,8 @@ def main() -> None:
                 "mining_ops_total": round(sum(mining_ops.values()), 3),
                 "multimodal_ops": multimodal_ops,
                 "multimodal_ops_total": round(sum(multimodal_ops.values()), 3),
+                "round6_ops": round6_ops,
+                "round6_ops_total": round(sum(round6_ops.values()), 3),
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,
                 "regressions_vs": baseline_name,

@@ -358,3 +358,138 @@ def kmeans_train(
         centroids = new_c
     final = _kmeans_assign_df(emb, centroids).select("id", "cluster")
     return final, centroids
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup candidate scan (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540 — the embedding-space
+    dedup used for LAION/LLM corpus curation): k-means clusters the
+    corpus (:func:`kmeans_train`, deterministic), then pairwise cosine
+    runs ONLY within each cluster — the cluster plays the role the LSH
+    bucket plays in the hash-based dedup stack, scoping the quadratic
+    pair scan to corpus/k-sized cells.
+
+    Returns (cluster, id_a, id_b, cosine) with id_a < id_b, cosine
+    rounded to 6 dp. Callers apply their keep-policy downstream (e.g.
+    ``filter(cosine >= τ)`` + min-id grouping, exactly like the MinHash
+    pipeline's pair consumers).
+
+    Scale shape: one k-means training pass (sampled at 100 TB — the
+    standard practice kmeans_train documents), one map-side assignment
+    pass, then a self-join keyed on the cluster id — shuffle is
+    id+cluster rows, the quadratic term is (n/k)² per cluster, which
+    production SemDeDup keeps constant by scaling k with the corpus
+    (the paper uses k ≈ n/5000). No all-pairs join ever; the plan is
+    the LSH-bucketed q_dedup_embedding plan with learned buckets.
+    """
+    from nyc_tlc_trip_data_pipelines_spark.operators.scalars import cosine_similarity
+
+    assigned, _ = kmeans_train(df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col)
+    emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assigned, "id"
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return a.join(
+        b,
+        on=[F.col("a.cluster") == F.col("b.cluster"), F.col("a.id") < F.col("b.id")],
+    ).select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 2,
+) -> DataFrame:
+    """Top principal component of the embedding covariance by
+    DISTRIBUTED power iteration — the whitening/compression primitive
+    embedding pipelines run before quantization or IVF-PQ (and the
+    classic deflation step of PCA; power iteration per Golub & Van Loan,
+    and the same matrix-free formulation MLlib's RowMatrix uses for
+    tall-skinny data).
+
+    Never forms the d×d covariance: each iteration computes
+    C·v = Σ ((x−μ)·v)(x−μ) / n in ONE aggregate pass — per row the
+    scalar s = (x−μ)·v (codegen fold against the broadcast v literal,
+    rounded 6 dp), then per-dimension exact integer micro-unit sums of
+    s·(x−μ)_j (the kmeans_train determinism contract: integer addition
+    is associative, so the result is partition-order-free), normalized
+    and rounded to 6 dp at each iteration boundary so any SQL engine
+    replays the whole trajectory bit-for-bit.
+
+    v₀ = (1/8, …, 1/8) (unit for d = 64, deterministic — no RNG).
+    Returns (dim, loading, eigenvalue): the component's d loadings plus
+    the Rayleigh-quotient eigenvalue estimate ‖C·v‖ from the final
+    iteration (per-dim exact sums, same contract).
+
+    Scale shape: per iteration one posexplode shuffle keyed on dim —
+    d cells regardless of corpus size — and a d-sized driver readback
+    (model state, like kmeans_train's centroids); the per-row work is
+    codegen in the scan stage. At 100 TB: iterations · one-pass scans,
+    the optimal data movement for any matrix-free eigensolver.
+    """
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    first = emb.select(F.size("v").alias("d")).first()
+    dim = first["d"]
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+
+    # per-dimension mean, exact micro-unit sums (kmeans contract)
+    mean_rows = (
+        emb.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.round(F.sum(micro(F.col("x"))) / F.count(F.lit(1)) / F.lit(1000000.0), 6).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mean_rows:
+        mu[r.dim] = r.m
+
+    v = [1.0 / 8.0] * dim
+    eig = 0.0
+    centered = emb.select(
+        "id", F.zip_with("v", _as_vec_lit(mu), lambda x, m: x - m).alias("c")
+    )
+    for _ in range(iterations):
+        s = F.round(
+            F.aggregate(
+                F.zip_with("c", _as_vec_lit(v), lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+        w_rows = (
+            centered.select(s.alias("s"), F.posexplode("c").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                F.round(
+                    F.sum(micro(F.col("s") * F.col("x"))) / F.count(F.lit(1)) / F.lit(1000000.0), 6
+                ).alias("w")
+            )
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[r.dim] = r.w
+        norm = sum(x * x for x in w) ** 0.5
+        eig = round(norm, 6)  # Rayleigh estimate ‖C·v‖ (v is unit)
+        v = [round(x / norm, 6) for x in w]
+
+    out = [(i, v[i], eig) for i in range(dim)]
+    return df.sparkSession.createDataFrame(out, "dim int, loading double, eigenvalue double")

@@ -259,3 +259,37 @@ def test_interval_bucket_join_drops_empty_intervals(spark):
     # only the real interval matches; zero-length and inverted ones
     # produce nothing (and no bogus bucket rows reach the join)
     assert rows == {(1, 10), (1, 11)}
+
+
+def test_dp_noisy_counts_deterministic_and_unbiased_shape(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import privacy as PV
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)], "id long, g string"
+    )
+    out1 = {r.g: r for r in PV.dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7).collect()}
+    out2 = {r.g: r for r in PV.dp_noisy_counts(df, ["g"], epsilon=1.0, seed=7).collect()}
+    assert out1.keys() == out2.keys() == {"a", "b"}
+    for g in out1:
+        # seeded release: identical on re-run
+        assert out1[g].n_released == out2[g].n_released
+        # Laplace(1) noise: astronomically unlikely beyond ~40 absolute
+        assert abs(out1[g].n_released - out1[g].n_true) < 45
+    # a different seed moves the noise
+    out3 = {r.g: r for r in PV.dp_noisy_counts(df, ["g"], epsilon=1.0, seed=8).collect()}
+    assert any(out3[g].n_released != out1[g].n_released for g in out1)
+
+
+def test_dp_noisy_sum_clips_contributions(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import privacy as PV
+
+    # one outlier of 10^6 must be clamped to the clip bound (10), so the
+    # released sum stays near n*clip, not near the outlier
+    df = spark.createDataFrame(
+        [(i, "g", 5.0 if i else 1e6) for i in range(100)], "id long, g string, v double"
+    )
+    out = PV.dp_noisy_sum(df, ["g"], F.col("v"), 0.0, 10.0, epsilon=1.0, seed=7).collect()[0]
+    assert out.sum_clipped == 99 * 5.0 + 10.0
+    assert abs(out.sum_released - out.sum_clipped) < 10.0 * 45

@@ -456,3 +456,59 @@ def test_band_index_probe_finds_cross_batch_dups(spark, tmp_path):
            TX.probe_band_index(idx, batch, docs, threshold=0.8).collect()}
     assert (10, 1) in got and got[(10, 1)] == 1.0
     assert all(k == (10, 1) for k in got)
+
+
+def test_semantic_dedup_pairs_cluster_scoped(spark):
+    """SemDeDup: near-identical vectors land in one cluster and surface
+    as a high-cosine pair; pairs NEVER cross clusters."""
+    import numpy as np
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 8)
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(5):
+            rows.append((vid, (base[c] + rng.randn(8) * 0.05).tolist()))
+            vid += 1
+    # planted near-dup of vector 0 (same cluster, cosine ~1)
+    rows.append((vid, (np.array(rows[0][1]) * 1.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = V.semantic_dedup_pairs(df, k=4, iterations=2).collect()
+    clusters = {r.cluster for r in pairs}
+    assert clusters  # within-cluster pairs exist
+    best = max(pairs, key=lambda r: r.cosine)
+    assert best.id_a == 0 and best.id_b == vid and best.cosine > 0.999
+    # every pair's two ids share the pair's cluster by construction:
+    # re-derive assignments and cross-check
+    assigned, _ = V.kmeans_train(df, k=4, iterations=2, vec_col="embedding", id_col="vec_id")
+    amap = {r.id: r.cluster for r in assigned.collect()}
+    for r in pairs:
+        assert amap[r.id_a] == r.cluster and amap[r.id_b] == r.cluster
+
+
+def test_pca_top_component_finds_dominant_axis(spark):
+    """Power iteration must recover a planted dominant variance
+    direction (axis 2) with a unit-norm loading vector."""
+    import numpy as np
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    rng = np.random.RandomState(5)
+    n, d = 400, 8
+    data = rng.randn(n, d) * 0.1
+    data[:, 2] += rng.randn(n) * 5.0  # dominant axis
+    rows = [(i, data[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = V.pca_top_component(df, iterations=3).collect()
+    v = [0.0] * d
+    eig = None
+    for r in out:
+        v[r.dim] = r.loading
+        eig = r.eigenvalue
+    norm = sum(x * x for x in v) ** 0.5
+    assert abs(norm - 1.0) < 1e-4
+    assert abs(v[2]) > 0.99          # aligned with the planted axis
+    assert eig is not None and eig > 10.0   # ~variance of the planted axis (25)
