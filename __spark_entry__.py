@@ -5256,6 +5256,73 @@ def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(CP.token_entropy(d), ["doc_id"])
 
 
+def q_dedup_span(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM-curation dedup (round 6): exact duplicated-substring profile
+    (operators/corpus.py duplicated_span_profile) — the distributed
+    analog of suffix-array dedup (Lee et al. 2022): a 5-token span seen
+    in >= 2 distinct documents is boilerplate; documents that are >= 50%
+    duplicated spans are flagged for removal. Posting-list formulation:
+    gram-keyed join, linear in corpus size, no doc x doc pairing —
+    complements q_dedup_minhash (whole-doc similarity) with span-level
+    memorization risk."""
+    d = load_table(spark, sf, "documents")
+    return O.sort(CP.duplicated_span_profile(d, n=5), ["doc_id"])
+
+
+def q_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Pretraining mixture design (round 6): temperature-scaled domain
+    sampling weights (operators/corpus.py domain_mixture_weights,
+    alpha=0.5) — p_i^alpha / Z over per-source token shares, the
+    alpha-smoothed sampling of multilingual pretraining and the
+    DoReMi starting point. One aggregation to |domains| rows; the
+    normalizer Z sums integer micro-units so both engines reduce
+    exactly."""
+    d = load_table(spark, sf, "documents")
+    return O.sort(CP.domain_mixture_weights(d, "source", alpha=0.5), ["domain"])
+
+
+def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """Dependency audit (round 6): pointwise + expected mutual
+    information between the corpus lang and source labels
+    (operators/mining.py mutual_information) — per-cell PMI and
+    I(X;Y) contributions from one joint groupBy plus broadcast
+    marginals. Per-cell emission keeps the output order-independent
+    (no cross-engine float-sum drift); complements q_crosstab_chi2
+    (significance) with information content."""
+    d = load_table(spark, sf, "documents")
+    out = MN.mutual_information(d, "lang", "source")
+    return O.sort(out, ["x", "y"])
+
+
+def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift (round 6): two-sample Kolmogorov–Smirnov
+    statistic between click and error event values
+    (operators/aggregates.py ks_two_sample) — sup-norm ECDF distance
+    with the alpha=0.05 critical threshold. Aggregates to per-distinct-
+    value counts BEFORE the running sum, so the only serial window runs
+    over a sketch-sized table; complements q_abtest_welch (means) and
+    q_psi_drift (binned shift) with a shape test."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return agg.ks_two_sample(e, "value", F.col("event_type") == "click")
+
+
+def q_bitmap_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-aggregatable distinct (round 6): blocked-bitmap distinct-user
+    rollup (operators/aggregates.py bitmap_distinct_rollup) — per
+    (event_type, day) bitmaps OR-merge into exact per-type distinct
+    totals without re-scanning the fact table, the Druid/ClickHouse
+    bitmap-index shape. The oracle is an INDEPENDENT formulation
+    (plain COUNT(DISTINCT) at both grains), so the hash match proves
+    the bitmap algebra, not just replay parity."""
+    e = load_table(spark, sf, "events")
+    out = agg.bitmap_distinct_rollup(
+        e, "event_type", F.to_date("ts").alias("sub"), "user_id"
+    )
+    return O.sort(out, ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -5295,7 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # newest environment-sensitive ids first (the Python DataSource
     # stream reader and the persist-heavy curation pipeline ahead of
     # the pure-codegen SQL twins).
-    return {
+    base = {
         # — (a) never driver-checked: r1b leftovers —
         "q_scd2_merge": q_scd2_merge,
         "q_json_flatten": q_json_flatten,
@@ -5566,7 +5633,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_explode": q_array_explode,
         "q_array_posexplode": q_array_posexplode,
         "q_null_funcs": q_null_funcs,
+        # — round 6: LLM-curation + statistics wave —
+        "q_dedup_span": q_dedup_span,
+        "q_domain_mixture": q_domain_mixture,
+        "q_mutual_info": q_mutual_info,
+        "q_ks_test": q_ks_test,
+        "q_bitmap_rollup": q_bitmap_rollup,
     }
+    # Round-6 prefix-50 rotation (the driver checks the FIRST 50 keys):
+    # (a) the two r05 ERR rows — array-typed outputs fixed this round,
+    # must show green; (b) the five new round-6 queries; (c) 43 of the
+    # 56 never-driver-checked round-5 ids, environment-sensitive paths
+    # first (Python DataSource stream, custom sink, dynamic partition
+    # overwrite, persist-heavy curation, multimodal kernels, Arrow
+    # UDFs) ahead of pure-codegen SQL twins. The 16 never-checked ids
+    # left over (q_group_regress, q_skyline, q_phrase_search,
+    # q_jackknife, q_winsorize, q_rolling_median, q_crosstab_chi2,
+    # q_benford, q_join_nullsafe, q_lateral_topk, q_agg_maxby,
+    # q_corr_group, q_streaks, q_rolling_distinct, q_abtest_welch,
+    # q_quantile_rollup) are the lowest-risk pure SQL twins — they lead
+    # the round-7 prefix.
+    prefix = [
+        "q_agg_collect_list",
+        "q_multimodal_features",
+        "q_dedup_span",
+        "q_domain_mixture",
+        "q_mutual_info",
+        "q_ks_test",
+        "q_bitmap_rollup",
+        "q_stream_source_custom",
+        "q_stream_drift",
+        "q_custom_sink",
+        "q_partition_overwrite_dynamic",
+        "q_session_window_native",
+        "q_curation_pipeline",
+        "q_multimodal_scene_detect",
+        "q_multimodal_silence_trim",
+        "q_image_dedup",
+        "q_audio_dedup",
+        "q_xml_ingest",
+        "q_csv_inrow",
+        "q_fixed_width_ingest",
+        "q_log_parse",
+        "q_udf_arrow",
+        "q_grouped_arrow",
+        "q_sql_parameterized",
+        "q_dedup_semantic",
+        "q_pca_power",
+        "q_dp_release",
+        "q_train_shuffle",
+        "q_dedup_index_probe",
+        "q_minhash_accuracy",
+        "q_simhash_hamming",
+        "q_url_canonicalize",
+        "q_html_strip",
+        "q_token_entropy",
+        "q_feature_hash",
+        "q_attribution",
+        "q_join_bloom_prefilter",
+        "q_join_interval_bucket",
+        "q_geo_radius_join",
+        "q_sketch_rollup",
+        "q_sketch_intersection",
+        "q_heavy_hitters_cms",
+        "q_psi_drift",
+        "q_markov_transitions",
+        "q_time_interpolate",
+        "q_table_diff",
+        "q_collated_group",
+        "q_assoc_rules",
+        "q_collocations_pmi",
+        "q_ewma",
+    ]
+    assert len(prefix) == 50 and len(set(prefix)) == 50
+    out = {k: base[k] for k in prefix}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 def _sql_vec(v) -> str:
@@ -9356,6 +9498,128 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM events WHERE DAY(ts) <= 15
             GROUP BY DAY(ts) ORDER BY d
+        """,
+        # round 6: suffix-array-analog span dedup — same gram SQL as
+        # q_decontaminate, df-counted then joined back per doc
+        "q_dedup_span": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 4),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                                || ' ' || t[i + 3] || ' ' || t[i + 4])) AS gram
+                FROM toks WHERE LEN(t) >= 5
+            ), dfreq AS (
+                SELECT gram, COUNT(*) AS nd FROM grams GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   COUNT(*)::INT AS n_spans,
+                   SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)::INT AS n_dup_spans,
+                   ROUND(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS dup_fraction,
+                   (SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                    / COUNT(*)) < 0.5 AS keep
+            FROM grams g JOIN dfreq d USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        # round 6: temperature mixture — integer micro-unit normalizer,
+        # SQRT (not POWER) so both engines round the identical double
+        "q_domain_mixture": r"""
+            WITH d AS (
+                SELECT source AS domain, COUNT(*)::BIGINT AS n_docs,
+                       SUM(LEN(LIST_FILTER(
+                           STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                           x -> x <> '')))::BIGINT AS n_tokens
+                FROM documents GROUP BY source
+            ), s AS (
+                SELECT domain, n_docs, n_tokens,
+                       CAST(ROUND(SQRT(n_tokens::DOUBLE) * 1e6, 0) AS BIGINT) AS w
+                FROM d
+            ), t AS (
+                SELECT SUM(n_tokens)::BIGINT AS tot, SUM(w)::BIGINT AS z FROM s
+            )
+            SELECT domain, n_docs, n_tokens,
+                   ROUND(n_tokens::DOUBLE / tot, 6) AS token_share,
+                   ROUND(w::DOUBLE / z, 6) AS weight,
+                   ROUND((w::DOUBLE / z) / (n_tokens::DOUBLE / tot), 6) AS oversample
+            FROM s CROSS JOIN t ORDER BY domain
+        """,
+        # round 6: per-cell PMI / MI contributions — exact integer
+        # counts, identical double expression tree in both engines
+        "q_mutual_info": """
+            WITH joint AS (
+                SELECT lang AS x, source AS y, COUNT(*)::BIGINT AS n_xy
+                FROM documents GROUP BY 1, 2
+            ), mx AS (
+                SELECT x, SUM(n_xy)::BIGINT AS n_x FROM joint GROUP BY x
+            ), my AS (
+                SELECT y, SUM(n_xy)::BIGINT AS n_y FROM joint GROUP BY y
+            ), t AS (
+                SELECT SUM(n_xy)::BIGINT AS n FROM joint
+            )
+            SELECT j.x, j.y, j.n_xy, mx.n_x, my.n_y, t.n,
+                   ROUND(LN(j.n_xy::DOUBLE * t.n / (mx.n_x::DOUBLE * my.n_y)), 6)
+                       AS pmi,
+                   ROUND((j.n_xy::DOUBLE / t.n)
+                         * LN(j.n_xy::DOUBLE * t.n / (mx.n_x::DOUBLE * my.n_y)), 9)
+                       AS mi_contrib
+            FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+            ORDER BY x, y
+        """,
+        # round 6: two-sample KS over per-distinct-value counts — the
+        # running sums are exact integers, so the ECDF doubles match
+        "q_ks_test": """
+            WITH f AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+                FROM events
+                WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+            ), pv AS (
+                SELECT v, SUM(a)::BIGINT AS ca, SUM(1 - a)::BIGINT AS cb
+                FROM f GROUP BY v
+            ), t AS (
+                SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM pv
+            ), e AS (
+                SELECT t.na, t.nb,
+                       CAST(SUM(ca) OVER w AS DOUBLE) / t.na
+                       - CAST(SUM(cb) OVER w AS DOUBLE) / t.nb AS d
+                FROM pv CROSS JOIN t
+                WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   ROUND(MAX(ABS(d)), 6) AS ks_stat,
+                   ROUND(SQRT((na + nb)::DOUBLE / (na * nb)) * 1.358, 6)
+                       AS ks_critical,
+                   ROUND(MAX(ABS(d)), 6)
+                   > ROUND(SQRT((na + nb)::DOUBLE / (na * nb)) * 1.358, 6) AS reject
+            FROM e GROUP BY na, nb
+        """,
+        # round 6: INDEPENDENT oracle — plain COUNT(DISTINCT) at both
+        # grains; a hash match proves the bitmap algebra itself
+        "q_bitmap_rollup": """
+            WITH per_day AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       COUNT(DISTINCT user_id) AS sub_distinct
+                FROM events GROUP BY 1, 2
+            ), per_type AS (
+                SELECT event_type,
+                       COUNT(DISTINCT user_id)::BIGINT AS distinct_total
+                FROM events GROUP BY 1
+            ), s AS (
+                SELECT event_type, COUNT(*)::INT AS n_subs,
+                       SUM(sub_distinct)::BIGINT AS sum_sub_distinct
+                FROM per_day GROUP BY event_type
+            )
+            SELECT s.event_type, s.n_subs, s.sum_sub_distinct, p.distinct_total,
+                   ROUND(s.sum_sub_distinct::DOUBLE / s.n_subs, 6)
+                       AS avg_sub_distinct
+            FROM s JOIN per_type p USING (event_type)
+            ORDER BY s.event_type
         """,
     }
 

@@ -520,3 +520,137 @@ def binned_quantile_rollup(
         keep = [c for c in extra.columns if c not in (*coarse_keys, "total_n")]
         result = result.join(extra.select(*coarse_keys, *keep), on=[*coarse_keys])
     return result.withColumnRenamed("total_n", "n_rows")
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value: Column | str,
+    in_a: Column,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``in_a`` and
+    the complementary sample of ``value`` — the distribution-level
+    drift / A-B test companion to :func:`welch_ttest` (means can match
+    while shapes diverge; KS catches shape). ``alpha_c`` is the
+    critical coefficient (1.358 → alpha = 0.05).
+
+    Returns one row: (n_a, n_b, ks_stat, ks_critical, reject) where
+    ks_stat = sup_x |F_a(x) - F_b(x)| over the pooled ECDFs and
+    reject = ks_stat > c(alpha) * sqrt((n_a+n_b)/(n_a*n_b)).
+
+    Scale shape: the textbook formulation sorts the pooled sample — a
+    single-task global sort at 100 TB. This one aggregates to one row
+    per DISTINCT value first (shuffle is |distinct values| after
+    map-side combine — for fixed-precision metrics that is thousands of
+    rows regardless of corpus size), then takes running sums over that
+    tiny table. The final window over distinct values is the only
+    serial step and its input is sketch-sized, not corpus-sized. NULL
+    values are excluded (an unobserved metric is not an observation at
+    any x — the welch_ttest NULL rule, applied here to both count and
+    ECDF).
+    """
+    from pyspark.sql import Window as _W
+
+    v = F.col(value) if isinstance(value, str) else value
+    flagged = df.select(
+        v.alias("__v"), in_a.cast("int").alias("__a")
+    ).filter(F.col("__v").isNotNull())
+    per_value = flagged.groupBy("__v").agg(
+        F.sum("__a").cast("long").alias("__ca"),
+        F.sum(1 - F.col("__a")).cast("long").alias("__cb"),
+    )
+    w = _W.orderBy("__v").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    tot = per_value.agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+    )
+    ecdf = per_value.crossJoin(F.broadcast(tot)).select(
+        "__na",
+        "__nb",
+        (
+            F.sum("__ca").over(w) / F.col("__na")
+            - F.sum("__cb").over(w) / F.col("__nb")
+        ).alias("__d"),
+    )
+    crit = F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double") / (F.col("n_a") * F.col("n_b"))
+    ) * F.lit(float(alpha_c))
+    return (
+        ecdf.groupBy("__na", "__nb")
+        .agg(F.max(F.abs(F.col("__d"))).alias("__ks"))
+        .select(
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            F.round("__ks", 6).alias("ks_stat"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_stat",
+            F.round(crit, 6).alias("ks_critical"),
+            (F.col("ks_stat") > F.round(crit, 6)).alias("reject"),
+        )
+    )
+
+
+def bitmap_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    sub_col: Column | str,
+    id_col: str = "user_id",
+    block_bits: int = 32,
+) -> DataFrame:
+    """Re-aggregatable exact distinct counts via blocked bitmaps — the
+    Druid/ClickHouse bitmap-index technique: per (group, sub-bucket)
+    the distinct ``id_col`` count is the popcount of an id bitmap, and
+    the GROUP-level distinct is the popcount of the OR of its
+    sub-bucket bitmaps — no re-scan of the fact table to roll a daily
+    distinct up to a monthly one, which COUNT(DISTINCT) forces.
+
+    Returns one row per group: (group, n_subs, sum_sub_distinct,
+    distinct_total, avg_sub_distinct) — sum_sub_distinct double-counts
+    ids seen in several sub-buckets; distinct_total does not; their gap
+    is the cross-bucket repeat mass.
+
+    Scale shape: ids are blocked into ``block_bits``-wide words
+    (block = id div width, bit = id mod width) so the bitmap is a set
+    of (block, word) rows, not one giant value — memory per group is
+    proportional to the id range actually present, partitioned across
+    the cluster. Two partial-aggregated exchanges: (group, sub, block)
+    then (group, block); both shrink map-side because bit_or folds.
+    Words stay below 2^{block_bits} <= 2^32 so bigint bit arithmetic
+    never touches the sign bit in either engine.
+    """
+    width = int(block_bits)
+    sub = F.col(sub_col) if isinstance(sub_col, str) else sub_col
+    ids = df.select(
+        F.col(group_col).alias("grp"),
+        sub.alias("sub"),
+        (F.col(id_col) / width).cast("long").alias("block"),
+        F.pmod(F.col(id_col), F.lit(width)).cast("int").alias("bit"),
+    )
+    # pyspark's shiftleft() only takes a literal shift amount; the SQL
+    # form accepts a column expression and stays codegen
+    words = ids.groupBy("grp", "sub", "block").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word")
+    )
+    per_sub = words.groupBy("grp", "sub").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("sub_distinct")
+    )
+    rolled = words.groupBy("grp", "block").agg(F.bit_or("word").alias("word"))
+    per_grp = rolled.groupBy("grp").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("distinct_total")
+    )
+    subs = per_sub.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("int").alias("n_subs"),
+        F.sum("sub_distinct").cast("long").alias("sum_sub_distinct"),
+    )
+    return subs.join(per_grp, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_subs",
+        "sum_sub_distinct",
+        "distinct_total",
+        F.round(F.col("sum_sub_distinct") / F.col("n_subs"), 6).alias(
+            "avg_sub_distinct"
+        ),
+    )

@@ -560,3 +560,114 @@ def stable_shuffle(
     )
     w = _W.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
     return out.withColumn("shard_pos", F.row_number().over(w)).drop("__h")
+
+
+def duplicated_span_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact duplicated-substring profile — the distributed analog of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token ``n``-gram
+    span is *duplicated* when it occurs in at least ``min_docs``
+    distinct documents, and a document whose duplicated-span fraction
+    reaches ``drop_threshold`` is flagged for removal (it is mostly
+    boilerplate shared with other documents, the memorization-risk
+    shape suffix-array dedup targets).
+
+    Returns one row per document with >= ``n`` tokens:
+    (id, n_spans, n_dup_spans, dup_fraction, keep) where n_spans counts
+    DISTINCT spans in the document.
+
+    Scale shape: this is the gram-posting-list formulation, not a
+    suffix array — (id, gram) rows dedup map-side, the document
+    frequency table aggregates to ~|distinct grams| rows, and the
+    join back is gram-keyed and linear in corpus size. No doc×doc
+    pairing anywhere, so it survives 100 TB the same way
+    :func:`train_test_overlap` does. A true suffix-array finds
+    arbitrary-length duplicated spans; fixed-``n`` grams with n chosen
+    at the dedup granularity (50 tokens in the paper) is the standard
+    distributed approximation — any duplicated span of length >= n
+    contains a duplicated n-gram, so recall at span granularity n is
+    exact. For very large corpora join on ``xxhash64(gram)`` instead of
+    the gram string (8-byte keys; not done here so the DuckDB oracle
+    replays the join verbatim).
+    """
+    grams = token_ngram_rows(df, id_col, text_col, n).distinct()
+    doc_freq = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    joined = grams.join(doc_freq, "gram")
+    dup = (F.col("__nd") >= min_docs).cast("int")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum(dup).cast("int").alias("n_dup_spans"),
+    )
+    frac = F.col("n_dup_spans") / F.col("n_spans")
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        F.round(frac, 6).alias("dup_fraction"),
+        (frac < drop_threshold).alias("keep"),
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the mixture step of
+    multi-source pretraining (the alpha-smoothed sampling of
+    multilingual BERT/XLM and the starting point DoReMi iterates from):
+    domain i is sampled with probability p_i^alpha / sum_j p_j^alpha
+    where p_i is the domain's token share. alpha < 1 upweights small
+    domains (alpha=0 is uniform, alpha=1 is proportional).
+
+    Returns one row per domain: (domain, n_docs, n_tokens, token_share,
+    weight, oversample) where ``oversample`` = weight / token_share —
+    the per-domain repetition factor a sampler applies (> 1 means the
+    domain is seen more often than its natural share).
+
+    Scale shape: one aggregation to |domains| rows (token counting is a
+    codegen size(split()) per row, folded map-side), then the
+    normalizing total joins back as a broadcast one-row aggregate so the
+    plan stays lazy — no eager .count() literal baked into the plan.
+    Cross-engine exactness: the normalizer sums p_i^alpha in integer
+    micro-units (round to 6 dp, scale to bigint) so the reduction is
+    exact integer addition — a double sum's partition-order-dependent
+    rounding could flip the 6th decimal between engines (the
+    q_kmeans/q_winsorize integer-mean rule, applied to the mixture Z).
+    """
+    toks = F.size(tokenize(text_col))
+    per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    # alpha=0.5 routes through sqrt (IEEE-correctly-rounded in BOTH
+    # engines) rather than pow(x, 0.5) (library-dependent last ulp) —
+    # the micro-unit rounding boundary must see the identical double.
+    p = F.col("n_tokens").cast("double")
+    powered = F.sqrt(p) if float(alpha) == 0.5 else F.pow(p, F.lit(float(alpha)))
+    w_micro = F.round(powered * 1e6, 0).cast("long")
+    scored = per_dom.withColumn("__w", w_micro)
+    tot = scored.agg(
+        F.sum("n_tokens").cast("long").alias("__tot"),
+        F.sum("__w").cast("long").alias("__z"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("__tot")
+    w = F.col("__w").cast("double") / F.col("__z")
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(w, 6).alias("weight"),
+        F.round(w / share, 6).alias("oversample"),
+    )

@@ -168,3 +168,55 @@ def collocations_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Pointwise and expected mutual information between two categorical
+    columns — the feature-selection / dependency-audit primitive (is
+    ``lang`` informative about ``source``? is a feature worth keeping?).
+
+    Returns one row per observed (x, y) cell:
+    (x, y, n_xy, n_x, n_y, n, pmi, mi_contrib) where
+    pmi = ln(p(x,y) / (p(x) p(y))) and mi_contrib = p(x,y) * pmi —
+    summing mi_contrib over all cells gives the mutual information
+    I(X;Y). Per-cell contributions are emitted (rounded at a fixed
+    boundary) rather than a single pre-summed scalar so the result is
+    order-independent: float addition order across engines/partitions
+    can differ, per-cell arithmetic cannot.
+
+    Scale shape: one groupBy to |X×Y| observed cells; both marginal
+    tables are <= that and broadcast back in. The only corpus-sized
+    exchange is the joint count's partial-aggregated shuffle; PMI
+    arithmetic runs over the tiny cell table. No windows, no
+    self-joins.
+    """
+    joint = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    mx = joint.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").cast("long").alias("n"))
+    cells = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_xy, n_x, n_y, n = (
+        F.col("n_xy").cast("double"),
+        F.col("n_x").cast("double"),
+        F.col("n_y").cast("double"),
+        F.col("n").cast("double"),
+    )
+    pmi = F.log(n_xy * n / (n_x * n_y))
+    return cells.select(
+        "x",
+        "y",
+        "n_xy",
+        "n_x",
+        "n_y",
+        "n",
+        F.round(pmi, 6).alias("pmi"),
+        F.round((n_xy / n) * pmi, 9).alias("mi_contrib"),
+    )

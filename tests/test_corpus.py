@@ -196,3 +196,54 @@ def test_stable_shuffle_reproducible_and_total(spark):
     c = {(r.doc_id, r.shard, r.shard_pos) for r in
          CP.stable_shuffle(df, n_shards=4, salt="v2").collect()}
     assert a != c
+
+
+def test_duplicated_span_profile_flags_shared_spans(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import (
+        duplicated_span_profile,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three four five"),
+            (2, shared + " six seven eight nine ten"),
+            (3, "solo only words here never repeated anywhere at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_profile(docs, n=5, drop_threshold=0.5).collect()
+    }
+    # docs 1/2: 10 tokens -> 6 distinct 5-gram spans; only the pure
+    # shared-prefix span (positions 1) is in both docs
+    assert out[1]["n_spans"] == 6 and out[2]["n_spans"] == 6
+    assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+    assert out[1]["keep"] and out[2]["keep"]
+    assert out[3]["n_dup_spans"] == 0 and out[3]["keep"]
+    # fully duplicated pair -> flagged
+    dup = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id bigint, text string"
+    )
+    flagged = duplicated_span_profile(dup, n=5).collect()
+    assert all(r["dup_fraction"] == 1.0 and not r["keep"] for r in flagged)
+
+
+def test_domain_mixture_weights_alpha_half(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import (
+        domain_mixture_weights,
+    )
+
+    # 100 vs 400 tokens -> sqrt weights 10 : 20 -> 1/3 : 2/3
+    rows = [("small", "w " * 100)] + [("big", "w " * 100)] * 4
+    df = spark.createDataFrame(
+        [(d, t.strip()) for d, t in rows], "source string, text string"
+    )
+    out = {r["domain"]: r for r in domain_mixture_weights(df, "source").collect()}
+    assert out["small"]["n_tokens"] == 100 and out["big"]["n_tokens"] == 400
+    assert abs(out["small"]["weight"] - 1 / 3) < 1e-6
+    assert abs(out["big"]["weight"] - 2 / 3) < 1e-6
+    # alpha<1 upweights the small domain relative to its token share
+    assert out["small"]["oversample"] > 1 > out["big"]["oversample"]
+    assert abs(out["small"]["token_share"] - 0.2) < 1e-9

@@ -293,3 +293,55 @@ def test_dp_noisy_sum_clips_contributions(spark):
     out = PV.dp_noisy_sum(df, ["g"], F.col("v"), 0.0, 10.0, epsilon=1.0, seed=7).collect()[0]
     assert out.sum_clipped == 99 * 5.0 + 10.0
     assert abs(out.sum_released - out.sum_clipped) < 10.0 * 45
+
+
+def test_ks_two_sample_identical_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        ks_two_sample,
+    )
+
+    # identical distributions -> D = 0, no rejection
+    same = spark.createDataFrame(
+        [(float(v), g) for v in range(10) for g in ("a", "b")],
+        "value double, grp string",
+    )
+    r = ks_two_sample(same, "value", F.col("grp") == "a").collect()[0]
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    assert r["ks_stat"] == 0.0 and not r["reject"]
+    # disjoint supports -> D = 1, rejected; NULL values excluded
+    apart = spark.createDataFrame(
+        [(float(v), "a") for v in range(20)]
+        + [(float(v + 100), "b") for v in range(20)]
+        + [(None, "a")],
+        "value double, grp string",
+    )
+    r = ks_two_sample(apart, "value", F.col("grp") == "a").collect()[0]
+    assert r["n_a"] == 20 and r["n_b"] == 20
+    assert r["ks_stat"] == 1.0 and r["reject"]
+
+
+def test_bitmap_distinct_rollup_exact_counts(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        bitmap_distinct_rollup,
+    )
+
+    # ids straddle several 32-bit blocks; user 5 repeats across days
+    rows = [
+        ("g1", "d1", 5), ("g1", "d1", 70), ("g1", "d2", 5),
+        ("g1", "d2", 200), ("g2", "d1", 0), ("g2", "d1", 31),
+        ("g2", "d1", 32), ("g2", "d1", 63),
+    ]
+    df = spark.createDataFrame(rows, "grp string, day string, user_id bigint")
+    out = {
+        r["grp"]: r
+        for r in bitmap_distinct_rollup(df, "grp", F.col("day"), "user_id").collect()
+    }
+    assert out["g1"]["n_subs"] == 2
+    assert out["g1"]["sum_sub_distinct"] == 4  # 2 + 2, user 5 double-counted
+    assert out["g1"]["distinct_total"] == 3  # bitmap OR dedups across days
+    assert out["g2"]["sum_sub_distinct"] == 4 == out["g2"]["distinct_total"]
+    assert out["g2"]["avg_sub_distinct"] == 4.0

@@ -255,3 +255,27 @@ def test_minhash_portable_signatures_differ_from_default_but_same_shape(spark):
     # the whole point of portable=True is a DIFFERENT shingle hash
     # (md5-60 vs xxhash64) — a no-op regression must fail here
     assert s1 != s2
+
+
+def test_mutual_information_dependent_and_independent(spark):
+    import math
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import (
+        mutual_information,
+    )
+
+    # perfectly dependent: X == Y over two symbols -> I(X;Y) = ln 2
+    dep = spark.createDataFrame(
+        [("a", "a")] * 5 + [("b", "b")] * 5, "x1 string, y1 string"
+    )
+    cells = mutual_information(dep, "x1", "y1").collect()
+    mi = sum(r["mi_contrib"] for r in cells)
+    assert abs(mi - math.log(2)) < 1e-6
+    assert all(abs(r["pmi"] - math.log(2)) < 1e-6 for r in cells)
+    # independent uniform grid -> every pmi contribution is 0
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x1 string, y1 string",
+    )
+    cells = mutual_information(indep, "x1", "y1").collect()
+    assert all(r["pmi"] == 0.0 and r["mi_contrib"] == 0.0 for r in cells)
