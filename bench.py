@@ -122,6 +122,11 @@ ROUND6_OPS = [
     "q_dedup_semantic",
     "q_pca_power",
     "q_dp_release",
+    "q_dedup_span",
+    "q_domain_mixture",
+    "q_mutual_info",
+    "q_ks_test",
+    "q_bitmap_rollup",
 ]
 
 
