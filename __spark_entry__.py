@@ -5323,6 +5323,22 @@ def q_bitmap_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN compression (round 6): product quantization + asymmetric-
+    distance scan (operators/vectors.py pq_train_encode / pq_adc_topk;
+    Jégou et al. 2011, the FAISS IVF-PQ compression path) — 4
+    subspaces × 4-centroid codebooks trained with the deterministic
+    k-means (integer micro-unit means), vectors encoded to 4 code ids,
+    and the query answered from an m×k lookup table summed in exact
+    integer micro-units. Completes the ANN tier list: brute force →
+    LSH → IVF → PQ. The oracle replays each subspace's Lloyd chain
+    (the q_kmeans CTE, sliced) plus the ADC lookup."""
+    emb = load_table(spark, sf, "embeddings")
+    codes, books = V.pq_train_encode(emb, m=4, k=4, iterations=1)
+    out = V.pq_adc_topk(codes, books, [1.0] * 64, k_top=10)
+    return out.withColumnRenamed("id", "vec_id")
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -5639,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mutual_info": q_mutual_info,
         "q_ks_test": q_ks_test,
         "q_bitmap_rollup": q_bitmap_rollup,
+        "q_ann_pq": q_ann_pq,
     }
     # Round-6 prefix-50 rotation (the driver checks the FIRST 50 keys):
     # (a) the two r05 ERR rows — array-typed outputs fixed this round,
@@ -5922,6 +5939,87 @@ def _semantic_dedup_oracle() -> str:
             JOIN emb a ON a.vec_id = fa.vec_id
             JOIN emb b ON b.vec_id = fb.vec_id
             ORDER BY cosine DESC, id_a, id_b LIMIT 50
+    """
+
+
+def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64) -> str:
+    """q_ann_pq replay: per subspace the 1-iteration Lloyd chain (the
+    q_kmeans CTE sliced to the subspace's dims — init from the first
+    ``k`` ids, 6-dp distance argmin with cid tie-break, integer
+    micro-unit centroid means, empty clusters keep the init centroid),
+    then the ADC lookup table for the all-ones query and the exact
+    integer micro-unit distance sum."""
+    subdim = dim // m
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        o = s * subdim
+        ctes.append(f"""i{s} AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                       v[{o + 1}:{o + subdim}] AS c
+                FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k})
+            )""")
+        ctes.append(f"""d{s} AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {subdim}),
+                             j -> (e.v[{o} + j] - i.c[j]) * (e.v[{o} + j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN i{s} i
+            )""")
+        ctes.append(f"""a{s} AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d{s}
+                ) WHERE rn = 1
+            )""")
+        ctes.append(f"""u{s} AS (
+                SELECT i.cid, COALESCE(n.c, i.c) AS c
+                FROM i{s} i LEFT JOIN (
+                    SELECT cluster AS cid, LIST(mm ORDER BY dim) AS c FROM (
+                        SELECT a.cluster, gs.dim,
+                               ROUND(SUM(CAST(ROUND(e.v[{o} + gs.dim] * 1000000, 0) AS BIGINT))
+                                     / COUNT(*) / 1000000.0, 6) AS mm
+                        FROM a{s} a JOIN emb e USING (vec_id)
+                        CROSS JOIN GENERATE_SERIES(1, {subdim}) gs(dim)
+                        GROUP BY a.cluster, gs.dim
+                    ) GROUP BY cluster
+                ) n USING (cid)
+            )""")
+        ctes.append(f"""f{s} AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {subdim}),
+                             j -> (e.v[{o} + j] - i.c[j]) * (e.v[{o} + j] - i.c[j]))), 6) AS d2
+                FROM emb e CROSS JOIN u{s} i
+            )""")
+        ctes.append(f"""code{s} AS (
+                SELECT vec_id, CAST(cid AS INT) AS code FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM f{s}
+                ) WHERE rn = 1
+            )""")
+        ctes.append(f"""lut{s} AS (
+                SELECT cid, CAST(ROUND(ROUND(LIST_SUM(LIST_TRANSFORM(
+                           GENERATE_SERIES(1, {subdim}),
+                           j -> (1.0 - c[j]) * (1.0 - c[j]))), 6) * 1000000, 0)
+                       AS BIGINT) AS micro
+                FROM u{s}
+            )""")
+    code_joins = " ".join(
+        f"JOIN code{s} c{s} USING (vec_id)" for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = c{s}.code" for s in range(m)
+    )
+    code_cols = ", ".join(f"c{s}.code AS code_{s}" for s in range(m))
+    micro_sum = " + ".join(f"l{s}.micro" for s in range(m))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT c0.vec_id, {code_cols},
+               ROUND(({micro_sum}) / 1000000.0, 6) AS adc_d2
+        FROM code0 c0 {code_joins} {lut_joins}
+        ORDER BY adc_d2, c0.vec_id LIMIT 10
     """
 
 
@@ -8168,6 +8266,7 @@ def oracle_sql() -> dict[str, str]:
         # round 5: k-means — both Lloyd iterations unrolled; distances
         # and centroid means rounded to 6 dp exactly as the Spark side
         "q_kmeans": _kmeans_oracle(),
+        "q_ann_pq": _pq_oracle(),
         "q_dedup_semantic": _semantic_dedup_oracle(),
         # round 6: power iteration — mean, both iterations, and the
         # Rayleigh eigenvalue replayed with the same fold orders and

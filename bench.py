@@ -127,6 +127,7 @@ ROUND6_OPS = [
     "q_mutual_info",
     "q_ks_test",
     "q_bitmap_rollup",
+    "q_ann_pq",
 ]
 
 

@@ -493,3 +493,130 @@ def pca_top_component(
 
     out = [(i, v[i], eig) for i in range(dim)]
     return df.sparkSession.createDataFrame(out, "dim int, loading double, eigenvalue double")
+
+
+def pq_train_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization training + encoding (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search" — the FAISS
+    IVF-PQ compression path): the vector is split into ``m`` equal
+    subvectors, each subspace gets its own k-means codebook
+    (:func:`kmeans_train` — deterministic init, 6-dp distance
+    boundaries, integer micro-unit centroid means), and every vector is
+    encoded as its ``m`` nearest-centroid code ids — dim·4 bytes
+    compress to m·log2(k) bits.
+
+    Returns (codes DataFrame (id, sub, code) in long form, codebooks
+    [m][k][dim/m]). Codebooks are driver-held model state, exactly like
+    MLlib's k-means model and :func:`kmeans_train`'s centroids.
+
+    Scale shape: training cost is m small k-means runs (each over the
+    sliced subvectors — at 100 TB train on a sample, the standard
+    practice); encoding is ONE map-side pass per subspace (nearest
+    centroid against k broadcast literals, codegen expressions, no
+    shuffle). The long-form (id, sub, code) output unions m
+    projection-only frames — zero exchanges.
+    """
+    head = df.select(F.size(vec_col).alias("d")).first()
+    if head is None:
+        raise ValueError("pq_train_encode: empty input")
+    dim = int(head["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_train_encode: dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    codes: DataFrame | None = None
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("__subv"),
+        )
+        asg, cents = kmeans_train(
+            sub, k=k, iterations=iterations, vec_col="__subv", id_col=id_col
+        )
+        books.append(cents)
+        part = asg.select(
+            "id",
+            F.lit(s).cast("int").alias("sub"),
+            F.col("cluster").cast("int").alias("code"),
+        )
+        codes = part if codes is None else codes.unionByName(part)
+    assert codes is not None
+    return codes, books
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: Sequence[float],
+    k_top: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is NOT
+    quantized — per (subspace, code) the exact squared distance from
+    the query subvector to the codebook centroid is precomputed into an
+    m·k lookup table, and each database vector's distance is the sum of
+    its m code lookups. One broadcast join + one integer-sum groupBy —
+    the scan never touches the original vectors.
+
+    Cross-engine exactness: lookup distances are computed with the SAME
+    engine expression shape the k-means replay uses (in-order
+    zip_with/aggregate fold, round 6 dp — never Python-side float math,
+    whose round() half-to-even would drift from SQL ROUND), then
+    quantized to integer micro-units so the per-vector sum is exact
+    integer addition in any partition order.
+
+    Returns the ``k_top`` rows (id, code_0..code_{m-1}, adc_d2) ordered
+    by (adc_d2, id).
+    """
+    spark = codes.sparkSession
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    entries = []
+    for s, cents in enumerate(codebooks):
+        qs = [float(x) for x in query[s * subdim : (s + 1) * subdim]]
+        for cidx, c in enumerate(cents):
+            d2 = F.aggregate(
+                F.zip_with(
+                    _as_vec_lit(qs), _as_vec_lit(c), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            entries.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("sub"),
+                    F.lit(cidx).cast("int").alias("code"),
+                    F.round(d2, 6).alias("d2"),
+                )
+            )
+    lut = (
+        spark.range(1)
+        .select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.sub", "e.code", "e.d2")
+        .withColumn("d2_micro", F.round(F.col("d2") * 1e6, 0).cast("long"))
+    )
+    joined = codes.join(F.broadcast(lut), ["sub", "code"])
+    adc = joined.groupBy("id").agg(F.sum("d2_micro").alias("__micro"))
+    wide = (
+        codes.groupBy("id")
+        .pivot("sub", list(range(m)))
+        .agg(F.first("code"))
+    )
+    for s in range(m):
+        wide = wide.withColumnRenamed(str(s), f"code_{s}")
+    return (
+        adc.join(wide, "id")
+        .select(
+            "id",
+            *[f"code_{s}" for s in range(m)],
+            F.round(F.col("__micro") / 1e6, 6).alias("adc_d2"),
+        )
+        .orderBy("adc_d2", "id")
+        .limit(k_top)
+    )

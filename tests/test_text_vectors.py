@@ -512,3 +512,36 @@ def test_pca_top_component_finds_dominant_axis(spark):
     assert abs(norm - 1.0) < 1e-4
     assert abs(v[2]) > 0.99          # aligned with the planted axis
     assert eig is not None and eig > 10.0   # ~variance of the planted axis (25)
+
+
+def test_pq_train_encode_and_adc(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    # 8-dim vectors, m=2 subspaces of 4; two obvious subspace clusters
+    rows = [
+        (0, [0.0] * 4 + [1.0] * 4),
+        (1, [0.0] * 4 + [1.0] * 4),
+        (2, [5.0] * 4 + [9.0] * 4),
+        (3, [5.0] * 4 + [9.0] * 4),
+        (4, [0.1] * 4 + [8.9] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    codes, books = pq_train_encode(df, m=2, k=2, iterations=1)
+    assert len(books) == 2 and len(books[0]) == 2 and len(books[0][0]) == 4
+    got = {(r["id"], r["sub"]): r["code"] for r in codes.collect()}
+    # same-cluster vectors share codes in every subspace
+    assert got[(0, 0)] == got[(1, 0)] and got[(0, 1)] == got[(1, 1)]
+    assert got[(2, 0)] == got[(3, 0)] and got[(2, 1)] == got[(3, 1)]
+    # vec 4: near cluster-0 in subspace 0, near cluster-2's in subspace 1
+    assert got[(4, 0)] == got[(0, 0)] and got[(4, 1)] == got[(2, 1)]
+    # ADC with the exact vector of id 0 as query -> 0/1 rank first
+    top = pq_adc_topk(codes, books, [0.0] * 4 + [1.0] * 4, k_top=5).collect()
+    assert [r["id"] for r in top[:2]] == [0, 1]
+    assert top[0]["adc_d2"] <= top[2]["adc_d2"]
+    assert {c for c in top[0].asDict() if c.startswith("code_")} == {
+        "code_0",
+        "code_1",
+    }
