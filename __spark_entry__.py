@@ -5339,6 +5339,30 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumnRenamed("id", "vec_id")
 
 
+def _rp_signs(d_out: int = 16, dim: int = 64) -> list[list[float]]:
+    """Seeded ±1 JL sign matrix — the ONE definition both the Spark
+    query and the DuckDB oracle literal derive from."""
+    import numpy as np
+
+    r = np.random.RandomState(13)
+    return [
+        [1.0 if x >= 0 else -1.0 for x in r.randn(dim)] for _ in range(d_out)
+    ]
+
+
+def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Dimensionality reduction (round 6): Johnson–Lindenstrauss ±1
+    random projection (operators/vectors.py random_projection,
+    Achlioptas 2003) — 64 dims down to 16 in one map-side codegen
+    pass, with the per-vector norm-ratio distortion witness. The cheap
+    alternative to q_pca_power before clustering/ANN; the oracle
+    replays the same seeded sign matrix as LIST_DOT_PRODUCT
+    literals."""
+    emb = load_table(spark, sf, "embeddings")
+    out = V.random_projection(emb, _rp_signs(), keep_dims=4)
+    return O.sort(out.withColumnRenamed("id", "vec_id"), ["vec_id"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -5656,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_test": q_ks_test,
         "q_bitmap_rollup": q_bitmap_rollup,
         "q_ann_pq": q_ann_pq,
+        "q_random_projection": q_random_projection,
     }
     # Round-6 prefix-50 rotation (the driver checks the FIRST 50 keys):
     # (a) the two r05 ERR rows — array-typed outputs fixed this round,
@@ -5939,6 +5964,32 @@ def _semantic_dedup_oracle() -> str:
             JOIN emb a ON a.vec_id = fa.vec_id
             JOIN emb b ON b.vec_id = fb.vec_id
             ORDER BY cosine DESC, id_a, id_b LIMIT 50
+    """
+
+
+def _rp_oracle(d_out: int = 16, dim: int = 64, keep_dims: int = 4) -> str:
+    """q_random_projection replay: the seeded sign rows as list
+    literals, LIST_DOT_PRODUCT folds, sqrt(d_out) scaling, and the
+    left-associated norm chain over the ROUNDED components."""
+    signs = _rp_signs(d_out, dim)
+    root = float(d_out) ** 0.5
+    y_defs = ",\n                   ".join(
+        f"ROUND(LIST_DOT_PRODUCT(v, {_sql_vec(s)}) / {root!r}, 6) AS y_{i}"
+        for i, s in enumerate(signs)
+    )
+    chain = " + ".join(f"y_{i} * y_{i}" for i in range(d_out))
+    keep = ", ".join(f"y_{i}" for i in range(keep_dims))
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (
+            SELECT vec_id,
+                   {y_defs},
+                   SQRT(LIST_DOT_PRODUCT(v, v)) AS nx
+            FROM b
+        )
+        SELECT vec_id, {keep},
+               ROUND(SQRT({chain}) / nx, 6) AS norm_ratio
+        FROM p ORDER BY vec_id
     """
 
 
@@ -8267,6 +8318,7 @@ def oracle_sql() -> dict[str, str]:
         # and centroid means rounded to 6 dp exactly as the Spark side
         "q_kmeans": _kmeans_oracle(),
         "q_ann_pq": _pq_oracle(),
+        "q_random_projection": _rp_oracle(),
         "q_dedup_semantic": _semantic_dedup_oracle(),
         # round 6: power iteration — mean, both iterations, and the
         # Rayleigh eigenvalue replayed with the same fold orders and

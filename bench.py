@@ -128,6 +128,7 @@ ROUND6_OPS = [
     "q_ks_test",
     "q_bitmap_rollup",
     "q_ann_pq",
+    "q_random_projection",
 ]
 
 

@@ -708,3 +708,49 @@ def pq_adc_topk(
         .orderBy("adc_d2", "id")
         .limit(k_top)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    signs: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_dims: int = 4,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (Achlioptas 2003's
+    database-friendly ±1 variant): y_i = (s_i · x) / sqrt(d_out) with a
+    fixed ±1 sign matrix — the cheap dimensionality-reduction step
+    before clustering / ANN indexing when PCA (q_pca_power) is too
+    expensive, with the JL guarantee that pairwise distances are
+    preserved within (1 ± ε).
+
+    Returns (id, y_0..y_{keep_dims-1}, norm_ratio) where norm_ratio =
+    ‖y‖/‖x‖ — the per-vector distortion witness (concentrates around 1
+    as d_out grows).
+
+    Scale shape: pure map-side codegen — one pass, zero exchanges, the
+    sign matrix is d_out·dim literals baked into the plan (a few KB; at
+    larger d_out ship it as a broadcast array instead). Projections are
+    in-order zip_with folds so a SQL twin replays them exactly; the
+    norm chain is left-associated over the ROUNDED components for the
+    same reason.
+    """
+    d_out = len(signs)
+    root = float(d_out) ** 0.5
+    v = F.col("v")
+    ys = [
+        F.round(array_dot(v, _as_vec_lit(s)) / F.lit(root), 6).alias(f"y_{i}")
+        for i, s in enumerate(signs)
+    ]
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).select(
+        "id", *ys, array_norm(v).alias("__nx")
+    )
+    sq = None
+    for i in range(d_out):
+        term = F.col(f"y_{i}") * F.col(f"y_{i}")
+        sq = term if sq is None else sq + term
+    return base.select(
+        "id",
+        *[f"y_{i}" for i in range(keep_dims)],
+        F.round(F.sqrt(sq) / F.col("__nx"), 6).alias("norm_ratio"),
+    )

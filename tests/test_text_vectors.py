@@ -545,3 +545,29 @@ def test_pq_train_encode_and_adc(spark):
         "code_0",
         "code_1",
     }
+
+
+def test_random_projection_preserves_norms(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        random_projection,
+    )
+
+    import numpy as np
+
+    r = np.random.RandomState(7)
+    signs = [[1.0 if x >= 0 else -1.0 for x in r.randn(16)] for _ in range(8)]
+    rows = [(i, [float(x) for x in r.randn(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = random_projection(df, signs, keep_dims=2).collect()
+    assert len(out) == 50
+    assert set(out[0].asDict()) == {"id", "y_0", "y_1", "norm_ratio"}
+    ratios = [r["norm_ratio"] for r in out]
+    # JL concentration: mean ratio near 1, no catastrophic distortion
+    assert 0.7 < sum(ratios) / len(ratios) < 1.3
+    assert all(0.2 < x < 2.5 for x in ratios)
+    # replay one projection by hand
+    exp = round(
+        sum(s * x for s, x in zip(signs[0], rows[0][1])) / (8 ** 0.5), 6
+    )
+    got = next(r["y_0"] for r in out if r["id"] == 0)
+    assert abs(got - exp) < 1e-9
