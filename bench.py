@@ -270,10 +270,15 @@ def _regressions(current: dict[str, float], threshold: float = 1.3):
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    # pair each path with its round number FIRST — a stray
+    # BENCH_rX.json would match the glob but not the regex, and a
+    # .group(1) on None inside the sort key kills the whole bench run
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    prior = [p for _, p in sorted(numbered)]
     if not prior:
         return None, []
     path = prior[-1]

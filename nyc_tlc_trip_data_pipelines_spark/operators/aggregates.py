@@ -548,6 +548,14 @@ def ks_two_sample(
     values are excluded (an unobserved metric is not an observation at
     any x — the welch_ttest NULL rule, applied here to both count and
     ECDF).
+
+    Degenerate samples: if either side is empty (every non-null row —
+    or none — matches ``in_a``), the ECDF divides by zero and
+    ks_stat / ks_critical / reject come back NULL — the statistic IS
+    undefined there, and NULL is deliberately distinguishable from a
+    legitimate reject=false. Monitors must treat a NULL reject as
+    "test not runnable", never as "no drift" (pinned in
+    test_ks_two_sample_degenerate_side_is_null).
     """
     from pyspark.sql import Window as _W
 
@@ -623,11 +631,20 @@ def bitmap_distinct_rollup(
     """
     width = int(block_bits)
     sub = F.col(sub_col) if isinstance(sub_col, str) else sub_col
+    # block must FLOOR-divide consistently with pmod: float division +
+    # cast truncates toward zero, so id = -1 would land in (block 0,
+    # bit 31) — colliding with id = 31 — and ids past 2^53 lose
+    # precision in the double. (id - pmod(id, w)) is exactly divisible,
+    # so integer `div` is exact for the whole bigint range, any sign.
+    bit = F.pmod(F.col(id_col), F.lit(width))
+    block = F.expr(
+        f"({id_col} - pmod({id_col}, {width})) div {width}"
+    )
     ids = df.select(
         F.col(group_col).alias("grp"),
         sub.alias("sub"),
-        (F.col(id_col) / width).cast("long").alias("block"),
-        F.pmod(F.col(id_col), F.lit(width)).cast("int").alias("bit"),
+        block.cast("long").alias("block"),
+        bit.cast("int").alias("bit"),
     )
     # pyspark's shiftleft() only takes a literal shift amount; the SQL
     # form accepts a column expression and stays codegen

@@ -52,6 +52,22 @@ def _laplace_noise(key: Column, seed: int, scale: Column | float) -> Column:
     return F.signum(u) * F.lit(1.0) * scale * mag
 
 
+
+def _group_key(keys: Sequence[str]) -> Column:
+    """NULL-distinguishing group-key encoding for the noise hash.
+    ``concat_ws`` SKIPS null columns, so ('a', NULL) and (NULL, 'a')
+    — or a NULL-keyed group vs a shorter key list — would collapse to
+    the same key and receive IDENTICAL noise draws; shared noise lets
+    a reader difference two releases and recover exact counts. Each
+    column is therefore coalesced to an explicit sentinel (unit
+    separator \x1e, which the record separator \x1f join cannot
+    produce from a real value containing neither)."""
+    return F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(k).cast("string"), F.lit("\x1e")) for k in keys],
+    )
+
+
 def dp_noisy_counts(
     df: DataFrame,
     keys: Sequence[str],
@@ -63,8 +79,7 @@ def dp_noisy_counts(
     before publishing; it is emitted so tests/oracles can pin the
     noise to the formula."""
     agg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_true"))
-    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-    noise = _laplace_noise(key, seed, F.lit(1.0 / epsilon))
+    noise = _laplace_noise(_group_key(keys), seed, F.lit(1.0 / epsilon))
     return agg.select(
         *keys,
         "n_true",
@@ -92,8 +107,7 @@ def dp_noisy_sum(
     agg = df.groupBy(*keys).agg(
         F.round(F.sum(centi) / F.lit(100.0), 2).alias("sum_clipped")
     )
-    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-    noise = _laplace_noise(key, seed + 1, F.lit(delta / epsilon))
+    noise = _laplace_noise(_group_key(keys), seed + 1, F.lit(delta / epsilon))
     return agg.select(
         *keys,
         "sum_clipped",

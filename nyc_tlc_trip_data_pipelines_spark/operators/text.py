@@ -306,6 +306,7 @@ def shingle_hashes(
     text_col: str = "text",
     shingle_k: int = 5,
     portable: bool = False,
+    mod_prime: bool = True,
 ) -> DataFrame:
     """(id, h) rows — char-k-shingle hashes mod the Mersenne prime, the
     ONE copy of the shingle-hash contract every MinHash consumer builds
@@ -315,7 +316,14 @@ def shingle_hashes(
     (bit-identical in any engine); the default is xxhash64 seed 42
     (JVM-intrinsic, ~3× faster). Emits multiplicity (no dedup) — MIN
     aggregation is multiset-safe; callers needing set semantics call
-    ``.distinct()``."""
+    ``.distinct()``. ``mod_prime=False`` skips the Mersenne reduction
+    and returns the raw 64-bit hash — REQUIRED wherever the hashes
+    stand in for the shingle SETS themselves (exact-Jaccard verify):
+    in the 31-bit residue space two distinct shingles collide with
+    p ≈ |S_a|·|S_b|/2³¹ per pair (~5e-4 already at 1k-shingle
+    documents), silently inflating the verified intersection; the
+    64-bit space keeps that below 2⁻⁴⁴. The signature path keeps the
+    mod — MinHash permutations are arithmetic over the prime field."""
     # docs shorter than k yield no shingles and drop out of the result;
     # the filter also guards Spark's sequence(a, b) counting DOWN when
     # b < a (see `ngrams`)
@@ -329,7 +337,8 @@ def shingle_hashes(
     )
     shingle = F.expr(f"substring(__t, __p, {int(shingle_k)})")
     raw = portable_hash60(shingle) if portable else F.xxhash64(shingle, F.lit(42))
-    return pos.select(id_col, F.pmod(raw, F.lit(_MINHASH_PRIME)).alias("h"))
+    h = F.pmod(raw, F.lit(_MINHASH_PRIME)) if mod_prime else raw
+    return pos.select(id_col, h.alias("h"))
 
 
 def minhash_perm_aggs(num_hashes: int) -> list[Column]:
@@ -591,7 +600,7 @@ def minhash_verified_pairs(
     # whole operator at sf0.1 (5.39 s vs 6.84 s uncached), and it reuses
     # the one shingle-hash contract every MinHash consumer shares.
     shset = (
-        shingle_hashes(docs_c, id_col, text_col, shingle_k)
+        shingle_hashes(docs_c, id_col, text_col, shingle_k, mod_prime=False)
         .distinct()
         .groupBy(id_col)
         .agg(F.collect_list("h").alias("shset"))

@@ -425,6 +425,21 @@ def semantic_dedup_pairs(
     )
 
 
+
+def _round_half_up(x: float, nd: int = 6) -> float:
+    """Driver-side twin of SQL ROUND: HALF_UP on the double's exact
+    value (what Spark's round() does via BigDecimal). Python's builtin
+    round() is half-to-even and WOULD drift from both engines on .5
+    boundaries — never use it where an oracle replays the value."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def pca_top_component(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -463,7 +478,9 @@ def pca_top_component(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     first = emb.select(F.size("v").alias("d")).first()
-    dim = first["d"]
+    if first is None:
+        raise ValueError("pca_top_component: empty input")
+    dim = int(first["d"])
     micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
 
     # per-dimension mean, exact micro-unit sums (kmeans contract)
@@ -477,7 +494,9 @@ def pca_top_component(
     for r in mean_rows:
         mu[r.dim] = r.m
 
-    v = [1.0 / 8.0] * dim
+    # unit start vector for ANY dim (1/8 is 1/sqrt(64) — hardcoding it
+    # would mis-scale the first Rayleigh estimate for other dims)
+    v = [1.0 / (dim ** 0.5)] * dim
     eig = 0.0
     centered = emb.select(
         "id", F.zip_with("v", _as_vec_lit(mu), lambda x, m: x - m).alias("c")
@@ -505,8 +524,8 @@ def pca_top_component(
         for r in w_rows:
             w[r.dim] = r.w
         norm = sum(x * x for x in w) ** 0.5
-        eig = round(norm, 6)  # Rayleigh estimate ‖C·v‖ (v is unit)
-        v = [round(x / norm, 6) for x in w]
+        eig = _round_half_up(norm)  # Rayleigh estimate ‖C·v‖ (v is unit)
+        v = [_round_half_up(x / norm) for x in w]
 
     out = [(i, v[i], eig) for i in range(dim)]
     return df.sparkSession.createDataFrame(out, "dim int, loading double, eigenvalue double")
@@ -690,17 +709,20 @@ def pq_adc_topk(
         .withColumn("d2_micro", F.round(F.col("d2") * 1e6, 0).cast("long"))
     )
     joined = codes.join(F.broadcast(lut), ["sub", "code"])
-    adc = joined.groupBy("id").agg(F.sum("d2_micro").alias("__micro"))
-    wide = (
-        codes.groupBy("id")
-        .pivot("sub", list(range(m)))
-        .agg(F.first("code"))
+    # ONE groupBy produces both the distance sum and the wide code
+    # columns — a separate pivot pass would re-execute the unpersisted
+    # codes lineage (the full per-row PQ assignment scan) a second time
+    adc = joined.groupBy("id").agg(
+        F.sum("d2_micro").alias("__micro"),
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("code")))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(m)
+        ],
     )
-    for s in range(m):
-        wide = wide.withColumnRenamed(str(s), f"code_{s}")
     return (
-        adc.join(wide, "id")
-        .select(
+        adc.select(
             "id",
             *[f"code_{s}" for s in range(m)],
             F.round(F.col("__micro") / 1e6, 6).alias("adc_d2"),

@@ -345,3 +345,36 @@ def test_bitmap_distinct_rollup_exact_counts(spark):
     assert out["g1"]["distinct_total"] == 3  # bitmap OR dedups across days
     assert out["g2"]["sum_sub_distinct"] == 4 == out["g2"]["distinct_total"]
     assert out["g2"]["avg_sub_distinct"] == 4.0
+
+
+def test_bitmap_rollup_negative_ids_no_collision(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        bitmap_distinct_rollup,
+    )
+
+    # -1 and 31 would collide under truncate-toward-zero blocking
+    df = spark.createDataFrame(
+        [("g", "d", -1), ("g", "d", 31), ("g", "d", -33)],
+        "grp string, day string, user_id bigint",
+    )
+    out = bitmap_distinct_rollup(df, "grp", F.col("day"), "user_id").collect()[0]
+    assert out["distinct_total"] == 3 == out["sum_sub_distinct"]
+
+
+def test_ks_two_sample_degenerate_side_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        ks_two_sample,
+    )
+
+    # every row matches in_a -> the b-side ECDF is undefined; the
+    # contract is NULL (test-not-runnable), never reject=false
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a")], "value double, grp string"
+    )
+    r = ks_two_sample(df, "value", F.col("grp") == "a").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 0
+    assert r["ks_stat"] is None and r["reject"] is None

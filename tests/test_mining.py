@@ -279,3 +279,21 @@ def test_mutual_information_dependent_and_independent(spark):
     )
     cells = mutual_information(indep, "x1", "y1").collect()
     assert all(r["pmi"] == 0.0 and r["mi_contrib"] == 0.0 for r in cells)
+
+
+def test_dp_noise_keys_distinguish_nulls(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    # ('a', NULL) vs (NULL, 'a') must receive DIFFERENT noise draws —
+    # concat_ws alone would collapse both keys to 'a' and shared noise
+    # lets a reader difference the releases into exact counts
+    df = spark.createDataFrame(
+        [("a", None)] * 5 + [(None, "a")] * 5, "k1 string, k2 string"
+    )
+    rows = dp_noisy_counts(df, ["k1", "k2"]).collect()
+    assert len(rows) == 2
+    noise = {(r["k1"], r["k2"]): r["n_released"] - r["n_true"] for r in rows}
+    vals = list(noise.values())
+    assert abs(vals[0] - vals[1]) > 1e-9

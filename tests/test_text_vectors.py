@@ -571,3 +571,24 @@ def test_random_projection_preserves_norms(spark):
     )
     got = next(r["y_0"] for r in out if r["id"] == 0)
     assert abs(got - exp) < 1e-9
+
+
+def test_pca_empty_input_and_unit_start_vector(spark):
+    import pytest as _pytest
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        pca_top_component,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty input"):
+        pca_top_component(empty)
+    # dim=4, variance only along axis 0 -> loading e_0, eigenvalue = var
+    rows = [(i, [float(x), 0.0, 0.0, 0.0]) for i, x in enumerate([-2, -1, 1, 2])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["dim"]: r for r in pca_top_component(df, iterations=2).collect()}
+    assert abs(abs(out[0]["loading"]) - 1.0) < 1e-6
+    assert all(abs(out[d]["loading"]) < 1e-6 for d in (1, 2, 3))
+    # E[x^2] over {-2,-1,1,2} = 2.5; with a UNIT start vector the
+    # 1-iteration Rayleigh estimate is already unbiased in scale
+    assert abs(out[0]["eigenvalue"] - 2.5) < 0.01
