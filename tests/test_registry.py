@@ -52,3 +52,28 @@ def test_oracle_sql_is_plain_select():
     for name, sql in m.oracle_sql().items():
         head = sql.strip().split(None, 1)[0].upper()
         assert head in ("SELECT", "WITH"), name
+
+
+def test_prefix_50_rotation_contract():
+    """The driver checks exactly the FIRST 50 registry keys; pin that
+    the round-6 prefix leads with the two r05 repair ids + the five
+    round-6 wave-2 ids, has no duplicates, and every prefix id has a
+    DuckDB oracle (a prefix slot without an oracle wastes a driver
+    window on a rows-only check)."""
+    import __spark_entry__ as E
+
+    keys = list(E.queries())
+    prefix = keys[:50]
+    assert len(set(prefix)) == 50
+    assert prefix[:7] == [
+        "q_agg_collect_list",
+        "q_multimodal_features",
+        "q_dedup_span",
+        "q_domain_mixture",
+        "q_mutual_info",
+        "q_ks_test",
+        "q_bitmap_rollup",
+    ]
+    oracles = E.oracle_sql()
+    missing = [k for k in prefix if k not in oracles]
+    assert not missing, f"prefix ids without oracle: {missing}"
