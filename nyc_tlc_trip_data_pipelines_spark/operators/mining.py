@@ -191,6 +191,11 @@ def mutual_information(
     exchange is the joint count's partial-aggregated shuffle; PMI
     arithmetic runs over the tiny cell table. No windows, no
     self-joins.
+
+    NULL categories are excluded by the equi-join back to the
+    marginals (standard join-key semantics, identical in the SQL
+    twin); callers who want NULL as a real category coalesce to a
+    sentinel before calling.
     """
     joint = df.groupBy(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
