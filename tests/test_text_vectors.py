@@ -592,3 +592,30 @@ def test_pca_empty_input_and_unit_start_vector(spark):
     # E[x^2] over {-2,-1,1,2} = 2.5; with a UNIT start vector the
     # 1-iteration Rayleigh estimate is already unbiased in scale
     assert abs(out[0]["eigenvalue"] - 2.5) < 0.01
+
+
+def test_assign_nearest_arrow_agrees_with_fold_path(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        _kmeans_assign_df,
+        assign_nearest_arrow,
+    )
+
+    import numpy as np
+
+    r = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in r.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [rows[i][1] for i in range(6)]
+    base = df.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    fold = {r["id"]: r["cluster"] for r in _kmeans_assign_df(base, cents).collect()}
+    arrow = {
+        r["id"]: r["cluster"] for r in assign_nearest_arrow(df, cents).collect()
+    }
+    # BLAS vs in-order folds differ only in last-ulp distances; on
+    # non-degenerate data the argmin agrees everywhere
+    assert fold == arrow
