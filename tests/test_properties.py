@@ -515,3 +515,106 @@ def test_ehash_wav_scale_invariant(samples):
     assert ehash_wav(encode_wav(samples)) == ehash_wav(
         encode_wav([2 * s for s in samples])
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from(["d1", "d2", "d3"]),
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_bitmap_rollup_equals_count_distinct(spark, rows):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        bitmap_distinct_rollup,
+    )
+
+    df = spark.createDataFrame(rows, "grp string, day string, user_id bigint")
+    got = {
+        r["grp"]: r
+        for r in bitmap_distinct_rollup(df, "grp", F.col("day"), "user_id").collect()
+    }
+    from collections import defaultdict
+
+    per_grp, per_sub = defaultdict(set), defaultdict(set)
+    for g, d, u in rows:
+        per_grp[g].add(u)
+        per_sub[(g, d)].add(u)
+    for g, ids in per_grp.items():
+        assert got[g]["distinct_total"] == len(ids)
+        assert got[g]["sum_sub_distinct"] == sum(
+            len(v) for (gg, _), v in per_sub.items() if gg == g
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.booleans()),
+        min_size=4,
+        max_size=40,
+    ).filter(lambda xs: any(a for _, a in xs) and any(not a for _, a in xs))
+)
+@settings(max_examples=10, deadline=None)
+def test_ks_stat_bounds_and_python_replay(spark, rows):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), a) for v, a in rows], "value double, in_a boolean"
+    )
+    r = ks_two_sample(df, "value", F.col("in_a")).collect()[0]
+    a = sorted(v for v, f in rows if f)
+    b = sorted(v for v, f in rows if not f)
+    xs = sorted({v for v, _ in rows})
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in xs
+    )
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert abs(r["ks_stat"] - round(d, 6)) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(1, 30),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_domain_mixture_weights_sum_to_one(spark, rows):
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import (
+        domain_mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(s, "w " * n) for s, n in rows], "source string, text string"
+    )
+    out = domain_mixture_weights(df, "source").collect()
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-4
+    assert all(r["weight"] > 0 for r in out)
+    # alpha=0.5 compresses: the largest domain's weight <= its share
+    big = max(out, key=lambda r: r["n_tokens"])
+    small = min(out, key=lambda r: r["n_tokens"])
+    if big["n_tokens"] != small["n_tokens"]:
+        assert big["weight"] <= big["token_share"] + 1e-9
+        assert small["weight"] >= small["token_share"] - 1e-9
