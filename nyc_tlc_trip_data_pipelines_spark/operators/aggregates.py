@@ -638,7 +638,7 @@ def bitmap_distinct_rollup(
     # so integer `div` is exact for the whole bigint range, any sign.
     bit = F.pmod(F.col(id_col), F.lit(width))
     block = F.expr(
-        f"({id_col} - pmod({id_col}, {width})) div {width}"
+        f"(`{id_col}` - pmod(`{id_col}`, {width})) div {width}"
     )
     ids = df.select(
         F.col(group_col).alias("grp"),

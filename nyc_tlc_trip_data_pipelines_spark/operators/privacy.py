@@ -54,18 +54,28 @@ def _laplace_noise(key: Column, seed: int, scale: Column | float) -> Column:
 
 
 def _group_key(keys: Sequence[str]) -> Column:
-    """NULL-distinguishing group-key encoding for the noise hash.
-    ``concat_ws`` SKIPS null columns, so ('a', NULL) and (NULL, 'a')
-    — or a NULL-keyed group vs a shorter key list — would collapse to
-    the same key and receive IDENTICAL noise draws; shared noise lets
-    a reader difference two releases and recover exact counts. Each
-    column is therefore coalesced to an explicit sentinel (unit
-    separator \x1e, which the record separator \x1f join cannot
-    produce from a real value containing neither)."""
-    return F.concat_ws(
-        "\x1f",
-        *[F.coalesce(F.col(k).cast("string"), F.lit("\x1e")) for k in keys],
-    )
+    """INJECTIVE group-key encoding for the noise hash. ``concat_ws``
+    SKIPS null columns, so ('a', NULL) and (NULL, 'a') — or a
+    NULL-keyed group vs a shorter key list — would collapse to the
+    same key and receive IDENTICAL noise draws; shared noise lets a
+    reader difference two releases and recover exact counts. A bare
+    sentinel is not enough either: a real value EQUAL to the sentinel,
+    or containing the join separator, still collides. So each column
+    is escaped (\x1e → \x1e\x1e, \x1f → \x1e\x1f — escaped output
+    never contains \x1e before anything but \x1e/\x1f) and NULL maps
+    to \x1e0, which no escaped value can equal; the \x1f join of
+    escaped columns is then injective over tuples of any arity."""
+
+    def enc(k: str) -> Column:
+        v = F.col(k).cast("string")
+        esc = F.replace(
+            F.replace(v, F.lit("\x1e"), F.lit("\x1e\x1e")),
+            F.lit("\x1f"),
+            F.lit("\x1e\x1f"),
+        )
+        return F.coalesce(esc, F.lit("\x1e0"))
+
+    return F.concat_ws("\x1f", *[enc(k) for k in keys])
 
 
 def dp_noisy_counts(

@@ -366,6 +366,7 @@ def semantic_dedup_pairs(
     iterations: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    persist: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup candidate scan (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -409,15 +410,17 @@ def semantic_dedup_pairs(
     # identical data, so round(dot/(na·nb), 6) is bit-unchanged.
     # Persist: both join sides read the same assignment subtree —
     # without it the k-means assignment pass runs twice. Caching
-    # contract: the block lives until the session evicts it (callers
-    # running many dedup passes in one session should unpersist via
-    # df.sparkSession.catalog.clearCache() between corpora).
-    emb = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(assigned, "id")
-        .withColumn("norm", array_norm(F.col("v")))
-        .persist()
-    )
+    # contract: the block lives until the session evicts it under
+    # storage pressure (LRU); callers looping over MANY corpora in one
+    # session pass ``persist=False`` (recompute-twice, zero residue)
+    # or unpersist the previous result's lineage themselves — do NOT
+    # reach for catalog.clearCache(), which drops every cached frame
+    # in the session including unrelated ones.
+    emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assigned, "id"
+    ).withColumn("norm", array_norm(F.col("v")))
+    if persist:
+        emb = emb.persist()
     a = emb.alias("a")
     b = emb.alias("b")
     return a.join(
@@ -437,14 +440,19 @@ def semantic_dedup_pairs(
 
 
 def _round_half_up(x: float, nd: int = 6) -> float:
-    """Driver-side twin of SQL ROUND: HALF_UP on the double's exact
-    value (what Spark's round() does via BigDecimal). Python's builtin
-    round() is half-to-even and WOULD drift from both engines on .5
-    boundaries — never use it where an oracle replays the value."""
+    """Driver-side twin of SQL ROUND: HALF_UP on the double's
+    SHORTEST-ROUND-TRIP decimal repr — what Spark's round() actually
+    rounds (BigDecimal.valueOf goes through Double.toString, NOT the
+    exact binary expansion) and what DuckDB ROUND matches. Two traps,
+    both verified against live engines: Python's builtin round() is
+    half-to-even (0.1234565 → 0.123456, engines give 0.123457), and
+    Decimal(x) is the EXACT binary value (0.1234565 stores as
+    …64999…, which HALF_UP rounds DOWN — same wrong answer). repr(x)
+    is Python's shortest round-trip form = Double.toString."""
     import decimal
 
     return float(
-        decimal.Decimal(x).quantize(
+        decimal.Decimal(repr(x)).quantize(
             decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
         )
     )
@@ -472,7 +480,7 @@ def pca_top_component(
     and rounded to 6 dp at each iteration boundary so any SQL engine
     replays the whole trajectory bit-for-bit.
 
-    v₀ = (1/8, …, 1/8) (unit for d = 64, deterministic — no RNG).
+    v₀ = (1/√d, …, 1/√d) (unit for any d, deterministic — no RNG).
     Returns (dim, loading, eigenvalue): the component's d loadings plus
     the Rayleigh-quotient eigenvalue estimate ‖C·v‖ from the final
     iteration (per-dim exact sums, same contract).
@@ -534,6 +542,11 @@ def pca_top_component(
         for r in w_rows:
             w[r.dim] = r.w
         norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            # all centered vectors are 0 (constant corpus slice): the
+            # top component is undefined — fail loudly like the empty-
+            # input guard rather than ZeroDivisionError mid-iteration
+            raise ValueError("pca_top_component: zero-variance input")
         eig = _round_half_up(norm)  # Rayleigh estimate ‖C·v‖ (v is unit)
         v = [_round_half_up(x / norm) for x in w]
 

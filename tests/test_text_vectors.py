@@ -619,3 +619,37 @@ def test_assign_nearest_arrow_agrees_with_fold_path(spark):
     # BLAS vs in-order folds differ only in last-ulp distances; on
     # non-degenerate data the argmin agrees everywhere
     assert fold == arrow
+
+
+def test_round_half_up_matches_engine_round(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        _round_half_up,
+    )
+
+    import duckdb
+
+    # 0.1234565's exact binary value is ...64999, but both engines
+    # round the shortest-repr decimal -> 0.123457; Python round() and
+    # Decimal(x) both give 0.123456 — the two traps this helper dodges
+    cases = [0.1234565, 0.1234575, -0.1234565, 2.5e-06, 1.0000005]
+    for x in cases:
+        sp = spark.range(1).select(F.round(F.lit(x), 6)).collect()[0][0]
+        dk = duckdb.sql(f"SELECT ROUND({x!r}::DOUBLE, 6)").fetchone()[0]
+        assert sp == dk == _round_half_up(x), x
+
+
+def test_pca_zero_variance_raises(spark):
+    import pytest as _pytest
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        pca_top_component,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="zero-variance"):
+        pca_top_component(df, iterations=1)
