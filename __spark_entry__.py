@@ -5363,6 +5363,20 @@ def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out.withColumnRenamed("id", "vec_id"), ["vec_id"])
 
 
+def q_attribution_decay(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing analytics (round 6): time-decay MULTI-touch
+    attribution (operators/timeseries.py multi_touch_attribution) —
+    each purchase splits one credit unit across every touch in its
+    7-day lookback, weighted 1/(1+age_days) in integer micro-units so
+    every reduction is exact integer addition (no libm pow, no double
+    sums). Complements q_attribution's first-touch single-winner view
+    with assist credit; same time-bounded range join, so the same
+    (user, day) bucketing carries it at 100 TB."""
+    e = load_table(spark, sf, "events")
+    out = TS.multi_touch_attribution(e)
+    return O.sort(out, ["event_type"])
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -5659,6 +5673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitmap_rollup": q_bitmap_rollup,
         "q_ann_pq": q_ann_pq,
         "q_random_projection": q_random_projection,
+        "q_attribution_decay": q_attribution_decay,
     }
     # Round-6 prefix-50 rotation (the driver checks the FIRST 50 keys):
     # (a) the two r05 ERR rows — array-typed outputs fixed this round,
@@ -9749,6 +9764,34 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_sub_distinct
             FROM s JOIN per_type p USING (event_type)
             ORDER BY s.event_type
+        """,
+        # round 6: multi-touch decay attribution — integer micro-unit
+        # weights/shares, replayed verbatim
+        "q_attribution_decay": """
+            WITH conv AS (
+                SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+                FROM events WHERE event_type = 'purchase'
+            ), j AS (
+                SELECT c.c_id, t.event_type AS t_type,
+                       1000000 // (1 + (EPOCH_US(c.c_ts) - EPOCH_US(t.ts)) // 86400000000)
+                           AS w_micro
+                FROM conv c JOIN events t
+                  ON t.user_id = c.c_user
+                 AND t.ts < c.c_ts
+                 AND EPOCH_US(c.c_ts) - EPOCH_US(t.ts) <= 604800000000
+            ), tot AS (
+                SELECT c_id, SUM(w_micro) AS tot_micro FROM j GROUP BY c_id
+            ), share AS (
+                SELECT j.c_id, j.t_type,
+                       CAST(ROUND(j.w_micro * 1000000.0 / tot.tot_micro, 0) AS BIGINT)
+                           AS share_micro
+                FROM j JOIN tot USING (c_id)
+            )
+            SELECT t_type AS event_type,
+                   COUNT(*)::BIGINT AS n_touches,
+                   COUNT(DISTINCT c_id)::BIGINT AS n_conversions,
+                   ROUND(SUM(share_micro) / 1000000.0, 6) AS credit
+            FROM share GROUP BY t_type ORDER BY t_type
         """,
     }
 

@@ -129,6 +129,7 @@ ROUND6_OPS = [
     "q_bitmap_rollup",
     "q_ann_pq",
     "q_random_projection",
+    "q_attribution_decay",
 ]
 
 

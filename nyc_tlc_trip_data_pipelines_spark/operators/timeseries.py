@@ -471,3 +471,84 @@ def rolling_distinct_count(
     return joined.groupBy("target_day").agg(
         F.countDistinct("entity").alias("active_entities")
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-decay multi-touch attribution: every conversion splits one
+    unit of credit across ALL the user's touches in the lookback
+    window, weighted by recency — the position-agnostic complement to
+    first-touch attribution (q_attribution), answering "which channels
+    assist" rather than "which channel initiates".
+
+    Decay is RECIPROCAL in whole days: w = 1 / (1 + age_days). A
+    half-life exponential (0.5^(Δt/h)) is the textbook form, but
+    libm pow() differs in the last ulp across engines and the weights
+    feed a normalization — the reciprocal form is integer arithmetic
+    end to end (age in days by integer division, weight in integer
+    micro-units) and keeps the same monotone-decay shape.
+
+    Credit is exact and partition-order-free at every reduction (the
+    kmeans/winsorize micro-unit rule): per-touch weight w_micro =
+    10⁶ div (1 + age_days) is an integer; the per-conversion
+    normalizer is an integer SUM; each touch's share re-quantizes to
+    integer micro-units; and the final per-channel credit is an
+    integer sum of those — no double is ever summed across rows.
+
+    Returns (event_type, n_touches, n_conversions, credit) where
+    credit sums (up to micro-rounding) to the number of attributed
+    conversions.
+
+    Scale shape: the touch join is the q_attribution time-bounded
+    range join — at 100 TB bucket both sides by (user, day) so each
+    conversion probes adjacent buckets only. Everything after it is
+    two hash aggregates whose key spaces are |conversions| then
+    |channels|.
+    """
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("c_id"),
+        F.col(user_col).alias("c_user"),
+        F.col(ts_col).alias("c_ts"),
+    )
+    touch = events.select(
+        F.col(user_col).alias("t_user"),
+        F.col(type_col).alias("t_type"),
+        F.col(ts_col).alias("t_ts"),
+    )
+    j = conv.join(
+        touch,
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("c_ts"))
+        & (
+            F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("t_ts"))
+            <= F.lit(int(lookback_days) * 86_400_000_000)
+        ),
+    )
+    scored = j.select(
+        "c_id",
+        "t_type",
+        F.expr(
+            "1000000 div (1 + (unix_micros(c_ts) - unix_micros(t_ts)) div 86400000000)"
+        ).alias("w_micro"),
+    )
+    tot = scored.groupBy("c_id").agg(F.sum("w_micro").alias("tot_micro"))
+    share = scored.join(tot, "c_id").select(
+        "c_id",
+        "t_type",
+        F.round(F.col("w_micro") * F.lit(1000000.0) / F.col("tot_micro"), 0)
+        .cast("long")
+        .alias("share_micro"),
+    )
+    out = share.groupBy(F.col("t_type").alias(type_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("c_id").cast("long").alias("n_conversions"),
+        F.round(F.sum("share_micro") / F.lit(1000000.0), 6).alias("credit"),
+    )
+    return out

@@ -270,3 +270,38 @@ def test_longest_streak_islands(spark):
            TS.longest_streak(df, "user_id", F.col("day")).collect()}
     assert got[1].n_active_days == 6 and got[1].longest_streak == 3 and got[1].n_streaks == 3
     assert got[2].n_active_days == 1 and got[2].longest_streak == 1 and got[2].n_streaks == 1
+
+
+def test_multi_touch_attribution_credit_conservation(spark):
+    from datetime import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        multi_touch_attribution,
+    )
+
+    d = datetime
+    rows = [
+        # user 1: view 2 days before, click 1 day before -> purchase
+        (1, 1, "view", d(2024, 1, 1, 12)),
+        (2, 1, "click", d(2024, 1, 2, 12)),
+        (3, 1, "purchase", d(2024, 1, 3, 12)),
+        # user 2: single click 10 min before -> purchase
+        (4, 2, "click", d(2024, 1, 5, 10, 0)),
+        (5, 2, "purchase", d(2024, 1, 5, 10, 10)),
+        # user 3: touch OUTSIDE the 7-day lookback -> no credit at all
+        (6, 3, "view", d(2024, 1, 1)),
+        (7, 3, "purchase", d(2024, 1, 20)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = {r["event_type"]: r for r in multi_touch_attribution(df).collect()}
+    # user 1: ages 2d and 1d -> weights 1/3, 1/2 -> shares 0.4, 0.6
+    # user 2: single touch age 0 -> full credit 1.0 to click
+    assert abs(out["view"]["credit"] - 0.4) < 1e-6
+    assert abs(out["click"]["credit"] - (0.6 + 1.0)) < 1e-6
+    assert out["click"]["n_conversions"] == 2
+    # purchases with no in-window touch contribute nothing
+    assert "purchase" not in out or out["purchase"]["n_touches"] == 0
+    # total credit == number of ATTRIBUTED conversions
+    assert abs(sum(r["credit"] for r in out.values()) - 2.0) < 1e-5
