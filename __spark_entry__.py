@@ -5681,13 +5681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 56 never-driver-checked round-5 ids, environment-sensitive paths
     # first (Python DataSource stream, custom sink, dynamic partition
     # overwrite, persist-heavy curation, multimodal kernels, Arrow
-    # UDFs) ahead of pure-codegen SQL twins. The 16 never-checked ids
-    # left over (q_group_regress, q_skyline, q_phrase_search,
-    # q_jackknife, q_winsorize, q_rolling_median, q_crosstab_chi2,
-    # q_benford, q_join_nullsafe, q_lateral_topk, q_agg_maxby,
-    # q_corr_group, q_streaks, q_rolling_distinct, q_abtest_welch,
-    # q_quantile_rollup) are the lowest-risk pure SQL twins — they lead
-    # the round-7 prefix.
+    # UDFs) ahead of pure-codegen SQL twins. ROUND-7 PREFIX LEADS
+    # (ids with no driver row after this round): the three round-6
+    # additions that landed AFTER this prefix froze — q_ann_pq,
+    # q_random_projection, q_attribution_decay — then the 16
+    # never-checked pure-SQL-twin leftovers (q_group_regress,
+    # q_skyline, q_phrase_search, q_jackknife, q_winsorize,
+    # q_rolling_median, q_crosstab_chi2, q_benford, q_join_nullsafe,
+    # q_lateral_topk, q_agg_maxby, q_corr_group, q_streaks,
+    # q_rolling_distinct, q_abtest_welch, q_quantile_rollup).
     prefix = [
         "q_agg_collect_list",
         "q_multimodal_features",

@@ -508,9 +508,13 @@ def multi_touch_attribution(
 
     Scale shape: the touch join is the q_attribution time-bounded
     range join — at 100 TB bucket both sides by (user, day) so each
-    conversion probes adjacent buckets only. Everything after it is
-    two hash aggregates whose key spaces are |conversions| then
-    |channels|.
+    conversion probes adjacent buckets only — and it is executed
+    ONCE: the per-conversion normalizer is a window sum partitioned
+    by conversion id over the joined rows (the markov_transitions
+    normalization pattern), not a separate aggregate joined back,
+    which would put the join subtree on both sides of the plan. After
+    the join: one window exchange keyed by conversion, one hash
+    aggregate keyed by channel.
     """
     conv = events.filter(F.col(type_col) == conversion_type).select(
         F.col(id_col).alias("c_id"),
@@ -538,11 +542,16 @@ def multi_touch_attribution(
             "1000000 div (1 + (unix_micros(c_ts) - unix_micros(t_ts)) div 86400000000)"
         ).alias("w_micro"),
     )
-    tot = scored.groupBy("c_id").agg(F.sum("w_micro").alias("tot_micro"))
-    share = scored.join(tot, "c_id").select(
+    w_conv = Window.partitionBy("c_id")
+    share = scored.select(
         "c_id",
         "t_type",
-        F.round(F.col("w_micro") * F.lit(1000000.0) / F.col("tot_micro"), 0)
+        F.round(
+            F.col("w_micro")
+            * F.lit(1000000.0)
+            / F.sum("w_micro").over(w_conv),
+            0,
+        )
         .cast("long")
         .alias("share_micro"),
     )

@@ -525,38 +525,43 @@ def pca_top_component(
     centered = emb.select(
         "id", F.zip_with("v", _as_vec_lit(mu), lambda x, m: x - m).alias("c")
     ).persist()
-    for _ in range(iterations):
-        s = F.round(
-            F.aggregate(
-                F.zip_with("c", _as_vec_lit(v), lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-            6,
-        )
-        w_rows = (
-            centered.select(s.alias("s"), F.posexplode("c").alias("dim", "x"))
-            .groupBy("dim")
-            .agg(
-                F.round(
-                    F.sum(micro(F.col("s") * F.col("x"))) / F.count(F.lit(1)) / F.lit(1000000.0), 6
-                ).alias("w")
+    # try/finally: release on EVERY exit — the zero-variance
+    # ValueError (or a failed collect) would otherwise leak the
+    # cached block for the session lifetime
+    try:
+        for _ in range(iterations):
+            s = F.round(
+                F.aggregate(
+                    F.zip_with("c", _as_vec_lit(v), lambda x, w: x * w),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
             )
-            .collect()
-        )
-        w = [0.0] * dim
-        for r in w_rows:
-            w[r.dim] = r.w
-        norm = sum(x * x for x in w) ** 0.5
-        if norm == 0.0:
-            # all centered vectors are 0 (constant corpus slice): the
-            # top component is undefined — fail loudly like the empty-
-            # input guard rather than ZeroDivisionError mid-iteration
-            raise ValueError("pca_top_component: zero-variance input")
-        eig = _round_half_up(norm)  # Rayleigh estimate ‖C·v‖ (v is unit)
-        v = [_round_half_up(x / norm) for x in w]
+            w_rows = (
+                centered.select(s.alias("s"), F.posexplode("c").alias("dim", "x"))
+                .groupBy("dim")
+                .agg(
+                    F.round(
+                        F.sum(micro(F.col("s") * F.col("x"))) / F.count(F.lit(1)) / F.lit(1000000.0), 6
+                    ).alias("w")
+                )
+                .collect()
+            )
+            w = [0.0] * dim
+            for r in w_rows:
+                w[r.dim] = r.w
+            norm = sum(x * x for x in w) ** 0.5
+            if norm == 0.0:
+                # all centered vectors are 0 (constant corpus slice): the
+                # top component is undefined — fail loudly like the empty-
+                # input guard rather than ZeroDivisionError mid-iteration
+                raise ValueError("pca_top_component: zero-variance input")
+            eig = _round_half_up(norm)  # Rayleigh estimate ‖C·v‖ (v is unit)
+            v = [_round_half_up(x / norm) for x in w]
 
-    centered.unpersist()
+    finally:
+        centered.unpersist()
     out = [(i, v[i], eig) for i in range(dim)]
     return df.sparkSession.createDataFrame(out, "dim int, loading double, eigenvalue double")
 

@@ -301,7 +301,10 @@ def test_multi_touch_attribution_credit_conservation(spark):
     assert abs(out["view"]["credit"] - 0.4) < 1e-6
     assert abs(out["click"]["credit"] - (0.6 + 1.0)) < 1e-6
     assert out["click"]["n_conversions"] == 2
-    # purchases with no in-window touch contribute nothing
-    assert "purchase" not in out or out["purchase"]["n_touches"] == 0
+    # no purchase falls inside another purchase's lookback in this
+    # fixture, so no 'purchase' channel row exists (NOTE: a prior
+    # purchase within a later one's window WOULD earn credit as a
+    # touch — that is by design, not excluded)
+    assert "purchase" not in out
     # total credit == number of ATTRIBUTED conversions
     assert abs(sum(r["credit"] for r in out.values()) - 2.0) < 1e-5
