@@ -8374,7 +8374,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dim
         """,
         # round 6: DP release — hash -> inverse-CDF Laplace replayed
-        # with the identical expression shape (left-assoc multiplies)
+        # with the identical expression shape (left-assoc multiplies).
+        # The key is the engine's INJECTIVE escaped encoding (\x1e/\x1f
+        # escapes + NULL -> \x1e0, privacy.py _group_key) and the ln()
+        # argument carries the same 2^-60 clamp as _laplace_noise, so
+        # parity holds for control-char / NULL keys and the h=0 edge.
         "q_dp_release": """
             WITH c AS (
                 SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type
@@ -8385,19 +8389,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY event_type
             ), nc AS (
                 SELECT event_type, n_true,
-                       CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(event_type, CHR(31), '7')), 1, 15))
+                       CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(
+                                 COALESCE(REPLACE(REPLACE(event_type, CHR(30), CHR(30) || CHR(30)),
+                                                  CHR(31), CHR(30) || CHR(31)),
+                                          CHR(30) || '0'),
+                                 CHR(31), '7')), 1, 15))
                                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 - 0.5 AS u
                 FROM c
             ), ns AS (
                 SELECT event_type, sum_clipped,
-                       CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(event_type, CHR(31), '8')), 1, 15))
+                       CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(
+                                 COALESCE(REPLACE(REPLACE(event_type, CHR(30), CHR(30) || CHR(30)),
+                                                  CHR(31), CHR(30) || CHR(31)),
+                                          CHR(30) || '0'),
+                                 CHR(31), '8')), 1, 15))
                                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 - 0.5 AS u
                 FROM s
             )
             SELECT nc.event_type, nc.n_true,
-                   ROUND(nc.n_true + SIGN(nc.u) * 1.0 * 1.0 * (-LN(1.0 - 2.0 * ABS(nc.u))), 6) AS n_released,
+                   ROUND(nc.n_true + SIGN(nc.u) * 1.0 * 1.0
+                         * (-LN(GREATEST(1.0 - 2.0 * ABS(nc.u), 8.673617379884035e-19))), 6) AS n_released,
                    ns.sum_clipped,
-                   ROUND(ns.sum_clipped + SIGN(ns.u) * 1.0 * 50.0 * (-LN(1.0 - 2.0 * ABS(ns.u))), 6) AS sum_released
+                   ROUND(ns.sum_clipped + SIGN(ns.u) * 1.0 * 50.0
+                         * (-LN(GREATEST(1.0 - 2.0 * ABS(ns.u), 8.673617379884035e-19))), 6) AS sum_released
             FROM nc JOIN ns USING (event_type)
             ORDER BY event_type
         """,

@@ -630,6 +630,10 @@ def bitmap_distinct_rollup(
     never touches the sign bit in either engine.
     """
     width = int(block_bits)
+    if not 1 <= width <= 32:
+        # past 32 the shifted bigint words touch the sign bit and the
+        # documented cross-engine parity contract above breaks
+        raise ValueError(f"block_bits must be in [1, 32], got {block_bits}")
     sub = F.col(sub_col) if isinstance(sub_col, str) else sub_col
     # block must FLOOR-divide consistently with pmod: float division +
     # cast truncates toward zero, so id = -1 would land in (block 0,

@@ -42,13 +42,22 @@ _TWO_60 = float(1 << 60)
 
 def _laplace_noise(key: Column, seed: int, scale: Column | float) -> Column:
     """Deterministic Laplace(scale) draw from the portable hash of
-    (key, seed) — inverse-CDF over u ∈ (−½, ½). sign(0) would zero the
-    draw; the hash is never exactly 2⁵⁹ in practice (p = 2⁻⁶⁰), and
-    the formula degrades to noise 0 there, which is still a valid
-    mechanism output."""
+    (key, seed) — inverse-CDF over u ∈ [−½, ½). Two hash edge cases:
+    h = 2⁵⁹ gives u = 0, where sign(0) degrades the draw to noise 0 —
+    a valid mechanism output; h = 0 gives u = −½ exactly, where the
+    unguarded ln(1 − 2|u|) = ln(0) would release −Infinity, so the
+    magnitude argument is clamped at 2⁻⁶⁰ (the smallest value the
+    60-bit grid can otherwise produce — the clamp maps the one
+    forbidden point onto the distribution's existing max-magnitude
+    tail, ~41.6·scale, rather than breaking the release). Each case
+    has p = 2⁻⁶⁰ per key; the q_dp_release oracle mirrors the same
+    GREATEST clamp so cross-engine parity holds even if a fixture key
+    ever lands there."""
     h = portable_hash60(F.concat_ws("\x1f", key, F.lit(str(seed))))
     u = h.cast("double") / F.lit(_TWO_60) - F.lit(0.5)
-    mag = -F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    mag = -F.log(
+        F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(u), F.lit(2.0**-60))
+    )
     return F.signum(u) * F.lit(1.0) * scale * mag
 
 

@@ -851,6 +851,8 @@ def assign_nearest_arrow(
 
     def batches(it):
         for pdf in it:
+            if not len(pdf):  # mapInPandas can hand empty Arrow batches
+                continue      # and np.vstack raises on zero rows
             mat = np.vstack(pdf["v"].to_numpy())
             scores = mat @ cent_t * -2.0 + cent_sq
             yield pd.DataFrame(
