@@ -5675,72 +5675,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_projection": q_random_projection,
         "q_attribution_decay": q_attribution_decay,
     }
-    # Round-6 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the two r05 ERR rows — array-typed outputs fixed this round,
-    # must show green; (b) the five new round-6 queries; (c) 43 of the
-    # 56 never-driver-checked round-5 ids, environment-sensitive paths
-    # first (Python DataSource stream, custom sink, dynamic partition
-    # overwrite, persist-heavy curation, multimodal kernels, Arrow
-    # UDFs) ahead of pure-codegen SQL twins. ROUND-7 PREFIX LEADS
-    # (ids with no driver row after this round): the three round-6
-    # additions that landed AFTER this prefix froze — q_ann_pq,
-    # q_random_projection, q_attribution_decay — then the 16
-    # never-checked pure-SQL-twin leftovers (q_group_regress,
-    # q_skyline, q_phrase_search, q_jackknife, q_winsorize,
-    # q_rolling_median, q_crosstab_chi2, q_benford, q_join_nullsafe,
-    # q_lateral_topk, q_agg_maxby, q_corr_group, q_streaks,
-    # q_rolling_distinct, q_abtest_welch, q_quantile_rollup).
+    # Round-7 prefix-50 rotation (the driver checks the FIRST 50 keys):
+    # (a) the 19 ids with NO driver CORRECTNESS row after round 6 —
+    # the three round-6 late adds (q_ann_pq, q_random_projection,
+    # q_attribution_decay) then the 16 round-5 pure-SQL twins — this
+    # converts the registry to full cumulative driver coverage;
+    # (b) q_dp_release, whose oracle changed this round (escaped-key +
+    # ln-clamp parity) and must re-verify under the driver;
+    # (c) new round-7 queries; (d) refresh slots for the ids whose
+    # only driver row is round 1 (oldest evidence first). Coverage
+    # debt is machine-checked: tests/test_registry.py asserts every
+    # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
-        "q_agg_collect_list",
-        "q_multimodal_features",
-        "q_dedup_span",
-        "q_domain_mixture",
-        "q_mutual_info",
-        "q_ks_test",
-        "q_bitmap_rollup",
-        "q_stream_source_custom",
-        "q_stream_drift",
-        "q_custom_sink",
-        "q_partition_overwrite_dynamic",
-        "q_session_window_native",
-        "q_curation_pipeline",
-        "q_multimodal_scene_detect",
-        "q_multimodal_silence_trim",
-        "q_image_dedup",
-        "q_audio_dedup",
-        "q_xml_ingest",
-        "q_csv_inrow",
-        "q_fixed_width_ingest",
-        "q_log_parse",
-        "q_udf_arrow",
-        "q_grouped_arrow",
-        "q_sql_parameterized",
-        "q_dedup_semantic",
-        "q_pca_power",
+        "q_ann_pq",
+        "q_random_projection",
+        "q_attribution_decay",
+        "q_group_regress",
+        "q_skyline",
+        "q_phrase_search",
+        "q_jackknife",
+        "q_winsorize",
+        "q_rolling_median",
+        "q_crosstab_chi2",
+        "q_benford",
+        "q_join_nullsafe",
+        "q_lateral_topk",
+        "q_agg_maxby",
+        "q_corr_group",
+        "q_streaks",
+        "q_rolling_distinct",
+        "q_abtest_welch",
+        "q_quantile_rollup",
         "q_dp_release",
-        "q_train_shuffle",
-        "q_dedup_index_probe",
-        "q_minhash_accuracy",
-        "q_simhash_hamming",
-        "q_url_canonicalize",
-        "q_html_strip",
-        "q_token_entropy",
-        "q_feature_hash",
-        "q_attribution",
-        "q_join_bloom_prefilter",
-        "q_join_interval_bucket",
-        "q_geo_radius_join",
-        "q_sketch_rollup",
-        "q_sketch_intersection",
-        "q_heavy_hitters_cms",
-        "q_psi_drift",
-        "q_markov_transitions",
-        "q_time_interpolate",
-        "q_table_diff",
-        "q_collated_group",
-        "q_assoc_rules",
-        "q_collocations_pmi",
-        "q_ewma",
+        # ---- refresh tier: round-1-only driver rows, oldest first ----
+        "q_udf_scalar",
+        "q_udaf_grouped",
+        "q_udtf_tokenize",
+        "q_sink_append",
+        "q_sink_partitioned",
+        "q_sink_csv",
+        "q_ddl_create",
+        "q_join_broadcast",
+        "q_join_star",
+        "q_join_range",
+        "q_join_cross",
+        "q_window_avg_two_grains",
+        "q_window_rank",
+        "q_window_lag_lead",
+        "q_window_running_sum",
+        "q_map_funcs",
+        "q_json_extract",
+        "q_text_wordcount",
+        "q_text_quality",
+        "q_text_token_count",
+        "q_count",
+        "q_cast_schema",
+        "q_filter_time_range",
+        "q_partition_prune",
+        "q_project_drop",
+        "q_derive_year_month",
+        "q_groupby_avg_orderby",
+        "q_date_arithmetic",
+        "q_filter_predicates",
+        "q_project_case",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}

@@ -261,15 +261,61 @@ def _skew_bench(spark, sf_dir) -> dict[str, float]:
             spark.conf.set(k, v)
 
 
-def _regressions(current: dict[str, float], threshold: float = 1.3):
-    """Machine-checkable regression gate (round-5 verdict item 8):
-    compare every per-query timing against the most recent BENCH_r*.json
-    in the repo root and list queries slower than ``threshold``× their
-    previous-round time. Returns (baseline_name, [{query, prev, now,
-    ratio}, ...]); silently empty when no prior bench exists."""
+def _flat_timings(prev: dict) -> dict[str, float]:
+    """Per-query timings from a bench JSON object: every numeric value
+    inside any nested section dict (the driver wraps the real object
+    under "parsed")."""
+    if isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    flat: dict[str, float] = {}
+    for val in prev.values():
+        if isinstance(val, dict):
+            for q, t in val.items():
+                if isinstance(t, (int, float)):
+                    flat[q] = float(t)
+    return flat
+
+
+def _flat_from_tail(prev: dict) -> dict[str, float]:
+    """Best-effort baseline recovery from a driver wrapper whose
+    ``parsed`` is null: the ``tail`` field holds the LAST ~2000 chars
+    of the bench stdout — a head-truncated fragment of the JSON line —
+    so a targeted regex over `"q_*": <number>` pairs recovers every
+    per-query timing the fragment still contains (regression-list
+    entries don't match: their numbers sit under "prev"/"now", not a
+    q_* key). Round-6 verdict item 2: without this, a parsed:null
+    wrapper as the newest BENCH file silently disabled the gate."""
+    import re
+
+    tail = prev.get("tail")
+    if not isinstance(tail, str):
+        return {}
+    return {
+        q: float(t)
+        for q, t in re.findall(r'"(q_\w+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+    }
+
+
+def _baseline() -> tuple[str | None, dict[str, float]]:
+    """Pick the regression baseline: $SPARK_GRAFT_BENCH_BASELINE if set
+    (explicit path — lets a same-round re-run compare against the
+    PRIOR round instead of its own output), else walk BENCH_r*.json
+    newest → oldest and take the first file that yields any per-query
+    timings, reconstructing from the driver wrapper's tail when
+    ``parsed`` is null. Never silently returns an empty baseline while
+    naming a file."""
     import glob
     import re
 
+    override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if override:
+        try:
+            with open(override) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            return None, {}
+        flat = _flat_timings(prev) or _flat_from_tail(prev)
+        return os.path.basename(override), flat
     here = os.path.dirname(os.path.abspath(__file__))
     # pair each path with its round number FIRST — a stray
     # BENCH_rX.json would match the glob but not the regex, and a
@@ -279,24 +325,34 @@ def _regressions(current: dict[str, float], threshold: float = 1.3):
         m = re.search(r"BENCH_r(\d+)", p)
         if m:
             numbered.append((int(m.group(1)), p))
-    prior = [p for _, p in sorted(numbered)]
-    if not prior:
-        return None, []
-    path = prior[-1]
-    try:
-        with open(path) as fh:
-            prev = json.load(fh)
-    except (OSError, ValueError):
-        return os.path.basename(path), []
-    # the driver records the bench line wrapped under "parsed"
-    if isinstance(prev.get("parsed"), dict):
-        prev = prev["parsed"]
-    flat_prev: dict[str, float] = {}
-    for key, val in prev.items():
-        if isinstance(val, dict):
-            for q, t in val.items():
-                if isinstance(t, (int, float)):
-                    flat_prev[q] = float(t)
+    # union newest-wins: a tail-reconstructed wrapper only covers the
+    # sections its 2000-char fragment kept (BENCH_r06 lost the whole
+    # headline section), so keep walking and fill gaps from older
+    # files — every query gets its MOST RECENT available baseline
+    merged: dict[str, float] = {}
+    names: list[str] = []
+    for _, path in sorted(numbered, reverse=True):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        flat = _flat_timings(prev) or _flat_from_tail(prev)
+        fresh = {q: t for q, t in flat.items() if q not in merged}
+        if fresh:
+            merged.update(fresh)
+            names.append(os.path.basename(path))
+    return ("+".join(names) if names else None), merged
+
+
+def _regressions(current: dict[str, float], threshold: float = 1.3):
+    """Machine-checkable regression gate (round-5 verdict item 8):
+    compare every per-query timing against the most recent usable
+    BENCH_r*.json in the repo root and list queries slower than
+    ``threshold``× their previous-round time. Returns (baseline_name,
+    [{query, prev, now, ratio}, ...]); empty when no prior bench
+    exists."""
+    name, flat_prev = _baseline()
     out = []
     for q, now in current.items():
         p = flat_prev.get(q)
@@ -306,7 +362,7 @@ def _regressions(current: dict[str, float], threshold: float = 1.3):
                 {"query": q, "prev": p, "now": now, "ratio": round(now / p, 2)}
             )
     out.sort(key=lambda r: -r["ratio"])
-    return os.path.basename(path), out
+    return name, out
 
 
 def main() -> None:
@@ -336,19 +392,25 @@ def main() -> None:
         **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
     }
     baseline_name, regressions = _regressions(all_timings)
+    retimes: dict[str, dict[str, float]] = {}
     if regressions:
         # Confirmation pass: ambient load swings identical sub-second
         # plans ~1.5x between runs (the flagged set differs every run
         # under load). Re-measure ONLY the flagged queries; a real
         # plan regression reproduces, scheduler noise does not. Keep
-        # the better (min) of the two measurements per query.
+        # the better (min) of the two measurements per query, but
+        # record BOTH in the output (round-6 verdict item 7) so a
+        # human can audit what the gate dismissed — min() can only
+        # erase flags, never manufacture them.
         names = [r["query"] for r in regressions]
         retimed = _timed_pass(qs, names, spark, sf_dir)
         for grp in (timings, extended, versioned_io, corpus_ops,
                     analytics_ops, mining_ops, multimodal_ops, round6_ops):
             for q in list(grp):
-                if q in retimed and retimed[q] < grp[q]:
-                    grp[q] = retimed[q]
+                if q in retimed:
+                    retimes[q] = {"first": grp[q], "retimed": retimed[q]}
+                    if retimed[q] < grp[q]:
+                        grp[q] = retimed[q]
         all_timings = {
             **timings, **extended, **versioned_io, **corpus_ops,
             **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
@@ -356,9 +418,7 @@ def main() -> None:
         baseline_name, regressions = _regressions(all_timings)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
@@ -381,11 +441,20 @@ def main() -> None:
                 "bloom_join": bloom_join,
                 "regressions_vs": baseline_name,
                 "regressions": regressions,
+                "retimes": retimes,
                 "passes": PASSES,
                 "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    }
+    # full copy on disk: the driver keeps only the stdout TAIL in
+    # BENCH_r{N}.json, which truncated away round 6's headline section;
+    # BENCH_LOCAL.json preserves every number for the next baseline
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout must not break the stdout contract
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""Regression-gate invariants for bench.py (no Spark session needed).
+
+Round-6 verdict item 2: the gate silently disabled itself when the
+newest BENCH_r*.json was the driver-written wrapper with
+``"parsed": null`` (only a head-truncated stdout ``tail``). These
+tests plant synthetic baselines — including that exact wrapper shape —
+and assert the gate still flags a 1.5× regression.
+"""
+
+import importlib.util
+import json
+import sys
+
+
+def _bench():
+    if "bench" in sys.modules:
+        return sys.modules["bench"]
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_flat_timings_reads_parsed_wrapper():
+    b = _bench()
+    wrapped = {"parsed": {"queries": {"q_a": 1.0}, "extended": {"q_b": 2.5}}}
+    assert b._flat_timings(wrapped) == {"q_a": 1.0, "q_b": 2.5}
+
+
+def test_flat_timings_reads_raw_object():
+    b = _bench()
+    raw = {"queries": {"q_a": 0.4}, "value": 0.4, "sf": 0.1}
+    assert b._flat_timings(raw) == {"q_a": 0.4}
+
+
+def test_tail_reconstruction_recovers_per_query_timings():
+    """The driver wrapper's tail is the LAST N chars of stdout — a
+    JSON fragment truncated at the START. The recovery regex must find
+    q_* timings in the fragment but NOT regression-list entries (whose
+    numbers live under "prev"/"now", not a q_* key)."""
+    b = _bench()
+    tail = (
+        'esolve": 0.271}, "versioned_io": {"q_time_travel": 1.076, '
+        '"q_compact": 1.185}, "regressions": [{"query": "q_compact", '
+        '"prev": 0.895, "now": 1.185, "ratio": 1.32}], "sf": 0.1}\n'
+    )
+    flat = b._flat_from_tail({"parsed": None, "tail": tail})
+    assert flat == {"q_time_travel": 1.076, "q_compact": 1.185}
+
+
+def test_gate_flags_planted_regression_through_null_parsed_wrapper(
+    tmp_path, monkeypatch
+):
+    """End-to-end: newest BENCH file is a parsed:null driver wrapper;
+    the gate must reconstruct the baseline from its tail and flag a
+    planted 1.5× slowdown instead of returning an empty list."""
+    b = _bench()
+    wrapper = {
+        "n": 7,
+        "rc": 0,
+        "parsed": None,
+        "tail": '..., "queries": {"q_agg_basic": 1.0, "q_topk": 0.2}, "sf": 0.1}\n',
+    }
+    path = tmp_path / "BENCH_r98.json"
+    path.write_text(json.dumps(wrapper))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASELINE", str(path))
+    name, regs = b._regressions({"q_agg_basic": 1.5, "q_topk": 0.21})
+    assert name == "BENCH_r98.json"
+    assert [r["query"] for r in regs] == ["q_agg_basic"]
+    assert regs[0]["ratio"] == 1.5
+
+
+def test_baseline_walks_past_unusable_newest_file(tmp_path, monkeypatch):
+    """Without an explicit override, an unusable newest file (no
+    parsed dict, no recoverable tail) must fall back to the next
+    newest instead of neutering the gate."""
+    b = _bench()
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps({"parsed": None, "tail": ""}))
+    (tmp_path / "BENCH_r98.json").write_text(
+        json.dumps({"queries": {"q_agg_basic": 1.0}})
+    )
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_BASELINE", raising=False)
+    monkeypatch.setattr(
+        b.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    name, flat = b._baseline()
+    assert name == "BENCH_r98.json"
+    assert flat == {"q_agg_basic": 1.0}

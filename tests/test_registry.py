@@ -56,24 +56,49 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-6 prefix leads with the two r05 repair ids + the five
-    round-6 wave-2 ids, has no duplicates, and every prefix id has a
-    DuckDB oracle (a prefix slot without an oracle wastes a driver
-    window on a rows-only check)."""
+    the round-7 prefix leads with the 19 ids that had no driver
+    CORRECTNESS row after round 6 (3 round-6 late adds + 16 round-5
+    SQL twins) followed by q_dp_release (oracle changed round 7), has
+    no duplicates, and every prefix id has a DuckDB oracle (a prefix
+    slot without an oracle wastes a driver window on a rows-only
+    check)."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:7] == [
-        "q_agg_collect_list",
-        "q_multimodal_features",
-        "q_dedup_span",
-        "q_domain_mixture",
-        "q_mutual_info",
-        "q_ks_test",
-        "q_bitmap_rollup",
+    assert prefix[:4] == [
+        "q_ann_pq",
+        "q_random_projection",
+        "q_attribution_decay",
+        "q_group_regress",
     ]
+    assert "q_dp_release" in prefix
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
     assert not missing, f"prefix ids without oracle: {missing}"
+
+
+def test_no_unscheduled_coverage_debt():
+    """Every registry id must either have a driver CORRECTNESS row in
+    some recorded round or sit in the current prefix-50 (i.e. be
+    scheduled for the NEXT driver window). Adding a query without
+    scheduling it fails here instead of surviving as a comment-tracked
+    debt."""
+    import glob
+    import json
+
+    import __spark_entry__ as E
+
+    checked = set()
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        try:
+            checked.update(json.load(open(f)).keys())
+        except Exception:
+            pass
+    keys = list(E.queries())
+    prefix = set(keys[:50])
+    unscheduled = [k for k in keys if k not in checked and k not in prefix]
+    assert unscheduled == [], (
+        f"registry ids with no driver row and no prefix slot: {unscheduled}"
+    )

@@ -621,6 +621,48 @@ def test_assign_nearest_arrow_agrees_with_fold_path(spark):
     assert fold == arrow
 
 
+def test_kmeans_arrow_tier_matches_fold_on_separated_blobs(spark):
+    """The two tiers are distinct contracts (6-dp double vs micro-grid
+    distances) that can only disagree on near-ties within quantization
+    error; on well-separated blobs they must produce the SAME
+    clustering and micro-grid-identical centroids."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    pts = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (i, [10.0 + 0.01 * i, 10.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    fold_a, fold_c = V.kmeans_train(df, k=2, iterations=2, tier="fold")
+    arr_a, arr_c = V.kmeans_train(df, k=2, iterations=2, tier="arrow")
+    assert {r.id: r.cluster for r in fold_a.collect()} == {
+        r.id: r.cluster for r in arr_a.collect()
+    }
+    for cf, ca in zip(fold_c, arr_c):
+        assert all(abs(a - b) < 1e-6 for a, b in zip(cf, ca))
+
+
+def test_kmeans_arrow_tier_is_deterministic_and_auto_selects(spark):
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a1, c1 = V.kmeans_train(emb, k=20, iterations=1)  # auto -> arrow (k > 16)
+    a2, c2 = V.kmeans_train(emb, k=20, iterations=1, tier="arrow")
+    assert c1 == c2
+    assert {r.id: r.cluster for r in a1.collect()} == {
+        r.id: r.cluster for r in a2.collect()
+    }
+    # every centroid coordinate sits on the micro grid (the replay
+    # contract: an oracle reconstructs them as integers / 10^6)
+    for c in c1:
+        for x in c:
+            assert abs(x * 1e6 - round(x * 1e6)) < 1e-6
+    import pytest
+
+    with pytest.raises(ValueError):
+        V.kmeans_train(emb, k=4, tier="blas")
+
+
 def test_round_half_up_matches_engine_round(spark):
     from pyspark.sql import functions as F
 
