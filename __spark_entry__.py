@@ -3752,6 +3752,22 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return O.top_k(pairs, [F.col("cosine").desc(), F.col("id_a"), F.col("id_b")], 50)
 
 
+def q_dedup_semantic_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 7): SemDeDup at SCALE-k — the configuration
+    the 100 TB story depends on (the paper grows k with the corpus,
+    k ≈ n/5000, to hold the (n/k)² per-cluster pair term constant).
+    k=32 exceeds the measured k≈16 fold/Arrow crossover, so
+    semantic_dedup_pairs' tier=auto runs nearest-centroid assignment
+    as one exact-int64 micro-unit matmul per Arrow batch
+    (operators/vectors.py _assign_micro_df) instead of k interpreted
+    zip_with folds per row. The oracle replays the integer Lloyd
+    chain exactly: micro-grid distances are associative integer sums,
+    so not even a fold-order ulp can diverge the assignment."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = V.semantic_dedup_pairs(emb, k=32, iterations=2)
+    return O.top_k(pairs, [F.col("cosine").desc(), F.col("id_a"), F.col("id_b")], 50)
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5448,6 +5464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_triangles": q_graph_triangles,
         "q_kmeans": q_kmeans,
         "q_dedup_semantic": q_dedup_semantic,
+        "q_dedup_semantic_scaled": q_dedup_semantic_scaled,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5737,7 +5754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_groupby_avg_orderby",
         "q_date_arithmetic",
         "q_filter_predicates",
-        "q_project_case",
+        "q_dedup_semantic_scaled",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -5949,6 +5966,84 @@ def _semantic_dedup_oracle() -> str:
     (cosine desc, id_a, id_b) tie-break — the same cosine formulation
     q_dedup_embedding's oracle uses."""
     return _KMEANS_ASSIGN_CTE + """
+            SELECT fa.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                         (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+            FROM af fa JOIN af fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+            JOIN emb a ON a.vec_id = fa.vec_id
+            JOIN emb b ON b.vec_id = fb.vec_id
+            ORDER BY cosine DESC, id_a, id_b LIMIT 50
+    """
+
+
+def _kmeans_micro_cte(k: int, iterations: int = 2, dim: int = 64) -> str:
+    """Replay of the ARROW-tier Lloyd chain (vectors.py
+    _kmeans_train_micro): coordinates quantized to integer micro-units
+    with the engines' shared HALF_UP ROUND, distances as EXACT integer
+    sums (associative — no fold-order caveat at all, unlike the 6-dp
+    double chain), centroid means via the identical
+    double-division-then-6-dp-round, re-quantized to the micro grid
+    for the next pass. Generated per (k, iterations) so scale-k
+    contract queries share one copy of the replay."""
+    blocks = [
+        f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), embq AS (
+                SELECT vec_id,
+                       LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS vq
+                FROM embeddings
+            ), c0 AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vq AS cq
+                FROM (SELECT vec_id, vq FROM embq ORDER BY vec_id LIMIT {k})
+            )"""
+    ]
+    for i in range(iterations):
+        blocks.append(f""", d{i} AS (
+                SELECT e.vec_id, i.cid,
+                       LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}),
+                             j -> (e.vq[j] - i.cq[j]) * (e.vq[j] - i.cq[j]))) AS d2
+                FROM embq e CROSS JOIN c{i} i
+            ), a{i} AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d{i}
+                ) WHERE rn = 1
+            ), c{i + 1} AS (
+                SELECT i.cid, COALESCE(n.cq, i.cq) AS cq
+                FROM c{i} i LEFT JOIN (
+                    SELECT cluster AS cid, LIST(mq ORDER BY dim) AS cq FROM (
+                        SELECT a.cluster, gs.dim,
+                               CAST(ROUND(ROUND(CAST(SUM(e.vq[gs.dim]) AS DOUBLE)
+                                     / COUNT(*) / 1000000.0, 6) * 1000000.0, 0) AS BIGINT) AS mq
+                        FROM a{i} a JOIN embq e USING (vec_id)
+                        CROSS JOIN GENERATE_SERIES(1, {dim}) gs(dim)
+                        GROUP BY a.cluster, gs.dim
+                    ) GROUP BY cluster
+                ) n USING (cid)
+            )""")
+    blocks.append(f""", dfin AS (
+                SELECT e.vec_id, i.cid,
+                       LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}),
+                             j -> (e.vq[j] - i.cq[j]) * (e.vq[j] - i.cq[j]))) AS d2
+                FROM embq e CROSS JOIN c{iterations} i
+            ), af AS (
+                SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM dfin
+                ) WHERE rn = 1
+            )""")
+    return "".join(blocks)
+
+
+def _semantic_dedup_scaled_oracle(k: int = 32) -> str:
+    """q_dedup_semantic_scaled replay: the integer micro-grid Lloyd
+    chain at scale-k, then the identical within-cluster cosine top-50
+    as q_dedup_semantic (cosine on the original doubles)."""
+    return _kmeans_micro_cte(k) + """
             SELECT fa.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
                          (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
@@ -8312,6 +8407,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_pq": _pq_oracle(),
         "q_random_projection": _rp_oracle(),
         "q_dedup_semantic": _semantic_dedup_oracle(),
+        "q_dedup_semantic_scaled": _semantic_dedup_scaled_oracle(),
         # round 6: power iteration — mean, both iterations, and the
         # Rayleigh eigenvalue replayed with the same fold orders and
         # 6-dp/micro-unit rounding boundaries as pca_top_component

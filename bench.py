@@ -132,6 +132,11 @@ ROUND6_OPS = [
     "q_attribution_decay",
 ]
 
+# round-7: the scale-k SemDeDup contract query (Arrow assignment tier)
+ROUND7_OPS = [
+    "q_dedup_semantic_scaled",
+]
+
 
 PASSES = 3
 
@@ -374,7 +379,7 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS + ROUND6_OPS:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS + ROUND6_OPS + ROUND7_OPS:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
@@ -385,11 +390,13 @@ def main() -> None:
     mining_ops = _timed_pass(qs, MINING_OPS, spark, sf_dir)
     multimodal_ops = _timed_pass(qs, MULTIMODAL_OPS, spark, sf_dir)
     round6_ops = _timed_pass(qs, ROUND6_OPS, spark, sf_dir)
+    round7_ops = _timed_pass(qs, ROUND7_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
     bloom_join = _bloom_bench(spark, sf_dir)
     all_timings = {
         **timings, **extended, **versioned_io, **corpus_ops,
         **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
+        **round7_ops,
     }
     baseline_name, regressions = _regressions(all_timings)
     retimes: dict[str, dict[str, float]] = {}
@@ -405,7 +412,8 @@ def main() -> None:
         names = [r["query"] for r in regressions]
         retimed = _timed_pass(qs, names, spark, sf_dir)
         for grp in (timings, extended, versioned_io, corpus_ops,
-                    analytics_ops, mining_ops, multimodal_ops, round6_ops):
+                    analytics_ops, mining_ops, multimodal_ops, round6_ops,
+                    round7_ops):
             for q in list(grp):
                 if q in retimed:
                     retimes[q] = {"first": grp[q], "retimed": retimed[q]}
@@ -437,6 +445,8 @@ def main() -> None:
                 "multimodal_ops_total": round(sum(multimodal_ops.values()), 3),
                 "round6_ops": round6_ops,
                 "round6_ops_total": round(sum(round6_ops.values()), 3),
+                "round7_ops": round7_ops,
+                "round7_ops_total": round(sum(round7_ops.values()), 3),
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,
                 "regressions_vs": baseline_name,

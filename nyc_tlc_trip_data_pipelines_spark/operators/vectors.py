@@ -298,10 +298,10 @@ def _kmeans_assign_df(emb: DataFrame, centroids: Sequence[Sequence[float]]) -> D
 
 
 # Measured fold-vs-Arrow crossover for nearest-centroid assignment
-# (sf0.1, dim 64): past k ≈ 16 the k interpreted zip_with folds per
-# row cost more than one Arrow batch's integer matmul (k=64: 13.5 s
-# fold vs ~1.4 s micro-Arrow end-to-end semantic scan — see
-# semantic_dedup_pairs docstring); tier="auto" switches there.
+# (sf0.1, dim 64, warm end-to-end semantic scan): fold 8.6 s at k=32
+# and 17.0 s at k=64 vs Arrow 1.5 s FLAT at both — the integer matmul
+# is insensitive to k in this range while the fold path pays k
+# interpreted zip_with folds per row; tier="auto" switches past here.
 _ARROW_TIER_K = 16
 
 
@@ -526,7 +526,10 @@ def semantic_dedup_pairs(
     zip_with folds per row. ``tier="auto"`` (round-6 verdict item 3)
     therefore switches assignment to the exact-integer Arrow matmul
     (:func:`_assign_micro_df`) past k ≈ 16, which restores the
-    paper's scaling: at 100 TB k grows with the corpus (paper uses
+    paper's scaling: measured warm at sf0.1, the full scan runs
+    1.5 s FLAT at k=32 and k=64 on the Arrow tier (vs 8.6/17.0 s
+    fold — 6–12×, and below even the k=4 fold time), with identical
+    pair counts. At 100 TB k grows with the corpus (paper uses
     k ≈ n/5000) and the (n/k)² pair term dominates. The Arrow tier
     stays oracle-replayable (micro-grid distances, engine-side
     rounding); pass ``tier="fold"`` to replay the k=4 oracle contract
