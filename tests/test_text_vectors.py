@@ -663,6 +663,36 @@ def test_kmeans_arrow_tier_is_deterministic_and_auto_selects(spark):
         V.kmeans_train(emb, k=4, tier="blas")
 
 
+def test_pq_sample_trained_codebooks_encode_full_corpus(spark):
+    """sample_mod trains codebooks on the deterministic md5 draw but
+    encodes EVERY vector; sample_mod=1 (draw = whole corpus) must
+    reproduce the full-corpus codebooks exactly."""
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    codes_full, books_full = V.pq_train_encode(emb, m=4, k=4, iterations=1)
+    codes_one, books_one = V.pq_train_encode(
+        emb, m=4, k=4, iterations=1, sample_mod=1
+    )
+    assert books_one == books_full
+    codes_s, books_s = V.pq_train_encode(
+        emb, m=4, k=4, iterations=1, sample_mod=4
+    )
+    # sampled codebooks differ (different init + means) but every
+    # vector is still encoded: n rows x m subspaces
+    assert books_s != books_full
+    assert codes_s.count() == n * 4
+    # deterministic: the same draw replays to identical codebooks
+    _, books_s2 = V.pq_train_encode(emb, m=4, k=4, iterations=1, sample_mod=4)
+    assert books_s2 == books_s
+    import pytest
+
+    with pytest.raises(ValueError):
+        V.pq_train_encode(emb, m=4, k=4, sample_mod=0)
+
+
 def test_round_half_up_matches_engine_round(spark):
     from pyspark.sql import functions as F
 
