@@ -3768,6 +3768,61 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf: str) -> DataFrame:
     return O.top_k(pairs, [F.col("cosine").desc(), F.col("id_a"), F.col("id_b")], 50)
 
 
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 7): DSIR — Data Selection via Importance
+    Resampling (Xie et al. 2023, NeurIPS; operators/corpus.py
+    dsir_select): target-domain unigram model vs source model, add-one
+    smoothed over the shared vocabulary; per-candidate log importance
+    weight; Gumbel-top-k draw (noise from the portable 60-bit hash, so
+    sampling-without-replacement ∝ w(x) replays exactly). Target =
+    the 'src0' documents, candidates = everything else."""
+    docs = load_table(spark, sf, "documents")
+    return CP.dsir_select(docs, F.col("source") == "src0", top_n=50, seed=13)
+
+
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (round 7): Reciprocal Rank Fusion (Cormack et
+    al. SIGIR 2009; operators/text.py rrf_fuse) of a lexical and a
+    dense shortlist — BM25 over documents and brute-force cosine over
+    embeddings (ids shared by fixture construction), each cut to its
+    top-100, ranks fused as Σ 1/(60+rank). The RAG-stack combiner in
+    its standard shortlist form — the only window runs over ≤100 rows
+    per ranker."""
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    bm = TX.bm25_rank(docs, ["spark", "join", "window"], top_k=100).select(
+        F.col("doc_id"), F.col("bm25").alias("score")
+    )
+    cos = V.cosine_topk(emb, [1.0] * 64, k=100).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    return TX.rrf_fuse([bm, cos], id_col="doc_id", score_col="score",
+                       k0=60, shortlist=100, top_k=20)
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training-data mining (round 7): per-anchor hardest
+    different-label neighbors (operators/vectors.py
+    hard_negative_pairs; DPR/ANCE-style negative mining). Candidates
+    are cluster-scoped by the deterministic k-means chain — the
+    SemDeDup bucket discipline, no all-pairs join; the oracle replays
+    the shared Lloyd CTE plus the directed labeled pair scan."""
+    emb = load_table(spark, sf, "embeddings")
+    out = V.hard_negative_pairs(emb, k=4, iterations=2, per_anchor=3)
+    return O.sort(out, ["anchor", "rank"])
+
+
+def q_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise screening (round 7): plurality vote of the 5
+    nearest same-cluster neighbors vs the row's own label
+    (operators/vectors.py knn_label_vote; the confident-learning
+    signal for pruning annotation errors before training). Same
+    cluster-scoped candidate discipline and replayed Lloyd chain as
+    q_hard_negatives."""
+    emb = load_table(spark, sf, "embeddings")
+    return O.sort(V.knn_label_vote(emb, k=4, iterations=2, n_neighbors=5), ["vec_id"])
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5465,6 +5520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_dedup_semantic": q_dedup_semantic,
         "q_dedup_semantic_scaled": q_dedup_semantic_scaled,
+        "q_dsir_select": q_dsir_select,
+        "q_rrf_fusion": q_rrf_fusion,
+        "q_hard_negatives": q_hard_negatives,
+        "q_knn_label_noise": q_knn_label_noise,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5750,11 +5809,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_time_range",
         "q_partition_prune",
         "q_project_drop",
-        "q_derive_year_month",
-        "q_groupby_avg_orderby",
-        "q_date_arithmetic",
-        "q_filter_predicates",
         "q_dedup_semantic_scaled",
+        "q_dsir_select",
+        "q_rrf_fusion",
+        "q_hard_negatives",
+        "q_knn_label_noise",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -6051,6 +6110,63 @@ def _semantic_dedup_scaled_oracle(k: int = 32) -> str:
             JOIN emb a ON a.vec_id = fa.vec_id
             JOIN emb b ON b.vec_id = fb.vec_id
             ORDER BY cosine DESC, id_a, id_b LIMIT 50
+    """
+
+
+_DIRECTED_PAIRS_CTE = """
+            , embl AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            ), pairs AS (
+                SELECT a.vec_id AS anchor, a.label AS anchor_label,
+                       b.vec_id AS nid, b.label AS nlabel,
+                       ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                             (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+                FROM af fa JOIN af fb ON fa.cluster = fb.cluster AND fa.vec_id <> fb.vec_id
+                JOIN embl a ON a.vec_id = fa.vec_id
+                JOIN embl b ON b.vec_id = fb.vec_id
+            )
+"""
+
+
+def _hard_negatives_oracle() -> str:
+    """q_hard_negatives replay: shared Lloyd CTE + DIRECTED labeled
+    within-cluster pair scan, per-anchor rank over different-label
+    neighbors (cosine DESC, nid tie-break), rank <= 3."""
+    return _KMEANS_ASSIGN_CTE.rstrip() + _DIRECTED_PAIRS_CTE + """
+            SELECT anchor, anchor_label, nid, nlabel, cosine, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cosine DESC, nid) AS rank
+                FROM pairs WHERE anchor_label <> nlabel
+            ) WHERE rank <= 3
+            ORDER BY anchor, rank
+    """
+
+
+def _knn_label_noise_oracle() -> str:
+    """q_knn_label_noise replay: same directed pair scan, 5-nearest
+    neighbors per anchor, plurality vote (votes DESC, label ASC)."""
+    return _KMEANS_ASSIGN_CTE.rstrip() + _DIRECTED_PAIRS_CTE + """
+            , nn AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cosine DESC, nid) AS rank
+                    FROM pairs
+                ) WHERE rank <= 5
+            ), votes AS (
+                SELECT anchor, anchor_label, nlabel, COUNT(*) AS n_votes
+                FROM nn GROUP BY anchor, anchor_label, nlabel
+            ), top AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY n_votes DESC, nlabel) AS vr
+                    FROM votes
+                ) WHERE vr = 1
+            ), tot AS (
+                SELECT anchor, CAST(COUNT(*) AS INT) AS n_neighbors FROM nn GROUP BY anchor
+            )
+            SELECT t.anchor AS vec_id, t.anchor_label AS label, t.nlabel AS vote_label,
+                   CAST(t.n_votes AS INT) AS n_votes, tot.n_neighbors,
+                   t.anchor_label = t.nlabel AS agree
+            FROM top t JOIN tot USING (anchor)
+            ORDER BY vec_id
     """
 
 
@@ -8408,6 +8524,89 @@ def oracle_sql() -> dict[str, str]:
         "q_random_projection": _rp_oracle(),
         "q_dedup_semantic": _semantic_dedup_oracle(),
         "q_dedup_semantic_scaled": _semantic_dedup_scaled_oracle(),
+        "q_hard_negatives": _hard_negatives_oracle(),
+        "q_knn_label_noise": _knn_label_noise_oracle(),
+        # round 7: DSIR — two add-one-smoothed unigram models over the
+        # shared vocabulary, per-candidate log importance weight, and
+        # the Gumbel-top-k draw replayed from the portable md5 hash
+        # (u = (h+0.5)/2^60 is strictly inside (0,1) by construction)
+        "q_dsir_select": r"""
+            WITH toks AS (
+                SELECT doc_id, source = 'src0' AS is_t,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS w
+                FROM documents
+            ), counts AS (
+                SELECT w, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                       SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cs
+                FROM toks GROUP BY w
+            ), stats AS (
+                SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cs) AS BIGINT) AS ts,
+                       COUNT(*) AS v
+                FROM counts
+            ), lr AS (
+                SELECT w, ROUND(LN(CAST(ct + 1 AS DOUBLE) / (tt + v))
+                              - LN(CAST(cs + 1 AS DOUBLE) / (ts + v)), 6) AS lr
+                FROM counts CROSS JOIN stats
+            ), per AS (
+                SELECT doc_id, w, COUNT(*) AS c FROM toks WHERE NOT is_t GROUP BY doc_id, w
+            ), logw AS (
+                SELECT doc_id, ROUND(SUM(c * lr), 6) AS log_weight
+                FROM per JOIN lr USING (w) GROUP BY doc_id
+            )
+            SELECT doc_id, log_weight,
+                   ROUND(log_weight + (-LN(-LN(
+                         (CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), CHR(31), '13')), 1, 15))
+                               AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0))), 6) AS sample_key
+            FROM logw ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        # round 7: RRF — both shortlists replayed (the BM25 chain is
+        # the q_bm25_rank oracle at top-100; the dense side is the
+        # q_similarity_topk cosine), ranks fused as 1/(60+rank)
+        "q_rrf_fusion": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents
+            ), dlen AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       ROUND(LN(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+                             * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)),
+                             6) AS part
+                FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+            ), bm AS (
+                SELECT doc_id AS id, ROUND(SUM(part), 6) AS s
+                FROM scored GROUP BY doc_id ORDER BY s DESC, id LIMIT 100
+            ), bmr AS (
+                SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rank FROM bm
+            ), cos AS (
+                SELECT vec_id AS id,
+                       ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), q) /
+                             (SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                              SQRT(LIST_DOT_PRODUCT(q, q))), 6) AS s
+                FROM embeddings, (SELECT [1.0 FOR _ IN RANGE(64)]::DOUBLE[] AS q)
+                ORDER BY s DESC, id LIMIT 100
+            ), cosr AS (
+                SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rank FROM cos
+            ), allr AS (
+                SELECT * FROM bmr UNION ALL SELECT * FROM cosr
+            )
+            SELECT id AS doc_id, ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrf,
+                   CAST(COUNT(*) AS INT) AS n_rankers
+            FROM allr GROUP BY id ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
         # round 6: power iteration — mean, both iterations, and the
         # Rayleigh eigenvalue replayed with the same fold orders and
         # 6-dp/micro-unit rounding boundaries as pca_top_component

@@ -132,9 +132,14 @@ ROUND6_OPS = [
     "q_attribution_decay",
 ]
 
-# round-7: the scale-k SemDeDup contract query (Arrow assignment tier)
+# round-7: scale-k SemDeDup (Arrow assignment tier) + the curation/
+# retrieval wave (DSIR selection, RRF fusion, hard negatives, kNN vote)
 ROUND7_OPS = [
     "q_dedup_semantic_scaled",
+    "q_dsir_select",
+    "q_rrf_fusion",
+    "q_hard_negatives",
+    "q_knn_label_noise",
 ]
 
 

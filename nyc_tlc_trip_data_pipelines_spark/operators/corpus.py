@@ -671,3 +671,95 @@ def domain_mixture_weights(
         F.round(w, 6).alias("weight"),
         F.round(w / share, 6).alias("oversample"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 50,
+    seed: int = 13,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS — the method behind target-domain pretraining-data
+    selection at RedPajama/DoReMi-era scale): estimate importance
+    weights w(x) = p_target(x)/p_source(x) under two bag-of-words
+    unigram models (the paper's hashed-n-gram features, here the
+    shared tokenizer's unigrams), then draw the selection with the
+    Gumbel-top-k trick — add Gumbel(0,1) noise to each candidate's
+    log-weight and take the top ``top_n``, which is EXACTLY sampling
+    without replacement ∝ w(x).
+
+    ``target_pred`` marks the rows forming the target distribution
+    (the small trusted/high-quality slice); every non-target row is a
+    selection candidate scored against it. Both unigram models are
+    add-one smoothed over the SHARED vocabulary, so
+    log w(doc) = Σ_w c_doc(w)·[ln p̂_t(w) − ln p̂_s(w)].
+
+    Determinism contract: per-word log-ratios are rounded to 6 dp on
+    the vocabulary table (one value per word, exact integer-ratio
+    inputs), per-doc sums follow the bm25_rank partial-rounding rule,
+    and the Gumbel draw is the inverse-CDF of the portable 60-bit
+    hash of (doc_id, seed): u = (h+½)/2⁶⁰ ∈ (0,1) strictly, so
+    −ln(−ln u) never sees 0 or 1 (the dp-release clamp lesson, solved
+    structurally here). Returns (doc_id, log_weight, sample_key)
+    ordered by (sample_key DESC, doc_id), ``top_n`` rows.
+
+    Scale shape: one tokenize pass feeds both domain counts and the
+    candidate term frequencies; the vocabulary table (word → lr) is
+    |vocab|-sized and broadcast-joined onto the (doc, word) counts; the
+    only corpus-sized shuffles are the two (doc- and word-keyed) hash
+    aggregates. The Gumbel noise is per-GROUP arithmetic on the final
+    doc-level rows — free. At 100 TB this is the paper's own cost
+    model: two streaming passes over the corpus.
+    """
+    from .text import portable_hash60
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_t"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).cast("long").alias("cs"),
+    )
+    stats = counts.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cs").cast("long").alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lr = counts.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.round(
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + F.col("v")))
+            - F.log((F.col("cs") + 1).cast("double") / (F.col("ts") + F.col("v"))),
+            6,
+        ).alias("lr"),
+    )
+    per = (
+        toks.filter(~F.col("is_t"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    logw = (
+        per.join(lr, "w")
+        .groupBy("id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("log_weight"))
+    )
+    h = portable_hash60(
+        F.concat_ws("\x1f", F.col("id").cast("string"), F.lit(str(seed)))
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    return (
+        logw.select(
+            F.col("id").alias(id_col),
+            "log_weight",
+            F.round(F.col("log_weight") + gumbel, 6).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(top_n)
+    )

@@ -1331,3 +1331,68 @@ def minhash_accuracy(
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k0: int = 60,
+    shortlist: int = 100,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+    the standard zero-training hybrid-retrieval combiner, e.g. BM25 +
+    dense-embedding shortlists in every RAG stack):
+    RRF(d) = Σ_r 1/(k0 + rank_r(d)) over the rankers that retrieved d.
+
+    Each input DataFrame is one ranker's scored candidates
+    (id, score). Production RRF fuses SHORTLISTS, not full corpora —
+    each ranker is first cut to its ``shortlist`` best rows via
+    TakeOrderedAndProject (per-partition heaps, no global sort), and
+    ranks are assigned WITHIN the shortlist by (score DESC, id), so
+    the only window runs over ≤ shortlist rows per ranker. A document
+    missing from a ranker's shortlist simply contributes no term —
+    the standard convention.
+
+    Determinism: ranks are exact integers, 1/(k0+rank) is one IEEE
+    division, and the fused sum is over ≤ len(rankings) terms —
+    rounded to 6 dp with (rrf DESC, id) tie-break.
+
+    Scale shape: per ranker one top-``shortlist`` reduction (the
+    ranker's own cost dominates); the fusion itself unions
+    r·shortlist rows and hash-aggregates them — driver-independent,
+    broadcast-sized. Returns (id, rrf, n_rankers) top_k rows.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    from pyspark.sql import Window
+
+    tagged = []
+    for i, r in enumerate(rankings):
+        short = (
+            r.select(F.col(id_col).alias("id"), F.col(score_col).alias("s"))
+            .orderBy(F.desc("s"), F.asc("id"))
+            .limit(shortlist)
+        )
+        w = Window.orderBy(F.desc("s"), F.asc("id"))
+        tagged.append(
+            short.select(
+                "id", F.row_number().over(w).alias("rank"), F.lit(i).alias("ranker")
+            )
+        )
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    return (
+        allr.groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))), 6
+            ).alias("rrf"),
+            F.count(F.lit(1)).cast("int").alias("n_rankers"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(top_k)
+        .withColumnRenamed("id", id_col)
+    )

@@ -1030,3 +1030,141 @@ def assign_nearest_arrow(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     return base.mapInPandas(batches, "id long, cluster int")
+
+
+def _cluster_scoped_directed_pairs(
+    df: DataFrame,
+    k: int,
+    iterations: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str | None,
+    tier: str = "fold",
+) -> DataFrame:
+    """Directed within-cluster candidate pairs for the per-anchor
+    retrieval operators (:func:`hard_negative_pairs`,
+    :func:`knn_label_vote`): k-means scopes the quadratic term exactly
+    like :func:`semantic_dedup_pairs` (learned buckets, (n/k)² per
+    cell, k grown with the corpus at scale), but pairs are DIRECTED
+    (a ≠ b, not a < b) because each vector is an anchor retrieving
+    its own neighbors. Norms hoisted before the self-join; cosine
+    rounded to 6 dp. Returns (anchor, nid, [anchor_label, nlabel,]
+    cosine)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.scalars import array_dot, array_norm
+
+    assigned, _ = kmeans_train(
+        df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col, tier=tier
+    )
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("lbl"))
+    emb = (
+        df.select(*cols)
+        .join(assigned, "id")
+        .withColumn("norm", array_norm(F.col("v")))
+        .persist()
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    out_cols = [
+        F.col("a.id").alias("anchor"),
+        F.col("b.id").alias("nid"),
+        F.round(
+            array_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
+            6,
+        ).alias("cosine"),
+    ]
+    if label_col is not None:
+        out_cols[2:2] = [
+            F.col("a.lbl").alias("anchor_label"),
+            F.col("b.lbl").alias("nlabel"),
+        ]
+    return a.join(
+        b,
+        on=[F.col("a.cluster") == F.col("b.cluster"), F.col("a.id") != F.col("b.id")],
+    ).select(*out_cols)
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    per_anchor: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    tier: str = "fold",
+) -> DataFrame:
+    """Contrastive hard-negative mining — the embedding-training data
+    prep step behind every dense retriever / contrastive encoder
+    (in-batch negatives are easy; the useful ones are the MOST-similar
+    vectors with a DIFFERENT label, cf. Karpukhin et al. 2020 DPR,
+    Xiong et al. 2021 ANCE): for each anchor, the ``per_anchor``
+    nearest different-label vectors by cosine.
+
+    Candidate scope is the k-means cluster (the SemDeDup bucket
+    discipline — no all-pairs join; at 100 TB k grows with the corpus
+    and the per-anchor window stays cell-local). Returns
+    (anchor, anchor_label, nid, nlabel, cosine, rank) with rank 1 =
+    hardest negative; ties break (cosine DESC, nid). Every step is the
+    established replay contract: deterministic Lloyd chain, 6-dp
+    cosine, integer window ranks."""
+    from pyspark.sql import Window
+
+    pairs = _cluster_scoped_directed_pairs(
+        df, k, iterations, vec_col, id_col, label_col, tier
+    ).filter(F.col("anchor_label") != F.col("nlabel"))
+    w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_anchor)
+        .select("anchor", "anchor_label", "nid", "nlabel", "cosine", "rank")
+    )
+
+
+def knn_label_vote(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    n_neighbors: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    tier: str = "fold",
+) -> DataFrame:
+    """kNN label-noise detection (the confident-learning-family signal,
+    cf. Northcutt et al. 2021 "Confident Learning": a label whose
+    nearest neighbors vote for a different class is a candidate
+    annotation error to prune or re-weight before training): each
+    vector's ``n_neighbors`` nearest same-cluster neighbors vote with
+    their labels; the row is flagged when the plurality vote disagrees
+    with its own label.
+
+    Returns (vec_id, label, vote_label, n_votes, n_neighbors, agree).
+    Vote ties break (votes DESC, label ASC); neighbor ties
+    (cosine DESC, nid); clusters smaller than n_neighbors+1 vote with
+    what they have. Same scale discipline as
+    :func:`hard_negative_pairs` (cluster-scoped candidates, window
+    over cell-local rows)."""
+    from pyspark.sql import Window
+
+    pairs = _cluster_scoped_directed_pairs(
+        df, k, iterations, vec_col, id_col, label_col, tier
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.asc("nid"))
+    nn = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= n_neighbors
+    )
+    votes = nn.groupBy("anchor", "anchor_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("anchor").orderBy(F.desc("n_votes"), F.asc("nlabel"))
+    top = votes.withColumn("vr", F.row_number().over(wv)).filter(F.col("vr") == 1)
+    tot = nn.groupBy("anchor").agg(F.count(F.lit(1)).cast("int").alias("n_neighbors"))
+    return top.join(tot, "anchor").select(
+        F.col("anchor").alias("vec_id"),
+        F.col("anchor_label").alias("label"),
+        F.col("nlabel").alias("vote_label"),
+        F.col("n_votes").cast("int").alias("n_votes"),
+        "n_neighbors",
+        (F.col("anchor_label") == F.col("nlabel")).alias("agree"),
+    )
