@@ -323,9 +323,18 @@ def _baseline() -> tuple[str | None, dict[str, float]]:
             with open(override) as fh:
                 prev = json.load(fh)
         except (OSError, ValueError):
-            return None, {}
+            prev = {}
         flat = _flat_timings(prev) or _flat_from_tail(prev)
-        return os.path.basename(override), flat
+        if flat:
+            return os.path.basename(override), flat
+        # unusable override (typo'd path, empty JSON) must not turn
+        # the gate off — print a loud stderr note and fall through to
+        # the BENCH_r*.json walk
+        print(
+            f"bench: SPARK_GRAFT_BENCH_BASELINE={override!r} yielded no "
+            "timings; falling back to the BENCH_r*.json walk",
+            file=sys.stderr,
+        )
     here = os.path.dirname(os.path.abspath(__file__))
     # pair each path with its round number FIRST — a stray
     # BENCH_rX.json would match the glob but not the regex, and a
@@ -427,6 +436,7 @@ def main() -> None:
         all_timings = {
             **timings, **extended, **versioned_io, **corpus_ops,
             **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
+            **round7_ops,
         }
         baseline_name, regressions = _regressions(all_timings)
     total = round(sum(timings.values()), 3)

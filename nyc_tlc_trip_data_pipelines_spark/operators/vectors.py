@@ -462,6 +462,10 @@ def _kmeans_train_micro(
     double ulp, far from any rounding boundary)."""
     emb_q = _quantize_micro(df, vec_col, id_col)
     init_rows = emb_q.orderBy("id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_train: input has {len(init_rows)} rows < k={k}"
+        )
     cents_q: list[list[int]] = [list(r.vq) for r in init_rows]
     dim = len(cents_q[0])
     for _ in range(iterations):
@@ -1040,6 +1044,7 @@ def _cluster_scoped_directed_pairs(
     id_col: str,
     label_col: str | None,
     tier: str = "fold",
+    persist: bool = True,
 ) -> DataFrame:
     """Directed within-cluster candidate pairs for the per-anchor
     retrieval operators (:func:`hard_negative_pairs`,
@@ -1049,7 +1054,10 @@ def _cluster_scoped_directed_pairs(
     (a ≠ b, not a < b) because each vector is an anchor retrieving
     its own neighbors. Norms hoisted before the self-join; cosine
     rounded to 6 dp. Returns (anchor, nid, [anchor_label, nlabel,]
-    cosine)."""
+    cosine). ``persist`` caches the shared assignment subtree both
+    join sides read (same contract and caller escape hatch as
+    :func:`semantic_dedup_pairs` — sessions looping over many corpora
+    pass False or unpersist the previous lineage themselves)."""
     from nyc_tlc_trip_data_pipelines_spark.operators.scalars import array_dot, array_norm
 
     assigned, _ = kmeans_train(
@@ -1062,8 +1070,9 @@ def _cluster_scoped_directed_pairs(
         df.select(*cols)
         .join(assigned, "id")
         .withColumn("norm", array_norm(F.col("v")))
-        .persist()
     )
+    if persist:
+        emb = emb.persist()
     a, b = emb.alias("a"), emb.alias("b")
     out_cols = [
         F.col("a.id").alias("anchor"),
@@ -1093,6 +1102,7 @@ def hard_negative_pairs(
     id_col: str = "vec_id",
     label_col: str = "label",
     tier: str = "fold",
+    persist: bool = True,
 ) -> DataFrame:
     """Contrastive hard-negative mining — the embedding-training data
     prep step behind every dense retriever / contrastive encoder
@@ -1111,7 +1121,7 @@ def hard_negative_pairs(
     from pyspark.sql import Window
 
     pairs = _cluster_scoped_directed_pairs(
-        df, k, iterations, vec_col, id_col, label_col, tier
+        df, k, iterations, vec_col, id_col, label_col, tier, persist
     ).filter(F.col("anchor_label") != F.col("nlabel"))
     w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -1130,6 +1140,7 @@ def knn_label_vote(
     id_col: str = "vec_id",
     label_col: str = "label",
     tier: str = "fold",
+    persist: bool = True,
 ) -> DataFrame:
     """kNN label-noise detection (the confident-learning-family signal,
     cf. Northcutt et al. 2021 "Confident Learning": a label whose
@@ -1148,7 +1159,7 @@ def knn_label_vote(
     from pyspark.sql import Window
 
     pairs = _cluster_scoped_directed_pairs(
-        df, k, iterations, vec_col, id_col, label_col, tier
+        df, k, iterations, vec_col, id_col, label_col, tier, persist
     )
     w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.asc("nid"))
     nn = pairs.withColumn("rank", F.row_number().over(w)).filter(

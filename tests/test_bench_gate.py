@@ -71,6 +71,20 @@ def test_gate_flags_planted_regression_through_null_parsed_wrapper(
     assert regs[0]["ratio"] == 1.5
 
 
+def test_unusable_override_falls_back_to_walk(tmp_path, monkeypatch):
+    """A typo'd SPARK_GRAFT_BENCH_BASELINE must not turn the gate off:
+    the walk over BENCH_r*.json still supplies the baseline."""
+    b = _bench()
+    (tmp_path / "BENCH_r97.json").write_text(
+        json.dumps({"queries": {"q_agg_basic": 1.0}})
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASELINE", str(tmp_path / "nope.json"))
+    monkeypatch.setattr(b.os.path, "dirname", lambda p: str(tmp_path))
+    name, flat = b._baseline()
+    assert name == "BENCH_r97.json"
+    assert flat == {"q_agg_basic": 1.0}
+
+
 def test_baseline_walks_past_unusable_newest_file(tmp_path, monkeypatch):
     """Without an explicit override, an unusable newest file (no
     parsed dict, no recoverable tail) must fall back to the next

@@ -661,6 +661,8 @@ def test_kmeans_arrow_tier_is_deterministic_and_auto_selects(spark):
 
     with pytest.raises(ValueError):
         V.kmeans_train(emb, k=4, tier="blas")
+    with pytest.raises(ValueError, match="rows < k"):
+        V.kmeans_train(emb.limit(3), k=20)  # auto -> arrow, n < k
 
 
 def test_pq_sample_trained_codebooks_encode_full_corpus(spark):
