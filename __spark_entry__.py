@@ -3823,6 +3823,28 @@ def q_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(V.knn_label_vote(emb, k=4, iterations=2, n_neighbors=5), ["vec_id"])
 
 
+def q_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series decomposition (round 7): STL-lite additive
+    seasonal/trend/residual split of the hourly event-value series
+    (operators/timeseries.py stl_decompose; classical MA decomposition
+    under Cleveland et al. 1990) — 24-hour phase, ±12 h centered
+    trend window, every stage an exact integer micro-unit mean. The
+    post-aggregate series is time-range-sized (720 buckets), so the
+    ordered windows are sketch-sized by construction."""
+    e = load_table(spark, sf, "events")
+    return TS.stl_decompose(e, "ts", "value", period=24, trend_halfwidth=12)
+
+
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-statistics audit (round 7): Zipf's-law OLS fit of
+    ln(count) on ln(rank) over the vocabulary head (operators/text.py
+    zipf_fit) — the one-row slope/r² corpus health check next to
+    PSI/KS drift. Sufficient-statistics OLS over micro-quantized ln
+    values (exact bigint sums, the ols_group contract)."""
+    docs = load_table(spark, sf, "documents")
+    return TX.zipf_fit(docs, "text", top_n=1000)
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5524,6 +5546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rrf_fusion": q_rrf_fusion,
         "q_hard_negatives": q_hard_negatives,
         "q_knn_label_noise": q_knn_label_noise,
+        "q_stl_decompose": q_stl_decompose,
+        "q_zipf_fit": q_zipf_fit,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5807,9 +5831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_count",
         "q_cast_schema",
         "q_filter_time_range",
-        "q_partition_prune",
-        "q_project_drop",
         "q_dedup_semantic_scaled",
+        "q_stl_decompose",
+        "q_zipf_fit",
         "q_dsir_select",
         "q_rrf_fusion",
         "q_hard_negatives",
@@ -8526,6 +8550,73 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_semantic_scaled": _semantic_dedup_scaled_oracle(),
         "q_hard_negatives": _hard_negatives_oracle(),
         "q_knn_label_noise": _knn_label_noise_oracle(),
+        # round 7: STL-lite — every stage (hourly level, MA trend,
+        # phase seasonal) reduces exact integer micro-units; the two
+        # ordered windows run over the 720-bucket post-aggregate series
+        "q_stl_decompose": """
+            WITH hourly AS (
+                SELECT DATE_TRUNC('hour', ts) AS bucket,
+                       ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / COUNT(*) / 1000000.0, 6) AS level
+                FROM events GROUP BY bucket
+            ), trended AS (
+                SELECT bucket, level,
+                       ROUND(CAST(SUM(CAST(ROUND(level * 1000000.0, 0) AS BIGINT))
+                                  OVER w AS DOUBLE)
+                             / (COUNT(*) OVER w)
+                             / 1000000.0, 6) AS trend
+                FROM hourly
+                WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+            ), detr AS (
+                SELECT bucket, level, trend,
+                       ROUND(level - trend, 6) AS detr,
+                       CAST(EXTRACT(hour FROM bucket) AS INT) % 24 AS phase
+                FROM trended
+            ), seasonal AS (
+                SELECT phase,
+                       ROUND(CAST(SUM(CAST(ROUND(detr * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / COUNT(*) / 1000000.0, 6) AS seasonal
+                FROM detr GROUP BY phase
+            )
+            SELECT d.bucket, d.phase, d.level, d.trend, s.seasonal,
+                   ROUND(d.detr - s.seasonal, 6) AS residual
+            FROM detr d JOIN seasonal s USING (phase)
+            ORDER BY d.bucket
+        """,
+        # round 7: Zipf fit — identical sufficient-statistics
+        # expression tree over micro-quantized ln values
+        "q_zipf_fit": r"""
+            WITH wc AS (
+                SELECT w AS word, COUNT(*) AS cnt FROM (
+                    SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                              t -> t <> '')) AS w
+                    FROM documents
+                ) GROUP BY w
+            ), ranked AS (
+                SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank FROM wc
+            ), pts AS (
+                SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+                       CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+                FROM ranked WHERE rank <= 1000
+            ), s AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM pts
+            )
+            SELECT CAST(n AS BIGINT) AS n_words,
+                   ROUND(CASE WHEN n * sxx - sx * sx <> 0
+                              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+                   ROUND((sy - (CASE WHEN n * sxx - sx * sx <> 0
+                                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx)
+                         / n / 1000000.0, 6) AS intercept,
+                   ROUND(CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                              THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+            FROM s
+        """,
         # round 7: DSIR — two add-one-smoothed unigram models over the
         # shared vocabulary, per-candidate log importance weight, and
         # the Gumbel-top-k draw replayed from the portable md5 hash

@@ -140,6 +140,8 @@ ROUND7_OPS = [
     "q_rrf_fusion",
     "q_hard_negatives",
     "q_knn_label_noise",
+    "q_stl_decompose",
+    "q_zipf_fit",
 ]
 
 

@@ -1396,3 +1396,67 @@ def rrf_fuse(
         .limit(top_k)
         .withColumnRenamed("id", id_col)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus word distribution — the
+    one-number corpus health check (natural text fits
+    ln(freq) ≈ a + s·ln(rank) with s ≈ −1; template/boilerplate/
+    generated corpora drift off it, so the slope + r² pair is a cheap
+    distribution-shift monitor next to PSI/KS): frequency-rank the
+    vocabulary, OLS-fit ln(count) on ln(rank) over the ``top_n`` head.
+
+    Determinism: the OLS reduces the :func:`..aggregates.ols_group`
+    sufficient-statistics contract over micro-unit-quantized
+    ln-values (Σx, Σy, Σx², Σxy, Σy² as exact bigints — with
+    ln(rank), ln(count) ≤ ~35 their micro squares stay ≤ 1.2e15/row,
+    safely inside bigint for top_n ≤ 1000); ranks tie-break
+    (count DESC, word). Returns ONE row (n_words, slope, intercept,
+    r2), 6 dp.
+
+    Scale shape: one corpus pass to the vocabulary counts (map-side
+    combinable); the rank window and the fit run on the
+    POST-AGGREGATE vocab table capped at ``top_n`` rows — the
+    unpartitioned window is vocabulary-head-sized by construction.
+    """
+    from pyspark.sql import Window
+
+    wc = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = wc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    xq = F.round(F.log(F.col("rank").cast("double")) * 1000000.0, 0).cast("long")
+    yq = F.round(F.log(F.col("cnt").cast("double")) * 1000000.0, 0).cast("long")
+    pts = ranked.select(xq.alias("x"), yq.alias("y"))
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x != 0, cov_n / var_x)  # micro units cancel
+    return stats.select(
+        n.cast("long").alias("n_words"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / F.lit(1000000.0), 6).alias("intercept"),
+        F.round(
+            F.when((var_x != 0) & (var_y != 0), cov_n * cov_n / (var_x * var_y)), 6
+        ).alias("r2"),
+    )

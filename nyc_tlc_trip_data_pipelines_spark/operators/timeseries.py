@@ -561,3 +561,80 @@ def multi_touch_attribution(
         F.round(F.sum("share_micro") / F.lit(1000000.0), 6).alias("credit"),
     )
     return out
+
+
+def stl_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 24,
+    trend_halfwidth: int = 12,
+) -> DataFrame:
+    """STL-lite seasonal-trend decomposition (the classical additive
+    moving-average decomposition underlying Cleveland et al. 1990 STL,
+    without the loess robustness loop): hourly series → centered
+    moving-average TREND → per-phase mean of the detrended series as
+    SEASONAL (period = hours, default 24 = hour-of-day) → RESIDUAL.
+    The standard pre-forecasting / anomaly-baseline split for metric
+    time series.
+
+    Determinism contract: the hourly level, the trend window mean, and
+    the per-phase seasonal mean all reduce EXACT integer micro-units
+    (the kmeans/ewma rule — double sums are partition- and frame-
+    order-dependent in the last ulp; integer sums are not), each
+    rounded to 6 dp at its boundary, so any SQL engine replays every
+    stage bit-for-bit. Boundary buckets average a clamped (shorter)
+    trend window — the standard MA edge effect, identical in both
+    engines because the frame clamps identically.
+
+    Scale shape: one corpus-sized hash aggregate to the hourly grain;
+    everything after runs on the POST-AGGREGATE series, whose length
+    is the time range in hours (720 for a 30-day fixture, ~9k for a
+    year) regardless of corpus size — so the two unpartitioned ordered
+    windows here are sketch-sized by construction, the same rationale
+    as the KS running sum. Returns (bucket, phase, level, trend,
+    seasonal, residual) ordered by bucket.
+    """
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+    hourly = (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            micro(F.col(value_col).cast("double")).alias("vq"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.sum("vq") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("level")
+        )
+    )
+    wt = (
+        Window.orderBy("bucket").rowsBetween(-trend_halfwidth, trend_halfwidth)
+    )
+    lq = micro(F.col("level"))
+    trended = hourly.select(
+        "bucket",
+        "level",
+        F.round(
+            F.sum(lq).over(wt) / F.count(F.lit(1)).over(wt) / F.lit(1000000.0), 6
+        ).alias("trend"),
+    )
+    detr = trended.withColumn(
+        "detr", F.round(F.col("level") - F.col("trend"), 6)
+    ).withColumn("phase", F.hour("bucket").cast("int") % F.lit(period))
+    dq = micro(F.col("detr"))
+    seasonal = detr.groupBy("phase").agg(
+        F.round(F.sum(dq) / F.count(F.lit(1)) / F.lit(1000000.0), 6).alias("seasonal")
+    )
+    return (
+        detr.join(F.broadcast(seasonal), "phase")
+        .select(
+            "bucket",
+            "phase",
+            "level",
+            "trend",
+            "seasonal",
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+        )
+        .orderBy("bucket")
+    )

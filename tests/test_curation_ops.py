@@ -83,3 +83,20 @@ def test_knn_label_vote_flags_planted_noise(spark):
     assert not out[0].agree and out[0].vote_label == 0
     flagged = [i for i, r in out.items() if not r.agree]
     assert flagged == [0]
+
+
+def test_zipf_fit_slope_near_minus_one_on_zipfian_counts(spark):
+    # construct a corpus whose counts are exactly c/rank — the fit
+    # must recover slope ~ -1 with r2 ~ 1
+    rows = []
+    for rank in range(1, 21):
+        cnt = 1200 // rank
+        rows.extend((0, f"w{rank:02d}") for _ in range(cnt))
+    df = spark.createDataFrame(
+        [(i, " ".join(w for _, w in rows[i::50])) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = TX.zipf_fit(df, "text", top_n=1000).collect()[0]
+    assert out.n_words == 20
+    assert abs(out.slope + 1.0) < 0.05
+    assert out.r2 > 0.99

@@ -308,3 +308,28 @@ def test_multi_touch_attribution_credit_conservation(spark):
     assert "purchase" not in out
     # total credit == number of ATTRIBUTED conversions
     assert abs(sum(r["credit"] for r in out.values()) - 2.0) < 1e-5
+
+
+def test_stl_decompose_recovers_planted_seasonality(spark):
+    # synthetic hourly series: level 10, daily seasonal +5 at hour 0,
+    # no trend — the decomposition must put the spike in SEASONAL,
+    # keep trend ~flat, and leave residuals ~0
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 10):  # 10 full days
+        t = base + datetime.timedelta(hours=h)
+        v = 10.0 + (5.0 if h % 24 == 0 else 0.0)
+        rows.append((t, v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    rows_out = TS.stl_decompose(df, "ts", "value").collect()
+    assert len(rows_out) == 240
+    s0 = [r.seasonal for r in rows_out if r.phase == 0]
+    s1 = [r.seasonal for r in rows_out if r.phase == 1]
+    assert s0[0] > s1[0] + 3.0  # the planted spike lands in phase 0
+    # additive identity holds exactly at the 6-dp grid
+    for r in rows_out:
+        assert abs((r.trend + r.seasonal + r.residual) - r.level) < 2e-6
