@@ -3845,6 +3845,18 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     return TX.zipf_fit(docs, "text", top_n=1000)
 
 
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast evaluation (round 7): rolling-origin backtest of the
+    seasonal-naive baseline ŷ(t) = y(t−24h) over the hourly event
+    series, scored per day with sMAPE + bias
+    (operators/timeseries.py seasonal_naive_backtest; the
+    M-competition baseline every forecaster must beat). Exact
+    micro-unit daily means; the LAG window runs over the
+    time-range-sized post-aggregate series."""
+    e = load_table(spark, sf, "events")
+    return TS.seasonal_naive_backtest(e, "ts", "value", period=24)
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5548,6 +5560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_label_noise": q_knn_label_noise,
         "q_stl_decompose": q_stl_decompose,
         "q_zipf_fit": q_zipf_fit,
+        "q_forecast_backtest": q_forecast_backtest,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5830,7 +5843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_token_count",
         "q_count",
         "q_cast_schema",
-        "q_filter_time_range",
+        "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
         "q_zipf_fit",
@@ -8582,6 +8595,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(d.detr - s.seasonal, 6) AS residual
             FROM detr d JOIN seasonal s USING (phase)
             ORDER BY d.bucket
+        """,
+        # round 7: seasonal-naive backtest — row-LAG(24) over the same
+        # hourly micro-mean series (dense fixture; row-lag == period-lag),
+        # sMAPE terms rounded then daily-averaged in micro-units
+        "q_forecast_backtest": """
+            WITH hourly AS (
+                SELECT DATE_TRUNC('hour', ts) AS bucket,
+                       ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / COUNT(*) / 1000000.0, 6) AS y
+                FROM events GROUP BY bucket
+            ), lagged AS (
+                SELECT bucket, y, LAG(y, 24) OVER (ORDER BY bucket) AS f FROM hourly
+            ), scored AS (
+                SELECT bucket, ROUND(f - y, 6) AS err,
+                       ROUND(CASE WHEN ABS(f) + ABS(y) <> 0
+                                  THEN 2.0 * ABS(f - y) / (ABS(f) + ABS(y))
+                                  ELSE 0.0 END, 6) AS smape_t
+                FROM lagged WHERE f IS NOT NULL
+            )
+            SELECT CAST(DATE_TRUNC('day', bucket) AS DATE) AS day,
+                   CAST(COUNT(*) AS INT) AS n_hours,
+                   ROUND(CAST(SUM(CAST(ROUND(smape_t * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                         / COUNT(*) / 1000000.0, 6) AS smape,
+                   ROUND(CAST(SUM(CAST(ROUND(err * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                         / COUNT(*) / 1000000.0, 6) AS bias
+            FROM scored GROUP BY day ORDER BY day
         """,
         # round 7: Zipf fit — identical sufficient-statistics
         # expression tree over micro-quantized ln values

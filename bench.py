@@ -142,6 +142,7 @@ ROUND7_OPS = [
     "q_knn_label_noise",
     "q_stl_decompose",
     "q_zipf_fit",
+    "q_forecast_backtest",
 ]
 
 

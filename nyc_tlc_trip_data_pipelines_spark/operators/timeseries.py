@@ -638,3 +638,73 @@ def stl_decompose(
         )
         .orderBy("bucket")
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 24,
+) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (ŷ(t) = y(t − period) — the baseline every forecasting system must
+    beat, cf. Hyndman & Athanasopoulos, "Forecasting: Principles and
+    Practice"; M-competition convention): forecast each hourly bucket
+    from its value one period earlier, then score per DAY with sMAPE
+    (symmetric, bounded, zero-safe denominator) and mean bias.
+
+    Per-bucket sMAPE terms 2|ŷ−y|/(|ŷ|+|y|) are rounded to 6 dp, then
+    the per-day mean reduces exact integer micro-units (the stl/ewma
+    contract); bias = mean(ŷ−y) the same way. Buckets without a
+    period-old predecessor are excluded (the first day). Returns
+    (day, n_hours, smape, bias) ordered by day — the
+    backtest table a forecast monitor alerts on.
+
+    Scale shape: identical to :func:`stl_decompose` — one corpus-sized
+    hash aggregate to the hourly grain, then a LAG window and a daily
+    group-by over the time-range-sized series.
+    """
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+    hourly = (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            micro(F.col(value_col).cast("double")).alias("vq"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.sum("vq") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("bucket")
+    scored = (
+        hourly.withColumn("f", F.lag("y", period).over(w))
+        .filter(F.col("f").isNotNull())
+        .withColumn("err", F.round(F.col("f") - F.col("y"), 6))
+        .withColumn(
+            "smape_t",
+            F.round(
+                F.when(
+                    (F.abs(F.col("f")) + F.abs(F.col("y"))) != 0,
+                    F.lit(2.0) * F.abs(F.col("f") - F.col("y"))
+                    / (F.abs(F.col("f")) + F.abs(F.col("y"))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy(F.to_date("bucket").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hours"),
+            F.round(
+                F.sum(micro(F.col("smape_t"))) / F.count(F.lit(1)) / F.lit(1000000.0),
+                6,
+            ).alias("smape"),
+            F.round(
+                F.sum(micro(F.col("err"))) / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("bias"),
+        )
+        .orderBy("day")
+    )

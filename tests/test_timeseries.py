@@ -333,3 +333,33 @@ def test_stl_decompose_recovers_planted_seasonality(spark):
     # additive identity holds exactly at the 6-dp grid
     for r in rows_out:
         assert abs((r.trend + r.seasonal + r.residual) - r.level) < 2e-6
+
+
+def test_seasonal_naive_backtest_perfect_on_periodic_series(spark):
+    # exactly 24h-periodic series -> forecast equals actual: sMAPE and
+    # bias are 0.0 for every scored day; first (unforecastable) day
+    # excluded
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), 10.0 + (h % 24))
+        for h in range(24 * 5)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = TS.seasonal_naive_backtest(df, "ts", "value", period=24).collect()
+    assert len(out) == 4  # 5 days minus the lag-seed day
+    assert all(r.smape == 0.0 and r.bias == 0.0 and r.n_hours == 24 for r in out)
+
+    # shift one hour by +2.4 -> exactly one day shows nonzero error,
+    # and bias has the forecast-minus-actual sign
+    rows2 = list(rows)
+    idx = 24 * 2 + 5  # day 3, hour 5
+    rows2[idx] = (rows2[idx][0], rows2[idx][1] + 2.4)
+    df2 = spark.createDataFrame(rows2, "ts timestamp, value double")
+    out2 = {str(r.day): r for r in TS.seasonal_naive_backtest(df2, "ts", "value").collect()}
+    assert out2["2024-03-03"].bias < 0  # actual raised => forecast under
+    assert out2["2024-03-04"].bias > 0  # next day forecasts the spike
+    assert out2["2024-03-05"].bias == 0.0
