@@ -665,6 +665,24 @@ def test_kmeans_arrow_tier_is_deterministic_and_auto_selects(spark):
         V.kmeans_train(emb.limit(3), k=20)  # auto -> arrow, n < k
 
 
+def test_auto_tier_boundary_is_k16(spark):
+    """auto keeps the codegen fold path through k=16 and switches to
+    the Arrow micro tier at k=17 — pinned via the physical plan (the
+    Arrow tier plans a MapInPandas / ArrowEvalPython node; the fold
+    tier stays pure expression)."""
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+    from nyc_tlc_trip_data_pipelines_spark.plans import plan_string
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    at16, _ = V.kmeans_train(emb, k=16, iterations=1)
+    at17, _ = V.kmeans_train(emb, k=17, iterations=1)
+    p16 = plan_string(at16, "simple")
+    p17 = plan_string(at17, "simple")
+    assert "MapInPandas" not in p16 and "ArrowEval" not in p16
+    assert ("MapInPandas" in p17) or ("ArrowEval" in p17)
+
+
 def test_pq_sample_trained_codebooks_encode_full_corpus(spark):
     """sample_mod trains codebooks on the deterministic md5 draw but
     encodes EVERY vector; sample_mod=1 (draw = whole corpus) must
