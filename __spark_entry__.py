@@ -3804,11 +3804,13 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive training-data mining (round 7): per-anchor hardest
     different-label neighbors (operators/vectors.py
     hard_negative_pairs; DPR/ANCE-style negative mining). Candidates
-    are cluster-scoped by the deterministic k-means chain — the
-    SemDeDup bucket discipline, no all-pairs join; the oracle replays
-    the shared Lloyd CTE plus the directed labeled pair scan."""
+    are cluster-scoped at SCALE-k (k=32, the Arrow micro-grid
+    assignment tier — the same configuration the 100 TB story uses:
+    the n²/k directed-pair term is 8× smaller than at k=4, measured
+    9.4 s → ~2 s at sf0.1); the oracle replays the integer Lloyd
+    chain plus the directed labeled pair scan."""
     emb = load_table(spark, sf, "embeddings")
-    out = V.hard_negative_pairs(emb, k=4, iterations=2, per_anchor=3)
+    out = V.hard_negative_pairs(emb, k=32, iterations=2, per_anchor=3)
     return O.sort(out, ["anchor", "rank"])
 
 
@@ -3817,10 +3819,10 @@ def q_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     nearest same-cluster neighbors vs the row's own label
     (operators/vectors.py knn_label_vote; the confident-learning
     signal for pruning annotation errors before training). Same
-    cluster-scoped candidate discipline and replayed Lloyd chain as
-    q_hard_negatives."""
+    scale-k (k=32, Arrow tier) candidate discipline and replayed
+    integer-Lloyd chain as q_hard_negatives."""
     emb = load_table(spark, sf, "embeddings")
-    return O.sort(V.knn_label_vote(emb, k=4, iterations=2, n_neighbors=5), ["vec_id"])
+    return O.sort(V.knn_label_vote(emb, k=32, iterations=2, n_neighbors=5), ["vec_id"])
 
 
 def q_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
@@ -6166,10 +6168,11 @@ _DIRECTED_PAIRS_CTE = """
 
 
 def _hard_negatives_oracle() -> str:
-    """q_hard_negatives replay: shared Lloyd CTE + DIRECTED labeled
+    """q_hard_negatives replay: scale-k integer Lloyd chain (k=32,
+    the Arrow tier's micro-grid contract) + DIRECTED labeled
     within-cluster pair scan, per-anchor rank over different-label
     neighbors (cosine DESC, nid tie-break), rank <= 3."""
-    return _KMEANS_ASSIGN_CTE.rstrip() + _DIRECTED_PAIRS_CTE + """
+    return _kmeans_micro_cte(32) + _DIRECTED_PAIRS_CTE + """
             SELECT anchor, anchor_label, nid, nlabel, cosine, CAST(rank AS INT) AS rank
             FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cosine DESC, nid) AS rank
@@ -6180,9 +6183,10 @@ def _hard_negatives_oracle() -> str:
 
 
 def _knn_label_noise_oracle() -> str:
-    """q_knn_label_noise replay: same directed pair scan, 5-nearest
-    neighbors per anchor, plurality vote (votes DESC, label ASC)."""
-    return _KMEANS_ASSIGN_CTE.rstrip() + _DIRECTED_PAIRS_CTE + """
+    """q_knn_label_noise replay: same scale-k chain and directed pair
+    scan, 5-nearest neighbors per anchor, plurality vote
+    (votes DESC, label ASC)."""
+    return _kmeans_micro_cte(32) + _DIRECTED_PAIRS_CTE + """
             , nn AS (
                 SELECT * FROM (
                     SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cosine DESC, nid) AS rank

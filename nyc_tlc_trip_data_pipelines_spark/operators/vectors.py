@@ -1043,7 +1043,7 @@ def _cluster_scoped_directed_pairs(
     vec_col: str,
     id_col: str,
     label_col: str | None,
-    tier: str = "fold",
+    tier: str = "auto",
     persist: bool = True,
 ) -> DataFrame:
     """Directed within-cluster candidate pairs for the per-anchor
@@ -1101,7 +1101,7 @@ def hard_negative_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
-    tier: str = "fold",
+    tier: str = "auto",
     persist: bool = True,
 ) -> DataFrame:
     """Contrastive hard-negative mining — the embedding-training data
@@ -1139,7 +1139,7 @@ def knn_label_vote(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
-    tier: str = "fold",
+    tier: str = "auto",
     persist: bool = True,
 ) -> DataFrame:
     """kNN label-noise detection (the confident-learning-family signal,
