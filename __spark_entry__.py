@@ -3859,6 +3859,22 @@ def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
     return TS.seasonal_naive_backtest(e, "ts", "value", period=24)
 
 
+def q_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 7, wave 3): multinomial Naive Bayes document
+    classifier (operators/corpus.py nb_classify) — the distributed
+    bag-of-words classifier stage of LLM curation (CCNet language
+    filter / GPT-3 quality model / FineWeb-edu shape). Portable-hash
+    holdout split (1/5), add-one-smoothed per-(word, lang) model,
+    integer micro-unit log-posteriors so the per-doc argmax is an
+    EXACT bigint reduction; ties break to the smallest class. One
+    tokenize pass, vocabulary×classes broadcast model, grouped-MAX
+    argmax — never a corpus window."""
+    docs = load_table(spark, sf, "documents")
+    out = CP.nb_classify(docs, label_col="lang", id_col="doc_id",
+                         holdout_mod=5, holdout_rem=0, seed=11)
+    return O.sort(out, ["doc_id"])
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5563,6 +5579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stl_decompose": q_stl_decompose,
         "q_zipf_fit": q_zipf_fit,
         "q_forecast_backtest": q_forecast_backtest,
+        "q_nb_classify": q_nb_classify,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5843,7 +5860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_wordcount",
         "q_text_quality",
         "q_text_token_count",
-        "q_count",
         "q_cast_schema",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
@@ -5853,6 +5869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rrf_fusion",
         "q_hard_negatives",
         "q_knn_label_noise",
+        # ---- round-7 wave 3 ----
+        "q_nb_classify",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -8693,6 +8711,68 @@ def oracle_sql() -> dict[str, str]:
                          (CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), CHR(31), '13')), 1, 15))
                                AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0))), 6) AS sample_key
             FROM logw ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        # round 7 wave 3: multinomial NB — portable-hash holdout split,
+        # add-one smoothed (word, class) model, integer micro-unit
+        # log-posteriors (exact bigint sums), min-class argmax tie-break
+        "q_nb_classify": r"""
+            WITH base AS (
+                SELECT doc_id AS id, lang AS actual,
+                       (CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), CHR(31), '11')), 1, 15))
+                             AS BIGINT) % 5) = 0 AS is_hold,
+                       text
+                FROM documents
+            ), toks AS (
+                SELECT id, actual, is_hold,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS w
+                FROM base
+            ), train_wc AS (
+                SELECT w, actual AS cls, COUNT(*) AS c_wk
+                FROM toks WHERE NOT is_hold GROUP BY w, actual
+            ), class_tok AS (
+                SELECT cls, SUM(c_wk) AS t_k FROM train_wc GROUP BY cls
+            ), class_doc AS (
+                SELECT actual AS cls, COUNT(*) AS d_k
+                FROM base WHERE NOT is_hold GROUP BY actual
+            ), n_train AS (
+                SELECT COUNT(*) AS n_d FROM base WHERE NOT is_hold
+            ), classes AS (
+                SELECT cls, t_k,
+                       CAST(ROUND(LN(CAST(d_k AS DOUBLE) / n_d) * 1e6, 0) AS BIGINT) AS prior_micro
+                FROM class_doc JOIN class_tok USING (cls) CROSS JOIN n_train
+            ), vocab AS (
+                SELECT DISTINCT w FROM train_wc
+            ), v_size AS (
+                SELECT COUNT(*) AS v FROM vocab
+            ), grid AS (
+                SELECT vocab.w, classes.cls,
+                       CAST(ROUND(LN(CAST(COALESCE(train_wc.c_wk, 0) + 1 AS DOUBLE)
+                                     / (classes.t_k + v_size.v)) * 1e6, 0) AS BIGINT) AS llk_micro
+                FROM vocab CROSS JOIN classes CROSS JOIN v_size
+                LEFT JOIN train_wc
+                  ON train_wc.w = vocab.w AND train_wc.cls = classes.cls
+            ), hold_wc AS (
+                SELECT id, w, COUNT(*) AS c FROM toks WHERE is_hold GROUP BY id, w
+            ), word_scores AS (
+                SELECT id, cls, SUM(c * llk_micro) AS wsum
+                FROM hold_wc JOIN grid USING (w) GROUP BY id, cls
+            ), scores AS (
+                SELECT b.id, b.actual, c.cls,
+                       COALESCE(ws.wsum, 0) + c.prior_micro AS score_micro
+                FROM (SELECT id, actual FROM base WHERE is_hold) b
+                CROSS JOIN classes c
+                LEFT JOIN word_scores ws ON ws.id = b.id AND ws.cls = c.cls
+            ), best AS (
+                SELECT id, MAX(score_micro) AS best_micro FROM scores GROUP BY id
+            )
+            SELECT s.id AS doc_id, s.actual,
+                   MIN(s.cls) AS predicted,
+                   ROUND(MAX(b.best_micro) / 1e6, 6) AS score,
+                   CAST(CASE WHEN MIN(s.cls) = s.actual THEN 1 ELSE 0 END AS INT) AS correct
+            FROM scores s JOIN best b ON s.id = b.id AND s.score_micro = b.best_micro
+            GROUP BY s.id, s.actual
+            ORDER BY doc_id
         """,
         # round 7: RRF — both shortlists replayed (the BM25 chain is
         # the q_bm25_rank oracle at top-100; the dense side is the

@@ -763,3 +763,165 @@ def dsir_select(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(top_n)
     )
+
+
+def nb_classify(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_mod: int = 5,
+    holdout_rem: int = 0,
+    seed: int = 11,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier, trained and scored in
+    one lazy plan — the distributed form of the fastText/NB quality- and
+    domain-classifier stage every LLM curation pipeline runs (CCNet's
+    language filter, GPT-3's WebText-vs-CommonCrawl quality model,
+    FineWeb's edu classifier are all linear bag-of-words scorers of
+    exactly this shape).
+
+    Split: the portable 60-bit hash of (id, seed) mod ``holdout_mod``
+    == ``holdout_rem`` marks the held-out slice (same mechanism as
+    :func:`stable_split`, so both engines draw the identical split).
+    Train: per-(word, class) counts with add-one smoothing over the
+    TRAIN vocabulary V —
+    ``llk(w,k) = ln((c_wk + 1) / (t_k + |V|))`` — plus the log prior
+    ``ln(d_k / D)``. Score: for each held-out doc,
+    ``score(k) = prior(k) + Σ_w c_doc(w) · llk(w,k)``; OOV words
+    (absent from the train vocabulary) are dropped, the standard
+    multinomial-NB convention. Predicted class = argmax, ties broken
+    toward the lexicographically smallest class.
+
+    Determinism contract: every log-likelihood and prior is quantized
+    to integer MICRO-UNITS (``round(x·1e6, 0)`` → bigint, the
+    q_domain_mixture rule) at the vocabulary table — per-doc scores are
+    then EXACT bigint reductions, so the argmax can never flip on
+    float-sum partition ordering, and the min-class tie-break makes the
+    winner engine-independent even on exact score ties.
+
+    Returns one row per held-out document:
+    (id, actual, predicted, score, correct) with ``score`` the winning
+    log-posterior (micro-units / 1e6) and ``correct`` 0/1.
+
+    Scale shape: ONE tokenize/explode pass feeds both the train counts
+    and the holdout term frequencies (split by a hash predicate, not a
+    second scan). The model is a |V|×|classes| grid built by
+    cross-joining the vocabulary with the class table and left-joining
+    the observed counts (zero counts must exist — their smoothed
+    log-likelihood is not zero); it broadcast-joins onto the holdout
+    (doc, word) counts. The only corpus-sized shuffles are the two
+    keyed hash aggregates ((word, class) and (doc, class)); argmax is a
+    grouped MAX + equi-join back, never a window over the corpus. At
+    100 TB: two streaming passes and a model table that fits in one
+    executor — the same cost envelope as :func:`dsir_select`.
+    """
+    from .text import portable_hash60
+
+    h = portable_hash60(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("actual"),
+        (h % holdout_mod == holdout_rem).alias("is_hold"),
+        F.col(text_col).alias("__text"),
+    )
+    toks = base.select(
+        "id", "actual", "is_hold", F.explode(tokenize(F.col("__text"))).alias("w")
+    )
+    train_wc = (
+        toks.filter(~F.col("is_hold"))
+        .groupBy("w", F.col("actual").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_wk"))
+    )
+    # class table: token totals t_k and doc-count priors d_k (k rows)
+    class_tok = train_wc.groupBy("cls").agg(F.sum("c_wk").cast("long").alias("t_k"))
+    class_doc = (
+        base.filter(~F.col("is_hold"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_k"))
+    )
+    n_train = base.filter(~F.col("is_hold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_d")
+    )
+    classes = (
+        class_doc.join(class_tok, "cls")
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "cls",
+            "t_k",
+            F.round(F.log(F.col("d_k").cast("double") / F.col("n_d")) * 1e6, 0)
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    vocab = train_wc.select("w").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    # |V|×k grid with explicit zero counts (smoothed llk of an unseen
+    # word in class k is ln(1/(t_k+V)), not 0)
+    grid = (
+        vocab.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(v_size))
+        .join(train_wc, ["w", "cls"], "left")
+        .select(
+            "w",
+            "cls",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_wk"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_k") + F.col("v"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("llk_micro"),
+        )
+    )
+    hold_wc = (
+        toks.filter(F.col("is_hold"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    word_scores = (
+        hold_wc.join(grid, "w")
+        .groupBy("id", "cls")
+        .agg(F.sum(F.col("c") * F.col("llk_micro")).alias("wsum"))
+    )
+    # every held-out doc scores every class even with zero in-vocab
+    # words (prior-only fallback) — left join from the doc×class frame
+    scores = (
+        base.filter(F.col("is_hold"))
+        .select("id", "actual")
+        .crossJoin(F.broadcast(classes.select("cls", "prior_micro")))
+        .join(word_scores, ["id", "cls"], "left")
+        .select(
+            "id",
+            "actual",
+            "cls",
+            (F.coalesce(F.col("wsum"), F.lit(0)) + F.col("prior_micro")).alias(
+                "score_micro"
+            ),
+        )
+    )
+    best = scores.groupBy("id").agg(F.max("score_micro").alias("best_micro"))
+    return (
+        scores.join(best, "id")
+        .filter(F.col("score_micro") == F.col("best_micro"))
+        .groupBy("id", "actual")
+        .agg(
+            F.min("cls").alias("predicted"),
+            F.round(F.max("best_micro") / 1e6, 6).alias("score"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "actual",
+            "predicted",
+            "score",
+            F.when(F.col("predicted") == F.col("actual"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )

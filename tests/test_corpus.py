@@ -247,3 +247,63 @@ def test_domain_mixture_weights_alpha_half(spark):
     # alpha<1 upweights the small domain relative to its token share
     assert out["small"]["oversample"] > 1 > out["big"]["oversample"]
     assert abs(out["small"]["token_share"] - 0.2) < 1e-9
+
+
+def test_nb_classify_planted_signal(spark):
+    """Disjoint class vocabularies -> every held-out doc with in-vocab
+    words is predicted correctly; a doc of only OOV words falls back to
+    the prior argmax (majority class, min-class tie-break)."""
+    import math
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import nb_classify
+    from nyc_tlc_trip_data_pipelines_spark.operators.text import portable_hash60
+    from pyspark.sql import functions as F
+
+    # class 'aa' speaks {red green}, class 'bb' speaks {blue cyan}
+    rows = [(i, "red green red green", "aa") for i in range(0, 40)]
+    rows += [(i, "blue cyan blue cyan", "bb") for i in range(40, 80)]
+    rows += [(80, "zzz yyy xxx", "aa")]  # OOV-only when held out
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    out = {
+        r["doc_id"]: r
+        for r in nb_classify(df, holdout_mod=5, holdout_rem=0, seed=11).collect()
+    }
+    # recompute the split predicate to know which ids are held out
+    split = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            (
+                portable_hash60(
+                    F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.lit("11"))
+                )
+                % 5
+                == 0
+            ).alias("h"),
+        ).collect()
+    }
+    held = {i for i, h in split.items() if h}
+    assert set(out) == held and len(held) > 5
+    for i in held:
+        r = out[i]
+        if i == 80:
+            continue
+        assert r["predicted"] == r["actual"] == ("aa" if i < 40 else "bb")
+        assert r["correct"] == 1
+    if 80 in held:
+        # prior-only doc: predicted = argmax prior over TRAIN docs
+        from collections import Counter
+
+        priors = Counter(
+            ("aa" if i < 40 else "bb") if i != 80 else "aa"
+            for i in range(81)
+            if i not in held
+        )
+        top = max(priors.values())
+        expect = min(c for c, n in priors.items() if n == top)
+        assert out[80]["predicted"] == expect
+    # score is the winning log-posterior: negative, finite, 6-dp grid
+    for r in out.values():
+        assert r["score"] < 0 and math.isfinite(r["score"])
+        assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-3
