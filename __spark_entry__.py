@@ -3875,6 +3875,25 @@ def q_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["doc_id"])
 
 
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """North star (round 7, wave 3): Poisson-bootstrap confidence
+    intervals for per-event-type mean value (operators/aggregates.py
+    poisson_bootstrap_ci; Chamandy et al. 2012 — the one-pass massive-
+    data bootstrap). Each row enters each of B=40 replicates with a
+    deterministic Poisson(1) weight drawn by inverse-CDF from the
+    portable hash; replicate sums are exact bigint micro-units, the SE
+    comes from point-estimate-centered exact sums, and the CI bounds
+    are order statistics of the replicate means — no quantile
+    interpolation, every draw oracle-replayable. The B× explode
+    collapses in map-side partial aggregation (shuffle ∝ groups·B,
+    not rows·B)."""
+    e = load_table(spark, sf, "events")
+    out = agg.poisson_bootstrap_ci(
+        e, ["event_type"], F.col("value"), "event_id", n_boot=40, seed=17
+    )
+    return O.sort(out, ["event_type"])
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5580,6 +5599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zipf_fit": q_zipf_fit,
         "q_forecast_backtest": q_forecast_backtest,
         "q_nb_classify": q_nb_classify,
+        "q_bootstrap_ci": q_bootstrap_ci,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5860,7 +5880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_wordcount",
         "q_text_quality",
         "q_text_token_count",
-        "q_cast_schema",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -5871,6 +5890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_label_noise",
         # ---- round-7 wave 3 ----
         "q_nb_classify",
+        "q_bootstrap_ci",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -6495,6 +6515,67 @@ def _minhash_accuracy_oracle(
             JOIN sizes sb ON sb.doc_id = c.id_b
             ORDER BY c.id_a, c.id_b
     """
+
+
+def _bootstrap_ci_oracle(n_boot: int = 40, seed: int = 17) -> str:
+    """SQL twin of q_bootstrap_ci — the Poisson(1) inverse-CDF
+    thresholds come from the SAME poisson1_cdf_thresholds() call the
+    Spark plan embeds, so both engines compare u against identical
+    doubles (repr round-trips exactly)."""
+    ts = agg.poisson1_cdf_thresholds()
+    w_expr = " + ".join(
+        f"(CASE WHEN u >= {t!r} THEN 1 ELSE 0 END)" for t in ts
+    )
+    lo_rank = int((1.0 - 0.95) / 2.0 * n_boot) + 1
+    hi_rank = n_boot - lo_rank + 1
+    return f"""
+            WITH rows_ AS (
+                SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+                       CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vm
+                FROM events
+            ), pe AS (
+                SELECT event_type, COUNT(*) AS n_rows,
+                       CAST(ROUND(CAST(SUM(vm) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS pe_micro
+                FROM rows_ GROUP BY event_type
+            ), drawn AS (
+                SELECT event_type, vm, r.b,
+                       (CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(id, CHR(31), CAST(r.b AS VARCHAR), CHR(31), '{seed}')), 1, 15))
+                                  AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+                FROM rows_ CROSS JOIN range(0, {n_boot}) r(b)
+            ), weighted AS (
+                SELECT event_type, b, vm, {w_expr} AS w FROM drawn
+            ), cells AS (
+                SELECT event_type, b, SUM(w) AS n_b, SUM(w * vm) AS s_b
+                FROM weighted GROUP BY event_type, b
+            ), means AS (
+                SELECT event_type, b,
+                       CAST(ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0) AS BIGINT) AS mb
+                FROM cells
+            ), ranked AS (
+                SELECT event_type, b, mb,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn
+                FROM means
+            ), stats AS (
+                SELECT m.event_type,
+                       MAX(p.n_rows) AS n_rows,
+                       MAX(p.pe_micro) AS pe,
+                       SUM(m.mb - p.pe_micro) AS sd,
+                       SUM((m.mb - p.pe_micro) * (m.mb - p.pe_micro)) AS sd2,
+                       MAX(CASE WHEN rn = {lo_rank} THEN mb END) AS lo,
+                       MAX(CASE WHEN rn = {hi_rank} THEN mb END) AS hi
+                FROM ranked m JOIN pe p USING (event_type)
+                GROUP BY m.event_type
+            )
+            SELECT event_type, n_rows,
+                   ROUND(pe / 1e6, 6) AS mean,
+                   ROUND(SQRT((CAST(sd2 AS DOUBLE)
+                               - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / {float(n_boot)!r})
+                              / {float(n_boot - 1)!r}) / 1e6, 6) AS se_boot,
+                   ROUND(lo / 1e6, 6) AS ci_lo,
+                   ROUND(hi / 1e6, 6) AS ci_hi,
+                   CAST({n_boot} AS INT) AS n_boot
+            FROM stats ORDER BY event_type
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8774,6 +8855,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.id, s.actual
             ORDER BY doc_id
         """,
+        # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
+        # replayed from the portable hash, CI = order statistics
+        "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
         # round 7: RRF — both shortlists replayed (the BM25 chain is
         # the q_bm25_rank oracle at top-100; the dense side is the
         # q_similarity_topk cosine), ranks fused as 1/(60+rank)

@@ -14,6 +14,7 @@ data volume. COUNT(DISTINCT) is the exception (expands rows); prefer
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -674,4 +675,139 @@ def bitmap_distinct_rollup(
         F.round(F.col("sum_sub_distinct") / F.col("n_subs"), 6).alias(
             "avg_sub_distinct"
         ),
+    )
+
+
+def poisson1_cdf_thresholds(n_terms: int = 8) -> list[float]:
+    """Cumulative Poisson(1) probabilities P(X <= k) for k = 0..n_terms-1
+    — the inverse-CDF table behind :func:`poisson_bootstrap_ci`. Exposed
+    as a function so the Spark plan and the SQL oracle embed the SAME
+    doubles (repr round-trips exactly in every engine); truncating at
+    n_terms=8 loses P(X >= 8) ≈ 1.1e-6 of mass (those draws get weight
+    8), identically on both sides of the contract."""
+    import math
+
+    out, acc, term = [], 0.0, math.exp(-1.0)
+    for k in range(n_terms):
+        acc += term
+        out.append(acc)
+        term /= k + 1
+    return out
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    id_col: str,
+    n_boot: int = 40,
+    seed: int = 17,
+    level: float = 0.95,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean by the
+    POISSON bootstrap (Chamandy, Muralidharan, Najmi & Naidu 2012,
+    "Estimating uncertainty for massive data streams" — Google's
+    production bootstrap): instead of resampling n rows with
+    replacement (impossible in one pass over a distributed table), each
+    row enters replicate b with an independent Poisson(1) weight, which
+    converges to multinomial resampling and needs ONE streaming pass.
+
+    The weights are deterministic: the portable 60-bit hash of
+    (row id, replicate, seed) maps to u ∈ (0,1) strictly (the dsir
+    (h+½)/2⁶⁰ rule), and the weight is the count of CDF thresholds
+    below u (:func:`poisson1_cdf_thresholds` — truncated at 8). Both
+    engines replay every draw bit-for-bit, and swapping the hash for
+    ``rand()`` recovers the production mechanism with the same plan.
+
+    Determinism contract: values quantize to integer micro-units at the
+    scan (round(x·1e6) → bigint), so every replicate's weighted sum is
+    an EXACT bigint reduction; each replicate mean collapses to one
+    double division rounded back onto the micro grid. The bootstrap
+    SE is computed from micro-unit means CENTERED on the point estimate
+    (Σd, Σd² stay small bigints — overflow-safe and exact), and the CI
+    bounds are ORDER STATISTICS of the B replicate means (rank
+    ⌊α/2·B⌋+1 and its mirror; ties broken by replicate id) — no
+    engine-specific quantile interpolation.
+
+    Returns one row per group: (keys…, n_rows, mean, se_boot, ci_lo,
+    ci_hi, n_boot).
+
+    Scale shape: the explode produces B rows per input row, but they
+    reduce in the SAME stage's map-side partial aggregation — the
+    shuffle carries |groups|·B pre-aggregated cells, not corpus·B rows
+    (this is the paper's point: bandwidth ∝ B·groups, one data pass).
+    The only window runs over B rows per group (sketch-sized, the
+    ks_two_sample rationale). Micro-unit sums bound |Σ w·v_micro| by
+    ~8·n·max|v|·1e6 — past ~10¹² rows per group quantize coarser or
+    move the cell sums to decimal(38,0).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    thresholds = poisson1_cdf_thresholds()
+    lo_rank = int(math.floor((1.0 - level) / 2.0 * n_boot)) + 1
+    hi_rank = n_boot - lo_rank + 1
+
+    rows = df.select(
+        *[F.col(k) for k in keys],
+        F.col(id_col).cast("string").alias("__id"),
+        F.round(v * 1e6, 0).cast("long").alias("__vm"),
+    )
+    # point estimate from the unweighted sample (exact micro-units)
+    pe = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("__vm") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("__pe_micro"),
+    )
+    rep_rows = rows.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
+    )
+    from .text import portable_hash60
+
+    h = portable_hash60(
+        F.concat_ws(
+            "\x1f", F.col("__id"), F.col("b").cast("string"), F.lit(str(seed))
+        )
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    w = None
+    for t in thresholds:
+        term = (u >= F.lit(t)).cast("long")
+        w = term if w is None else w + term
+    cells = rep_rows.withColumn("__w", w).groupBy(*keys, "b").agg(
+        F.sum("__w").alias("__n_b"),
+        F.sum(F.col("__w") * F.col("__vm")).alias("__s_b"),
+    )
+    means = cells.select(
+        *keys,
+        "b",
+        F.round(F.col("__s_b") / F.col("__n_b"), 0).cast("long").alias("__mb"),
+    )
+    from pyspark.sql import Window as _W
+
+    win = _W.partitionBy(*keys).orderBy("__mb", "b")
+    ranked = means.withColumn("__rn", F.row_number().over(win)).join(
+        F.broadcast(pe), list(keys)
+    )
+    d = F.col("__mb") - F.col("__pe_micro")
+    out = ranked.groupBy(*keys).agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("__pe_micro").alias("__pe"),
+        F.sum(d).alias("__sd"),
+        F.sum(d * d).alias("__sd2"),
+        F.max(F.when(F.col("__rn") == lo_rank, F.col("__mb"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi_rank, F.col("__mb"))).alias("__hi"),
+    )
+    B = float(n_boot)
+    var = (
+        F.col("__sd2").cast("double")
+        - F.col("__sd").cast("double") * F.col("__sd").cast("double") / F.lit(B)
+    ) / F.lit(B - 1.0)
+    return out.select(
+        *keys,
+        "n_rows",
+        F.round(F.col("__pe") / 1e6, 6).alias("mean"),
+        F.round(F.sqrt(var) / 1e6, 6).alias("se_boot"),
+        F.round(F.col("__lo") / 1e6, 6).alias("ci_lo"),
+        F.round(F.col("__hi") / 1e6, 6).alias("ci_hi"),
+        F.lit(int(n_boot)).cast("int").alias("n_boot"),
     )

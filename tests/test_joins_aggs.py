@@ -378,3 +378,35 @@ def test_ks_two_sample_degenerate_side_is_null(spark):
     r = ks_two_sample(df, "value", F.col("grp") == "a").collect()[0]
     assert r["n_a"] == 2 and r["n_b"] == 0
     assert r["ks_stat"] is None and r["reject"] is None
+
+
+def test_poisson_bootstrap_ci_constant_and_spread(spark):
+    """A constant column gives a degenerate bootstrap (every replicate
+    mean equals the constant -> se 0, CI collapsed); a spread sample
+    gives a CI that brackets the point estimate with positive SE."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    ts = agg.poisson1_cdf_thresholds()
+    assert ts == sorted(ts) and 0.36 < ts[0] < 0.37 and ts[-1] < 1.0
+
+    rows = [(i, "const", 7.5) for i in range(200)]
+    rows += [(1000 + i, "spread", float(i % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id bigint, k string, value double")
+    out = {
+        r["k"]: r
+        for r in agg.poisson_bootstrap_ci(
+            df, ["k"], F.col("value"), "event_id", n_boot=40, seed=17
+        ).collect()
+    }
+    c = out["const"]
+    assert c["n_rows"] == 200 and c["n_boot"] == 40
+    assert c["mean"] == 7.5 and c["se_boot"] == 0.0
+    assert c["ci_lo"] == 7.5 and c["ci_hi"] == 7.5
+    s = out["spread"]
+    assert s["n_rows"] == 400
+    assert s["ci_lo"] <= s["mean"] <= s["ci_hi"]
+    assert s["ci_lo"] < s["ci_hi"] and s["se_boot"] > 0
+    # bootstrap SE of a ~uniform(0,100) mean at n=400 is ~1.44 — sane band
+    assert 0.5 < s["se_boot"] < 3.0
