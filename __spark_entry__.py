@@ -3894,6 +3894,31 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-pattern matching (round 7, wave 3): the SQL:2016
+    MATCH_RECOGNIZE / Flink-CEP shape Spark lacks natively
+    (operators/timeseries.py event_pattern_match) — per-user event
+    histories encoded to character sequences ordered by (ts,
+    event_id), matched against the funnel regex ``s[cv]*p`` (signup,
+    any clicks/views, purchase; an error breaks the match). One
+    user-keyed shuffle; sequences are entity-sized; regex runs
+    codegen-side. Complements q_funnel (conditional-min milestones)
+    with true ORDER-sensitive, repeatable-match semantics."""
+    ev = load_table(spark, sf, "events")
+    out = TS.event_pattern_match(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        {"signup": "s", "click": "c", "purchase": "p", "view": "v", "error": "e"},
+        r"s[cv]*p",
+    )
+    return O.sort(
+        out.withColumnRenamed("user", "user_id"), ["user_id"]
+    )
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5600,6 +5625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forecast_backtest": q_forecast_backtest,
         "q_nb_classify": q_nb_classify,
         "q_bootstrap_ci": q_bootstrap_ci,
+        "q_event_pattern": q_event_pattern,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5879,7 +5905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract",
         "q_text_wordcount",
         "q_text_quality",
-        "q_text_token_count",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -5891,6 +5916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-7 wave 3 ----
         "q_nb_classify",
         "q_bootstrap_ci",
+        "q_event_pattern",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -8858,6 +8884,30 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: MATCH_RECOGNIZE analog — ordered per-user
+        # char encoding + the same alternation-free greedy regex
+        "q_event_pattern": r"""
+            WITH seq AS (
+                SELECT user_id,
+                       STRING_AGG(
+                           CASE event_type
+                               WHEN 'signup' THEN 's'
+                               WHEN 'click' THEN 'c'
+                               WHEN 'purchase' THEN 'p'
+                               WHEN 'view' THEN 'v'
+                               WHEN 'error' THEN 'e'
+                               ELSE 'x' END,
+                           '' ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(LENGTH(seq) AS INT) AS seq_len,
+                   CAST(LEN(regexp_extract_all(seq, 's[cv]*p')) AS INT) AS n_matches,
+                   regexp_extract(seq, 's[cv]*p') AS first_match
+            FROM seq
+            WHERE LEN(regexp_extract_all(seq, 's[cv]*p')) >= 1
+            ORDER BY user_id
+        """,
         # round 7: RRF — both shortlists replayed (the BM25 chain is
         # the q_bm25_rank oracle at top-100; the dense side is the
         # q_similarity_topk cosine), ranks fused as 1/(60+rank)

@@ -708,3 +708,69 @@ def seasonal_naive_backtest(
         )
         .orderBy("day")
     )
+
+
+def event_pattern_match(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    mapping: dict[str, str],
+    pattern: str,
+) -> DataFrame:
+    """Row-pattern matching over per-entity event sequences — the
+    SQL:2016 MATCH_RECOGNIZE / Flink-CEP capability (Spark has no
+    native MATCH_RECOGNIZE) expressed as encode-then-regex: each
+    entity's events are ordered by (ts, id), each event type maps to
+    one character (``mapping``), the per-entity string is matched
+    against ``pattern`` (a regex over those characters — e.g.
+    ``s[cv]*p`` = "signup, then any clicks/views, then purchase").
+
+    Returns one row per entity with at least one match:
+    (user, seq_len, n_matches, first_match) — non-overlapping
+    leftmost matches, the shared Java/RE2 semantics for
+    alternation-free greedy patterns, so the SQL twin counts the same
+    matches.
+
+    Determinism: the sequence is ``array_sort`` over (ts, id, char)
+    structs — the id tie-break pins the order of same-timestamp events
+    in both engines.
+
+    Scale shape: one user-keyed shuffle (the same exchange
+    sessionization pays), then per-user strings: sequences are
+    entity-history-sized, never corpus-sized, and the regex runs
+    codegen-side per row. Unmapped event types encode as ``x`` so they
+    break a match the way MATCH_RECOGNIZE's unmatched rows do. At
+    100 TB, bound per-entity history (window the scan by time) before
+    calling — the collect_list is per-user linear, the regex per-user
+    linear, nothing quadratic.
+    """
+    enc = None
+    for k in sorted(mapping):
+        cond = F.col(type_col) == k
+        enc = F.when(cond, F.lit(mapping[k])) if enc is None else enc.when(
+            cond, F.lit(mapping[k])
+        )
+    enc = enc.otherwise(F.lit("x"))
+    rows = df.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.col(ts_col).alias("t"), F.col(id_col).alias("i"), enc.alias("ch")
+        ).alias("s"),
+    )
+    per = rows.groupBy("user").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["ch"]), ""
+        ).alias("seq")
+    )
+    n_matches = F.size(F.regexp_extract_all(F.col("seq"), F.lit(pattern), F.lit(0)))
+    return (
+        per.select(
+            "user",
+            F.length("seq").cast("int").alias("seq_len"),
+            n_matches.cast("int").alias("n_matches"),
+            F.regexp_extract(F.col("seq"), pattern, 0).alias("first_match"),
+        )
+        .filter(F.col("n_matches") >= 1)
+    )

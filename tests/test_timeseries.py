@@ -363,3 +363,53 @@ def test_seasonal_naive_backtest_perfect_on_periodic_series(spark):
     assert out2["2024-03-03"].bias < 0  # actual raised => forecast under
     assert out2["2024-03-04"].bias > 0  # next day forecasts the spike
     assert out2["2024-03-05"].bias == 0.0
+
+
+def test_event_pattern_match_planted_sequences(spark):
+    """Planted histories: a clean s->c->v->p funnel matches once; an
+    error inside the span breaks the match; two disjoint funnels count
+    twice; same-timestamp events order by the id tie-break."""
+    from datetime import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        event_pattern_match,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: s c v p -> one match 'scvp'
+        (1, t(0), "signup", 10),
+        (1, t(1), "click", 11),
+        (1, t(2), "view", 12),
+        (1, t(3), "purchase", 13),
+        # user 2: s c e p -> error breaks it, no match
+        (2, t(0), "signup", 20),
+        (2, t(1), "click", 21),
+        (2, t(2), "error", 22),
+        (2, t(3), "purchase", 23),
+        # user 3: s p s c p -> two matches
+        (3, t(0), "signup", 30),
+        (3, t(1), "purchase", 31),
+        (3, t(2), "signup", 32),
+        (3, t(3), "click", 33),
+        (3, t(4), "purchase", 34),
+        # user 4: same ts, id order decides: signup(40) < purchase(41)
+        (4, t(0), "signup", 40),
+        (4, t(0), "purchase", 41),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, event_id bigint"
+    )
+    out = {
+        r["user"]: r
+        for r in event_pattern_match(
+            df, "user_id", "ts", "event_type", "event_id",
+            {"signup": "s", "click": "c", "purchase": "p",
+             "view": "v", "error": "e"},
+            r"s[cv]*p",
+        ).collect()
+    }
+    assert set(out) == {1, 3, 4}
+    assert out[1]["n_matches"] == 1 and out[1]["first_match"] == "scvp"
+    assert out[3]["n_matches"] == 2 and out[3]["first_match"] == "sp"
+    assert out[4]["n_matches"] == 1 and out[4]["seq_len"] == 2
