@@ -3919,6 +3919,19 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stats_equidepth(spark: SparkSession, sf: str) -> DataFrame:
+    """Optimizer statistics (round 7, wave 3): per-event-type
+    equi-depth histogram of value (operators/aggregates.py
+    equidepth_histogram) — the ANALYZE-style equal-frequency bins CBOs
+    store. Boundaries are actual data values picked by pure integer
+    ceil arithmetic on exact cumulative counts (no quantile
+    interpolation); the corpus reduces to per-distinct-value cells
+    before any window touches it (the KS sketch-size rationale)."""
+    e = load_table(spark, sf, "events")
+    out = agg.equidepth_histogram(e, ["event_type"], F.col("value"), n_bins=8)
+    return O.sort(out, ["event_type", "bin"])
+
+
 def q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     """North star (round 6): top principal component of the embedding
     covariance by matrix-free distributed power iteration
@@ -5626,6 +5639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_classify": q_nb_classify,
         "q_bootstrap_ci": q_bootstrap_ci,
         "q_event_pattern": q_event_pattern,
+        "q_stats_equidepth": q_stats_equidepth,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5904,7 +5918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_map_funcs",
         "q_json_extract",
         "q_text_wordcount",
-        "q_text_quality",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -5917,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_classify",
         "q_bootstrap_ci",
         "q_event_pattern",
+        "q_stats_equidepth",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -8884,6 +8898,35 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: equi-depth histogram — integer-ceil bin
+        # assignment over exact cumulative distinct-value counts
+        "q_stats_equidepth": r"""
+            WITH counts AS (
+                SELECT event_type, value AS v, COUNT(*) AS c
+                FROM events GROUP BY event_type, value
+            ), tot AS (
+                SELECT event_type, SUM(c) AS n FROM counts GROUP BY event_type
+            ), cum AS (
+                SELECT c.event_type, v, c.c,
+                       SUM(c.c) OVER (PARTITION BY c.event_type ORDER BY v) AS cum,
+                       t.n
+                FROM counts c JOIN tot t USING (event_type)
+            ), binned AS (
+                SELECT event_type, v, c, cum,
+                       LEAST(8, (cum * 8 + n - 1) // n) AS bin
+                FROM cum
+            ), per_bin AS (
+                SELECT event_type, bin, MAX(v) AS hi,
+                       SUM(c) AS bin_rows, MAX(cum) AS cum_rows
+                FROM binned GROUP BY event_type, bin
+            )
+            SELECT event_type, CAST(bin AS INT) AS bin,
+                   LAG(hi) OVER (PARTITION BY event_type ORDER BY bin) AS lo,
+                   hi,
+                   CAST(bin_rows AS BIGINT) AS bin_rows,
+                   CAST(cum_rows AS BIGINT) AS cum_rows
+            FROM per_bin ORDER BY event_type, bin
+        """,
         # round 7 wave 3: MATCH_RECOGNIZE analog — ordered per-user
         # char encoding + the same alternation-free greedy regex
         "q_event_pattern": r"""

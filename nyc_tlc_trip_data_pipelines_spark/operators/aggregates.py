@@ -811,3 +811,71 @@ def poisson_bootstrap_ci(
         F.round(F.col("__hi") / 1e6, 6).alias("ci_hi"),
         F.lit(int(n_boot)).cast("int").alias("n_boot"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Per-group equi-depth (equal-frequency) histogram — the column
+    statistic ANALYZE builds for optimizers (Spark CBO, Postgres,
+    Oracle all store equi-depth bins): bin j's upper boundary is the
+    smallest value whose cumulative row count reaches ⌈j·n/B⌉, so
+    every bin holds ~n/B rows no matter how skewed the distribution
+    (fixed-width bins — :func:`binned_quantile_rollup` — waste
+    resolution on skew; equi-depth adapts to it).
+
+    Returns one row per (group, bin): (keys…, bin, lo, hi, bin_rows,
+    cum_rows) — ``lo`` is the previous bin's upper bound (NULL for bin
+    1: the bin is bounded below by the group minimum), boundaries are
+    ACTUAL data values (never interpolated), counts are exact.
+
+    Determinism: bin assignment is pure integer arithmetic on exact
+    counts — ``bin = min(B, (cum·B + n − 1) div n)`` (integer ceil) —
+    no float quantile interpolation anywhere, so any engine reproduces
+    the same boundaries bit-for-bit.
+
+    Scale shape: the corpus reduces to one row per DISTINCT (group,
+    value) in the first keyed aggregate (map-side combined — for
+    fixed-precision metrics that is thousands of cells regardless of
+    corpus size); the running sum and bin grouping run over that
+    sketch-sized table (the ks_two_sample rationale). Nothing sorts
+    the raw data. Integer bin math stays exact while cum·B < 2⁶³ —
+    beyond ~10¹⁸ row-bins, quantize the value domain first.
+    """
+    from pyspark.sql import Window as _W
+
+    v = F.col(value) if isinstance(value, str) else value
+    counts = df.groupBy(*keys, v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.groupBy(*keys).agg(F.sum("c").cast("long").alias("n"))
+    w = _W.partitionBy(*keys).orderBy("v")
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(w).cast("long"))
+        .join(F.broadcast(tot), list(keys))
+    )
+    bin_col = F.least(
+        F.lit(int(n_bins)).cast("long"),
+        F.expr(f"(cum * {int(n_bins)} + n - 1) div n"),
+    ).alias("bin")
+    per_bin = (
+        cum.select(*keys, "v", "c", "cum", bin_col)
+        .groupBy(*keys, "bin")
+        .agg(
+            F.max("v").alias("hi"),
+            F.sum("c").cast("long").alias("bin_rows"),
+            F.max("cum").cast("long").alias("cum_rows"),
+        )
+    )
+    wb = _W.partitionBy(*keys).orderBy("bin")
+    return per_bin.select(
+        *keys,
+        F.col("bin").cast("int").alias("bin"),
+        F.lag("hi").over(wb).alias("lo"),
+        "hi",
+        "bin_rows",
+        "cum_rows",
+    )

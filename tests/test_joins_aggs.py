@@ -410,3 +410,29 @@ def test_poisson_bootstrap_ci_constant_and_spread(spark):
     assert s["ci_lo"] < s["ci_hi"] and s["se_boot"] > 0
     # bootstrap SE of a ~uniform(0,100) mean at n=400 is ~1.44 — sane band
     assert 0.5 < s["se_boot"] < 3.0
+
+
+def test_equidepth_histogram_uniform_and_skewed(spark):
+    """Uniform 1..80 over 8 bins -> each bin holds exactly 10 rows with
+    boundaries at multiples of 10; a heavy-hitter value collapses its
+    whole mass into one bin (boundaries are actual data values)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        equidepth_histogram,
+    )
+
+    rows = [("u", float(i)) for i in range(1, 81)]
+    rows += [("s", 5.0)] * 70 + [("s", float(100 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = equidepth_histogram(df, ["k"], F.col("value"), n_bins=8).collect()
+    uni = sorted((r for r in out if r["k"] == "u"), key=lambda r: r["bin"])
+    assert [r["bin"] for r in uni] == list(range(1, 9))
+    assert all(r["bin_rows"] == 10 for r in uni)
+    assert [r["hi"] for r in uni] == [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+    assert uni[0]["lo"] is None and uni[1]["lo"] == 10.0
+    assert [r["cum_rows"] for r in uni] == [10, 20, 30, 40, 50, 60, 70, 80]
+    skew = sorted((r for r in out if r["k"] == "s"), key=lambda r: r["bin"])
+    # 70 of 80 rows share v=5.0 -> cum=70 lands in bin ceil(70*8/80)=7
+    assert skew[0]["bin"] == 7 and skew[0]["hi"] == 5.0 and skew[0]["bin_rows"] == 70
+    assert skew[-1]["bin"] == 8 and skew[-1]["bin_rows"] == 10
