@@ -381,3 +381,39 @@ def test_listing_stream_reader_key_cursor_not_positional(tmp_path):
     # is the documented backfill case, not silent loss of the object
     fresh, _ = r.read(r.initialOffset())
     assert [k for k, _ in fresh][0] == "a.bin"
+
+
+def test_tws_running_totals_batch_twin(spark):
+    """The State-API-v2 operator's batch twin: exact micro-unit sums."""
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    rows = [(i, i % 3, float(i) + 0.25) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    out = {r["key"]: r for r in ST.tws_running_totals(df, "user_id", "value").collect()}
+    assert out[0]["n_events"] == 20
+    # sum over 0,3,...,57 (+0.25 each) = 570 + 5 = 575.0 exactly
+    assert out[0]["sum_value"] == 575.0
+
+
+def test_tws_running_totals_stream_guard_or_run(spark, replay_dir):
+    """Without protobuf the streaming path must fail LOUDLY (not crash
+    the query mid-flight); with protobuf it must match the batch twin."""
+    import pytest
+
+    from nyc_tlc_trip_data_pipelines_spark import streaming as ST
+
+    stream = ST.read_file_stream(
+        spark, replay_dir, _batch_df(spark, replay_dir).schema, max_files_per_trigger=2
+    )
+    if not ST.HAS_TWS_PROTO:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            ST.tws_running_totals(stream, "user_id", "value")
+        return
+    updates = ST.tws_running_totals(stream, "user_id", "value")
+    out = ST.run_with_rocksdb_state(updates, "tws_v2_sink", output_mode="update")
+    from nyc_tlc_trip_data_pipelines_spark.operators import windows as W
+    from pyspark.sql import functions as F
+
+    final = W.top_n_per_group(out, ["key"], [F.col("n_events").desc()], n=1)
+    expect = ST.tws_running_totals(_batch_df(spark, replay_dir), "user_id", "value")
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expect.collect()))
