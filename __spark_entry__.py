@@ -3919,6 +3919,31 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_labelprop(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative algorithm (round 7, wave 3): semi-supervised label
+    propagation (operators/graph.py label_propagation) over the
+    VERIFIED near-dup pair graph — a 1-in-4 portable-hash seed set
+    keeps its lang label, and unlabeled docs adopt the majority
+    neighbor label frontier-by-frontier for 2 rounds (monotone
+    variant: labeled nodes never flip, so no oscillation and the
+    oracle unrolls both rounds as CTEs over the same exact-Jaccard
+    pair replay as q_graph_components). Ties break (count DESC,
+    label ASC) via grouped MAX + equi-join."""
+    docs = load_table(spark, sf, "documents")
+    pairs = TX.minhash_verified_pairs(docs, threshold=0.8)
+    h = TX.portable_hash60(
+        F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.lit("23"))
+    )
+    seeds = docs.filter(h % 4 == 0).select("doc_id", F.col("lang").alias("label"))
+    out = GR.label_propagation(
+        pairs, seeds, src="id_a", dst="id_b", node_col="doc_id", rounds=2
+    )
+    return O.sort(
+        out.select(F.col("node").alias("doc_id"), "label", "round_assigned"),
+        ["doc_id"],
+    )
+
+
 def q_stats_equidepth(spark: SparkSession, sf: str) -> DataFrame:
     """Optimizer statistics (round 7, wave 3): per-event-type
     equi-depth histogram of value (operators/aggregates.py
@@ -5640,6 +5665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bootstrap_ci": q_bootstrap_ci,
         "q_event_pattern": q_event_pattern,
         "q_stats_equidepth": q_stats_equidepth,
+        "q_graph_labelprop": q_graph_labelprop,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5917,7 +5943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running_sum",
         "q_map_funcs",
         "q_json_extract",
-        "q_text_wordcount",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -5931,6 +5956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bootstrap_ci",
         "q_event_pattern",
         "q_stats_equidepth",
+        "q_graph_labelprop",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -8898,6 +8924,70 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: label propagation — same exact-Jaccard pair
+        # replay as q_graph_components, seeds from the portable hash,
+        # both monotone rounds unrolled (votes -> max count -> min
+        # label, only not-yet-labeled nodes adopt)
+        "q_graph_labelprop": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, LENGTH(LOWER(text)) - 4),
+                               i -> SUBSTRING(LOWER(text), i, 5)))
+                       ELSE CAST([] AS VARCHAR[]) END AS sh
+                FROM documents
+            ), shx AS (
+                SELECT doc_id, UNNEST(sh) AS sg FROM s
+            ), sizes AS (
+                SELECT doc_id, LEN(sh) AS n FROM s
+            ), cm AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM cm JOIN sizes sa ON sa.doc_id = id_a
+                        JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), l0 AS (
+                SELECT doc_id AS node, lang AS label, 0 AS round_assigned
+                FROM documents
+                WHERE (CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), CHR(31), '23')), 1, 15))
+                            AS BIGINT) % 4) = 0
+            ), v1 AS (
+                SELECT e.v AS cand, l.label, COUNT(*) AS c
+                FROM edges e JOIN l0 l ON l.node = e.u
+                WHERE e.v NOT IN (SELECT node FROM l0)
+                GROUP BY e.v, l.label
+            ), b1 AS (
+                SELECT cand, MAX(c) AS mc FROM v1 GROUP BY cand
+            ), a1 AS (
+                SELECT v1.cand AS node, MIN(v1.label) AS label, 1 AS round_assigned
+                FROM v1 JOIN b1 ON v1.cand = b1.cand AND v1.c = b1.mc
+                GROUP BY v1.cand
+            ), l1 AS (
+                SELECT * FROM l0 UNION ALL SELECT * FROM a1
+            ), v2 AS (
+                SELECT e.v AS cand, l.label, COUNT(*) AS c
+                FROM edges e JOIN l1 l ON l.node = e.u
+                WHERE e.v NOT IN (SELECT node FROM l1)
+                GROUP BY e.v, l.label
+            ), b2 AS (
+                SELECT cand, MAX(c) AS mc FROM v2 GROUP BY cand
+            ), a2 AS (
+                SELECT v2.cand AS node, MIN(v2.label) AS label, 2 AS round_assigned
+                FROM v2 JOIN b2 ON v2.cand = b2.cand AND v2.c = b2.mc
+                GROUP BY v2.cand
+            ), l2 AS (
+                SELECT * FROM l1 UNION ALL SELECT * FROM a2
+            )
+            SELECT node AS doc_id, label, CAST(round_assigned AS INT) AS round_assigned
+            FROM l2 ORDER BY doc_id
+        """,
         # round 7 wave 3: equi-depth histogram — integer-ceil bin
         # assignment over exact cumulative distinct-value counts
         "q_stats_equidepth": r"""

@@ -143,6 +143,11 @@ ROUND7_OPS = [
     "q_stl_decompose",
     "q_zipf_fit",
     "q_forecast_backtest",
+    # wave 3: classifier / bootstrap / pattern / stats additions
+    "q_nb_classify",
+    "q_bootstrap_ci",
+    "q_event_pattern",
+    "q_stats_equidepth",
 ]
 
 

@@ -745,3 +745,29 @@ def test_pca_zero_variance_raises(spark):
     )
     with _pytest.raises(ValueError, match="zero-variance"):
         pca_top_component(df, iterations=1)
+
+
+def test_label_propagation_frontier_ties_and_fixity(spark):
+    """Chain seed->B->C labels hop-by-hop; an equal-vote node takes the
+    lexicographically smallest label; already-labeled nodes never flip."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import label_propagation
+
+    # graph: 1-2-3 chain (seed 1), plus tie node 10 between seeds 11 ('b')
+    # and 12 ('a'), plus seed-adjacent seed 20-21 (both seeded, no flip)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 10), (12, 10), (20, 21)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "x"), (11, "b"), (12, "a"), (20, "p"), (21, "q")],
+        "node bigint, label string",
+    )
+    out = {
+        r["node"]: (r["label"], r["round_assigned"])
+        for r in label_propagation(edges, seeds, rounds=2).collect()
+    }
+    assert out[1] == ("x", 0)
+    assert out[2] == ("x", 1)
+    assert out[3] == ("x", 2)
+    assert out[10] == ("a", 1)          # 1-1 tie -> min label
+    assert out[20] == ("p", 0) and out[21] == ("q", 0)  # seeds never flip
+    assert set(out) == {1, 2, 3, 10, 11, 12, 20, 21}
