@@ -3919,6 +3919,20 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_anomaly_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed monitoring pipeline (round 7, wave 3): STL residual
+    anomalies (operators/timeseries.py seasonal_anomalies) — decompose
+    the hourly series (q_stl_decompose's exact micro-unit chain), then
+    flag buckets whose residual breaks the 3σ-equivalent MAD fence.
+    Residual thresholds catch departures from expected trend+season
+    that raw-value fences (q_anomaly_mad) miss, and the medians run
+    over the time-range-sized bucket series — sketch-sized at any
+    corpus scale."""
+    e = load_table(spark, sf, "events")
+    return TS.seasonal_anomalies(e, "ts", "value", period=24,
+                                 trend_halfwidth=12, n_sigmas=3.0)
+
+
 def q_graph_labelprop(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative algorithm (round 7, wave 3): semi-supervised label
     propagation (operators/graph.py label_propagation) over the
@@ -5666,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pattern": q_event_pattern,
         "q_stats_equidepth": q_stats_equidepth,
         "q_graph_labelprop": q_graph_labelprop,
+        "q_anomaly_seasonal": q_anomaly_seasonal,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5942,7 +5957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_lag_lead",
         "q_window_running_sum",
         "q_map_funcs",
-        "q_json_extract",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -5957,6 +5971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pattern",
         "q_stats_equidepth",
         "q_graph_labelprop",
+        "q_anomaly_seasonal",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -8924,6 +8939,54 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: STL residual anomalies — the q_stl_decompose
+        # chain + interpolated medians + the 3σ-equivalent MAD fence
+        "q_anomaly_seasonal": r"""
+            WITH hourly AS (
+                SELECT DATE_TRUNC('hour', ts) AS bucket,
+                       ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / COUNT(*) / 1000000.0, 6) AS level
+                FROM events GROUP BY bucket
+            ), trended AS (
+                SELECT bucket, level,
+                       ROUND(CAST(SUM(CAST(ROUND(level * 1000000.0, 0) AS BIGINT))
+                                  OVER w AS DOUBLE)
+                             / (COUNT(*) OVER w)
+                             / 1000000.0, 6) AS trend
+                FROM hourly
+                WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+            ), detr AS (
+                SELECT bucket, level, trend,
+                       ROUND(level - trend, 6) AS detr,
+                       CAST(EXTRACT(hour FROM bucket) AS INT) % 24 AS phase
+                FROM trended
+            ), seasonal AS (
+                SELECT phase,
+                       ROUND(CAST(SUM(CAST(ROUND(detr * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / COUNT(*) / 1000000.0, 6) AS seasonal
+                FROM detr GROUP BY phase
+            ), dec AS (
+                SELECT d.bucket, d.phase, d.level, d.trend, s.seasonal,
+                       ROUND(d.detr - s.seasonal, 6) AS residual
+                FROM detr d JOIN seasonal s USING (phase)
+            ), med AS (
+                SELECT QUANTILE_CONT(residual, 0.5) AS m FROM dec
+            ), adev AS (
+                SELECT dec.*, ABS(ROUND(residual - m, 6)) AS adev
+                FROM dec CROSS JOIN med
+            ), madt AS (
+                SELECT ROUND(3.0 * 1.4826 * QUANTILE_CONT(adev, 0.5), 6) AS thr
+                FROM adev
+            )
+            SELECT bucket, phase, level,
+                   ROUND(trend + seasonal, 6) AS expected,
+                   residual,
+                   thr AS threshold,
+                   CASE WHEN thr > 0 THEN ROUND(adev / thr, 6) END AS anomaly_score
+            FROM adev CROSS JOIN madt
+            WHERE adev > thr
+            ORDER BY bucket
+        """,
         # round 7 wave 3: label propagation — same exact-Jaccard pair
         # replay as q_graph_components, seeds from the portable hash,
         # both monotone rounds unrolled (votes -> max count -> min

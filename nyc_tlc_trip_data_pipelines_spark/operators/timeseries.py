@@ -774,3 +774,58 @@ def event_pattern_match(
         )
         .filter(F.col("n_matches") >= 1)
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 24,
+    trend_halfwidth: int = 12,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: :func:`stl_decompose` the
+    series, then flag buckets whose RESIDUAL breaks the MAD rule
+    (|r − median| > n_sigmas · 1.4826 · MAD) — the composition every
+    metrics-monitoring pipeline runs, because raw-value thresholds
+    (:func:`mad_anomalies`) fire on ordinary daily peaks while residual
+    thresholds fire only on departures from the expected
+    trend + season (an anomalous QUIET hour is as visible as a spike).
+
+    Returns the flagged buckets only: (bucket, phase, level, expected,
+    residual, threshold, anomaly_score) where expected = trend +
+    seasonal, threshold is the MAD fence and anomaly_score =
+    |residual| / threshold (≥ 1 by construction; NULL-guarded when MAD
+    is 0 — then any nonzero residual flags with score NULL, the
+    degenerate-contract convention of ks_two_sample).
+
+    Scale shape: inherits stl_decompose's one corpus-sized aggregate;
+    the medians and the verdict run over the time-range-sized bucket
+    series (720 rows at the fixture), so the exact medians are
+    sketch-sized by construction — the approx_percentile escape hatch
+    is unnecessary here regardless of corpus size.
+    """
+    dec = stl_decompose(df, ts_col, value_col, period, trend_halfwidth)
+    med = dec.agg(F.median("residual").alias("__med"))
+    dev = dec.crossJoin(F.broadcast(med)).withColumn(
+        "__adev", F.abs(F.round(F.col("residual") - F.col("__med"), 6))
+    )
+    mad = dev.agg(F.median("__adev").alias("__mad"))
+    fence = F.round(F.lit(n_sigmas) * F.lit(1.4826) * F.col("__mad"), 6)
+    flagged = (
+        dev.crossJoin(F.broadcast(mad))
+        .withColumn("threshold", fence)
+        .filter(F.col("__adev") > F.col("threshold"))
+    )
+    return flagged.select(
+        "bucket",
+        "phase",
+        "level",
+        F.round(F.col("trend") + F.col("seasonal"), 6).alias("expected"),
+        "residual",
+        "threshold",
+        F.when(
+            F.col("threshold") > 0,
+            F.round(F.col("__adev") / F.col("threshold"), 6),
+        ).alias("anomaly_score"),
+    ).orderBy("bucket")

@@ -413,3 +413,33 @@ def test_event_pattern_match_planted_sequences(spark):
     assert out[1]["n_matches"] == 1 and out[1]["first_match"] == "scvp"
     assert out[3]["n_matches"] == 2 and out[3]["first_match"] == "sp"
     assert out[4]["n_matches"] == 1 and out[4]["seq_len"] == 2
+
+
+def test_seasonal_anomalies_planted_spike(spark):
+    """A clean 24h-periodic series has ~zero residuals everywhere; one
+    spiked hour must be the unique flagged bucket, with expected =
+    trend + seasonal and score > 1."""
+    from datetime import datetime, timedelta
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 14):  # 14 clean periodic days
+        ts = base + timedelta(hours=h)
+        v = 100.0 + 10.0 * (h % 24)
+        if h == 24 * 7 + 5:  # one spiked hour mid-series
+            v += 500.0
+        rows.append((h, ts, v))
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double")
+    out = seasonal_anomalies(df, "ts", "value", period=24, trend_halfwidth=12).collect()
+    assert len(out) >= 1
+    spiked = [r for r in out if r["bucket"] == base + timedelta(hours=24 * 7 + 5)]
+    assert len(spiked) == 1
+    r = spiked[0]
+    assert r["anomaly_score"] is not None and r["anomaly_score"] > 1.0
+    assert abs((r["expected"] + r["residual"]) - r["level"]) < 2e-6
+    # the spike is the TOP anomaly
+    assert r["anomaly_score"] == max(x["anomaly_score"] for x in out)
