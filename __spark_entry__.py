@@ -3919,6 +3919,19 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Drift monitor (round 7, wave 3): two-sided CUSUM over the hourly
+    mean series (operators/timeseries.py cusum_changepoints; Page
+    1954) — the sustained-shift detector that complements the
+    per-point fences (q_anomaly_mad, q_anomaly_seasonal). The
+    recurrence is rewritten as cumsum-minus-running-extremum (two
+    ordered windows over the time-range-sized series), every
+    accumulation an exact integer micro-unit, full trajectory + alarm
+    flags emitted."""
+    e = load_table(spark, sf, "events")
+    return TS.cusum_changepoints(e, "ts", "value", slack=1.0, threshold=8.0)
+
+
 def q_anomaly_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     """Composed monitoring pipeline (round 7, wave 3): STL residual
     anomalies (operators/timeseries.py seasonal_anomalies) — decompose
@@ -5681,6 +5694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stats_equidepth": q_stats_equidepth,
         "q_graph_labelprop": q_graph_labelprop,
         "q_anomaly_seasonal": q_anomaly_seasonal,
+        "q_changepoint_cusum": q_changepoint_cusum,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5956,7 +5970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_rank",
         "q_window_lag_lead",
         "q_window_running_sum",
-        "q_map_funcs",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -5972,6 +5985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stats_equidepth",
         "q_graph_labelprop",
         "q_anomaly_seasonal",
+        "q_changepoint_cusum",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -8939,6 +8953,42 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: CUSUM — recurrence as cumsum − running
+        # extremum, all integer micro-units (slack 1.0, threshold 8.0)
+        "q_changepoint_cusum": r"""
+            WITH hourly AS (
+                SELECT DATE_TRUNC('hour', ts) AS bucket,
+                       CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                                  / COUNT(*), 0) AS BIGINT) AS lvl
+                FROM events GROUP BY bucket
+            ), mu AS (
+                SELECT CAST(ROUND(CAST(SUM(lvl) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS mu
+                FROM hourly
+            ), based AS (
+                SELECT bucket, lvl,
+                       lvl - mu - 1000000 AS y_pos,
+                       lvl - mu + 1000000 AS y_neg
+                FROM hourly CROSS JOIN mu
+            ), cums AS (
+                SELECT bucket, lvl,
+                       SUM(y_pos) OVER w AS cp,
+                       SUM(y_neg) OVER w AS cn
+                FROM based
+                WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            ), traj AS (
+                SELECT bucket, lvl,
+                       cp - LEAST(0, MIN(cp) OVER w) AS sp,
+                       GREATEST(0, MAX(cn) OVER w) - cn AS sn
+                FROM cums
+                WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT bucket,
+                   ROUND(lvl / 1e6, 6) AS level,
+                   ROUND(sp / 1e6, 6) AS cusum_pos,
+                   ROUND(sn / 1e6, 6) AS cusum_neg,
+                   CAST(CASE WHEN sp > 8000000 OR sn > 8000000 THEN 1 ELSE 0 END AS INT) AS alarm
+            FROM traj ORDER BY bucket
+        """,
         # round 7 wave 3: STL residual anomalies — the q_stl_decompose
         # chain + interpolated medians + the 3σ-equivalent MAD fence
         "q_anomaly_seasonal": r"""

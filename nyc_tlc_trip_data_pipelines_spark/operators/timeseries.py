@@ -829,3 +829,95 @@ def seasonal_anomalies(
             F.round(F.col("__adev") / F.col("threshold"), 6),
         ).alias("anomaly_score"),
     ).orderBy("bucket")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slack: float = 1.0,
+    threshold: float = 8.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point monitor (Page 1954) over the hourly
+    mean series — the classic drift detector: S⁺ accumulates positive
+    departures from the in-control mean beyond a ``slack`` allowance
+    and alarms past ``threshold`` (S⁻ symmetric), catching small
+    SUSTAINED shifts long before any per-point fence
+    (:func:`seasonal_anomalies` flags spikes; CUSUM flags creep).
+
+    The textbook recurrence ``S⁺_t = max(0, S⁺_{t−1} + y_t)`` is not a
+    window aggregate, but it has the exact prefix form
+    ``S⁺_t = C_t − min(0, min_{j≤t} C_j)`` with C the running sum of
+    ``y_t = x_t − μ − slack`` — two ordered windows, no recursion
+    (S⁻ mirrors with max). Everything accumulates in integer
+    micro-units (level, μ, slack, threshold all quantized), so the
+    trajectories are exact and any engine replays them; the only
+    divisions happen at the 6-dp output boundary.
+
+    Returns the FULL trajectory — (bucket, level, cusum_pos,
+    cusum_neg, alarm) for every hourly bucket, alarm = 1 where either
+    side exceeds the threshold — so callers (and the oracle contract)
+    see resets and build-ups, not just alarm rows.
+
+    Scale shape: one corpus-sized hash aggregate to hourly buckets;
+    both cumulative windows run over the time-range-sized series
+    (sketch-sized by construction — the stl_decompose rationale). μ
+    rides in as a broadcast one-row aggregate, never an eager collect.
+    """
+    s_micro = int(round(float(slack) * 1e6))
+    h_micro = int(round(float(threshold) * 1e6))
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+    hourly = (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            micro(F.col(value_col).cast("double")).alias("vq"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(F.sum("vq") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("lvl_micro")
+        )
+    )
+    mu = hourly.agg(
+        F.round(F.sum("lvl_micro") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("mu_micro")
+    )
+    based = hourly.crossJoin(F.broadcast(mu)).select(
+        "bucket",
+        "lvl_micro",
+        (F.col("lvl_micro") - F.col("mu_micro") - F.lit(s_micro)).alias("y_pos"),
+        (F.col("lvl_micro") - F.col("mu_micro") + F.lit(s_micro)).alias("y_neg"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cums = based.select(
+        "bucket",
+        "lvl_micro",
+        F.sum("y_pos").over(w).alias("cp"),
+        F.sum("y_neg").over(w).alias("cn"),
+    )
+    traj = cums.select(
+        "bucket",
+        "lvl_micro",
+        (
+            F.col("cp")
+            - F.least(F.lit(0).cast("long"), F.min("cp").over(w))
+        ).alias("sp"),
+        (
+            F.greatest(F.lit(0).cast("long"), F.max("cn").over(w))
+            - F.col("cn")
+        ).alias("sn"),
+    )
+    return traj.select(
+        "bucket",
+        F.round(F.col("lvl_micro") / 1e6, 6).alias("level"),
+        F.round(F.col("sp") / 1e6, 6).alias("cusum_pos"),
+        F.round(F.col("sn") / 1e6, 6).alias("cusum_neg"),
+        F.when(
+            (F.col("sp") > h_micro) | (F.col("sn") > h_micro), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("alarm"),
+    ).orderBy("bucket")

@@ -443,3 +443,40 @@ def test_seasonal_anomalies_planted_spike(spark):
     assert abs((r["expected"] + r["residual"]) - r["level"]) < 2e-6
     # the spike is the TOP anomaly
     assert r["anomaly_score"] == max(x["anomaly_score"] for x in out)
+
+
+def test_cusum_changepoints_planted_shift(spark):
+    """A level series with a sustained +3 shift halfway through: S+ must
+    build up past the threshold after the shift (alarm=1) while the
+    pre-shift half stays quiet; resets verified by the max(0, .) floor."""
+    from datetime import datetime, timedelta
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for h in range(200):
+        v = 100.0 + (3.0 if h >= 100 else 0.0)
+        rows.append((h, base + timedelta(hours=h), v))
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double")
+    out = sorted(
+        cusum_changepoints(df, "ts", "value", slack=1.0, threshold=8.0).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(out) == 200
+    # global mean = 101.5; pre-shift y_pos = -2.5/h -> S+ pinned at 0
+    first_half = out[:100]
+    assert all(r["cusum_pos"] == 0.0 for r in first_half)
+    # the flat-low first half IS a sustained negative departure from the
+    # global mean: S- builds at 1.5/h and alarms — correct CUSUM behavior
+    assert max(r["cusum_neg"] for r in first_half) > 8.0
+    # post-shift y_pos = +0.5/h: S+ = 0.5*(t-99), crossing 8.0 at t=116
+    assert out[100]["cusum_pos"] == 0.5
+    assert out[199]["cusum_pos"] == 50.0
+    assert all(
+        (r["alarm"] == 1) == (r["cusum_pos"] > 8.0 or r["cusum_neg"] > 8.0)
+        for r in out
+    )
+    assert out[116]["cusum_pos"] > 8.0 and out[116]["alarm"] == 1
