@@ -3919,6 +3919,21 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval evaluation (round 7, wave 3): recall@10 / MRR@10 /
+    nDCG@10 of the BM25 ranker over four single-term queries against
+    the tf≥3 pseudo-relevance oracle (operators/text.py
+    retrieval_eval) — the measurement layer of the retrieval stack.
+    Base-e DCG discounts (the ratio IS standard nDCG) quantized to
+    integer micro-units so DCG/IDCG are exact bigint sums; one
+    tokenize pass, per-query ranking window, metric math on ≤k rows
+    per query."""
+    docs = load_table(spark, sf, "documents")
+    return TX.retrieval_eval(
+        docs, ["spark", "join", "window", "scan"], k=10, rel_tf=3
+    )
+
+
 def q_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     """Drift monitor (round 7, wave 3): two-sided CUSUM over the hourly
     mean series (operators/timeseries.py cusum_changepoints; Page
@@ -5695,6 +5710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_labelprop": q_graph_labelprop,
         "q_anomaly_seasonal": q_anomaly_seasonal,
         "q_changepoint_cusum": q_changepoint_cusum,
+        "q_retrieval_eval": q_retrieval_eval,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5969,7 +5985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_avg_two_grains",
         "q_window_rank",
         "q_window_lag_lead",
-        "q_window_running_sum",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -5986,6 +6001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_labelprop",
         "q_anomaly_seasonal",
         "q_changepoint_cusum",
+        "q_retrieval_eval",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -8953,6 +8969,70 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: retrieval eval — the q_bm25_rank chain kept
+        # per-query, tf>=3 relevance, micro-unit base-e DCG discounts
+        "q_retrieval_eval": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents
+            ), dlen AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                WHERE term IN ('join', 'scan', 'spark', 'window')
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       ROUND(LN(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                             * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+                FROM tf JOIN dlen USING (doc_id)
+                        JOIN dfreq USING (term)
+                        CROSS JOIN stats
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+                FROM scored
+            ), nrel AS (
+                SELECT term, COUNT(*) AS n_rel FROM ranked
+                WHERE tf >= 3 GROUP BY term
+            ), hits AS (
+                SELECT term, COUNT(*) AS n_hits, MIN(rank) AS first_rank,
+                       SUM(CAST(ROUND(1000000.0 / LN(rank + 1.0), 0) AS BIGINT)) AS dcg_micro
+                FROM ranked WHERE rank <= 10 AND tf >= 3 GROUP BY term
+            ), ideal AS (
+                SELECT term, n_rel,
+                       SUM(CAST(ROUND(1000000.0 / LN(i + 1.0), 0) AS BIGINT)) AS idcg_micro
+                FROM (
+                    SELECT term, n_rel,
+                           UNNEST(GENERATE_SERIES(1, LEAST(10, CAST(n_rel AS INT)))) AS i
+                    FROM nrel WHERE n_rel >= 1
+                ) t
+                GROUP BY term, n_rel
+            ), qs AS (
+                SELECT UNNEST(['join', 'scan', 'spark', 'window']) AS term
+            )
+            SELECT qs.term AS query,
+                   CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
+                   CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                   CASE WHEN n_rel >= 1
+                        THEN ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_rel, 6)
+                   END AS recall_at_k,
+                   CASE WHEN n_rel >= 1
+                        THEN COALESCE(ROUND(1.0 / first_rank, 6), 0.0)
+                   END AS mrr_at_k,
+                   CASE WHEN n_rel >= 1
+                        THEN ROUND(CAST(COALESCE(dcg_micro, 0) AS DOUBLE) / idcg_micro, 6)
+                   END AS ndcg_at_k
+            FROM qs LEFT JOIN ideal USING (term) LEFT JOIN hits USING (term)
+            ORDER BY query
+        """,
         # round 7 wave 3: CUSUM — recurrence as cumsum − running
         # extremum, all integer micro-units (slack 1.0, threshold 8.0)
         "q_changepoint_cusum": r"""

@@ -1460,3 +1460,127 @@ def zipf_fit(
             F.when((var_x != 0) & (var_y != 0), cov_n * cov_n / (var_x * var_y)), 6
         ).alias("r2"),
     )
+
+
+def retrieval_eval(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    rel_tf: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Retrieval-quality evaluation — recall@k, MRR@k and nDCG@k for a
+    BM25 ranker over a set of single-term queries, judged against a
+    deterministic pseudo-relevance oracle (relevant = tf ≥ ``rel_tf``,
+    the graded-by-frequency stand-in a pipeline uses before human
+    judgments exist). This is the eval harness of the retrieval stack
+    (q_bm25_rank / q_rrf_fusion produce rankings; this measures them).
+
+    Metric contracts: MRR = 1/rank of the first relevant hit (0 when
+    none in the top k); nDCG uses natural-log discounts — base-e DCG
+    is a constant multiple of base-2, so the RATIO is the standard
+    nDCG while avoiding cross-engine log2; each discount 1/ln(i+1)
+    quantizes to integer micro-units so DCG and IDCG are exact bigint
+    sums (the float-order rule), and the final ratios round at 6 dp.
+    Queries with an empty relevant set emit NULL metrics (undefined,
+    distinguishable — the ks_two_sample degenerate contract).
+
+    Scale shape: ONE tokenize pass feeds document lengths and the
+    (doc, term) tf table (the bm25_rank plan, kept per-query instead
+    of summed); ranking is a per-query ROW_NUMBER over each query's
+    candidate set — one keyed shuffle; all metric arithmetic runs on
+    ≤ k rows per query plus a |queries|-sized ideal-rank explode. At
+    100 TB swap the ranking window for a per-query top-k
+    (TakeOrdered) if candidate sets are corpus-sized.
+    """
+    from pyspark.sql import Window as _W
+
+    toks = df.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    dlen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dlen, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).alias("score"),
+        )
+    )
+    wr = _W.partitionBy("term").orderBy(F.desc("score"), F.asc(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(wr)).persist()
+    rel = ranked.filter(F.col("tf") >= rel_tf)
+    n_rel = rel.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    disc = lambda r: F.round(  # noqa: E731
+        F.lit(1000000.0) / F.log(r.cast("double") + F.lit(1.0)), 0
+    ).cast("long")
+    hits = ranked.filter((F.col("rank") <= k) & (F.col("tf") >= rel_tf))
+    per_q = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("rank").alias("first_rank"),
+        F.sum(disc(F.col("rank"))).alias("dcg_micro"),
+    )
+    ideal = (
+        n_rel.filter(F.col("n_rel") >= 1)
+        .select(
+            "term",
+            "n_rel",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(int(k)), F.col("n_rel")))
+            ).alias("i"),
+        )
+        .groupBy("term", "n_rel")
+        .agg(F.sum(disc(F.col("i"))).alias("idcg_micro"))
+    )
+    qs = df.sparkSession.createDataFrame(
+        [(t,) for t in sorted(query_terms)], "term string"
+    )
+    return (
+        qs.join(ideal, "term", "left")
+        .join(per_q, "term", "left")
+        .select(
+            F.col("term").alias("query"),
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.col("n_rel") >= 1,
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_rel"), 6
+                ),
+            ).alias("recall_at_k"),
+            F.when(
+                F.col("n_rel") >= 1,
+                F.coalesce(F.round(1.0 / F.col("first_rank"), 6), F.lit(0.0)),
+            ).alias("mrr_at_k"),
+            F.when(
+                F.col("n_rel") >= 1,
+                F.round(
+                    F.coalesce(F.col("dcg_micro"), F.lit(0))
+                    / F.col("idcg_micro"),
+                    6,
+                ),
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("query")
+    )

@@ -307,3 +307,30 @@ def test_nb_classify_planted_signal(spark):
     for r in out.values():
         assert r["score"] < 0 and math.isfinite(r["score"])
         assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-3
+
+
+def test_retrieval_eval_planted_ranking(spark):
+    """Corpus where relevance aligns with tf: the query term appearing
+    tf>=3 in exactly 3 docs that BM25 must rank on top -> perfect
+    recall/MRR/nDCG; a term with no tf>=3 docs -> NULL metrics."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.text import retrieval_eval
+
+    rows = [
+        (1, "apple apple apple apple pad pad"),
+        (2, "apple apple apple pad pad pad"),
+        (3, "apple apple apple pad pad pad pad"),
+        (4, "apple pad pad pad pad pad"),
+        (5, "pear pad pad pad pad pad"),
+    ] + [(100 + i, "pad filler words only here") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["query"]: r for r in retrieval_eval(df, ["apple", "pear"], k=10, rel_tf=3).collect()}
+    a = out["apple"]
+    # docs 1,2,3 are relevant (tf>=3); all retrieved in top-10 and BM25
+    # puts the highest-tf doc first -> recall 1, MRR 1, nDCG 1
+    assert a["n_rel"] == 3 and a["n_hits"] == 3
+    assert a["recall_at_k"] == 1.0 and a["mrr_at_k"] == 1.0
+    assert a["ndcg_at_k"] == 1.0
+    p = out["pear"]
+    # 'pear' occurs once -> empty relevant set -> NULL metrics
+    assert p["n_rel"] == 0 and p["n_hits"] == 0
+    assert p["recall_at_k"] is None and p["mrr_at_k"] is None and p["ndcg_at_k"] is None
