@@ -148,6 +148,10 @@ ROUND7_OPS = [
     "q_bootstrap_ci",
     "q_event_pattern",
     "q_stats_equidepth",
+    "q_graph_labelprop",
+    "q_anomaly_seasonal",
+    "q_changepoint_cusum",
+    "q_retrieval_eval",
 ]
 
 
