@@ -5586,6 +5586,22 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumnRenamed("id", "vec_id")
 
 
+def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN flagship composite (round 7, wave 3): IVF-PQ
+    (operators/vectors.py ivfpq_topk; Jégou et al. 2011 §IV — the
+    FAISS IndexIVFPQ shape): coarse k-means cells (kc=4), 6-dp
+    RESIDUAL encoding through the fused PQ trainer (m=4, k=4), probe
+    of the 2 query-nearest cells, per-cell ADC lookup summed in exact
+    integer micro-units — the scan touches n_probe/kc of the corpus
+    and never the raw vectors. The oracle replays the ENTIRE
+    composite: coarse Lloyd → residuals → 4 sliced Lloyd chains →
+    probe rank → per-cell LUT → integer ADC."""
+    emb = load_table(spark, sf, "embeddings")
+    out = V.ivfpq_topk(emb, [1.0] * 64, kc=4, n_probe=2, m=4, k_codes=4,
+                       k_top=10)
+    return out.withColumnRenamed("id", "vec_id")
+
+
 def _rp_signs(d_out: int = 16, dim: int = 64) -> list[list[float]]:
     """Seeded ±1 JL sign matrix — the ONE definition both the Spark
     query and the DuckDB oracle literal derive from."""
@@ -5711,6 +5727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly_seasonal": q_anomaly_seasonal,
         "q_changepoint_cusum": q_changepoint_cusum,
         "q_retrieval_eval": q_retrieval_eval,
+        "q_ann_ivfpq": q_ann_ivfpq,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -5984,7 +6001,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_cross",
         "q_window_avg_two_grains",
         "q_window_rank",
-        "q_window_lag_lead",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -6002,6 +6018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly_seasonal",
         "q_changepoint_cusum",
         "q_retrieval_eval",
+        "q_ann_ivfpq",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -6463,6 +6480,155 @@ def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64) -> str:
         SELECT c0.vec_id, {code_cols},
                ROUND(({micro_sum}) / 1000000.0, 6) AS adc_d2
         FROM code0 c0 {code_joins} {lut_joins}
+        ORDER BY adc_d2, c0.vec_id LIMIT 10
+    """
+
+
+def _ivfpq_oracle(
+    kc: int = 4, n_probe: int = 2, m: int = 4, k: int = 4, dim: int = 64
+) -> str:
+    """q_ann_ivfpq replay — the FULL composite in SQL: coarse Lloyd
+    chain (the q_kmeans shapes: init from the first kc ids, 6-dp
+    distance argmin with cid tie-break, integer micro-unit means,
+    empty cells keep init), 6-dp residuals, the _pq_oracle per-subspace
+    Lloyd chains over the RESIDUAL table, probe = top-n_probe cells by
+    6-dp distance to the all-ones query, per-(cell, sub, code) ADC
+    lookup, exact integer micro-unit distance sums."""
+    subdim = dim // m
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    # ---- coarse quantizer (one Lloyd iteration over the full vector)
+    ctes.append(f"""ci AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {kc})
+        )""")
+    ctes.append(f"""cd AS (
+            SELECT e.vec_id, i.cid,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}),
+                         j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+            FROM emb e CROSS JOIN ci i
+        )""")
+    ctes.append("""ca AS (
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        )""")
+    ctes.append(f"""cu AS (
+            SELECT i.cid, COALESCE(n.c, i.c) AS c
+            FROM ci i LEFT JOIN (
+                SELECT cluster AS cid, LIST(mm ORDER BY dim) AS c FROM (
+                    SELECT a.cluster, gs.dim,
+                           ROUND(SUM(CAST(ROUND(e.v[gs.dim] * 1000000, 0) AS BIGINT))
+                                 / COUNT(*) / 1000000.0, 6) AS mm
+                    FROM ca a JOIN emb e USING (vec_id)
+                    CROSS JOIN GENERATE_SERIES(1, {dim}) gs(dim)
+                    GROUP BY a.cluster, gs.dim
+                ) GROUP BY cluster
+            ) n USING (cid)
+        )""")
+    ctes.append(f"""cf AS (
+            SELECT e.vec_id, i.cid,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}),
+                         j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))), 6) AS d2
+            FROM emb e CROSS JOIN cu i
+        )""")
+    ctes.append("""cellof AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM cf
+            ) WHERE rn = 1
+        )""")
+    ctes.append(f"""probe AS (
+            SELECT cid FROM (
+                SELECT cid,
+                       ROW_NUMBER() OVER (ORDER BY
+                           ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}),
+                                 j -> (1.0 - c[j]) * (1.0 - c[j]))), 6), cid) AS rn
+                FROM cu
+            ) WHERE rn <= {n_probe}
+        )""")
+    ctes.append(f"""res AS (
+            SELECT e.vec_id, cl.cell,
+                   LIST_TRANSFORM(GENERATE_SERIES(1, {dim}),
+                                  j -> ROUND(e.v[j] - u.c[j], 6)) AS v
+            FROM emb e JOIN cellof cl USING (vec_id) JOIN cu u ON u.cid = cl.cell
+        )""")
+    # ---- per-subspace PQ Lloyd chains over the residual table
+    for s in range(m):
+        o = s * subdim
+        ctes.append(f"""i{s} AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                       v[{o + 1}:{o + subdim}] AS c
+                FROM (SELECT vec_id, v FROM res ORDER BY vec_id LIMIT {k})
+            )""")
+        ctes.append(f"""d{s} AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {subdim}),
+                             j -> (e.v[{o} + j] - i.c[j]) * (e.v[{o} + j] - i.c[j]))), 6) AS d2
+                FROM res e CROSS JOIN i{s} i
+            )""")
+        ctes.append(f"""a{s} AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d{s}
+                ) WHERE rn = 1
+            )""")
+        ctes.append(f"""u{s} AS (
+                SELECT i.cid, COALESCE(n.c, i.c) AS c
+                FROM i{s} i LEFT JOIN (
+                    SELECT cluster AS cid, LIST(mm ORDER BY dim) AS c FROM (
+                        SELECT a.cluster, gs.dim,
+                               ROUND(SUM(CAST(ROUND(e.v[{o} + gs.dim] * 1000000, 0) AS BIGINT))
+                                     / COUNT(*) / 1000000.0, 6) AS mm
+                        FROM a{s} a JOIN res e USING (vec_id)
+                        CROSS JOIN GENERATE_SERIES(1, {subdim}) gs(dim)
+                        GROUP BY a.cluster, gs.dim
+                    ) GROUP BY cluster
+                ) n USING (cid)
+            )""")
+        ctes.append(f"""f{s} AS (
+                SELECT e.vec_id, i.cid,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {subdim}),
+                             j -> (e.v[{o} + j] - i.c[j]) * (e.v[{o} + j] - i.c[j]))), 6) AS d2
+                FROM res e CROSS JOIN u{s} i
+            )""")
+        ctes.append(f"""code{s} AS (
+                SELECT vec_id, CAST(cid AS INT) AS code FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM f{s}
+                ) WHERE rn = 1
+            )""")
+        ctes.append(f"""lut{s} AS (
+                SELECT p.cid AS cell, u.cid AS code,
+                       CAST(ROUND(ROUND(LIST_SUM(LIST_TRANSFORM(
+                                GENERATE_SERIES(1, {subdim}),
+                                j -> ((1.0 - cc.c[{o} + j]) - u.c[j])
+                                     * ((1.0 - cc.c[{o} + j]) - u.c[j]))), 6)
+                             * 1000000, 0) AS BIGINT) AS micro
+                FROM probe p JOIN cu cc ON cc.cid = p.cid CROSS JOIN u{s} u
+            )""")
+    code_joins = " ".join(
+        f"JOIN code{s} c{s} USING (vec_id)" for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cell = cl.cell AND l{s}.code = c{s}.code"
+        for s in range(m)
+    )
+    micro_sum = " + ".join(f"l{s}.micro" for s in range(m))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT c0.vec_id, CAST(cl.cell AS INT) AS cell,
+               ROUND(({micro_sum}) / 1000000.0, 6) AS adc_d2
+        FROM code0 c0 {code_joins}
+        JOIN cellof cl USING (vec_id)
+        JOIN probe p ON p.cid = cl.cell
+        {lut_joins}
         ORDER BY adc_d2, c0.vec_id LIMIT 10
     """
 
@@ -8772,6 +8938,7 @@ def oracle_sql() -> dict[str, str]:
         # and centroid means rounded to 6 dp exactly as the Spark side
         "q_kmeans": _kmeans_oracle(),
         "q_ann_pq": _pq_oracle(),
+        "q_ann_ivfpq": _ivfpq_oracle(),
         "q_random_projection": _rp_oracle(),
         "q_dedup_semantic": _semantic_dedup_oracle(),
         "q_dedup_semantic_scaled": _semantic_dedup_scaled_oracle(),

@@ -1179,3 +1179,140 @@ def knn_label_vote(
         "n_neighbors",
         (F.col("anchor_label") == F.col("nlabel")).alias("agree"),
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    kc: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_top: int = 10,
+) -> DataFrame:
+    """IVF-PQ composite index scan (Jégou et al. 2011 §IV; the FAISS
+    ``IndexIVFPQ`` everyone runs at billion scale): a coarse k-means
+    quantizer partitions the corpus into ``kc`` cells, each vector's
+    RESIDUAL (v − coarse centroid) is product-quantized into ``m``
+    sub-codes, and a query probes the ``n_probe`` nearest cells,
+    summing per-cell asymmetric-distance lookups — so the scan reads
+    n_probe/kc of the corpus and never touches raw vectors. Residual
+    encoding is the part plain PQ (:func:`pq_train_encode` +
+    :func:`pq_adc_topk`) lacks: residuals are centered near zero, so
+    the same codebook budget quantizes them much more finely.
+
+    Deterministic end to end: coarse quantizer = :func:`kmeans_train`
+    (fold tier — the k=4 oracle contract), residual components rounded
+    to 6 dp, sub-codebooks trained by the same fused Lloyd chain on the
+    residuals, probe cells picked by 6-dp-rounded L2 distance with cid
+    tie-break (python replay uses HALF_UP rounding and in-order
+    accumulation — bit-identical to the SQL fold), and the per-cell
+    ADC lookup quantizes to integer micro-units so every per-vector
+    distance is an exact bigint sum. The DuckDB twin replays the WHOLE
+    thing: coarse Lloyd → residuals → m sliced Lloyd chains → probe
+    rank → per-cell LUT → integer ADC.
+
+    Returns (id, cell, adc_d2) for the ``k_top`` nearest, ordered by
+    (adc_d2, id).
+
+    Scale shape: training is the kmeans/pq cost envelope (per-iteration
+    aggregate passes with k·dim / m·k·subdim-cell shuffles; sample the
+    training draw at 100 TB — pq_train_encode's ``sample_mod``); the
+    residual table is one map-side join + zip_with pass; the ADC scan
+    joins an (n_probe·m·k_codes)-row broadcast LUT onto the probed
+    cells' codes — shuffle is the single (id, cell) aggregate over
+    n_probe/kc of the corpus. Persisting the residual table avoids
+    re-running the coarse assignment for each PQ training pass.
+    """
+    head = df.select(F.size(vec_col).alias("d")).first()
+    if head is None:
+        raise ValueError("ivfpq_topk: empty input")
+    dim = int(head["d"])
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    assign, coarse = kmeans_train(
+        df, k=kc, iterations=1, vec_col=vec_col, id_col=id_col, tier="fold"
+    )
+    cents = F.array(*[_as_vec_lit(c) for c in coarse])
+    res = (
+        emb.join(assign, "id")
+        .select(
+            "id",
+            F.col("cluster").alias("cell"),
+            F.zip_with(
+                "v",
+                F.element_at(cents, F.col("cluster") + 1),
+                lambda x, y: F.round(x - y, 6),
+            ).alias("residual"),
+        )
+        .persist()
+    )
+    codes, books = pq_train_encode(
+        res, m=m, k=k_codes, iterations=1, vec_col="residual", id_col="id"
+    )
+    # probe: 6-dp-rounded L2 to each coarse centroid, (d2, cid) order —
+    # in-order accumulation + HALF_UP round replays the SQL fold exactly
+    q = [float(x) for x in query]
+    dists = []
+    for cid, c in enumerate(coarse):
+        acc = 0.0
+        for j in range(dim):
+            acc += (q[j] - c[j]) * (q[j] - c[j])
+        dists.append((_round_half_up(acc, 6), cid))
+    probe = sorted(cid for _, cid in sorted(dists)[:n_probe])
+    subdim = dim // m
+    entries = []
+    for cell in probe:
+        qres = [q[j] - coarse[cell][j] for j in range(dim)]
+        for s in range(m):
+            qs = qres[s * subdim : (s + 1) * subdim]
+            for cidx, c in enumerate(books[s]):
+                d2 = F.aggregate(
+                    F.zip_with(
+                        _as_vec_lit(qs),
+                        _as_vec_lit(c),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc2, t: acc2 + t,
+                )
+                entries.append(
+                    F.struct(
+                        F.lit(cell).cast("int").alias("cell"),
+                        F.lit(s).cast("int").alias("sub"),
+                        F.lit(cidx).cast("int").alias("code"),
+                        F.round(d2, 6).alias("d2"),
+                    )
+                )
+    spark = df.sparkSession
+    lut = (
+        spark.range(1)
+        .select(F.explode(F.array(*entries)).alias("e"))
+        .select(
+            "e.cell",
+            "e.sub",
+            "e.code",
+            F.round(F.col("e.d2") * 1e6, 0).cast("long").alias("d2_micro"),
+        )
+    )
+    cand = codes.join(
+        res.select("id", "cell").filter(F.col("cell").isin(*probe)), "id"
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy("id", "cell")
+        .agg(F.sum("d2_micro").alias("__micro"))
+    )
+    return (
+        adc.select(
+            "id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(F.col("__micro") / 1e6, 6).alias("adc_d2"),
+        )
+        .orderBy("adc_d2", "id")
+        .limit(k_top)
+    )

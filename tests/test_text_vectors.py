@@ -771,3 +771,24 @@ def test_label_propagation_frontier_ties_and_fixity(spark):
     assert out[10] == ("a", 1)          # 1-1 tie -> min label
     assert out[20] == ("p", 0) and out[21] == ("q", 0)  # seeds never flip
     assert set(out) == {1, 2, 3, 10, 11, 12, 20, 21}
+
+
+def test_ivfpq_topk_probed_cells_and_ranking(spark):
+    """Two well-separated clusters: with n_probe=1 every result comes
+    from the query's cell, the nearest vector ranks first, and far-
+    cluster vectors never appear."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import ivfpq_topk
+
+    lo = [(i, [float(i % 3) * 0.1] * 8) for i in range(20)]          # near 0
+    hi = [(100 + i, [10.0 + (i % 3) * 0.1] * 8) for i in range(20)]  # near 10
+    df = spark.createDataFrame(lo + hi, "vec_id bigint, embedding array<float>")
+    out = ivfpq_topk(
+        df, [0.0] * 8, kc=2, n_probe=1, m=4, k_codes=2, k_top=10
+    ).collect()
+    assert len(out) == 10
+    assert all(r["id"] < 100 for r in out)          # only the near cell
+    assert len({r["cell"] for r in out}) == 1       # one probed cell
+    # ADC distances are non-negative, sorted, and small for the near cluster
+    d = [r["adc_d2"] for r in out]
+    assert d == sorted(d) and all(x >= 0 for x in d)
+    assert d[0] < 1.0
