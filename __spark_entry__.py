@@ -3919,6 +3919,21 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_forecast_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-free forecast uncertainty (round 7, wave 3):
+    split-conformal prediction intervals for the seasonal-naive
+    forecaster (operators/timeseries.py conformal_forecast_intervals;
+    Vovk / Lei et al. 2018) — calibration prefix (75%), interval
+    half-width = the ⌈(n_cal+1)·0.9⌉-th smallest absolute calibration
+    residual (an order statistic, no interpolation), per-day coverage
+    on the evaluation tail. Exact micro-unit residual chain; all
+    post-aggregate windows are time-range-sized."""
+    e = load_table(spark, sf, "events")
+    return TS.conformal_forecast_intervals(
+        e, "ts", "value", period=24, cal_frac=0.75, alpha=0.1
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval evaluation (round 7, wave 3): recall@10 / MRR@10 /
     nDCG@10 of the BM25 ranker over four single-term queries against
@@ -5728,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint_cusum": q_changepoint_cusum,
         "q_retrieval_eval": q_retrieval_eval,
         "q_ann_ivfpq": q_ann_ivfpq,
+        "q_forecast_conformal": q_forecast_conformal,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6000,7 +6016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_range",
         "q_join_cross",
         "q_window_avg_two_grains",
-        "q_window_rank",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -6019,6 +6034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint_cusum",
         "q_retrieval_eval",
         "q_ann_ivfpq",
+        "q_forecast_conformal",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -9136,6 +9152,53 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: split conformal — chronological 75% split,
+        # order-statistic calibration quantile (ceil via positive
+        # integer math — Spark div truncates, DuckDB // floors; they
+        # agree only on non-negative operands), NULL-degenerate
+        "q_forecast_conformal": r"""
+            WITH hourly AS (
+                SELECT DATE_TRUNC('hour', ts) AS bucket,
+                       ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / COUNT(*) / 1000000.0, 6) AS y
+                FROM events GROUP BY bucket
+            ), lagged AS (
+                SELECT bucket, y, LAG(y, 24) OVER (ORDER BY bucket) AS f
+                FROM hourly
+            ), scored AS (
+                SELECT bucket, y, f,
+                       ABS(ROUND(f - y, 6)) AS abs_err,
+                       ROW_NUMBER() OVER (ORDER BY bucket) AS rk
+                FROM lagged WHERE f IS NOT NULL
+            ), nt AS (
+                SELECT COUNT(*) AS n FROM scored
+            ), marked AS (
+                SELECT s.*, s.rk <= CAST(FLOOR(0.75 * n) AS BIGINT) AS is_cal
+                FROM scored s CROSS JOIN nt
+            ), ncal AS (
+                SELECT COUNT(*) AS n_cal FROM marked WHERE is_cal
+            ), q AS (
+                SELECT abs_err AS qhat FROM (
+                    SELECT abs_err,
+                           ROW_NUMBER() OVER (ORDER BY abs_err, bucket) AS qrk,
+                           ((n_cal + 1) * 900000 + 999999) // 1000000 AS crank
+                    FROM marked CROSS JOIN ncal WHERE is_cal
+                ) WHERE qrk = crank
+            ), ev AS (
+                SELECT * FROM marked WHERE NOT is_cal
+            )
+            SELECT CAST(bucket AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_eval,
+                   CAST(SUM(CASE WHEN abs_err <= qhat THEN 1
+                                 WHEN qhat IS NULL THEN NULL
+                                 ELSE 0 END) AS BIGINT) AS n_covered,
+                   ROUND(CAST(SUM(CASE WHEN abs_err <= qhat THEN 1
+                                       WHEN qhat IS NULL THEN NULL
+                                       ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS coverage,
+                   MAX(qhat) AS qhat
+            FROM ev LEFT JOIN q ON TRUE
+            GROUP BY day ORDER BY day
+        """,
         # round 7 wave 3: retrieval eval — the q_bm25_rank chain kept
         # per-query, tf>=3 relevance, micro-unit base-e DCG discounts
         "q_retrieval_eval": r"""

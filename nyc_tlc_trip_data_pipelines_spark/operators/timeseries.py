@@ -921,3 +921,113 @@ def cusum_changepoints(
         .cast("int")
         .alias("alarm"),
     ).orderBy("bucket")
+
+
+def conformal_forecast_intervals(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 24,
+    cal_frac: float = 0.75,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction intervals for the seasonal-naive
+    forecaster (Vovk's inductive conformal prediction, the
+    Lei et al. 2018 split form — THE distribution-free uncertainty
+    wrapper modern forecast systems bolt onto any point model): the
+    forecastable series splits chronologically into a CALIBRATION
+    prefix (first ``cal_frac``) and an evaluation tail; the interval
+    half-width q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest absolute
+    calibration residual (a finite-sample-valid ORDER STATISTIC — no
+    distributional assumption, no quantile interpolation), and every
+    evaluation point is covered iff |y − ŷ| ≤ q̂. Guarantees
+    P(covered) ≥ 1−α on exchangeable residuals.
+
+    Returns one row per evaluation DAY: (day, n_eval, n_covered,
+    coverage, qhat) — the daily coverage a forecast monitor compares
+    against 1−α (systematic under-coverage = the residual
+    distribution drifted; pair with :func:`cusum_changepoints` on the
+    residuals to localize). If the conformal rank exceeds n_cal
+    (calibration too small for the requested α), q̂ and the verdicts
+    are NULL — undefined, the ks_two_sample degenerate contract.
+
+    Determinism contract: levels and residuals reduce exact integer
+    micro-units at 6 dp (the seasonal_naive_backtest chain); the
+    split point ⌊cal_frac·n⌋ and the conformal rank are pure integer
+    arithmetic; q̂ is an actual residual value picked by ROW_NUMBER
+    with a bucket tie-break. Coverage counts are exact integers.
+
+    Scale shape: one corpus-sized hash aggregate to hourly buckets;
+    the LAG, the chronological rank, the calibration order statistic
+    and the daily rollup all run over the time-range-sized series
+    (sketch-sized by construction — the stl_decompose rationale).
+    """
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+    hourly = (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            micro(F.col(value_col).cast("double")).alias("vq"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.sum("vq") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("bucket")
+    scored = (
+        hourly.withColumn("f", F.lag("y", period).over(w))
+        .filter(F.col("f").isNotNull())
+        .withColumn("abs_err", F.abs(F.round(F.col("f") - F.col("y"), 6)))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # chronological split: rk <= floor(cal_frac * n) is calibration
+    cal_cut = F.floor(F.lit(float(cal_frac)) * F.col("n")).cast("long")
+    marked = scored.crossJoin(F.broadcast(n_tot)).withColumn(
+        "is_cal", F.col("rk") <= cal_cut
+    )
+    cal = marked.filter(F.col("is_cal"))
+    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    # conformal rank: ceil((n_cal + 1) * (1 - alpha)) via the positive-
+    # operand integer-ceil identity (p + q - 1) div q — Spark's `div`
+    # truncates and DuckDB's `//` floors, which only agree on
+    # non-negative operands, so the negation trick is off-limits
+    one_minus_a = int(round((1.0 - float(alpha)) * 1e6))
+    rank_expr = F.expr(
+        f"((n_cal + 1) * {one_minus_a} + 999999) div 1000000"
+    )
+    wq = Window.orderBy("abs_err", "bucket")
+    qtab = (
+        cal.crossJoin(F.broadcast(n_cal))
+        .withColumn("qrk", F.row_number().over(wq))
+        .withColumn("crank", rank_expr)
+        .filter(F.col("qrk") == F.col("crank"))
+        .select(F.col("abs_err").alias("qhat"))
+    )
+    ev = marked.filter(~F.col("is_cal"))
+    # TRUE-conditioned left join: qhat attaches to every eval row, and
+    # an EMPTY qtab (rank > n_cal) leaves it NULL instead of wiping
+    # the eval rows the way a crossJoin would
+    evq = ev.join(F.broadcast(qtab), F.lit(True), "left")
+    return (
+        evq.groupBy(F.to_date("bucket").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("abs_err") <= F.col("qhat"), 1).otherwise(
+                    F.when(F.col("qhat").isNull(), None).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.max("qhat").alias("qhat"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(F.col("n_covered") / F.col("n_eval"), 6),
+        )
+        .select("day", "n_eval", "n_covered", "coverage", "qhat")
+        .orderBy("day")
+    )

@@ -480,3 +480,36 @@ def test_cusum_changepoints_planted_shift(spark):
         for r in out
     )
     assert out[116]["cusum_pos"] > 8.0 and out[116]["alarm"] == 1
+
+
+def test_conformal_forecast_intervals_periodic_with_eval_noise(spark):
+    """A perfectly periodic calibration prefix gives qhat = 0; eval
+    hours matching the season are covered, perturbed ones are not —
+    coverage counts exactly the clean hours."""
+    from datetime import datetime, timedelta
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        conformal_forecast_intervals,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 8):  # 8 days; first ~6 calibrate
+        v = 50.0 + (h % 24)
+        if h >= 24 * 7 and h % 24 in (3, 9):  # last day: 2 broken hours
+            v += 7.0
+        rows.append((h, base + timedelta(hours=h), v))
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double")
+    out = {
+        r["day"].isoformat(): r
+        for r in conformal_forecast_intervals(
+            df, "ts", "value", period=24, cal_frac=0.75, alpha=0.1
+        ).collect()
+    }
+    # periodic calibration -> all residuals 0 -> qhat == 0.0
+    assert all(r["qhat"] == 0.0 for r in out.values())
+    last = out["2024-01-08"]
+    assert last["n_eval"] == 24 and last["n_covered"] == 22
+    assert abs(last["coverage"] - 22 / 24) < 1e-6
+    clean = out["2024-01-07"]
+    assert clean["n_covered"] == clean["n_eval"] and clean["coverage"] == 1.0
