@@ -3919,6 +3919,25 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_percentile_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted quantiles (round 7, wave 3): exact quantity-weighted
+    price percentiles per return flag (operators/aggregates.py
+    weighted_percentile) — the importance-weighted quantile family
+    (inverse-CDF definition: smallest value whose cumulative weight
+    reaches ⌈p·total⌉, pure integer arithmetic on micro-unit weights,
+    no interpolation). The corpus reduces to per-distinct-value cells
+    before the running sum — the equidepth/KS sketch-size rule."""
+    li = load_table(spark, sf, "lineitem")
+    out = agg.weighted_percentile(
+        li,
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        percentiles=(0.5, 0.9),
+    )
+    return O.sort(out, ["l_returnflag"])
+
+
 def q_forecast_conformal(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-free forecast uncertainty (round 7, wave 3):
     split-conformal prediction intervals for the seasonal-naive
@@ -5744,6 +5763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retrieval_eval": q_retrieval_eval,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_forecast_conformal": q_forecast_conformal,
+        "q_percentile_weighted": q_percentile_weighted,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6015,7 +6035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_star",
         "q_join_range",
         "q_join_cross",
-        "q_window_avg_two_grains",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -6035,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retrieval_eval",
         "q_ann_ivfpq",
         "q_forecast_conformal",
+        "q_percentile_weighted",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -9152,6 +9172,37 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 3: weighted percentile — inverse-CDF pick over
+        # exact micro-unit cumulative weights, integer ceil threshold
+        "q_percentile_weighted": r"""
+            WITH cells AS (
+                SELECT l_returnflag AS k, l_extendedprice AS v,
+                       SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1e6, 0) AS BIGINT)) AS w
+                FROM lineitem
+                WHERE CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1e6, 0) AS BIGINT) > 0
+                GROUP BY k, v
+            ), tot AS (
+                SELECT k, CAST(SUM(w) AS BIGINT) AS tw FROM cells GROUP BY k
+            ), cum AS (
+                SELECT c.k, c.v,
+                       CAST(SUM(c.w) OVER (PARTITION BY c.k ORDER BY c.v) AS BIGINT) AS cum,
+                       t.tw
+                FROM cells c JOIN tot t ON t.k = c.k
+            ), p50 AS (
+                SELECT k, MIN(v) AS p50 FROM cum
+                WHERE cum >= (tw * 500000 + 999999) // 1000000 GROUP BY k
+            ), p90 AS (
+                SELECT k, MIN(v) AS p90 FROM cum
+                WHERE cum >= (tw * 900000 + 999999) // 1000000 GROUP BY k
+            )
+            SELECT t.k AS l_returnflag,
+                   ROUND(t.tw / 1e6, 6) AS total_weight,
+                   p50.p50, p90.p90
+            FROM tot t
+            LEFT JOIN p50 ON p50.k = t.k
+            LEFT JOIN p90 ON p90.k = t.k
+            ORDER BY l_returnflag
+        """,
         # round 7 wave 3: split conformal — chronological 75% split,
         # order-statistic calibration quantile (ceil via positive
         # integer math — Spark div truncates, DuckDB // floors; they

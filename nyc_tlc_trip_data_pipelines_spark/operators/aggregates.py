@@ -879,3 +879,65 @@ def equidepth_histogram(
         "bin_rows",
         "cum_rows",
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    weight: Column | str,
+    percentiles: Sequence[float] = (0.5,),
+) -> DataFrame:
+    """Exact weighted percentiles per group — the importance-weighted
+    quantile a curation pipeline needs once rows stop counting equally
+    (mixture-weighted corpora, quantity-weighted prices, duplication-
+    weighted doc stats). Percentile p = the SMALLEST value whose
+    cumulative weight reaches ⌈p · total⌉ (the inverse-CDF / type-1
+    definition — an actual data value, no interpolation, weighted twin
+    of :func:`equidepth_histogram`'s boundary rule).
+
+    Weights quantize to integer micro-units at the scan, so cumulative
+    weights are exact bigints and the threshold comparison
+    ``cum ≥ ceil(p·total)`` is pure integer arithmetic (p itself is
+    scaled by 10⁶; ceil via the positive-operand (a+b−1) div b
+    identity that Spark's truncating `div` and DuckDB's flooring `//`
+    both satisfy). Zero/negative-weight rows are excluded up front
+    (they have no mass; negative mass makes the CDF non-monotone).
+
+    Returns one row per group: (keys…, total_weight, p50, …) with one
+    column per requested percentile.
+
+    Scale shape: the corpus reduces to one row per DISTINCT (group,
+    value) in the first keyed aggregate; the running weight sum and
+    the threshold pick run over that sketch-sized table (the
+    ks_two_sample / equidepth rationale). Nothing sorts raw data.
+    """
+    from pyspark.sql import Window as _W
+
+    v = F.col(value) if isinstance(value, str) else value
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    wq = F.round(wcol.cast("double") * 1e6, 0).cast("long")
+    cells = (
+        df.select(*keys, v.alias("v"), wq.alias("wq"))
+        .filter(F.col("wq") > 0)
+        .groupBy(*keys, "v")
+        .agg(F.sum("wq").alias("w"))
+    )
+    tot = cells.groupBy(*keys).agg(F.sum("w").cast("long").alias("tw"))
+    run = _W.partitionBy(*keys).orderBy("v")
+    cum = cells.withColumn("cum", F.sum("w").over(run).cast("long")).join(
+        F.broadcast(tot), list(keys)
+    )
+    out = tot.select(
+        *keys, F.round(F.col("tw") / 1e6, 6).alias("total_weight")
+    )
+    for p in percentiles:
+        p_micro = int(round(float(p) * 1e6))
+        thr = F.expr(f"(tw * {p_micro} + 999999) div 1000000")
+        pick = (
+            cum.filter(F.col("cum") >= thr)
+            .groupBy(*keys)
+            .agg(F.min("v").alias(f"p{int(round(p * 100))}"))
+        )
+        out = out.join(pick, list(keys), "left")
+    return out

@@ -436,3 +436,33 @@ def test_equidepth_histogram_uniform_and_skewed(spark):
     # 70 of 80 rows share v=5.0 -> cum=70 lands in bin ceil(70*8/80)=7
     assert skew[0]["bin"] == 7 and skew[0]["hi"] == 5.0 and skew[0]["bin_rows"] == 70
     assert skew[-1]["bin"] == 8 and skew[-1]["bin_rows"] == 10
+
+
+def test_weighted_percentile_hand_computed(spark):
+    """Hand-checkable masses: values 1..4 with weights 1,1,2,6 (total
+    10) -> weighted p50 is the value where cum reaches 5 (v=4 at cum
+    10? no: cum(3)=4 < 5, so v=4), p10 picks v=1; zero-weight rows are
+    ignored; an unweighted-uniform group matches plain medians."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        weighted_percentile,
+    )
+
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0), ("a", 4.0, 6.0),
+            ("a", 9.0, 0.0)]  # zero weight: must not shift anything
+    rows += [("b", float(i), 1.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    out = {
+        r["k"]: r
+        for r in weighted_percentile(
+            df, ["k"], F.col("v"), F.col("w"), percentiles=(0.1, 0.5, 0.9)
+        ).collect()
+    }
+    a = out["a"]
+    assert a["total_weight"] == 10.0
+    # cum: 1->1, 2->2, 3->4, 4->10; thresholds ceil(p*10): 1, 5, 9
+    assert a["p10"] == 1.0 and a["p50"] == 4.0 and a["p90"] == 4.0
+    b = out["b"]
+    # uniform weights: inverse-CDF picks ceil(p*n)-th value
+    assert b["p10"] == 1.0 and b["p50"] == 5.0 and b["p90"] == 9.0
