@@ -6863,7 +6863,7 @@ def _bootstrap_ci_oracle(n_boot: int = 40, seed: int = 17) -> str:
             ), means AS (
                 SELECT event_type, b,
                        CAST(ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0) AS BIGINT) AS mb
-                FROM cells
+                FROM cells WHERE n_b > 0
             ), ranked AS (
                 SELECT event_type, b, mb,
                        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn
@@ -6872,6 +6872,7 @@ def _bootstrap_ci_oracle(n_boot: int = 40, seed: int = 17) -> str:
                 SELECT m.event_type,
                        MAX(p.n_rows) AS n_rows,
                        MAX(p.pe_micro) AS pe,
+                       COUNT(*) AS nrep,
                        SUM(m.mb - p.pe_micro) AS sd,
                        SUM((m.mb - p.pe_micro) * (m.mb - p.pe_micro)) AS sd2,
                        MAX(CASE WHEN rn = {lo_rank} THEN mb END) AS lo,
@@ -6881,9 +6882,11 @@ def _bootstrap_ci_oracle(n_boot: int = 40, seed: int = 17) -> str:
             )
             SELECT event_type, n_rows,
                    ROUND(pe / 1e6, 6) AS mean,
-                   ROUND(SQRT((CAST(sd2 AS DOUBLE)
-                               - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / {float(n_boot)!r})
-                              / {float(n_boot - 1)!r}) / 1e6, 6) AS se_boot,
+                   CASE WHEN nrep > 1 THEN
+                       ROUND(SQRT((CAST(sd2 AS DOUBLE)
+                                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(nrep AS DOUBLE))
+                                  / (CAST(nrep AS DOUBLE) - 1.0)) / 1e6, 6)
+                   END AS se_boot,
                    ROUND(lo / 1e6, 6) AS ci_lo,
                    ROUND(hi / 1e6, 6) AS ci_hi,
                    CAST({n_boot} AS INT) AS n_boot
@@ -9180,6 +9183,7 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1e6, 0) AS BIGINT)) AS w
                 FROM lineitem
                 WHERE CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1e6, 0) AS BIGINT) > 0
+                  AND l_extendedprice IS NOT NULL
                 GROUP BY k, v
             ), tot AS (
                 SELECT k, CAST(SUM(w) AS BIGINT) AS tw FROM cells GROUP BY k
@@ -9190,10 +9194,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells c JOIN tot t ON t.k = c.k
             ), p50 AS (
                 SELECT k, MIN(v) AS p50 FROM cum
-                WHERE cum >= (tw * 500000 + 999999) // 1000000 GROUP BY k
+                WHERE cum >= (tw // 1000000) * 500000
+                             + ((tw % 1000000) * 500000 + 999999) // 1000000
+                GROUP BY k
             ), p90 AS (
                 SELECT k, MIN(v) AS p90 FROM cum
-                WHERE cum >= (tw * 900000 + 999999) // 1000000 GROUP BY k
+                WHERE cum >= (tw // 1000000) * 900000
+                             + ((tw % 1000000) * 900000 + 999999) // 1000000
+                GROUP BY k
             )
             SELECT t.k AS l_returnflag,
                    ROUND(t.tw / 1e6, 6) AS total_weight,
@@ -9467,7 +9475,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stats_equidepth": r"""
             WITH counts AS (
                 SELECT event_type, value AS v, COUNT(*) AS c
-                FROM events GROUP BY event_type, value
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, value
             ), tot AS (
                 SELECT event_type, SUM(c) AS n FROM counts GROUP BY event_type
             ), cum AS (

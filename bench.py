@@ -152,6 +152,9 @@ ROUND7_OPS = [
     "q_anomaly_seasonal",
     "q_changepoint_cusum",
     "q_retrieval_eval",
+    "q_ann_ivfpq",
+    "q_forecast_conformal",
+    "q_percentile_weighted",
 ]
 
 

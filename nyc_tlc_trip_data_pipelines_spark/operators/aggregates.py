@@ -685,8 +685,6 @@ def poisson1_cdf_thresholds(n_terms: int = 8) -> list[float]:
     doubles (repr round-trips exactly in every engine); truncating at
     n_terms=8 loses P(X >= 8) ≈ 1.1e-6 of mass (those draws get weight
     8), identically on both sides of the contract."""
-    import math
-
     out, acc, term = [], 0.0, math.exp(-1.0)
     for k in range(n_terms):
         acc += term
@@ -777,7 +775,13 @@ def poisson_bootstrap_ci(
         F.sum("__w").alias("__n_b"),
         F.sum(F.col("__w") * F.col("__vm")).alias("__s_b"),
     )
-    means = cells.select(
+    # all-zero-weight replicates (probability e^-n per replicate; real
+    # for tiny groups) have no mean — drop them on BOTH sides of the
+    # contract rather than let a NULL mean hit the rank window, where
+    # Spark sorts NULLS FIRST and DuckDB NULLS LAST (silent divergence).
+    # SE then divides by the VALID replicate count; a CI rank that
+    # exceeds it comes back NULL (the ks_two_sample degenerate rule).
+    means = cells.filter(F.col("__n_b") > 0).select(
         *keys,
         "b",
         F.round(F.col("__s_b") / F.col("__n_b"), 0).cast("long").alias("__mb"),
@@ -792,21 +796,24 @@ def poisson_bootstrap_ci(
     out = ranked.groupBy(*keys).agg(
         F.max("n_rows").alias("n_rows"),
         F.max("__pe_micro").alias("__pe"),
+        F.count(F.lit(1)).cast("long").alias("__nrep"),
         F.sum(d).alias("__sd"),
         F.sum(d * d).alias("__sd2"),
         F.max(F.when(F.col("__rn") == lo_rank, F.col("__mb"))).alias("__lo"),
         F.max(F.when(F.col("__rn") == hi_rank, F.col("__mb"))).alias("__hi"),
     )
-    B = float(n_boot)
+    nrep = F.col("__nrep").cast("double")
     var = (
         F.col("__sd2").cast("double")
-        - F.col("__sd").cast("double") * F.col("__sd").cast("double") / F.lit(B)
-    ) / F.lit(B - 1.0)
+        - F.col("__sd").cast("double") * F.col("__sd").cast("double") / nrep
+    ) / (nrep - F.lit(1.0))
     return out.select(
         *keys,
         "n_rows",
         F.round(F.col("__pe") / 1e6, 6).alias("mean"),
-        F.round(F.sqrt(var) / 1e6, 6).alias("se_boot"),
+        F.when(F.col("__nrep") > 1, F.round(F.sqrt(var) / 1e6, 6)).alias(
+            "se_boot"
+        ),
         F.round(F.col("__lo") / 1e6, 6).alias("ci_lo"),
         F.round(F.col("__hi") / 1e6, 6).alias("ci_hi"),
         F.lit(int(n_boot)).cast("int").alias("n_boot"),
@@ -848,8 +855,14 @@ def equidepth_histogram(
     from pyspark.sql import Window as _W
 
     v = F.col(value) if isinstance(value, str) else value
-    counts = df.groupBy(*keys, v.alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # NULL values carry no position on the value axis — and the two
+    # engines disagree on where a NULL cell sorts in the cumulative
+    # window (Spark NULLS FIRST, DuckDB NULLS LAST), which would shift
+    # every bin boundary. Exclude them explicitly on both sides.
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, v.alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     tot = counts.groupBy(*keys).agg(F.sum("c").cast("long").alias("n"))
     w = _W.partitionBy(*keys).orderBy("v")
@@ -901,8 +914,15 @@ def weighted_percentile(
     ``cum ≥ ceil(p·total)`` is pure integer arithmetic (p itself is
     scaled by 10⁶; ceil via the positive-operand (a+b−1) div b
     identity that Spark's truncating `div` and DuckDB's flooring `//`
-    both satisfy). Zero/negative-weight rows are excluded up front
-    (they have no mass; negative mass makes the CDF non-monotone).
+    both satisfy). The threshold splits ``tw`` as q·10⁶ + r before
+    multiplying by p_micro — ``q·p_micro ≤ tw`` and ``r·p_micro <
+    10¹²``, so no intermediate can overflow bigint for ANY
+    representable total weight (a naive ``tw·p_micro`` overflows past
+    ~10⁷ raw weight units). Zero/negative-weight rows are excluded up
+    front (they have no mass; negative mass makes the CDF
+    non-monotone), and NULL values are excluded (no axis position —
+    and Spark/DuckDB disagree on NULL placement in the running-sum
+    window).
 
     Returns one row per group: (keys…, total_weight, p50, …) with one
     column per requested percentile.
@@ -920,6 +940,7 @@ def weighted_percentile(
     cells = (
         df.select(*keys, v.alias("v"), wq.alias("wq"))
         .filter(F.col("wq") > 0)
+        .filter(F.col("v").isNotNull())
         .groupBy(*keys, "v")
         .agg(F.sum("wq").alias("w"))
     )
@@ -933,7 +954,11 @@ def weighted_percentile(
     )
     for p in percentiles:
         p_micro = int(round(float(p) * 1e6))
-        thr = F.expr(f"(tw * {p_micro} + 999999) div 1000000")
+        # overflow-safe ceil(tw * p_micro / 1e6): split tw = q*1e6 + r
+        thr = F.expr(
+            f"(tw div 1000000) * {p_micro}"
+            f" + ((tw % 1000000) * {p_micro} + 999999) div 1000000"
+        )
         pick = (
             cum.filter(F.col("cum") >= thr)
             .groupBy(*keys)

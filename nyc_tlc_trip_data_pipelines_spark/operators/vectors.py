@@ -1230,6 +1230,10 @@ def ivfpq_topk(
     if head is None:
         raise ValueError("ivfpq_topk: empty input")
     dim = int(head["d"])
+    if len(query) != dim:
+        raise ValueError(
+            f"ivfpq_topk: query has {len(query)} components, embeddings {dim}"
+        )
     emb = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -445,7 +445,8 @@ def tws_running_totals(
 
     State here is one ValueState ``(n BIGINT, s BIGINT)`` per key with
     the sum in integer MICRO-UNITS: each value quantizes to
-    ``rint(v·1e6)`` per row before an int64 sum, so the running total
+    HALF_UP ``round(v·1e6)`` per row before an int64 sum (the same
+    rounding F.round applies in the batch twin), so the running total
     is EXACT and independent of micro-batch boundaries and Arrow batch
     order — the streamed final equals the batch aggregate bit-for-bit
     (the q_domain_mixture rule, applied across micro-batches).
@@ -483,11 +484,15 @@ def tws_running_totals(
             n, s = self._totals.get() or (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                s += int(
-                    np.rint(pdf[value_col].to_numpy(dtype="float64") * 1e6)
-                    .astype("int64")
-                    .sum()
-                )
+                # HALF_UP (away from zero), NOT np.rint's half-to-even —
+                # the batch twin quantizes with F.round, and a midpoint
+                # value would otherwise break the bit-for-bit contract.
+                # NULL values drop from the sum (F.sum semantics) while
+                # still counting in n_events (F.count(lit(1)) semantics).
+                x = pdf[value_col].to_numpy(dtype="float64") * 1e6
+                x = x[~np.isnan(x)]
+                q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+                s += int(q.astype("int64").sum())
             self._totals.update((n, s))
             yield pd.DataFrame(
                 {"key": [key[0]], "n_events": [n], "sum_value": [s / 1e6]}

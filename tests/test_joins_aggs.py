@@ -466,3 +466,72 @@ def test_weighted_percentile_hand_computed(spark):
     b = out["b"]
     # uniform weights: inverse-CDF picks ceil(p*n)-th value
     assert b["p10"] == 1.0 and b["p50"] == 5.0 and b["p90"] == 9.0
+
+
+def test_weighted_percentile_huge_weights_no_overflow(spark):
+    """Total micro-weight beyond the naive tw*p_micro int64 bound: the
+    split-multiply threshold must stay exact (the naive form overflows
+    past ~1e7 raw weight units)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        weighted_percentile,
+    )
+
+    # three values, 5e6 raw weight each -> tw = 1.5e13 micro-units
+    df = spark.createDataFrame(
+        [("g", 1.0, 5e6), ("g", 2.0, 5e6), ("g", 3.0, 5e6)],
+        "k string, v double, w double",
+    )
+    out = weighted_percentile(
+        df, ["k"], F.col("v"), F.col("w"), percentiles=(0.5, 0.9)
+    ).collect()[0]
+    # cum thirds: p50 threshold lands in the middle mass, p90 in the top
+    assert out["p50"] == 2.0 and out["p90"] == 3.0
+    assert out["total_weight"] == 1.5e7
+
+
+def test_weighted_percentile_and_equidepth_ignore_nulls(spark):
+    """NULL values must not shift boundaries: Spark and DuckDB place
+    NULLs at opposite ends of the running-sum window, so the operators
+    exclude them outright."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        equidepth_histogram,
+        weighted_percentile,
+    )
+
+    base = [("g", float(i), 1.0) for i in range(1, 11)]
+    with_nulls = base + [("g", None, 1.0)] * 5
+    a = spark.createDataFrame(base, "k string, v double, w double")
+    b = spark.createDataFrame(with_nulls, "k string, v double, w double")
+    pa = weighted_percentile(a, ["k"], F.col("v"), F.col("w")).collect()[0]
+    pb = weighted_percentile(b, ["k"], F.col("v"), F.col("w")).collect()[0]
+    assert pa["p50"] == pb["p50"] == 5.0
+    ha = {r["bin"]: r["hi"] for r in equidepth_histogram(a, ["k"], F.col("v"), 4).collect()}
+    hb = {r["bin"]: r["hi"] for r in equidepth_histogram(b, ["k"], F.col("v"), 4).collect()}
+    assert ha == hb
+
+
+def test_poisson_bootstrap_ci_tiny_group_degrades_gracefully(spark):
+    """A 1-row group drops its all-zero-weight replicates instead of
+    letting NULL means into the rank window; surviving replicate means
+    all equal the row value, so ci_lo is that value and the out-of-
+    range hi rank comes back NULL (degenerate, not wrong)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny", 42.0)], "event_id bigint, k string, value double"
+    )
+    out = poisson_bootstrap_ci(
+        df, ["k"], F.col("value"), "event_id", n_boot=40, seed=17
+    ).collect()[0]
+    assert out["mean"] == 42.0 and out["n_rows"] == 1
+    assert out["ci_lo"] == 42.0 and out["se_boot"] == 0.0
+    # rank 39 exceeds the valid replicate count (~25 of 40 have w>0)
+    assert out["ci_hi"] is None or out["ci_hi"] == 42.0
