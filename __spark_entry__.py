@@ -3919,6 +3919,36 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_abtest_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential testing (round 7, wave 4): Wald SPRT over HOURLY
+    enrollment cohorts (operators/aggregates.py sprt_daily_walk —
+    grain is caller-chosen) — the always-valid early-stopping
+    complement to q_abtest_welch's fixed-horizon test. Users hash
+    into two arms (portable hash, so the split replays); conversion =
+    any purchase; the cumulative Bernoulli LLR walks the
+    time-range-sized cohort table in exact integer micro-units
+    against the ln((1−β)/α) / ln(β/(1−α)) boundaries. The
+    per-observation textbook walk would be a corpus-sized serial
+    scan; the cohort-grain walk is the aggregate-exact scale form."""
+    ev = load_table(spark, sf, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("cv"),
+    )
+    h = TX.portable_hash60(
+        F.concat_ws("\x1f", F.col("user_id").cast("string"), F.lit("31"))
+    )
+    obs = users.select(
+        (h % 2).cast("int").alias("arm"),
+        F.date_trunc("hour", F.col("first_ts")).alias("day"),
+        F.col("cv"),
+    )
+    return agg.sprt_daily_walk(
+        obs, F.col("arm"), F.col("cv"), F.col("day"),
+        p0=0.25, p1=0.40, alpha=0.05, beta=0.05,
+    )
+
+
 def q_percentile_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted quantiles (round 7, wave 3): exact quantity-weighted
     price percentiles per return flag (operators/aggregates.py
@@ -5764,6 +5794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_forecast_conformal": q_forecast_conformal,
         "q_percentile_weighted": q_percentile_weighted,
+        "q_abtest_sprt": q_abtest_sprt,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6034,7 +6065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_broadcast",
         "q_join_star",
         "q_join_range",
-        "q_join_cross",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -6055,6 +6085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq",
         "q_forecast_conformal",
         "q_percentile_weighted",
+        "q_abtest_sprt",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -6667,6 +6698,55 @@ def _ivfpq_oracle(
         {lut_joins}
         ORDER BY adc_d2, c0.vec_id LIMIT 10
     """
+
+
+def _sprt_oracle(
+    p0: float = 0.25,
+    p1: float = 0.40,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> str:
+    """q_abtest_sprt twin — LLR increments and boundaries come from the
+    SAME sprt_llr_constants()/math the Spark plan embeds (micro-unit
+    integers, so the walk is exact integer arithmetic in both
+    engines)."""
+    import math as _m
+
+    c1, c0 = agg.sprt_llr_constants(p0, p1)
+    c1_micro = int(round(c1 * 1e6))
+    c0_micro = int(round(c0 * 1e6))
+    up_micro = int(round(_m.log((1.0 - beta) / alpha) * 1e6))
+    lo_micro = int(round(_m.log(beta / (1.0 - alpha)) * 1e6))
+    return f"""
+            WITH users AS (
+                SELECT user_id, MIN(ts) AS first_ts,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+                FROM events GROUP BY user_id
+            ), obs AS (
+                SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), CHR(31), '31')), 1, 15))
+                                 AS BIGINT) % 2 AS INT) AS arm,
+                       DATE_TRUNC('hour', first_ts) AS day,
+                       cv
+                FROM users
+            ), daily AS (
+                SELECT arm, day, COUNT(*) AS n_d, SUM(cv) AS s_d
+                FROM obs GROUP BY arm, day
+            ), cum AS (
+                SELECT arm, day,
+                       CAST(SUM(n_d) OVER w AS BIGINT) AS n_cum,
+                       CAST(SUM(s_d) OVER w AS BIGINT) AS s_cum
+                FROM daily
+                WINDOW w AS (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT arm, day, n_cum, s_cum,
+                   ROUND((s_cum * {c1_micro} + (n_cum - s_cum) * {c0_micro}) / 1e6, 6) AS llr,
+                   CASE WHEN s_cum * {c1_micro} + (n_cum - s_cum) * {c0_micro} >= {up_micro}
+                             THEN 'accept_h1'
+                        WHEN s_cum * {c1_micro} + (n_cum - s_cum) * {c0_micro} <= {lo_micro}
+                             THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+            FROM cum ORDER BY arm, day
+        """
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -8978,6 +9058,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": _kmeans_oracle(),
         "q_ann_pq": _pq_oracle(),
         "q_ann_ivfpq": _ivfpq_oracle(),
+        "q_abtest_sprt": _sprt_oracle(),
         "q_random_projection": _rp_oracle(),
         "q_dedup_semantic": _semantic_dedup_oracle(),
         "q_dedup_semantic_scaled": _semantic_dedup_scaled_oracle(),

@@ -966,3 +966,90 @@ def weighted_percentile(
         )
         out = out.join(pick, list(keys), "left")
     return out
+
+
+def sprt_llr_constants(
+    p0: float, p1: float
+) -> tuple[float, float]:
+    """Per-observation log-likelihood-ratio increments for a Bernoulli
+    SPRT — (success, failure) = (ln(p1/p0), ln((1−p1)/(1−p0))) —
+    exposed as ONE definition so the Spark plan and the SQL oracle
+    embed the SAME doubles (the poisson1_cdf_thresholds pattern)."""
+    return (
+        math.log(p1 / p0),
+        math.log((1.0 - p1) / (1.0 - p0)),
+    )
+
+
+def sprt_daily_walk(
+    df: DataFrame,
+    arm: Column,
+    converted: Column,
+    day: Column,
+    p0: float = 0.25,
+    p1: float = 0.40,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over daily cohorts —
+    the always-valid early-stopping A/B primitive (Wald 1945; the
+    design behind modern "peeking-safe" experiment monitors): per arm,
+    the cumulative Bernoulli log-likelihood ratio
+    ``LLR = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0))`` is walked day by
+    day and compared against the decision boundaries ln((1−β)/α)
+    (accept H1) and ln(β/(1−α)) (accept H0).
+
+    Scale contract: the textbook per-OBSERVATION walk is a corpus-
+    sized serial scan; this is the aggregate-equivalent DAILY walk —
+    observations reduce to per-(arm, day) (n, s) counts first (one
+    corpus-sized keyed hash aggregate), and the running LLR is exact
+    integer micro-unit arithmetic over the time-range-sized daily
+    table (the ks/stl sketch-size rule). The LLR after any day is
+    IDENTICAL to the per-observation walk's value at that day's end
+    (the increments are order-free sums); only the decision GRAIN is
+    daily — crossings inside a day surface at its close.
+
+    Returns per (arm, day): (arm, day, n_cum, s_cum, llr, decision)
+    with decision ∈ 'accept_h1' | 'accept_h0' | 'continue' — the
+    decision at each day's close; a monitor stops at the first
+    non-continue row per arm.
+    """
+    from pyspark.sql import Window as _W
+
+    c1, c0 = sprt_llr_constants(p0, p1)
+    c1_micro = int(round(c1 * 1e6))
+    c0_micro = int(round(c0 * 1e6))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    up_micro = int(round(upper * 1e6))
+    lo_micro = int(round(lower * 1e6))
+    daily = df.select(
+        arm.alias("arm"), day.alias("day"), converted.cast("int").alias("cv")
+    ).groupBy("arm", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("cv").cast("long").alias("s_d"),
+    )
+    w = _W.partitionBy("arm").orderBy("day").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "arm",
+        "day",
+        F.sum("n_d").over(w).cast("long").alias("n_cum"),
+        F.sum("s_d").over(w).cast("long").alias("s_cum"),
+    )
+    llr_micro = (
+        F.col("s_cum") * F.lit(c1_micro)
+        + (F.col("n_cum") - F.col("s_cum")) * F.lit(c0_micro)
+    )
+    return cum.select(
+        "arm",
+        "day",
+        "n_cum",
+        "s_cum",
+        F.round(llr_micro / 1e6, 6).alias("llr"),
+        F.when(llr_micro >= up_micro, F.lit("accept_h1"))
+        .when(llr_micro <= lo_micro, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("arm", "day")

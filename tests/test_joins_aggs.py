@@ -535,3 +535,43 @@ def test_poisson_bootstrap_ci_tiny_group_degrades_gracefully(spark):
     assert out["ci_lo"] == 42.0 and out["se_boot"] == 0.0
     # rank 39 exceeds the valid replicate count (~25 of 40 have w>0)
     assert out["ci_hi"] is None or out["ci_hi"] == 42.0
+
+
+def test_sprt_daily_walk_boundaries_and_exactness(spark):
+    """Hand-driven walk: an arm with pure successes crosses the H1
+    boundary at the first cohort where s*c1 >= ln(19); an all-failure
+    arm crosses H0; LLR values match the closed form."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        sprt_daily_walk,
+        sprt_llr_constants,
+    )
+
+    d = lambda i: dt.date(2024, 1, 1) + dt.timedelta(days=i)  # noqa: E731
+    rows = [(0, d(i // 4), 1) for i in range(28)]   # arm 0: all convert
+    rows += [(1, d(i // 4), 0) for i in range(28)]  # arm 1: none convert
+    df = spark.createDataFrame(rows, "arm int, day date, cv int")
+    out = sprt_daily_walk(
+        df, F.col("arm"), F.col("cv"), F.col("day"),
+        p0=0.25, p1=0.40, alpha=0.05, beta=0.05,
+    ).collect()
+    c1, c0 = sprt_llr_constants(0.25, 0.40)
+    up, lo = math.log(19.0), math.log(1.0 / 19.0)
+    for r in out:
+        s, n = r["s_cum"], r["n_cum"]
+        expect = (s * round(c1 * 1e6) + (n - s) * round(c0 * 1e6)) / 1e6
+        assert abs(r["llr"] - expect) < 1e-9
+        if r["arm"] == 0:
+            assert r["decision"] == ("accept_h1" if expect >= up else "continue")
+        else:
+            assert r["decision"] == ("accept_h0" if expect <= lo else "continue")
+    # all-success arm crosses H1 (7 cohorts x 4 obs x 0.47 nats each)
+    arm0 = sorted((r for r in out if r["arm"] == 0), key=lambda r: r["day"])
+    assert arm0[-1]["decision"] == "accept_h1"
+    assert any(r["decision"] == "continue" for r in arm0[:1])
+    arm1 = sorted((r for r in out if r["arm"] == 1), key=lambda r: r["day"])
+    assert arm1[-1]["decision"] == "accept_h0"
