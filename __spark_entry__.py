@@ -3919,6 +3919,17 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup capstone (round 7, wave 4): the savings report
+    (operators/text.py dedup_savings_report) — per near-dup group the
+    canonical KEEP doc (longest, then smallest id) and exact
+    total/kept/saved characters; the artifact a storage owner signs
+    off on, complementing q_dedup_pipeline's group sizes. Inherits
+    the verified-LSH grouping (unique texts only, never all-pairs)."""
+    docs = load_table(spark, sf, "documents")
+    return TX.dedup_savings_report(docs, jaccard_threshold=0.8)
+
+
 def q_abtest_sprt(spark: SparkSession, sf: str) -> DataFrame:
     """Sequential testing (round 7, wave 4): Wald SPRT over HOURLY
     enrollment cohorts (operators/aggregates.py sprt_daily_walk —
@@ -5795,6 +5806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forecast_conformal": q_forecast_conformal,
         "q_percentile_weighted": q_percentile_weighted,
         "q_abtest_sprt": q_abtest_sprt,
+        "q_dedup_savings": q_dedup_savings,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6064,7 +6076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ddl_create",
         "q_join_broadcast",
         "q_join_star",
-        "q_join_range",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -6086,6 +6097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forecast_conformal",
         "q_percentile_weighted",
         "q_abtest_sprt",
+        "q_dedup_savings",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -9256,6 +9268,60 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 4: dedup savings — the q_dedup_pipeline grouping
+        # replay + per-doc lengths, keep = (max len, min id)
+        "q_dedup_savings": r"""
+            WITH reps AS (
+                SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+                FROM documents GROUP BY text
+            ), s AS (
+                SELECT rep_id,
+                       CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, LENGTH(LOWER(text)) - 4),
+                               i -> SUBSTRING(LOWER(text), i, 5)))
+                       ELSE CAST([] AS VARCHAR[]) END AS sh
+                FROM reps
+            ), shx AS (
+                SELECT rep_id, UNNEST(sh) AS sg FROM s
+            ), sizes AS (
+                SELECT rep_id, LEN(sh) AS n FROM s
+            ), cm AS (
+                SELECT a.rep_id AS id_a, b.rep_id AS id_b, COUNT(*) AS c
+                FROM shx a JOIN shx b ON a.sg = b.sg AND a.rep_id < b.rep_id
+                GROUP BY a.rep_id, b.rep_id
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM cm JOIN sizes sa ON sa.rep_id = id_a
+                        JOIN sizes sb ON sb.rep_id = id_b
+                WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
+            ), grp AS (
+                SELECT r.rep_id, r.text,
+                       LEAST(COALESCE(MIN(p.id_a), r.rep_id), r.rep_id) AS group_id
+                FROM reps r LEFT JOIN pairs p ON p.id_b = r.rep_id
+                GROUP BY r.rep_id, r.text
+            ), docs2 AS (
+                SELECT d.doc_id, LENGTH(d.text) AS len, g.group_id
+                FROM documents d JOIN grp g ON g.text = d.text
+            ), agg1 AS (
+                SELECT group_id, COUNT(*) AS n_docs,
+                       SUM(len) AS chars_total, MAX(len) AS max_len
+                FROM docs2 GROUP BY group_id HAVING COUNT(*) >= 2
+            ), keep AS (
+                SELECT d.group_id, MIN(d.doc_id) AS keep_id
+                FROM docs2 d JOIN agg1 a
+                  ON a.group_id = d.group_id AND d.len = a.max_len
+                GROUP BY d.group_id
+            )
+            SELECT a.group_id,
+                   CAST(a.n_docs AS BIGINT) AS n_docs,
+                   k.keep_id,
+                   CAST(a.chars_total AS BIGINT) AS chars_total,
+                   CAST(a.max_len AS BIGINT) AS chars_kept,
+                   CAST(a.chars_total - a.max_len AS BIGINT) AS chars_saved
+            FROM agg1 a JOIN keep k ON k.group_id = a.group_id
+            ORDER BY a.group_id
+        """,
         # round 7 wave 3: weighted percentile — inverse-CDF pick over
         # exact micro-unit cumulative weights, integer ceil threshold
         "q_percentile_weighted": r"""

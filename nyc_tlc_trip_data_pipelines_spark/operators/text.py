@@ -1584,3 +1584,70 @@ def retrieval_eval(
         )
         .orderBy("query")
     )
+
+
+def dedup_savings_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The dedup CAPSTONE report a production pipeline publishes: for
+    every near-duplicate group (:func:`near_duplicate_groups`, exact +
+    verified-MinHash, one-step min-neighbor grouping) the canonical
+    KEEP document and the storage the dedup recovers — n_docs, the
+    kept id (longest text, then smallest id — the dedup_keep_best
+    convention), total vs kept vs saved characters. Singleton groups
+    are omitted (nothing saved).
+
+    This is the decision artifact dedup produces — q_dedup_pipeline
+    reports group SIZES; this picks the survivor and prices the
+    deletion, which is what a storage/curation owner actually signs
+    off on.
+
+    Scale shape: inherits near_duplicate_groups' cost (LSH over unique
+    texts, never all-pairs); the report itself is two keyed hash
+    aggregates plus a broadcast-sized equi-join back on (group,
+    max_len) for the tie-broken keep pick. No windows.
+    """
+    groups = near_duplicate_groups(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        verified=True,
+    )
+    sized = groups.join(
+        df.select(F.col(id_col).alias("__id"), F.length(text_col).alias("len")),
+        F.col(id_col) == F.col("__id"),
+    ).select(id_col, "group_id", "len")
+    per_group = (
+        sized.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("len").cast("long").alias("chars_total"),
+            F.max("len").cast("long").alias("chars_kept"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    keep = (
+        sized.join(
+            per_group.select("group_id", F.col("chars_kept").alias("__ml")),
+            "group_id",
+        )
+        .filter(F.col("len") == F.col("__ml"))
+        .groupBy("group_id")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    return (
+        per_group.join(keep, "group_id")
+        .select(
+            "group_id",
+            "n_docs",
+            "keep_id",
+            "chars_total",
+            "chars_kept",
+            (F.col("chars_total") - F.col("chars_kept")).alias("chars_saved"),
+        )
+        .orderBy("group_id")
+    )

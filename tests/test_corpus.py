@@ -334,3 +334,30 @@ def test_retrieval_eval_planted_ranking(spark):
     # 'pear' occurs once -> empty relevant set -> NULL metrics
     assert p["n_rel"] == 0 and p["n_hits"] == 0
     assert p["recall_at_k"] is None and p["mrr_at_k"] is None and p["ndcg_at_k"] is None
+
+
+def test_dedup_savings_report_planted_groups(spark):
+    """Exact copies + a near-dup family: the keep is the longest text
+    (min id on ties), savings are exact, singletons are omitted."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.text import (
+        dedup_savings_report,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base + "alpha beta gamma"),        # near-dup family, longest
+        (2, base + "alpha beta"),              # near-dup of 1
+        (3, base + "alpha beta gamma"),        # exact copy of 1
+        (10, "completely different text that stands alone just fine"),
+        (20, "another loner document with nothing shared at all really"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup_savings_report(df, jaccard_threshold=0.5).collect()
+    assert len(out) == 1  # both loners are singletons
+    g = out[0]
+    assert g["group_id"] == 1 and g["n_docs"] == 3
+    assert g["keep_id"] == 1  # longest text, tie with 3 -> min id
+    lens = {1: len(rows[0][1]), 2: len(rows[1][1]), 3: len(rows[2][1])}
+    assert g["chars_total"] == sum(lens.values())
+    assert g["chars_kept"] == lens[1]
+    assert g["chars_saved"] == lens[2] + lens[3]
