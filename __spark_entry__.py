@@ -3919,6 +3919,20 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Model evaluation (round 7, wave 4): per-class precision /
+    recall / F1 of the NB classifier's holdout predictions
+    (operators/mining.py classifier_eval over corpus.nb_classify) —
+    the measurement layer a trained corpus filter needs before its
+    verdicts gate data. F1 via the exact-integer 2tp/(nA+nP)
+    identity; classes = union of actual and predicted; degenerate
+    denominators yield NULL."""
+    docs = load_table(spark, sf, "documents")
+    preds = CP.nb_classify(docs, label_col="lang", id_col="doc_id",
+                           holdout_mod=5, holdout_rem=0, seed=11)
+    return MN.classifier_eval(preds, "actual", "predicted")
+
+
 def q_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup capstone (round 7, wave 4): the savings report
     (operators/text.py dedup_savings_report) — per near-dup group the
@@ -5807,6 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_weighted": q_percentile_weighted,
         "q_abtest_sprt": q_abtest_sprt,
         "q_dedup_savings": q_dedup_savings,
+        "q_classifier_eval": q_classifier_eval,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6075,7 +6090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_csv",
         "q_ddl_create",
         "q_join_broadcast",
-        "q_join_star",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -6098,6 +6112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_weighted",
         "q_abtest_sprt",
         "q_dedup_savings",
+        "q_classifier_eval",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -6710,6 +6725,65 @@ def _ivfpq_oracle(
         {lut_joins}
         ORDER BY adc_d2, c0.vec_id LIMIT 10
     """
+
+
+_NB_CHAIN = r"""base AS (
+                SELECT doc_id AS id, lang AS actual,
+                       (CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), CHR(31), '11')), 1, 15))
+                             AS BIGINT) % 5) = 0 AS is_hold,
+                       text
+                FROM documents
+            ), toks AS (
+                SELECT id, actual, is_hold,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS w
+                FROM base
+            ), train_wc AS (
+                SELECT w, actual AS cls, COUNT(*) AS c_wk
+                FROM toks WHERE NOT is_hold GROUP BY w, actual
+            ), class_tok AS (
+                SELECT cls, SUM(c_wk) AS t_k FROM train_wc GROUP BY cls
+            ), class_doc AS (
+                SELECT actual AS cls, COUNT(*) AS d_k
+                FROM base WHERE NOT is_hold GROUP BY actual
+            ), n_train AS (
+                SELECT COUNT(*) AS n_d FROM base WHERE NOT is_hold
+            ), classes AS (
+                SELECT cls, t_k,
+                       CAST(ROUND(LN(CAST(d_k AS DOUBLE) / n_d) * 1e6, 0) AS BIGINT) AS prior_micro
+                FROM class_doc JOIN class_tok USING (cls) CROSS JOIN n_train
+            ), vocab AS (
+                SELECT DISTINCT w FROM train_wc
+            ), v_size AS (
+                SELECT COUNT(*) AS v FROM vocab
+            ), grid AS (
+                SELECT vocab.w, classes.cls,
+                       CAST(ROUND(LN(CAST(COALESCE(train_wc.c_wk, 0) + 1 AS DOUBLE)
+                                     / (classes.t_k + v_size.v)) * 1e6, 0) AS BIGINT) AS llk_micro
+                FROM vocab CROSS JOIN classes CROSS JOIN v_size
+                LEFT JOIN train_wc
+                  ON train_wc.w = vocab.w AND train_wc.cls = classes.cls
+            ), hold_wc AS (
+                SELECT id, w, COUNT(*) AS c FROM toks WHERE is_hold GROUP BY id, w
+            ), word_scores AS (
+                SELECT id, cls, SUM(c * llk_micro) AS wsum
+                FROM hold_wc JOIN grid USING (w) GROUP BY id, cls
+            ), scores AS (
+                SELECT b.id, b.actual, c.cls,
+                       COALESCE(ws.wsum, 0) + c.prior_micro AS score_micro
+                FROM (SELECT id, actual FROM base WHERE is_hold) b
+                CROSS JOIN classes c
+                LEFT JOIN word_scores ws ON ws.id = b.id AND ws.cls = c.cls
+            ), best AS (
+                SELECT id, MAX(score_micro) AS best_micro FROM scores GROUP BY id
+            ), preds AS (
+                SELECT s.id AS doc_id, s.actual,
+                       MIN(s.cls) AS predicted,
+                       ROUND(MAX(b.best_micro) / 1e6, 6) AS score,
+                       CAST(CASE WHEN MIN(s.cls) = s.actual THEN 1 ELSE 0 END AS INT) AS correct
+                FROM scores s JOIN best b ON s.id = b.id AND s.score_micro = b.best_micro
+                GROUP BY s.id, s.actual
+            )"""
 
 
 def _sprt_oracle(
@@ -9206,64 +9280,44 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: multinomial NB — portable-hash holdout split,
         # add-one smoothed (word, class) model, integer micro-unit
         # log-posteriors (exact bigint sums), min-class argmax tie-break
-        "q_nb_classify": r"""
-            WITH base AS (
-                SELECT doc_id AS id, lang AS actual,
-                       (CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), CHR(31), '11')), 1, 15))
-                             AS BIGINT) % 5) = 0 AS is_hold,
-                       text
-                FROM documents
-            ), toks AS (
-                SELECT id, actual, is_hold,
-                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
-                                          t -> t <> '')) AS w
-                FROM base
-            ), train_wc AS (
-                SELECT w, actual AS cls, COUNT(*) AS c_wk
-                FROM toks WHERE NOT is_hold GROUP BY w, actual
-            ), class_tok AS (
-                SELECT cls, SUM(c_wk) AS t_k FROM train_wc GROUP BY cls
-            ), class_doc AS (
-                SELECT actual AS cls, COUNT(*) AS d_k
-                FROM base WHERE NOT is_hold GROUP BY actual
-            ), n_train AS (
-                SELECT COUNT(*) AS n_d FROM base WHERE NOT is_hold
-            ), classes AS (
-                SELECT cls, t_k,
-                       CAST(ROUND(LN(CAST(d_k AS DOUBLE) / n_d) * 1e6, 0) AS BIGINT) AS prior_micro
-                FROM class_doc JOIN class_tok USING (cls) CROSS JOIN n_train
-            ), vocab AS (
-                SELECT DISTINCT w FROM train_wc
-            ), v_size AS (
-                SELECT COUNT(*) AS v FROM vocab
-            ), grid AS (
-                SELECT vocab.w, classes.cls,
-                       CAST(ROUND(LN(CAST(COALESCE(train_wc.c_wk, 0) + 1 AS DOUBLE)
-                                     / (classes.t_k + v_size.v)) * 1e6, 0) AS BIGINT) AS llk_micro
-                FROM vocab CROSS JOIN classes CROSS JOIN v_size
-                LEFT JOIN train_wc
-                  ON train_wc.w = vocab.w AND train_wc.cls = classes.cls
-            ), hold_wc AS (
-                SELECT id, w, COUNT(*) AS c FROM toks WHERE is_hold GROUP BY id, w
-            ), word_scores AS (
-                SELECT id, cls, SUM(c * llk_micro) AS wsum
-                FROM hold_wc JOIN grid USING (w) GROUP BY id, cls
-            ), scores AS (
-                SELECT b.id, b.actual, c.cls,
-                       COALESCE(ws.wsum, 0) + c.prior_micro AS score_micro
-                FROM (SELECT id, actual FROM base WHERE is_hold) b
-                CROSS JOIN classes c
-                LEFT JOIN word_scores ws ON ws.id = b.id AND ws.cls = c.cls
-            ), best AS (
-                SELECT id, MAX(score_micro) AS best_micro FROM scores GROUP BY id
+        "q_nb_classify": "WITH " + _NB_CHAIN + """
+            SELECT doc_id, actual, predicted, score, correct
+            FROM preds ORDER BY doc_id
+        """,
+        # round 7 wave 4: classifier eval — the same NB chain, metrics
+        # layer on top; f1 = 2tp/(n_actual+n_predicted) (exact-integer
+        # identity for 2PR/(P+R))
+        "q_classifier_eval": "WITH " + _NB_CHAIN + """
+            , cls_list AS (
+                SELECT actual AS cls FROM preds
+                UNION SELECT predicted FROM preds
+            ), act AS (
+                SELECT actual AS cls, COUNT(*) AS n_actual FROM preds GROUP BY actual
+            ), prd AS (
+                SELECT predicted AS cls, COUNT(*) AS n_predicted FROM preds GROUP BY predicted
+            ), tp AS (
+                SELECT actual AS cls, COUNT(*) AS tp FROM preds
+                WHERE actual = predicted GROUP BY actual
             )
-            SELECT s.id AS doc_id, s.actual,
-                   MIN(s.cls) AS predicted,
-                   ROUND(MAX(b.best_micro) / 1e6, 6) AS score,
-                   CAST(CASE WHEN MIN(s.cls) = s.actual THEN 1 ELSE 0 END AS INT) AS correct
-            FROM scores s JOIN best b ON s.id = b.id AND s.score_micro = b.best_micro
-            GROUP BY s.id, s.actual
-            ORDER BY doc_id
+            SELECT c.cls,
+                   CAST(COALESCE(a.n_actual, 0) AS BIGINT) AS n_actual,
+                   CAST(COALESCE(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+                   CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+                   CASE WHEN COALESCE(p.n_predicted, 0) > 0
+                        THEN ROUND(CAST(COALESCE(t.tp, 0) AS DOUBLE) / p.n_predicted, 6)
+                   END AS precision,
+                   CASE WHEN COALESCE(a.n_actual, 0) > 0
+                        THEN ROUND(CAST(COALESCE(t.tp, 0) AS DOUBLE) / a.n_actual, 6)
+                   END AS recall,
+                   CASE WHEN COALESCE(a.n_actual, 0) + COALESCE(p.n_predicted, 0) > 0
+                        THEN ROUND(2.0 * CAST(COALESCE(t.tp, 0) AS DOUBLE)
+                                   / (COALESCE(a.n_actual, 0) + COALESCE(p.n_predicted, 0)), 6)
+                   END AS f1
+            FROM cls_list c
+            LEFT JOIN act a ON a.cls = c.cls
+            LEFT JOIN prd p ON p.cls = c.cls
+            LEFT JOIN tp t ON t.cls = c.cls
+            ORDER BY c.cls
         """,
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics

@@ -225,3 +225,78 @@ def mutual_information(
         F.round(pmi, 6).alias("pmi"),
         F.round((n_xy / n) * pmi, 9).alias("mi_contrib"),
     )
+
+
+def classifier_eval(
+    preds: DataFrame,
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+) -> DataFrame:
+    """Per-class classifier evaluation — precision / recall / F1 from a
+    (actual, predicted) prediction table: the measurement layer every
+    trained filter (language ID, quality model, :func:`..corpus
+    .nb_classify`) needs before its verdicts gate a corpus.
+
+    Classes are the UNION of observed actual and predicted labels, so
+    a class the model never predicts (recall 0) and a hallucinated
+    class (precision 0) both appear. F1 is computed by the
+    exact-integer identity ``2·tp / (n_actual + n_predicted)``
+    (algebraically equal to 2PR/(P+R)) so no float compounds through
+    the harmonic mean; degenerate denominators yield NULL (undefined,
+    the ks_two_sample rule).
+
+    Scale shape: three keyed hash aggregates over the prediction
+    table (each |classes|-sized output) joined on the tiny class
+    list — no corpus-sized joins, no windows.
+    """
+    a = F.col(actual_col)
+    p = F.col(predicted_col)
+    cls_list = (
+        preds.select(a.alias("cls"))
+        .union(preds.select(p.alias("cls")))
+        .distinct()
+    )
+    act = preds.groupBy(a.alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_actual")
+    )
+    prd = preds.groupBy(p.alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_predicted")
+    )
+    tp = (
+        preds.filter(a == p)
+        .groupBy(a.alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    j = (
+        cls_list.join(F.broadcast(act), "cls", "left")
+        .join(F.broadcast(prd), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("n_actual"), F.lit(0)).cast("long").alias("n_actual"),
+            F.coalesce(F.col("n_predicted"), F.lit(0))
+            .cast("long")
+            .alias("n_predicted"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return j.select(
+        "cls",
+        "n_actual",
+        "n_predicted",
+        "tp",
+        F.when(
+            F.col("n_predicted") > 0,
+            F.round(F.col("tp") / F.col("n_predicted"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_actual") > 0, F.round(F.col("tp") / F.col("n_actual"), 6)
+        ).alias("recall"),
+        F.when(
+            F.col("n_actual") + F.col("n_predicted") > 0,
+            F.round(
+                2.0 * F.col("tp") / (F.col("n_actual") + F.col("n_predicted")),
+                6,
+            ),
+        ).alias("f1"),
+    ).orderBy("cls")

@@ -297,3 +297,30 @@ def test_dp_noise_keys_distinguish_nulls(spark):
     noise = {(r["k1"], r["k2"]): r["n_released"] - r["n_true"] for r in rows}
     vals = list(noise.values())
     assert abs(vals[0] - vals[1]) > 1e-9
+
+
+def test_classifier_eval_confusion_metrics(spark):
+    """Hand-checkable confusion table, including a never-predicted
+    class (recall 0, NULL precision) and a hallucinated class
+    (precision 0, NULL recall)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import classifier_eval
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),   # a: 3 actual, 2 tp
+        ("b", "b"), ("b", "b"),               # b: 2 actual, 2 tp (3 predicted)
+        ("c", "b"),                           # c: never predicted
+        ("a", "x"),                           # x: hallucinated
+    ]
+    df = spark.createDataFrame(rows, "actual string, predicted string")
+    out = {r["cls"]: r for r in classifier_eval(df).collect()}
+    assert set(out) == {"a", "b", "c", "x"}
+    a = out["a"]
+    assert (a["n_actual"], a["n_predicted"], a["tp"]) == (4, 2, 2)
+    assert a["precision"] == 1.0 and abs(a["recall"] - 0.5) < 1e-9
+    assert abs(a["f1"] - 2 * 2 / (4 + 2)) < 1e-6
+    b = out["b"]
+    assert (b["n_actual"], b["n_predicted"], b["tp"]) == (2, 4, 2)
+    c = out["c"]
+    assert c["n_predicted"] == 0 and c["precision"] is None and c["recall"] == 0.0
+    x = out["x"]
+    assert x["n_actual"] == 0 and x["recall"] is None and x["precision"] == 0.0
