@@ -155,6 +155,10 @@ ROUND7_OPS = [
     "q_ann_ivfpq",
     "q_forecast_conformal",
     "q_percentile_weighted",
+    # wave 4: sequential testing / dedup capstone / model eval
+    "q_abtest_sprt",
+    "q_dedup_savings",
+    "q_classifier_eval",
 ]
 
 
