@@ -618,3 +618,81 @@ def test_domain_mixture_weights_sum_to_one(spark, rows):
     if big["n_tokens"] != small["n_tokens"]:
         assert big["weight"] <= big["token_share"] + 1e-9
         assert small["weight"] >= small["token_share"] - 1e-9
+
+
+@given(
+    st.lists(st.floats(0.0, 100.0, allow_nan=False), min_size=5, max_size=25),
+    st.floats(-50.0, 50.0, allow_nan=False),
+)
+@settings(max_examples=6, deadline=None)
+def test_poisson_bootstrap_shift_equivariance(spark, vals, shift):
+    """The Poisson draws depend only on (id, replicate, seed), so adding
+    a constant c to every value must shift mean/ci_lo/ci_hi by exactly
+    c (at the micro-unit grid) and leave se_boot unchanged."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    base = spark.createDataFrame(rows, "event_id bigint, k string, value double")
+    shifted = base.withColumn("value", F.col("value") + F.lit(float(shift)))
+    a = poisson_bootstrap_ci(base, ["k"], F.col("value"), "event_id").collect()[0]
+    b = poisson_bootstrap_ci(shifted, ["k"], F.col("value"), "event_id").collect()[0]
+    tol = 3e-6  # micro-grid quantization of value+shift vs value
+    assert abs((b["mean"] - a["mean"]) - shift) < tol
+    if a["ci_lo"] is not None and b["ci_lo"] is not None:
+        assert abs((b["ci_lo"] - a["ci_lo"]) - shift) < tol
+    if a["ci_hi"] is not None and b["ci_hi"] is not None:
+        assert abs((b["ci_hi"] - a["ci_hi"]) - shift) < tol
+    assert abs(b["se_boot"] - a["se_boot"]) < tol
+
+
+@given(st.lists(st.floats(0.0, 200.0, allow_nan=False), min_size=30, max_size=60))
+@settings(max_examples=5, deadline=None)
+def test_cusum_shift_invariance(spark, vals):
+    """CUSUM deviations are measured from the series' own mean, so a
+    constant shift of every value leaves both trajectories unchanged
+    (up to the micro grid)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    base_t = datetime(2024, 1, 1)
+    rows = [(i, base_t + timedelta(hours=i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double")
+    df2 = df.withColumn("value", F.col("value") + F.lit(37.0))
+    a = {r["bucket"]: r for r in cusum_changepoints(df, "ts", "value").collect()}
+    b = {r["bucket"]: r for r in cusum_changepoints(df2, "ts", "value").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k]["cusum_pos"] - b[k]["cusum_pos"]) < 1e-4
+        assert abs(a[k]["cusum_neg"] - b[k]["cusum_neg"]) < 1e-4
+
+
+@given(
+    st.lists(st.floats(1.0, 50.0, allow_nan=False), min_size=3, max_size=15),
+    st.sampled_from([0.25, 0.5, 0.75, 0.9]),
+)
+@settings(max_examples=8, deadline=None)
+def test_weighted_percentile_unit_weights_match_type1_quantile(spark, vals, p):
+    """With all weights 1 the inverse-CDF weighted percentile is the
+    classic type-1 quantile: the ceil(p*n)-th smallest value."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        weighted_percentile,
+    )
+
+    rows = [("g", float(v), 1.0) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    out = weighted_percentile(df, ["k"], F.col("v"), F.col("w"), (p,)).collect()[0]
+    expect = sorted(vals)[max(0, math.ceil(p * len(vals)) - 1)]
+    assert out[f"p{int(round(p * 100))}"] == expect
