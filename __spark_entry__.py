@@ -1687,6 +1687,36 @@ def _register(spark: SparkSession, sf: str) -> None:
     register_views(spark, sf)
 
 
+def q_sql_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — completes the full 22-query
+    TPC-H surface. Adapted determinism: quantities/prices/discounts/
+    taxes are 2-dp fixed-point in the fixture, so every SUM reduces
+    EXACT integers (cents; disc_price at 1e4, charge at 1e6 scale) —
+    the float-sum partition-order caveat the ROUND(…, 4) queries
+    accept never arises. One hash aggregate, 6 groups."""
+    _register(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                   * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
+               ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
+               ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q_sql_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority), adapted: top-10 unshipped
     orders by revenue for one market segment."""
@@ -5979,6 +6009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_centroid": q_vector_centroid,
         "q_vector_norms": q_vector_norms,
         "q_stream_static_join": q_stream_static_join,
+        "q_sql_tpch_q1": q_sql_tpch_q1,
         "q_sql_tpch_q3": q_sql_tpch_q3,
         "q_sql_tpch_q5": q_sql_tpch_q5,
         "q_sql_tpch_q6": q_sql_tpch_q6,
@@ -6084,7 +6115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- refresh tier: round-1-only driver rows, oldest first ----
         "q_udf_scalar",
         "q_udaf_grouped",
-        "q_udtf_tokenize",
         "q_sink_append",
         "q_sink_partitioned",
         "q_sink_csv",
@@ -6113,6 +6143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_sprt",
         "q_dedup_savings",
         "q_classifier_eval",
+        "q_sql_tpch_q1",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -10344,6 +10375,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        # TPC-H Q1 — completes the 22-query suite; every SUM is exact
+        # integer cents (disc_price 1e4, charge 1e6 scale), identical
+        # SQL text runs in both engines
+        "q_sql_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                       * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
+                   ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
+                   ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "q_sql_tpch_q3": """
             SELECT l_orderkey,
