@@ -1693,21 +1693,27 @@ def q_sql_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     taxes are 2-dp fixed-point in the fixture, so every SUM reduces
     EXACT integers (cents; disc_price at 1e4, charge at 1e6 scale) —
     the float-sum partition-order caveat the ROUND(…, 4) queries
-    accept never arises. One hash aggregate, 6 groups."""
+    accept never arises. The per-row integer products SUM as
+    DECIMAL(38,0) (128-bit in both engines: Spark decimal aggregation,
+    DuckDB HUGEINT-backed decimal), because a bare SUM(BIGINT) of
+    ~4e10-per-row charge micro-units would overflow 2^63 around
+    3e8 rows per group — Spark wraps silently with ANSI off while
+    DuckDB promotes, so the exactness contract would break precisely
+    at scale. One hash aggregate, 6 groups."""
     _register(spark, sf)
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               CAST(SUM(CAST(CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / 100 AS sum_qty,
+               CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / 100 AS sum_base_price,
+               CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DECIMAL(38, 0))) AS DOUBLE) / 10000 AS sum_disc_price,
+               CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
-                   * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
-               ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_qty,
-               ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
-               ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
+                   * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS DECIMAL(38, 0))) AS DOUBLE) / 1000000 AS sum_charge,
+               ROUND(CAST(SUM(CAST(CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
+               ROUND(CAST(SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -10381,16 +10387,16 @@ def oracle_sql() -> dict[str, str]:
         # SQL text runs in both engines
         "q_sql_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
-                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
-                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   CAST(SUM(CAST(CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / 100 AS sum_qty,
+                   CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / 100 AS sum_base_price,
+                   CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DECIMAL(38, 0))) AS DOUBLE) / 10000 AS sum_disc_price,
+                   CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
                        * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
-                       * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
-                   ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_qty,
-                   ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
-                   ROUND(CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
+                       * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS DECIMAL(38, 0))) AS DOUBLE) / 1000000 AS sum_charge,
+                   ROUND(CAST(SUM(CAST(CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
+                   ROUND(CAST(SUM(CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS DECIMAL(38, 0))) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

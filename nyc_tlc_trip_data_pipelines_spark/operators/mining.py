@@ -245,27 +245,35 @@ def classifier_eval(
     the harmonic mean; degenerate denominators yield NULL (undefined,
     the ks_two_sample rule).
 
-    Scale shape: three keyed hash aggregates over the prediction
-    table (each |classes|-sized output) joined on the tiny class
-    list — no corpus-sized joins, no windows.
+    Scale shape: the prediction table reduces to the |classes|²-sized
+    CONFUSION MATRIX in exactly ONE keyed hash aggregate; every metric
+    derives from that tiny table (crucial when ``preds`` is a lazy
+    plan — here the whole NB train/score pipeline — which a
+    marginals-from-preds formulation would re-execute once per
+    marginal). No corpus-sized joins, no windows.
     """
     a = F.col(actual_col)
     p = F.col(predicted_col)
+    # |classes|²-row table, but its LINEAGE is the caller's full preds
+    # plan — persist so the five metric derivations below compute the
+    # corpus pass once (the assoc_rules caching contract: backs the
+    # returned lazy plan, LRU-evicted or caller-cleared after action)
+    cm = preds.groupBy(a.alias("a"), p.alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
     cls_list = (
-        preds.select(a.alias("cls"))
-        .union(preds.select(p.alias("cls")))
+        cm.select(F.col("a").alias("cls"))
+        .union(cm.select(F.col("p").alias("cls")))
         .distinct()
     )
-    act = preds.groupBy(a.alias("cls")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_actual")
+    act = cm.groupBy(F.col("a").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_actual")
     )
-    prd = preds.groupBy(p.alias("cls")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_predicted")
+    prd = cm.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_predicted")
     )
-    tp = (
-        preds.filter(a == p)
-        .groupBy(a.alias("cls"))
-        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    tp = cm.filter(F.col("a") == F.col("p")).select(
+        F.col("a").alias("cls"), F.col("n").alias("tp")
     )
     j = (
         cls_list.join(F.broadcast(act), "cls", "left")

@@ -1617,10 +1617,19 @@ def dedup_savings_report(
         jaccard_threshold=jaccard_threshold,
         verified=True,
     )
-    sized = groups.join(
-        df.select(F.col(id_col).alias("__id"), F.length(text_col).alias("len")),
-        F.col(id_col) == F.col("__id"),
-    ).select(id_col, "group_id", "len")
+    # persist: sized's lineage embeds the whole LSH+verify grouping and
+    # is read by BOTH the per-group aggregate and the keep pick (the
+    # assoc_rules caching contract)
+    sized = (
+        groups.join(
+            df.select(
+                F.col(id_col).alias("__id"), F.length(text_col).alias("len")
+            ),
+            F.col(id_col) == F.col("__id"),
+        )
+        .select(id_col, "group_id", "len")
+        .persist()
+    )
     per_group = (
         sized.groupBy("group_id")
         .agg(

@@ -306,10 +306,10 @@ def test_classifier_eval_confusion_metrics(spark):
     from nyc_tlc_trip_data_pipelines_spark.operators.mining import classifier_eval
 
     rows = [
-        ("a", "a"), ("a", "a"), ("a", "b"),   # a: 3 actual, 2 tp
-        ("b", "b"), ("b", "b"),               # b: 2 actual, 2 tp (3 predicted)
-        ("c", "b"),                           # c: never predicted
-        ("a", "x"),                           # x: hallucinated
+        ("a", "a"), ("a", "a"), ("a", "b"),   # a: 2 tp + 1 fn-to-b
+        ("b", "b"), ("b", "b"),               # b: 2 tp
+        ("c", "b"),                           # c: never predicted (b gets 4 preds)
+        ("a", "x"),                           # x: hallucinated (a has 4 actuals)
     ]
     df = spark.createDataFrame(rows, "actual string, predicted string")
     out = {r["cls"]: r for r in classifier_eval(df).collect()}
