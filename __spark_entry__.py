@@ -4007,6 +4007,7 @@ def q_abtest_sprt(spark: SparkSession, sf: str) -> DataFrame:
     return agg.sprt_daily_walk(
         obs, F.col("arm"), F.col("cv"), F.col("day"),
         p0=0.25, p1=0.40, alpha=0.05, beta=0.05,
+        period_name="cohort_hour",
     )
 
 
@@ -6861,7 +6862,7 @@ def _sprt_oracle(
                 FROM daily
                 WINDOW w AS (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)
             )
-            SELECT arm, day, n_cum, s_cum,
+            SELECT arm, day AS cohort_hour, n_cum, s_cum,
                    ROUND((s_cum * {c1_micro} + (n_cum - s_cum) * {c0_micro}) / 1e6, 6) AS llr,
                    CASE WHEN s_cum * {c1_micro} + (n_cum - s_cum) * {c0_micro} >= {up_micro}
                              THEN 'accept_h1'

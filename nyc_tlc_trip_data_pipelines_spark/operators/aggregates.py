@@ -990,6 +990,7 @@ def sprt_daily_walk(
     p1: float = 0.40,
     alpha: float = 0.05,
     beta: float = 0.05,
+    period_name: str = "period",
 ) -> DataFrame:
     """Wald's Sequential Probability Ratio Test over daily cohorts —
     the always-valid early-stopping A/B primitive (Wald 1945; the
@@ -1009,10 +1010,12 @@ def sprt_daily_walk(
     (the increments are order-free sums); only the decision GRAIN is
     daily — crossings inside a day surface at its close.
 
-    Returns per (arm, day): (arm, day, n_cum, s_cum, llr, decision)
-    with decision ∈ 'accept_h1' | 'accept_h0' | 'continue' — the
-    decision at each day's close; a monitor stops at the first
-    non-continue row per arm.
+    Returns per (arm, cohort): (arm, <period_name>, n_cum, s_cum,
+    llr, decision) with decision ∈ 'accept_h1' | 'accept_h0' |
+    'continue' — the decision at each cohort's close; a monitor stops
+    at the first non-continue row per arm. ``period_name`` names the
+    cohort column after the caller's actual grain (an hourly cohort
+    labeled 'day' misleads every downstream consumer).
     """
     from pyspark.sql import Window as _W
 
@@ -1024,17 +1027,17 @@ def sprt_daily_walk(
     up_micro = int(round(upper * 1e6))
     lo_micro = int(round(lower * 1e6))
     daily = df.select(
-        arm.alias("arm"), day.alias("day"), converted.cast("int").alias("cv")
-    ).groupBy("arm", "day").agg(
+        arm.alias("arm"), day.alias("__p"), converted.cast("int").alias("cv")
+    ).groupBy("arm", "__p").agg(
         F.count(F.lit(1)).cast("long").alias("n_d"),
         F.sum("cv").cast("long").alias("s_d"),
     )
-    w = _W.partitionBy("arm").orderBy("day").rowsBetween(
+    w = _W.partitionBy("arm").orderBy("__p").rowsBetween(
         _W.unboundedPreceding, 0
     )
     cum = daily.select(
         "arm",
-        "day",
+        "__p",
         F.sum("n_d").over(w).cast("long").alias("n_cum"),
         F.sum("s_d").over(w).cast("long").alias("s_cum"),
     )
@@ -1044,7 +1047,7 @@ def sprt_daily_walk(
     )
     return cum.select(
         "arm",
-        "day",
+        F.col("__p").alias(period_name),
         "n_cum",
         "s_cum",
         F.round(llr_micro / 1e6, 6).alias("llr"),
@@ -1052,4 +1055,4 @@ def sprt_daily_walk(
         .when(llr_micro <= lo_micro, F.lit("accept_h0"))
         .otherwise(F.lit("continue"))
         .alias("decision"),
-    ).orderBy("arm", "day")
+    ).orderBy("arm", period_name)

@@ -558,6 +558,7 @@ def test_sprt_daily_walk_boundaries_and_exactness(spark):
     out = sprt_daily_walk(
         df, F.col("arm"), F.col("cv"), F.col("day"),
         p0=0.25, p1=0.40, alpha=0.05, beta=0.05,
+        period_name="day",
     ).collect()
     c1, c0 = sprt_llr_constants(0.25, 0.40)
     up, lo = math.log(19.0), math.log(1.0 / 19.0)
