@@ -576,3 +576,34 @@ def test_sprt_daily_walk_boundaries_and_exactness(spark):
     assert any(r["decision"] == "continue" for r in arm0[:1])
     arm1 = sorted((r for r in out if r["arm"] == 1), key=lambda r: r["day"])
     assert arm1[-1]["decision"] == "accept_h0"
+
+
+def test_poisson_bootstrap_fast_tier_same_contract(spark):
+    """The xxhash fast tier draws different weights but honors the same
+    output contract: exact point estimate, degenerate-constant CI, and
+    sane spread bounds."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, "c", 7.5) for i in range(200)]
+    rows += [(1000 + i, "s", float(i % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id bigint, k string, value double")
+    out = {
+        r["k"]: r
+        for r in poisson_bootstrap_ci(
+            df, ["k"], F.col("value"), "event_id", hash_tier="fast"
+        ).collect()
+    }
+    c = out["c"]
+    assert c["mean"] == 7.5 and c["se_boot"] == 0.0 and c["ci_lo"] == 7.5
+    s = out["s"]
+    assert s["ci_lo"] <= s["mean"] <= s["ci_hi"] and 0.5 < s["se_boot"] < 3.0
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_tier"):
+        poisson_bootstrap_ci(
+            df, ["k"], F.col("value"), "event_id", hash_tier="nope"
+        )
