@@ -722,3 +722,38 @@ def test_audio_dedup_shuffles_hashes_not_payloads(spark):
     assert exchange_count(out) == 1
     assert "hashpartitioning(ehash" in p
     assert p.index("Exchange") < p.index("MapInPandas")
+
+
+def test_bootstrap_explode_folds_before_exchange(spark, sf_dir):
+    """The Poisson bootstrap's B-fold Generate must reduce in the SAME
+    stage's partial HashAggregate — the shuffle carries groups x B
+    cells, never rows x B (the Chamandy one-pass property)."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = agg.poisson_bootstrap_ci(e, ["event_type"], F.col("value"), "event_id")
+    p = plan_string(out, "simple")
+    gen = p.index("Generate")
+    # a partial aggregate sits between the explode and the first
+    # exchange ABOVE it (plans print top-down: Exchange appears before
+    # Generate in the string, HashAggregate between them)
+    above = p[:gen]
+    last_exchange = above.rindex("Exchange")
+    assert "HashAggregate" in above[last_exchange:], (
+        "no map-side combine between explode and shuffle"
+    )
+
+
+def test_ivfpq_lut_join_is_broadcast(spark, sf_dir):
+    """The ADC lookup table (n_probe*m*k rows) must broadcast — the
+    probed-cell code scan is never shuffled for the lookup join."""
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = V.ivfpq_topk(emb, [1.0] * 64, kc=4, n_probe=2, m=4, k_codes=4)
+    p = plan_string(out, "simple")
+    assert "BroadcastHashJoin" in p
