@@ -3955,6 +3955,20 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doremi_step(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned data mixtures (round 7, wave 4): one DoReMi
+    exponentiated-gradient domain-reweighting step (Xie et al. 2023;
+    operators/corpus.py doremi_step) — per-domain excess loss under
+    the shared corpus unigram model vs the domain's own model drives
+    the multiplicative update, with 10% uniform mixing. Iterating
+    from q_domain_mixture's temperature weights toward the DoReMi
+    optimum. One tokenize pass, two keyed aggregates, |domains|-row
+    update arithmetic; single exp() per domain on a 6-dp grid
+    argument."""
+    docs = load_table(spark, sf, "documents")
+    return CP.doremi_step(docs, domain_col="source", eta=1.0, smooth=0.1)
+
+
 def q_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Model evaluation (round 7, wave 4): per-class precision /
     recall / F1 of the NB classifier's holdout predictions
@@ -5859,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_sprt": q_abtest_sprt,
         "q_dedup_savings": q_dedup_savings,
         "q_classifier_eval": q_classifier_eval,
+        "q_doremi_step": q_doremi_step,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6121,7 +6136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dp_release",
         # ---- refresh tier: round-1-only driver rows, oldest first ----
         "q_udf_scalar",
-        "q_udaf_grouped",
         "q_sink_append",
         "q_sink_partitioned",
         "q_sink_csv",
@@ -6151,6 +6165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_savings",
         "q_classifier_eval",
         "q_sql_tpch_q1",
+        "q_doremi_step",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -9360,6 +9375,63 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 4: DoReMi step — shared-vocab unigram NLLs in
+        # exact micro-units, one exp() per domain on a 6-dp grid
+        "q_doremi_step": r"""
+            WITH toks AS (
+                SELECT source AS domain,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS w
+                FROM documents
+            ), dom_wc AS (
+                SELECT domain, w, COUNT(*) AS c_dw FROM toks GROUP BY domain, w
+            ), corp_wc AS (
+                SELECT w, SUM(c_dw) AS c_w FROM dom_wc GROUP BY w
+            ), totals AS (
+                SELECT domain, CAST(SUM(c_dw) AS BIGINT) AS n_d
+                FROM dom_wc GROUP BY domain
+            ), stats AS (
+                SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot, COUNT(*) AS v
+                FROM corp_wc
+            ), lp AS (
+                SELECT w,
+                       ROUND(LN(CAST(c_w + 1 AS DOUBLE) / (n_tot + v)), 6) AS lp_c,
+                       v
+                FROM corp_wc CROSS JOIN stats
+            ), scored AS (
+                SELECT d.domain, t.n_d, d.c_dw,
+                       CAST(ROUND(lp.lp_c * 1e6, 0) AS BIGINT) AS lpc_micro,
+                       CAST(ROUND(LN(CAST(d.c_dw + 1 AS DOUBLE) / (t.n_d + lp.v)) * 1e6, 0) AS BIGINT) AS lpd_micro
+                FROM dom_wc d JOIN totals t USING (domain) JOIN lp USING (w)
+            ), per_dom AS (
+                SELECT domain, n_d,
+                       SUM(c_dw * lpc_micro) AS sc,
+                       SUM(c_dw * lpd_micro) AS sd
+                FROM scored GROUP BY domain, n_d
+            ), base AS (
+                SELECT domain, n_d AS n_tokens,
+                       ROUND(-CAST(sc AS DOUBLE) / n_d / 1e6, 6) AS cross_nll,
+                       ROUND(-CAST(sd AS DOUBLE) / n_d / 1e6, 6) AS own_nll,
+                       GREATEST(0.0, ROUND(ROUND(-CAST(sc AS DOUBLE) / n_d / 1e6, 6)
+                                           - ROUND(-CAST(sd AS DOUBLE) / n_d / 1e6, 6), 6)) AS excess
+                FROM per_dom
+            ), scored2 AS (
+                SELECT *,
+                       CAST(ROUND(n_tokens * ROUND(EXP(1.0 * excess), 6), 0) AS BIGINT) AS wu
+                FROM base
+            ), z AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) AS zt,
+                       CAST(SUM(wu) AS BIGINT) AS zw,
+                       COUNT(*) AS k
+                FROM scored2
+            )
+            SELECT domain,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(CAST(n_tokens AS DOUBLE) / zt, 6) AS token_share,
+                   own_nll, cross_nll, excess,
+                   ROUND(0.9 * (CAST(wu AS DOUBLE) / zw) + 0.1 / k, 6) AS weight
+            FROM scored2 CROSS JOIN z ORDER BY domain
+        """,
         # round 7 wave 4: dedup savings — the q_dedup_pipeline grouping
         # replay + per-doc lengths, keep = (max len, min id)
         "q_dedup_savings": r"""

@@ -925,3 +925,137 @@ def nb_classify(
             .alias("correct"),
         )
     )
+
+
+def doremi_step(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    eta: float = 1.0,
+    smooth: float = 0.1,
+) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    the exponentiated-gradient update behind learned pretraining
+    mixtures): each domain's weight moves multiplicatively by its
+    EXCESS LOSS — how much worse the shared corpus-level model fits
+    the domain than the domain's own model —
+    ``w'_d ∝ share_d · exp(η · max(0, L_cross(d) − L_own(d)))``, then
+    mixes ``smooth`` of the uniform distribution back in (the paper's
+    step; domains the shared model underfits get seen more).
+
+    Loss proxy (the paper uses small LM losses; this engine's
+    distributional stand-in): add-one-smoothed UNIGRAM negative
+    log-likelihood over the shared vocabulary — L_cross(d) under the
+    corpus-level model, L_own(d) under domain d's own model.
+    L_cross ≥ L_own in expectation (Gibbs' inequality on the smoothed
+    estimates), and the clip at 0 guards finite-sample noise exactly
+    as the paper clips its per-domain excess.
+
+    Determinism contract: per-word log-probs round to 6 dp on the
+    vocabulary table; per-domain NLL sums are exact bigint micro-unit
+    reductions (the nb_classify rule); the single exp() per domain is
+    taken on a 6-dp-grid argument and re-rounded to 6 dp (the
+    PMI/ln-parity rationale: one transcendental call on identical
+    doubles, never a float reduction); both normalizers reduce
+    integer micro-units (the domain_mixture_weights Z rule).
+
+    Returns one row per domain: (domain, n_tokens, token_share,
+    own_nll, cross_nll, excess, weight) with ``weight`` the smoothed
+    updated mixture.
+
+    Scale shape: ONE tokenize pass feeds the corpus-level and
+    per-domain counts ((word) and (domain, word) keyed aggregates —
+    the only corpus-sized shuffles); the model tables are vocab- and
+    vocab×|domains|-sized; everything after runs on |domains| rows.
+    Identical cost envelope to dsir_select / nb_classify: two
+    streaming passes' worth of aggregation from one scan.
+    """
+    toks = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    dom_wc = toks.groupBy("domain", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_dw")
+    )
+    corp_wc = dom_wc.groupBy("w").agg(F.sum("c_dw").cast("long").alias("c_w"))
+    totals = dom_wc.groupBy("domain").agg(
+        F.sum("c_dw").cast("long").alias("n_d")
+    )
+    stats = corp_wc.agg(
+        F.sum("c_w").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lp_corpus = corp_wc.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.round(
+            F.log((F.col("c_w") + 1).cast("double") / (F.col("n_tot") + F.col("v"))),
+            6,
+        ).alias("lp_c"),
+        "v",
+    )
+    # per-(domain, word) own-model log-prob needs the domain totals
+    scored = (
+        dom_wc.join(F.broadcast(totals), "domain")
+        .join(lp_corpus, "w")
+        .select(
+            "domain",
+            "n_d",
+            "c_dw",
+            F.round(F.col("lp_c") * 1e6, 0).cast("long").alias("lpc_micro"),
+            F.round(
+                F.log(
+                    (F.col("c_dw") + 1).cast("double") / (F.col("n_d") + F.col("v"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lpd_micro"),
+        )
+    )
+    per_dom = scored.groupBy("domain", "n_d").agg(
+        F.sum(F.col("c_dw") * F.col("lpc_micro")).alias("__sc"),
+        F.sum(F.col("c_dw") * F.col("lpd_micro")).alias("__sd"),
+    )
+    cross = F.round(-F.col("__sc") / F.col("n_d") / 1e6, 6)
+    own = F.round(-F.col("__sd") / F.col("n_d") / 1e6, 6)
+    base = per_dom.select(
+        "domain",
+        F.col("n_d").alias("n_tokens"),
+        cross.alias("cross_nll"),
+        own.alias("own_nll"),
+        F.greatest(F.lit(0.0), F.round(cross - own, 6)).alias("excess"),
+    )
+    boost = F.round(F.exp(F.lit(float(eta)) * F.col("excess")), 6)
+    scored2 = base.withColumn(
+        "__share_u", F.col("n_tokens")
+    ).withColumn(
+        # share·boost in micro-units: share numerator is exact tokens,
+        # boost is a 6-dp grid double — quantize the product once
+        "__wu",
+        F.round(F.col("n_tokens") * boost, 0).cast("long"),
+    )
+    z = scored2.agg(
+        F.sum("__share_u").cast("long").alias("__zt"),
+        F.sum("__wu").cast("long").alias("__zw"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    sm = float(smooth)
+    return (
+        scored2.crossJoin(F.broadcast(z))
+        .select(
+            "domain",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__zt"), 6).alias("token_share"),
+            "own_nll",
+            "cross_nll",
+            "excess",
+            F.round(
+                F.lit(1.0 - sm) * (F.col("__wu") / F.col("__zw"))
+                + F.lit(sm) / F.col("__k"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("domain")
+    )

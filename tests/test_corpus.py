@@ -361,3 +361,26 @@ def test_dedup_savings_report_planted_groups(spark):
     assert g["chars_total"] == sum(lens.values())
     assert g["chars_kept"] == lens[1]
     assert g["chars_saved"] == lens[2] + lens[3]
+
+
+def test_doremi_step_upweights_underfit_domain(spark):
+    """A domain whose vocabulary diverges from the corpus majority gets
+    positive excess loss and a weight above its token share; weights
+    form a distribution and respect the uniform smoothing floor."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import doremi_step
+
+    # majority domain speaks {aa bb cc}; minority speaks {xx yy zz} —
+    # the corpus-level model fits the minority badly
+    rows = [("big", "aa bb cc aa bb cc aa bb")] * 8
+    rows += [("odd", "xx yy zz xx yy zz xx yy")] * 2
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["domain"]: r for r in doremi_step(df, smooth=0.1).collect()}
+    assert set(out) == {"big", "odd"}
+    big, odd = out["big"], out["odd"]
+    # both domains' own models fit better than the shared model
+    assert odd["excess"] > 0 and odd["cross_nll"] > odd["own_nll"]
+    # the underfit minority is boosted ABOVE its raw token share
+    assert odd["weight"] > odd["token_share"]
+    assert abs((big["weight"] + odd["weight"]) - 1.0) < 5e-6
+    # smoothing floor: no domain below smooth/k
+    assert min(big["weight"], odd["weight"]) >= 0.05 - 1e-9
