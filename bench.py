@@ -155,10 +155,12 @@ ROUND7_OPS = [
     "q_ann_ivfpq",
     "q_forecast_conformal",
     "q_percentile_weighted",
-    # wave 4: sequential testing / dedup capstone / model eval
+    # wave 4: sequential testing / dedup capstone / model eval / mixtures
     "q_abtest_sprt",
     "q_dedup_savings",
     "q_classifier_eval",
+    "q_sql_tpch_q1",
+    "q_doremi_step",
 ]
 
 
