@@ -3955,6 +3955,17 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mixture_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture health (round 7, wave 4): Gini + HHI + top-share of
+    per-domain token mass (operators/corpus.py mixture_concentration)
+    — the one-row concentration audit next to q_domain_mixture /
+    q_doremi_step. Exact integer token counts; HHI over micro-unit
+    shares; Gini by the sorted-rank closed form with an exact Σ r·c
+    reduction; one corpus aggregate, then |domains|-row arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    return CP.mixture_concentration(docs, domain_col="source")
+
+
 def q_doremi_step(spark: SparkSession, sf: str) -> DataFrame:
     """Learned data mixtures (round 7, wave 4): one DoReMi
     exponentiated-gradient domain-reweighting step (Xie et al. 2023;
@@ -5874,6 +5885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_savings": q_dedup_savings,
         "q_classifier_eval": q_classifier_eval,
         "q_doremi_step": q_doremi_step,
+        "q_mixture_concentration": q_mixture_concentration,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6135,7 +6147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_rollup",
         "q_dp_release",
         # ---- refresh tier: round-1-only driver rows, oldest first ----
-        "q_udf_scalar",
         "q_sink_append",
         "q_sink_partitioned",
         "q_sink_csv",
@@ -6166,6 +6177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_classifier_eval",
         "q_sql_tpch_q1",
         "q_doremi_step",
+        "q_mixture_concentration",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -9375,6 +9387,38 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 4: concentration audit — exact token counts,
+        # micro-share HHI, sorted-rank Gini closed form
+        "q_mixture_concentration": r"""
+            WITH per AS (
+                SELECT source AS domain,
+                       CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                                t -> t <> ''))) AS BIGINT) AS c
+                FROM documents GROUP BY source
+            ), ranked AS (
+                SELECT domain, c,
+                       CAST(ROW_NUMBER() OVER (ORDER BY c, domain) AS BIGINT) AS r
+                FROM per
+            ), tot AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(c) AS BIGINT) AS tc,
+                       CAST(SUM(r * c) AS BIGINT) AS rc,
+                       CAST(MAX(c) AS BIGINT) AS cmax
+                FROM ranked
+            ), shares AS (
+                SELECT CAST(SUM(sm * sm) AS BIGINT) AS s2 FROM (
+                    SELECT CAST(ROUND(c * 1e6 / tc, 0) AS BIGINT) AS sm
+                    FROM ranked CROSS JOIN tot
+                )
+            )
+            SELECT CAST(n AS INT) AS n_domains,
+                   tc AS n_tokens,
+                   ROUND(CAST(cmax AS DOUBLE) / tc, 6) AS top_share,
+                   ROUND(CAST(s2 AS DOUBLE) / 1e12, 6) AS hhi,
+                   ROUND(2.0 * rc / (CAST(n AS DOUBLE) * tc)
+                         - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+            FROM tot CROSS JOIN shares
+        """,
         # round 7 wave 4: DoReMi step — shared-vocab unigram NLLs in
         # exact micro-units, one exp() per domain on a 6-dp grid
         "q_doremi_step": r"""

@@ -1059,3 +1059,65 @@ def doremi_step(
         )
         .orderBy("domain")
     )
+
+
+def mixture_concentration(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-mixture concentration audit — the Gini coefficient and
+    Herfindahl–Hirschman index (HHI) of per-domain token mass, plus the
+    top domain's share: the one-row health check a mixture owner
+    watches next to :func:`domain_mixture_weights` / :func:`doremi_step`
+    (a drifting pipeline that silently collapses onto one crawl shows
+    up here before any model metric moves).
+
+    Exactness: domain token counts are exact bigints; HHI = Σ s_i²
+    computes as Σ (share_micro)² / 10¹² over micro-unit integer shares
+    (each square ≤ 10¹², sums exact); Gini uses the sorted-rank
+    closed form G = 2·Σ rᵢ·cᵢ / (n·Σc) − (n+1)/n with cᵢ ascending by
+    (count, domain) — Σ rᵢ·cᵢ is an exact integer reduction, the
+    final expression one fixed double tree. No interpolation, no
+    float sums.
+
+    Scale shape: ONE corpus-sized keyed aggregate to |domains| rows
+    (token counting is codegen size(split()) folded map-side); the
+    rank window and every statistic run over that tiny table. Returns
+    one row: (n_domains, n_tokens, top_share, hhi, gini).
+    """
+    from pyspark.sql import Window as _W
+
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.size(tokenize(text_col))).cast("long").alias("c")
+    )
+    w = _W.orderBy("c", "domain")
+    ranked = per.withColumn("r", F.row_number().over(w).cast("long"))
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("tc"),
+        F.sum(F.col("r") * F.col("c")).alias("rc"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    share_micro = F.round(F.col("c") * 1e6 / F.col("tc2"), 0).cast("long")
+    shares = (
+        ranked.crossJoin(
+            F.broadcast(tot.select(F.col("tc").alias("tc2")))
+        )
+        .select(share_micro.alias("sm"))
+        .agg(F.sum(F.col("sm") * F.col("sm")).alias("s2"))
+    )
+    n, tc, rc = F.col("n"), F.col("tc"), F.col("rc")
+    return (
+        tot.crossJoin(F.broadcast(shares))
+        .select(
+            n.cast("int").alias("n_domains"),
+            tc.alias("n_tokens"),
+            F.round(F.col("cmax") / tc, 6).alias("top_share"),
+            F.round(F.col("s2") / 1e12, 6).alias("hhi"),
+            F.round(
+                2.0 * rc / (n.cast("double") * tc) - (n + 1).cast("double") / n,
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -384,3 +384,28 @@ def test_doremi_step_upweights_underfit_domain(spark):
     assert abs((big["weight"] + odd["weight"]) - 1.0) < 5e-6
     # smoothing floor: no domain below smooth/k
     assert min(big["weight"], odd["weight"]) >= 0.05 - 1e-9
+
+
+def test_mixture_concentration_uniform_vs_collapsed(spark):
+    """Uniform mixture -> Gini 0, HHI 1/k; a collapsed mixture -> Gini
+    near (k-1)/k, HHI near 1, top_share dominant."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import (
+        mixture_concentration,
+    )
+
+    uniform = [(f"d{i}", "w " * 10) for i in range(4) for _ in range(5)]
+    df_u = spark.createDataFrame(
+        [(d, t.strip()) for d, t in uniform], "source string, text string"
+    )
+    u = mixture_concentration(df_u).collect()[0]
+    assert u["n_domains"] == 4 and u["n_tokens"] == 200
+    assert u["gini"] == 0.0 and abs(u["hhi"] - 0.25) < 1e-6
+    assert abs(u["top_share"] - 0.25) < 1e-9
+
+    skew = [("big", "w " * 97)] + [(f"t{i}", "w") for i in range(3)]
+    df_s = spark.createDataFrame(
+        [(d, t.strip()) for d, t in skew], "source string, text string"
+    )
+    s = mixture_concentration(df_s).collect()[0]
+    assert s["n_tokens"] == 100 and s["top_share"] == 0.97
+    assert s["hhi"] > 0.9 and s["gini"] > 0.7
