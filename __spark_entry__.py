@@ -3955,6 +3955,18 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nb_cross_validate(spark: SparkSession, sf: str) -> DataFrame:
+    """Model validation (round 7, wave 4): 5-fold cross-validation of
+    the NB classifier (operators/corpus.py nb_cross_validate) — each
+    portable-hash fold trains on the rest and scores its own slice;
+    one exact-count accuracy row per fold. The oracle replays the NB
+    chain once per fold (generated CTE renames). k corpus passes —
+    the irreducible k-fold cost; the scale note prefers a single
+    holdout or per-fold jobs over materialized tokenization."""
+    docs = load_table(spark, sf, "documents")
+    return CP.nb_cross_validate(docs, label_col="lang", k_folds=5, seed=11)
+
+
 def q_mixture_concentration(spark: SparkSession, sf: str) -> DataFrame:
     """Mixture health (round 7, wave 4): Gini + HHI + top-share of
     per-domain token mass (operators/corpus.py mixture_concentration)
@@ -5886,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_classifier_eval": q_classifier_eval,
         "q_doremi_step": q_doremi_step,
         "q_mixture_concentration": q_mixture_concentration,
+        "q_nb_cross_validate": q_nb_cross_validate,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6147,7 +6160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_rollup",
         "q_dp_release",
         # ---- refresh tier: round-1-only driver rows, oldest first ----
-        "q_sink_append",
         "q_sink_partitioned",
         "q_sink_csv",
         "q_ddl_create",
@@ -6178,6 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_tpch_q1",
         "q_doremi_step",
         "q_mixture_concentration",
+        "q_nb_cross_validate",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -6849,6 +6862,39 @@ _NB_CHAIN = r"""base AS (
                 FROM scores s JOIN best b ON s.id = b.id AND s.score_micro = b.best_micro
                 GROUP BY s.id, s.actual
             )"""
+
+
+def _nb_cv_oracle(k_folds: int = 5) -> str:
+    """q_nb_cross_validate twin: the _NB_CHAIN replayed once per fold
+    (CTE names suffixed, the holdout remainder swapped), each fold
+    reduced to one accuracy row, UNION ALL'd."""
+    import re
+
+    names = [
+        "base", "toks", "train_wc", "class_tok", "class_doc", "n_train",
+        "classes", "vocab", "v_size", "grid", "hold_wc", "word_scores",
+        "scores", "best", "preds",
+    ]
+    parts, sels = [], []
+    for f in range(int(k_folds)):
+        chain = _NB_CHAIN.replace("% 5) = 0", f"% {int(k_folds)}) = {f}")
+        for n in sorted(names, key=len, reverse=True):
+            chain = re.sub(rf"\b{n}\b", f"{n}_f{f}", chain)
+        parts.append(chain)
+        sels.append(
+            f"""SELECT CAST({f} AS INT) AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_holdout,
+                   CAST(SUM(correct) AS BIGINT) AS n_correct,
+                   ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6) AS accuracy
+            FROM preds_f{f}"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + "\n            "
+        + "\n            UNION ALL\n            ".join(sels)
+        + "\n            ORDER BY fold"
+    )
 
 
 def _sprt_oracle(
@@ -9210,6 +9256,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_pq": _pq_oracle(),
         "q_ann_ivfpq": _ivfpq_oracle(),
         "q_abtest_sprt": _sprt_oracle(),
+        "q_nb_cross_validate": _nb_cv_oracle(5),
         "q_random_projection": _rp_oracle(),
         "q_dedup_semantic": _semantic_dedup_oracle(),
         "q_dedup_semantic_scaled": _semantic_dedup_scaled_oracle(),

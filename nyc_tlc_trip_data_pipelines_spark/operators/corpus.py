@@ -1121,3 +1121,57 @@ def mixture_concentration(
             ).alias("gini"),
         )
     )
+
+
+def nb_cross_validate(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_folds: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """K-fold cross-validation of :func:`nb_classify` — the estimator
+    a pipeline trusts over a single holdout when deciding whether a
+    trained filter is good enough to gate a corpus: the portable-hash
+    fold assignment partitions documents into ``k_folds`` disjoint
+    folds (the SAME draw nb_classify uses, so fold f's holdout is
+    exactly nb_classify(holdout_rem=f)), each fold trains on the rest
+    and scores its own slice, and one row per fold reports (fold,
+    n_holdout, n_correct, accuracy).
+
+    Exactness: counts are exact integers; accuracy is one integer
+    division rounded at 6 dp; everything inside each fold inherits
+    nb_classify's micro-unit argmax contract.
+
+    Scale shape: k independent nb_classify plans unioned — each is
+    the one-tokenize-pass / broadcast-model shape, so the full CV is
+    k corpus passes (the irreducible cost of k-fold CV; at 100 TB run
+    folds as separate jobs over a materialized tokenization, or prefer
+    the single holdout). The union is k one-row aggregates.
+    """
+    folds = []
+    for f in range(int(k_folds)):
+        preds = nb_classify(
+            df,
+            label_col=label_col,
+            id_col=id_col,
+            text_col=text_col,
+            holdout_mod=int(k_folds),
+            holdout_rem=f,
+            seed=seed,
+        )
+        folds.append(
+            preds.agg(
+                F.lit(f).cast("int").alias("fold"),
+                F.count(F.lit(1)).cast("long").alias("n_holdout"),
+                F.sum("correct").cast("long").alias("n_correct"),
+                F.round(F.sum("correct") / F.count(F.lit(1)), 6).alias(
+                    "accuracy"
+                ),
+            ).select("fold", "n_holdout", "n_correct", "accuracy")
+        )
+    out = folds[0]
+    for extra in folds[1:]:
+        out = out.union(extra)
+    return out.orderBy("fold")

@@ -409,3 +409,21 @@ def test_mixture_concentration_uniform_vs_collapsed(spark):
     s = mixture_concentration(df_s).collect()[0]
     assert s["n_tokens"] == 100 and s["top_share"] == 0.97
     assert s["hhi"] > 0.9 and s["gini"] > 0.7
+
+
+def test_nb_cross_validate_folds_partition_and_score(spark):
+    """Folds are disjoint, cover every doc, and a separable corpus gets
+    perfect accuracy in every fold."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import nb_cross_validate
+
+    rows = [(i, "red green red", "aa") for i in range(0, 40)]
+    rows += [(i, "blue cyan blue", "bb") for i in range(40, 80)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = sorted(
+        nb_cross_validate(df, k_folds=5, seed=11).collect(), key=lambda r: r["fold"]
+    )
+    assert [r["fold"] for r in out] == [0, 1, 2, 3, 4]
+    assert sum(r["n_holdout"] for r in out) == 80      # disjoint cover
+    assert all(r["n_holdout"] > 0 for r in out)
+    assert all(r["accuracy"] == 1.0 for r in out)      # separable vocab
+    assert all(r["n_correct"] == r["n_holdout"] for r in out)
