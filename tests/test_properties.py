@@ -696,3 +696,70 @@ def test_weighted_percentile_unit_weights_match_type1_quantile(spark, vals, p):
     out = weighted_percentile(df, ["k"], F.col("v"), F.col("w"), (p,)).collect()[0]
     expect = sorted(vals)[max(0, math.ceil(p * len(vals)) - 1)]
     assert out[f"p{int(round(p * 100))}"] == expect
+
+
+@given(st.permutations(list(range(8))))
+@settings(max_examples=5, deadline=None)
+def test_event_pattern_match_input_order_invariance(spark, perm):
+    """The per-user sequence is array_sort'ed on (ts, id), so any input
+    row order yields identical matches."""
+    from datetime import datetime, timedelta
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        event_pattern_match,
+    )
+
+    base = datetime(2024, 1, 1)
+    canon = [
+        (1, base + timedelta(minutes=i), t, 10 + i)
+        for i, t in enumerate(
+            ["signup", "click", "view", "purchase", "error",
+             "signup", "click", "purchase"]
+        )
+    ]
+    shuffled = [canon[i] for i in perm]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id bigint, ts timestamp, event_type string, event_id bigint"
+    )
+    args = (
+        "user_id", "ts", "event_type", "event_id",
+        {"signup": "s", "click": "c", "purchase": "p", "view": "v", "error": "e"},
+        r"s[cv]*p",
+    )
+    a = sorted(map(tuple, event_pattern_match(mk(canon), *args).collect()))
+    b = sorted(map(tuple, event_pattern_match(mk(shuffled), *args).collect()))
+    assert a == b and len(a) == 1
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.booleans()), min_size=6, max_size=30)
+)
+@settings(max_examples=6, deadline=None)
+def test_sprt_walk_equals_closed_form_at_every_close(spark, obs):
+    """The cohort walk's LLR at every close equals the closed form over
+    cumulative counts — the aggregate-exactness claim, property-tested."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        sprt_daily_walk,
+        sprt_llr_constants,
+    )
+
+    rows = [
+        (0, dt.date(2024, 1, 1) + dt.timedelta(days=d), int(cv))
+        for d, cv in obs
+    ]
+    df = spark.createDataFrame(rows, "arm int, day date, cv int")
+    out = sprt_daily_walk(
+        df, F.col("arm"), F.col("cv"), F.col("day"), period_name="day"
+    ).collect()
+    c1, c0 = sprt_llr_constants(0.25, 0.40)
+    c1m, c0m = round(c1 * 1e6), round(c0 * 1e6)
+    for r in out:
+        expect = (r["s_cum"] * c1m + (r["n_cum"] - r["s_cum"]) * c0m) / 1e6
+        assert abs(r["llr"] - expect) < 1e-9
+    # cumulative counts are monotone over the walk
+    seq = sorted(out, key=lambda r: r["day"])
+    assert all(a["n_cum"] < b["n_cum"] for a, b in zip(seq, seq[1:]))
