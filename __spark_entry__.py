@@ -3955,6 +3955,18 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_topic_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus exploration (round 7, wave 4): c-TF-IDF distinctive
+    keywords per source domain (operators/corpus.py topic_keywords;
+    Grootendorst 2022, the BERTopic labeling step) — each domain as
+    one concatenated document, score = normalized class tf × ln(1 +
+    avg-class-size / corpus term frequency), top-5 per domain with
+    (score DESC, term ASC) ties. One corpus aggregate; the ranking
+    window is vocabulary-bounded."""
+    docs = load_table(spark, sf, "documents")
+    return CP.topic_keywords(docs, domain_col="source", top_k=5)
+
+
 def q_nb_cross_validate(spark: SparkSession, sf: str) -> DataFrame:
     """Model validation (round 7, wave 4): 5-fold cross-validation of
     the NB classifier (operators/corpus.py nb_cross_validate) — each
@@ -5899,6 +5911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doremi_step": q_doremi_step,
         "q_mixture_concentration": q_mixture_concentration,
         "q_nb_cross_validate": q_nb_cross_validate,
+        "q_topic_keywords": q_topic_keywords,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6160,7 +6173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_rollup",
         "q_dp_release",
         # ---- refresh tier: round-1-only driver rows, oldest first ----
-        "q_sink_partitioned",
         "q_sink_csv",
         "q_ddl_create",
         "q_join_broadcast",
@@ -6191,6 +6203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doremi_step",
         "q_mixture_concentration",
         "q_nb_cross_validate",
+        "q_topic_keywords",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -9434,6 +9447,42 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 4: c-TF-IDF keywords — 6-dp tf/idf factors on
+        # integer-exact inputs, (score DESC, term ASC) rank ties
+        "q_topic_keywords": r"""
+            WITH tc AS (
+                SELECT source AS domain,
+                       UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents
+            ), tcc AS (
+                SELECT domain, term, COUNT(*) AS c_tc FROM tc GROUP BY domain, term
+            ), per_class AS (
+                SELECT domain, CAST(SUM(c_tc) AS BIGINT) AS n_c
+                FROM tcc GROUP BY domain
+            ), ft AS (
+                SELECT term, CAST(SUM(c_tc) AS BIGINT) AS f_t
+                FROM tcc GROUP BY term
+            ), stats AS (
+                SELECT CAST(SUM(n_c) AS BIGINT) AS total, COUNT(*) AS k
+                FROM per_class
+            ), scored AS (
+                SELECT t.domain, t.term,
+                       ROUND(ROUND(CAST(t.c_tc AS DOUBLE) / p.n_c, 6)
+                             * ROUND(LN(1.0 + (CAST(total AS DOUBLE) / k) / f.f_t), 6), 6) AS score
+                FROM tcc t
+                JOIN per_class p USING (domain)
+                JOIN ft f USING (term)
+                CROSS JOIN stats
+            )
+            SELECT domain, CAST(rank AS INT) AS rank, term, score FROM (
+                SELECT domain, term, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY domain ORDER BY score DESC, term) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+            ORDER BY domain, rank
+        """,
         # round 7 wave 4: concentration audit — exact token counts,
         # micro-share HHI, sorted-rank Gini closed form
         "q_mixture_concentration": r"""

@@ -1175,3 +1175,78 @@ def nb_cross_validate(
     for extra in folds[1:]:
         out = out.union(extra)
     return out.orderBy("fold")
+
+
+def topic_keywords(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF keyword extraction (c-TF-IDF, Grootendorst
+    2022 — the BERTopic topic-labeling step): treat each domain/class
+    as ONE concatenated document, score every term by
+    ``(tf_{t,c} / n_c) · ln(1 + A / f_t)`` with A = average tokens per
+    class and f_t = corpus term frequency, and keep each class's
+    ``top_k`` highest-scoring terms — the distinctive vocabulary a
+    corpus owner reads to understand what each source actually
+    contains (the exploration twin of :func:`mixture_concentration`'s
+    how-much view).
+
+    Determinism: tf normalization and the idf both round to 6 dp on
+    integer-exact inputs before the single score multiply (one fixed
+    double expression tree); rank ties break (score DESC, term ASC)
+    via row_number, so the top-k set is engine-independent.
+
+    Returns (domain, rank, term, score), ``top_k`` rows per domain.
+
+    Scale shape: ONE corpus-sized (domain, term) hash aggregate; the
+    corpus term table f_t is vocab-sized and broadcast back; the
+    ranking window partitions by domain over the vocab×|domains|
+    scored table — vocabulary-bounded, never corpus-bounded (the
+    collocations_pmi prune rationale without needing the prune:
+    aggregation already collapsed the corpus).
+    """
+    from pyspark.sql import Window as _W
+
+    tc = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    ).groupBy("domain", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_tc")
+    )
+    per_class = tc.groupBy("domain").agg(
+        F.sum("c_tc").cast("long").alias("n_c")
+    )
+    ft = tc.groupBy("term").agg(F.sum("c_tc").cast("long").alias("f_t"))
+    stats = per_class.agg(
+        F.sum("n_c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    scored = (
+        tc.join(F.broadcast(per_class), "domain")
+        .join(ft, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "domain",
+            "term",
+            F.round(
+                F.round(F.col("c_tc") / F.col("n_c"), 6)
+                * F.round(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("total") / F.col("k")) / F.col("f_t")
+                    ),
+                    6,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = _W.partitionBy("domain").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(top_k))
+        .select("domain", "rank", "term", "score")
+        .orderBy("domain", "rank")
+    )

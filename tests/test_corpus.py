@@ -427,3 +427,28 @@ def test_nb_cross_validate_folds_partition_and_score(spark):
     assert all(r["n_holdout"] > 0 for r in out)
     assert all(r["accuracy"] == 1.0 for r in out)      # separable vocab
     assert all(r["n_correct"] == r["n_holdout"] for r in out)
+
+
+def test_topic_keywords_distinctive_terms_rank_first(spark):
+    """Terms exclusive to a domain outrank shared vocabulary; shared
+    stop-ish terms never top a domain's list; exactly top_k rows per
+    domain with ranks 1..k."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.corpus import topic_keywords
+
+    rows = [("news", "the politics election senate " * 3)] * 4
+    rows += [("code", "the compiler tokens lambda " * 3)] * 4
+    df = spark.createDataFrame(
+        [(d, t.strip()) for d, t in rows], "source string, text string"
+    )
+    out = topic_keywords(df, top_k=3).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert set(by_dom) == {"news", "code"}
+    for d, lst in by_dom.items():
+        assert [r["rank"] for r in sorted(lst, key=lambda r: r["rank"])] == [1, 2, 3]
+    news_terms = {r["term"] for r in by_dom["news"]}
+    code_terms = {r["term"] for r in by_dom["code"]}
+    assert news_terms == {"politics", "election", "senate"}
+    assert code_terms == {"compiler", "tokens", "lambda"}
+    assert "the" not in news_terms | code_terms
