@@ -162,6 +162,7 @@ ROUND7_OPS = [
     "q_sql_tpch_q1",
     "q_doremi_step",
     "q_mixture_concentration",
+    "q_topic_keywords",
     # q_nb_cross_validate is 5 full NB plans (~7 s/pass at sf0.1) —
     # deliberately NOT benched to keep the suite inside the 570 s
     # harness budget; its cost trend is k x q_nb_classify's line
