@@ -3955,6 +3955,19 @@ def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-pair construction (round 7, wave 4): uniform random
+    negative sampling (operators/vectors.py uniform_negatives) — each
+    embedding draws 4 portable-hash candidates from the dense id
+    space with is_self/same_label validity FLAGS instead of silent
+    rejection, so the emitted set replays exactly. The random half of
+    the DPR recipe next to q_hard_negatives' cluster-scoped hard
+    half; one map-side explode + one keyed equi-join, no windows."""
+    emb = load_table(spark, sf, "embeddings")
+    return V.uniform_negatives(emb, id_col="vec_id", label_col="label",
+                               n_neg=4, seed=29)
+
+
 def q_topic_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus exploration (round 7, wave 4): c-TF-IDF distinctive
     keywords per source domain (operators/corpus.py topic_keywords;
@@ -5912,6 +5925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_concentration": q_mixture_concentration,
         "q_nb_cross_validate": q_nb_cross_validate,
         "q_topic_keywords": q_topic_keywords,
+        "q_sample_negatives": q_sample_negatives,
         "q_pca_power": q_pca_power,
         "q_dp_release": q_dp_release,
         "q_bpe_encode": q_bpe_encode,
@@ -6175,7 +6189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- refresh tier: round-1-only driver rows, oldest first ----
         "q_sink_csv",
         "q_ddl_create",
-        "q_join_broadcast",
         "q_forecast_backtest",
         "q_dedup_semantic_scaled",
         "q_stl_decompose",
@@ -6204,6 +6217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_concentration",
         "q_nb_cross_validate",
         "q_topic_keywords",
+        "q_sample_negatives",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -9447,6 +9461,28 @@ def oracle_sql() -> dict[str, str]:
         # round 7 wave 3: Poisson bootstrap — every Poisson(1) draw
         # replayed from the portable hash, CI = order statistics
         "q_bootstrap_ci": _bootstrap_ci_oracle(40, 17),
+        # round 7 wave 4: uniform negatives — portable-hash draws over
+        # the dense id space, validity flags instead of rejection
+        "q_sample_negatives": r"""
+            WITH n_tab AS (
+                SELECT MAX(vec_id) + 1 AS n FROM embeddings
+            ), drawn AS (
+                SELECT e.vec_id AS anchor_id, e.label AS a_label, j.j,
+                       CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(e.vec_id AS VARCHAR), CHR(31),
+                                                           CAST(j.j AS VARCHAR), CHR(31), '29')), 1, 15))
+                            AS BIGINT) % n AS neg_id
+                FROM embeddings e
+                CROSS JOIN n_tab
+                CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS j) j
+            )
+            SELECT d.anchor_id,
+                   CAST(d.j AS INT) AS j,
+                   CAST(d.neg_id AS BIGINT) AS neg_id,
+                   CAST(CASE WHEN d.neg_id = d.anchor_id THEN 1 ELSE 0 END AS INT) AS is_self,
+                   CAST(CASE WHEN t.label = d.a_label THEN 1 ELSE 0 END AS INT) AS same_label
+            FROM drawn d JOIN embeddings t ON t.vec_id = d.neg_id
+            ORDER BY anchor_id, j
+        """,
         # round 7 wave 4: c-TF-IDF keywords — 6-dp tf/idf factors on
         # integer-exact inputs, (score DESC, term ASC) rank ties
         "q_topic_keywords": r"""

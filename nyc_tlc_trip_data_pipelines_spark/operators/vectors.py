@@ -1320,3 +1320,77 @@ def ivfpq_topk(
         .orderBy("adc_d2", "id")
         .limit(k_top)
     )
+
+
+def uniform_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_neg: int = 4,
+    seed: int = 29,
+) -> DataFrame:
+    """Uniform random negative sampling — the OTHER half of contrastive
+    training-pair construction (DPR/SimCLR-style in-batch or random
+    negatives; :func:`hard_negative_pairs` supplies the hard half):
+    each anchor draws ``n_neg`` candidate ids uniformly from the id
+    space via the portable hash, and each draw carries validity flags
+    (``is_self``, ``same_label``) instead of being silently rejected —
+    the caller filters (or redraws with another seed), so the emitted
+    set is an exact deterministic function of (corpus, seed) that any
+    engine replays.
+
+    Requires DENSE contiguous ids 0..N−1 (the standard layout of a
+    training shard; otherwise materialize ranks once and join them
+    in) — the draw is ``pmod(hash60(anchor ‖ j ‖ seed), N)``, so no
+    per-anchor window or shuffle of the candidate pool exists. N rides
+    in as a broadcast one-row aggregate, never an eager count.
+
+    Returns (anchor_id, j, neg_id, is_self, same_label) with
+    ``n_neg`` rows per anchor, ordered draws j = 1..n_neg.
+
+    Scale shape: one n_neg-fold projection/explode (map-side), one
+    hash equi-join back to the corpus on neg_id for the label flags —
+    both linear; the join is AQE-broadcastable when the label table is
+    a dim. At 100 TB this is exactly the shard-local sampler a
+    contrastive data loader runs, expressed relationally.
+    """
+    from .text import portable_hash60
+
+    base = df.select(
+        F.col(id_col).alias("anchor_id"), F.col(label_col).alias("a_label")
+    )
+    n_tab = base.agg((F.max("anchor_id") + 1).cast("long").alias("__n"))
+    drawn = (
+        base.crossJoin(F.broadcast(n_tab))
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(int(n_neg)))))
+        .withColumn(
+            "neg_id",
+            F.pmod(
+                portable_hash60(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("anchor_id").cast("string"),
+                        F.col("j").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                F.col("__n"),
+            ).cast("long"),
+        )
+    )
+    labels = df.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("n_label")
+    )
+    return (
+        drawn.join(labels, "neg_id")
+        .select(
+            "anchor_id",
+            F.col("j").cast("int").alias("j"),
+            "neg_id",
+            (F.col("neg_id") == F.col("anchor_id"))
+            .cast("int")
+            .alias("is_self"),
+            (F.col("n_label") == F.col("a_label")).cast("int").alias("same_label"),
+        )
+        .orderBy("anchor_id", "j")
+    )

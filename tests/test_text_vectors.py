@@ -792,3 +792,29 @@ def test_ivfpq_topk_probed_cells_and_ranking(spark):
     d = [r["adc_d2"] for r in out]
     assert d == sorted(d) and all(x >= 0 for x in d)
     assert d[0] < 1.0
+
+
+def test_uniform_negatives_draws_and_flags(spark):
+    """Every anchor gets exactly n_neg ordered draws in-range; flags
+    mark self-draws and same-label draws correctly; the draw set is a
+    pure function of (corpus, seed) — re-running reproduces it."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        uniform_negatives,
+    )
+
+    rows = [(i, [float(i)] * 4, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = uniform_negatives(df, n_neg=4, seed=29).collect()
+    assert len(out) == 30 * 4
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+        assert 0 <= r["neg_id"] < 30
+        assert r["is_self"] == int(r["neg_id"] == r["anchor_id"])
+        assert r["same_label"] == int(r["neg_id"] % 3 == r["anchor_id"] % 3)
+    assert all(sorted(x["j"] for x in v) == [1, 2, 3, 4] for v in by_anchor.values())
+    out2 = uniform_negatives(df, n_neg=4, seed=29).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # a different seed changes at least one draw
+    out3 = uniform_negatives(df, n_neg=4, seed=30).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
