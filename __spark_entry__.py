@@ -3959,10 +3959,12 @@ def q_sample_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive-pair construction (round 7, wave 4): uniform random
     negative sampling (operators/vectors.py uniform_negatives) — each
     embedding draws 4 portable-hash candidates from the dense id
-    space with is_self/same_label validity FLAGS instead of silent
-    rejection, so the emitted set replays exactly. The random half of
-    the DPR recipe next to q_hard_negatives' cluster-scoped hard
-    half; one map-side explode + one keyed equi-join, no windows."""
+    space with is_self/same_label/missing validity FLAGS instead of
+    silent rejection (missing surfaces id-space gaps via the LEFT
+    label join — round-7 advice), so the emitted set replays exactly.
+    The random half of the DPR recipe next to q_hard_negatives'
+    cluster-scoped hard half; one map-side explode + one keyed
+    equi-join, no windows."""
     emb = load_table(spark, sf, "embeddings")
     return V.uniform_negatives(emb, id_col="vec_id", label_col="label",
                                n_neg=4, seed=29)
@@ -4048,15 +4050,28 @@ def q_abtest_sprt(spark: SparkSession, sf: str) -> DataFrame:
     grain is caller-chosen) — the always-valid early-stopping
     complement to q_abtest_welch's fixed-horizon test. Users hash
     into two arms (portable hash, so the split replays); conversion =
-    any purchase; the cumulative Bernoulli LLR walks the
-    time-range-sized cohort table in exact integer micro-units
-    against the ln((1−β)/α) / ln(β/(1−α)) boundaries. The
-    per-observation textbook walk would be a corpus-sized serial
-    scan; the cohort-grain walk is the aggregate-exact scale form."""
+    a purchase WITHIN the user's enrollment hour (a fixed
+    post-enrollment horizon ending at the cohort close, round-7
+    advice) — so the LLR at each cohort's close uses only events an
+    online monitor would already have observed at that boundary,
+    keeping the always-valid early-stopping framing honest. The
+    cumulative Bernoulli LLR walks the time-range-sized cohort table
+    in exact integer micro-units against the ln((1−β)/α) /
+    ln(β/(1−α)) boundaries. The per-observation textbook walk would
+    be a corpus-sized serial scan; the cohort-grain walk is the
+    aggregate-exact scale form."""
     ev = load_table(spark, sf, "events")
-    users = ev.groupBy("user_id").agg(
+    close = F.date_trunc(
+        "hour", F.min("ts").over(Window.partitionBy("user_id"))
+    ) + F.expr("INTERVAL 1 HOUR")
+    users = ev.withColumn("__close", close).groupBy("user_id").agg(
         F.min("ts").alias("first_ts"),
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("cv"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.col("__close"))
+            ).cast("int")
+        ).alias("cv"),
     )
     h = TX.portable_hash60(
         F.concat_ws("\x1f", F.col("user_id").cast("string"), F.lit("31"))
@@ -6942,10 +6957,16 @@ def _sprt_oracle(
     up_micro = int(round(_m.log((1.0 - beta) / alpha) * 1e6))
     lo_micro = int(round(_m.log(beta / (1.0 - alpha)) * 1e6))
     return f"""
-            WITH users AS (
+            WITH closed AS (
+                SELECT user_id, ts, event_type,
+                       DATE_TRUNC('hour', MIN(ts) OVER (PARTITION BY user_id))
+                           + INTERVAL 1 HOUR AS cohort_close
+                FROM events
+            ), users AS (
                 SELECT user_id, MIN(ts) AS first_ts,
-                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
-                FROM events GROUP BY user_id
+                       MAX(CASE WHEN event_type = 'purchase'
+                                 AND ts < cohort_close THEN 1 ELSE 0 END) AS cv
+                FROM closed GROUP BY user_id
             ), obs AS (
                 SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), CHR(31), '31')), 1, 15))
                                  AS BIGINT) % 2 AS INT) AS arm,
@@ -9479,8 +9500,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.j AS INT) AS j,
                    CAST(d.neg_id AS BIGINT) AS neg_id,
                    CAST(CASE WHEN d.neg_id = d.anchor_id THEN 1 ELSE 0 END AS INT) AS is_self,
-                   CAST(CASE WHEN t.label = d.a_label THEN 1 ELSE 0 END AS INT) AS same_label
-            FROM drawn d JOIN embeddings t ON t.vec_id = d.neg_id
+                   CAST(CASE WHEN t.label = d.a_label THEN 1 ELSE 0 END AS INT) AS same_label,
+                   CAST(CASE WHEN t.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS missing
+            FROM drawn d LEFT JOIN embeddings t ON t.vec_id = d.neg_id
             ORDER BY anchor_id, j
         """,
         # round 7 wave 4: c-TF-IDF keywords — 6-dp tf/idf factors on

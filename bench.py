@@ -173,18 +173,23 @@ PASSES = 3
 
 
 def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
-    """Per query: min over PASSES steady-state runs. Ambient machine
-    load has swung identical plans ~1.6× between rounds (BENCH_r2 vs
-    r3: even scan-bound TPC-H Q6 moved in lockstep with everything
-    else); the min is the closest observable to the plan's true cost."""
+    """Per query: MEDIAN over PASSES steady-state runs (round-7
+    verdict item 1). Ambient machine load has swung identical plans
+    ~1.6× between rounds (BENCH_r2 vs r3: even scan-bound TPC-H Q6
+    moved in lockstep with everything else). The median discards a
+    single ambient spike without understating the way min can — a
+    real slow creep raises every pass and therefore the median, while
+    min would keep reporting the one lucky pass and hide the creep
+    inside the ambient band."""
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(PASSES):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
     return timings
 
 
@@ -214,7 +219,10 @@ def _bloom_bench(spark, sf_dir) -> dict[str, float]:
         ).count()
 
     def bloomed():
-        pruned = bloom_prefilter(li, "l_partkey", parts, "p_partkey")
+        # min_big_bytes=0: this line exists to MEASURE the bloom
+        # lifecycle, so the production big-side floor (which would
+        # skip it at bench SF) is disabled here
+        pruned = bloom_prefilter(li, "l_partkey", parts, "p_partkey", min_big_bytes=0)
         return pruned.join(F.broadcast(parts), pruned.l_partkey == parts.p_partkey).groupBy(
             "l_returnflag"
         ).count()
@@ -222,12 +230,13 @@ def _bloom_bench(spark, sf_dir) -> dict[str, float]:
     out: dict[str, float] = {}
     for name, fn in (("plain_join", plain), ("bloom_prefiltered", bloomed)):
         fn().count()  # warmup
-        best = float("inf")
+        runs = []
         for _ in range(PASSES):
             t0 = time.perf_counter()
             fn().count()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        out[name] = round(runs[len(runs) // 2], 3)
     return out
 
 
@@ -285,12 +294,13 @@ def _skew_bench(spark, sf_dir) -> dict[str, float]:
         out: dict[str, float] = {}
         for name, fn in (("plain_hotkey", plain), ("salted_hotkey", salted)):
             fn().count()  # warmup
-            best = float("inf")
+            runs = []
             for _ in range(PASSES):
                 t0 = time.perf_counter()
                 fn().count()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            out[name] = round(runs[len(runs) // 2], 3)
         return out
     finally:
         for k, v in prev.items():

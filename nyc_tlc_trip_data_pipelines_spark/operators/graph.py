@@ -310,11 +310,19 @@ def label_propagation(
         .distinct()
         .localCheckpoint()
     )
-    labels = seeds.select(
-        F.col(node_col).alias("node"),
-        F.col(label_col).alias("label"),
-        F.lit(0).alias("round_assigned"),
-    ).localCheckpoint()
+    # one label per seed node, deterministically: duplicate seed rows
+    # would inflate neighbor vote counts and conflicting labels would
+    # emit two rows for one node (round-7 advice) — collapse with the
+    # same (label ASC) tie-break the per-round adoption uses
+    labels = (
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("label")
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .select("node", "label", F.lit(0).alias("round_assigned"))
+        .localCheckpoint()
+    )
     for r in range(1, rounds + 1):
         votes = (
             sym.join(labels.select(F.col("node").alias("u"), "label"), "u")

@@ -162,6 +162,7 @@ def bloom_prefilter(
     n_bits: int = 8192,
     n_hashes: int = 3,
     min_prune: float = 0.5,
+    min_big_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Bloom-filter semi-join reduction: build a bitset over the dim
     side's keys, filter the big side BEFORE its shuffle, then let the
@@ -193,9 +194,33 @@ def bloom_prefilter(
     paying probe cost for no pruning; the bench's bloom_join section
     already shows the constant ~0.5 s build-job cost dominating at
     small scale even when the bitset is sparse — the guard removes the
-    saturated-bitset failure mode, the small-scale constant remains a
-    deployment judgment call.
+    saturated-bitset failure mode.
+
+    Big-side floor (``min_big_bytes``, round-7 verdict item 3): the
+    small-scale constant is no longer a judgment call — the prefilter
+    also SKIPS itself when Catalyst's optimized-plan size estimate for
+    ``big`` (the same ``sizeInBytes`` statistic the auto-broadcast
+    decision reads — free, no job) is under the floor, because a probe
+    side smaller than ~one shuffle partition's worth of data cannot
+    amortize the build's two extra jobs. Default 64 MiB ≈ half the
+    auto-broadcast-adjacent regime; pass ``0`` to force the bloom on
+    (e.g. for the bench's measured-lifecycle line). If the estimate is
+    unavailable (Python-local relations report Long.MaxValue =
+    unknown; Connect lacks the JVM handle) the bloom proceeds — at
+    worst the old behavior.
     """
+    if min_big_bytes > 0:
+        try:
+            est = int(
+                big._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:  # pragma: no cover - connect/JVM API drift
+            est = None
+        if est is not None and est < min_big_bytes:
+            return big
     pos = bloom_bit_positions(F.col(dim_key), n_bits, n_hashes)
     n_words = n_bits // 32
     words_rows = (

@@ -49,31 +49,56 @@ def assoc_rules(
       conf_b_a   = n_ab / n_b          (b ⇒ a)
       lift       = n_ab * n_baskets / (n_a * n_b)
     All ratios are exact integer divisions rounded to 6 dp, so any SQL
-    engine reproduces them bit-for-bit."""
-    # the deduped (basket, item) table feeds FOUR consumers (basket
-    # count, item counts, both self-join sides); persist it so the
-    # scan+dedup runs once — at 100 TB this is the table you'd write
+    engine reproduces them bit-for-bit.
+
+    Shuffle shape (round-8 rework, profiled at sf0.1): pairs come
+    from a per-basket sorted item SET expanded by nested higher-order
+    ``transform`` — all codegen, no self-join — so the whole operator
+    is TWO shuffles (group-to-sets, pair aggregate) instead of the
+    classic three (distinct, basket self-join, pair aggregate). The
+    per-basket pair fanout |items|·(|items|−1)/2 is identical either
+    way, but the self-join variant also re-shuffles every (basket,
+    item) row a second time as the probe side; at 100 TB the removed
+    exchange is the dominant cost. Baskets are entity-sized (items
+    per basket bounded), so the grouped arrays stay small."""
+    # the per-basket item-set table feeds THREE consumers (basket
+    # count, item counts, pair expansion); persist it so the
+    # scan+group runs once — at 100 TB this is the table you'd write
     # out before mining (same persist rationale as minhash signatures).
     # Caching contract: the cache backs the RETURNED lazy plan, so it is
     # not unpersisted here; it ages out under Spark's LRU block manager,
     # or callers can `spark.catalog.clearCache()` after their action.
-    bi = (
+    sets = (
         df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
-        .distinct()
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
         .persist()
     )
     # basket total as a broadcast 1-row aggregate, NOT an eager .count()
     # baked into the plan as a literal — keeps the whole operator lazy
     # (nothing runs at construction time; the denominator is consistent
     # with whatever snapshot the terminal action reads)
-    nb = bi.select(F.countDistinct("basket").alias("n_baskets"))
-    item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    a = bi.alias("a")
-    b = bi.alias("b")
+    nb = sets.select(F.count(F.lit(1)).alias("n_baskets"))
+    item_counts = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    # unordered pairs {a < b} from the sorted set: for element i, pair
+    # it with every later element — array_sort makes (a, b) ordered by
+    # construction, matching the self-join's a.item < b.item predicate
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, on=F.col("a.basket") == F.col("b.basket"))
-        .where(F.col("a.item") < F.col("b.item"))
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_pair_count)
     )

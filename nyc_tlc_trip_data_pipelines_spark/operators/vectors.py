@@ -1339,14 +1339,21 @@ def uniform_negatives(
     set is an exact deterministic function of (corpus, seed) that any
     engine replays.
 
-    Requires DENSE contiguous ids 0..N−1 (the standard layout of a
+    Expects DENSE contiguous ids 0..N−1 (the standard layout of a
     training shard; otherwise materialize ranks once and join them
     in) — the draw is ``pmod(hash60(anchor ‖ j ‖ seed), N)``, so no
     per-anchor window or shuffle of the candidate pool exists. N rides
-    in as a broadcast one-row aggregate, never an eager count.
+    in as a broadcast one-row aggregate, never an eager count. The
+    density precondition is SURFACED, not assumed (round-7 advice):
+    the label lookup is a LEFT join, so a drawn id with no corpus row
+    (an id-space gap) still emits its row with ``missing = 1`` rather
+    than silently vanishing — the ``n_neg``-rows-per-anchor contract
+    holds on any input, and a caller can assert ``SUM(missing) = 0``
+    as the cheap density check.
 
-    Returns (anchor_id, j, neg_id, is_self, same_label) with
-    ``n_neg`` rows per anchor, ordered draws j = 1..n_neg.
+    Returns (anchor_id, j, neg_id, is_self, same_label, missing) with
+    ``n_neg`` rows per anchor, ordered draws j = 1..n_neg;
+    ``same_label`` is 0 (not NULL) on missing draws.
 
     Scale shape: one n_neg-fold projection/explode (map-side), one
     hash equi-join back to the corpus on neg_id for the label flags —
@@ -1379,10 +1386,12 @@ def uniform_negatives(
         )
     )
     labels = df.select(
-        F.col(id_col).alias("neg_id"), F.col(label_col).alias("n_label")
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("n_label"),
+        F.lit(1).alias("__present"),
     )
     return (
-        drawn.join(labels, "neg_id")
+        drawn.join(labels, "neg_id", "left")
         .select(
             "anchor_id",
             F.col("j").cast("int").alias("j"),
@@ -1390,7 +1399,11 @@ def uniform_negatives(
             (F.col("neg_id") == F.col("anchor_id"))
             .cast("int")
             .alias("is_self"),
-            (F.col("n_label") == F.col("a_label")).cast("int").alias("same_label"),
+            F.when(F.col("n_label") == F.col("a_label"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("same_label"),
+            F.col("__present").isNull().cast("int").alias("missing"),
         )
         .orderBy("anchor_id", "j")
     )

@@ -484,15 +484,17 @@ def tws_running_totals(
             n, s = self._totals.get() or (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                # HALF_UP (away from zero), NOT np.rint's half-to-even —
-                # the batch twin quantizes with F.round, and a midpoint
-                # value would otherwise break the bit-for-bit contract.
+                # The micro-unit quantization happens JVM-SIDE in the
+                # plan (the __micro column below, the SAME F.round
+                # BigDecimal-HALF_UP expression the batch twin uses) —
+                # a Python-side floor(x+0.5) emulation can carry
+                # just-below-midpoint floats up (0.49999999999999994 +
+                # 0.5 == 1.0) and break the bit-for-bit parity claim
+                # (round-7 advice). Here only the int64 sum remains.
                 # NULL values drop from the sum (F.sum semantics) while
                 # still counting in n_events (F.count(lit(1)) semantics).
-                x = pdf[value_col].to_numpy(dtype="float64") * 1e6
-                x = x[~np.isnan(x)]
-                q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
-                s += int(q.astype("int64").sum())
+                x = pdf["__micro"].to_numpy(dtype="float64")
+                s += int(x[~np.isnan(x)].astype("int64").sum())
             self._totals.update((n, s))
             yield pd.DataFrame(
                 {"key": [key[0]], "n_events": [n], "sum_value": [s / 1e6]}
@@ -514,7 +516,13 @@ def tws_running_totals(
         )
 
         ensure_package_on_executors(df.sparkSession)
-        return df.groupBy(key_col).transformWithStateInPandas(
+        # quantize in the PLAN, not in Python: the same JVM F.round
+        # (BigDecimal HALF_UP) expression as the batch twin computes
+        # __micro, so stream/batch parity is exact by construction
+        micro = df.withColumn(
+            "__micro", F.round(F.col(value_col) * 1e6, 0).cast("long")
+        )
+        return micro.groupBy(key_col).transformWithStateInPandas(
             _RunningTotals(), out_schema, "update", "none"
         )
     vm = F.round(F.col(value_col) * 1e6, 0).cast("long")

@@ -150,7 +150,7 @@ def test_cms_point_estimates_guarantee(spark):
 def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
     big = spark.createDataFrame([(i,) for i in range(2000)], "k long")
     dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], "d long")  # 20 keys
-    kept = {r.k for r in J.bloom_prefilter(big, "k", dim, "d").collect()}
+    kept = {r.k for r in J.bloom_prefilter(big, "k", dim, "d", min_big_bytes=0).collect()}
     members = set(range(0, 2000, 100))
     assert members <= kept                      # no false negative, ever
     # 8192 bits / 20 keys / 3 hashes → fpp ~1e-6; allow a generous margin
@@ -166,11 +166,31 @@ def test_bloom_prefilter_guard_skips_saturated_bitset(spark):
     # 8000 keys × 3 hashes over 8192 bits → fill ≈ 1 − e^-2.9 ≈ 0.95,
     # expected pass rate 0.95³ ≈ 0.86 > 1 − min_prune
     dim = spark.createDataFrame([(i,) for i in range(8000)], "d long")
-    out = J.bloom_prefilter(big, "k", dim, "d")
+    out = J.bloom_prefilter(big, "k", dim, "d", min_big_bytes=0)
     assert out is big
     # a sparse dim keeps the filter (returns a NEW filtered frame)
     small = spark.createDataFrame([(i,) for i in range(20)], "d long")
-    assert J.bloom_prefilter(big, "k", small, "d") is not big
+    assert J.bloom_prefilter(big, "k", small, "d", min_big_bytes=0) is not big
+
+
+def test_bloom_prefilter_big_side_floor(spark):
+    """r7 verdict item 3: a big side whose Catalyst size estimate is
+    under min_big_bytes cannot amortize the build's two extra jobs —
+    the prefilter must skip itself (return `big` unchanged) under the
+    default floor, and engage when the floor is lowered/disabled.
+    Python-local relations report UNKNOWN stats (Long.MaxValue) and
+    must NOT trip the floor; spark.range has exact stats and must."""
+    # range: Catalyst knows the exact size (2000 x 8 B << 64 MiB)
+    big = spark.range(2000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 2000, 100).select(F.col("id").alias("d"))
+    assert J.bloom_prefilter(big, "k", dim, "d") is big
+    # unknown-stats big side: the floor stands aside, bloom engages
+    big_local = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    assert J.bloom_prefilter(big_local, "k", dim, "d") is not big_local
+    # floor disabled -> the bloom engages and actually prunes
+    out = J.bloom_prefilter(big, "k", dim, "d", min_big_bytes=0)
+    assert out is not big
+    assert out.count() < 2000
 
 
 def test_bloom_prefilter_rejects_bad_geometry(spark):

@@ -508,7 +508,7 @@ def test_bloom_prefilter_filter_is_codegen_no_join(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     parts = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    pruned = J.bloom_prefilter(li, "l_partkey", parts, "p_partkey")
+    pruned = J.bloom_prefilter(li, "l_partkey", parts, "p_partkey", min_big_bytes=0)
     s = plan_string(pruned)
     # the probe side is a pure filter over the scan: no join, no
     # exchange, no Python eval — the bitset is a literal array
@@ -568,9 +568,12 @@ def test_assoc_rules_broadcasts_item_counts(spark, sf_dir):
     baskets = li.select("l_orderkey", (F.pmod(F.col("l_partkey"), F.lit(40))).alias("item"))
     out = MN.assoc_rules(baskets, "l_orderkey", "item", min_pair_count=5)
     p = plan_string(out, "simple")
-    # the |items|-row count tables join broadcast; only the basket
-    # self-join and the pair groupBy may shuffle
+    # the |items|-row count tables join broadcast; the only shuffles
+    # are group-to-sets and the pair aggregate — the round-8 rework
+    # removed the basket self-join, so NO sort-merge/shuffled-hash
+    # join may appear in the plan
     assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
 def test_collocations_prunes_vocab_with_broadcast_semi(spark, sf_dir):

@@ -283,7 +283,7 @@ def test_bloom_prefilter_never_drops_members(spark, dim_keys, big_keys):
 
     big = spark.createDataFrame([(k,) for k in big_keys], "k long")
     dim = spark.createDataFrame([(k,) for k in dim_keys], "d long")
-    kept = [r.k for r in J.bloom_prefilter(big, "k", dim, "d").collect()]
+    kept = [r.k for r in J.bloom_prefilter(big, "k", dim, "d", min_big_bytes=0).collect()]
     members = [k for k in big_keys if k in set(dim_keys)]
     # multiset inclusion: every member row survives, duplicates intact
     from collections import Counter

@@ -773,6 +773,32 @@ def test_label_propagation_frontier_ties_and_fixity(spark):
     assert set(out) == {1, 2, 3, 10, 11, 12, 20, 21}
 
 
+def test_label_propagation_dedupes_conflicting_seeds(spark):
+    """Duplicate / conflicting seed rows (round-7 advice): a node
+    seeded twice collapses to ONE row with the min label, duplicate
+    seed rows don't double its neighbor vote, and the output never
+    carries two rows for one node."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import label_propagation
+
+    # node 10 sits between seed 1 (duplicated 'z' rows) and seed 2
+    # ('a'): without seed dedup, 1's two rows out-vote 2 and 10 gets
+    # 'z'; with dedup it is a 1-1 tie -> min label 'a'. Node 3 is
+    # seeded with BOTH 'b' and 'c' -> one row, label 'b'.
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 4)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "z"), (1, "z"), (2, "a"), (3, "c"), (3, "b")],
+        "node bigint, label string",
+    )
+    rows = label_propagation(edges, seeds, rounds=1).collect()
+    assert len(rows) == len({r["node"] for r in rows})  # one row per node
+    out = {r["node"]: (r["label"], r["round_assigned"]) for r in rows}
+    assert out[3] == ("b", 0)   # conflicting seed -> min label, one row
+    assert out[10] == ("a", 1)  # deduped votes -> tie -> min label
+    assert out[4] == ("b", 1)
+
+
 def test_ivfpq_topk_probed_cells_and_ranking(spark):
     """Two well-separated clusters: with n_probe=1 every result comes
     from the query's cell, the nearest vector ranks first, and far-
@@ -813,8 +839,32 @@ def test_uniform_negatives_draws_and_flags(spark):
         assert r["is_self"] == int(r["neg_id"] == r["anchor_id"])
         assert r["same_label"] == int(r["neg_id"] % 3 == r["anchor_id"] % 3)
     assert all(sorted(x["j"] for x in v) == [1, 2, 3, 4] for v in by_anchor.values())
+    assert all(r["missing"] == 0 for r in out)  # dense ids: no gaps
     out2 = uniform_negatives(df, n_neg=4, seed=29).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     # a different seed changes at least one draw
     out3 = uniform_negatives(df, n_neg=4, seed=30).collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
+
+
+def test_uniform_negatives_sparse_ids_surface_missing(spark):
+    """Non-dense id space (round-7 advice): draws landing in id gaps
+    must still emit their row — flagged missing=1, same_label=0, never
+    silently dropped — so the n_neg-rows-per-anchor contract holds."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import (
+        uniform_negatives,
+    )
+
+    # ids 0..29 with the odd ids removed: half the draw space is gaps
+    rows = [(i, [float(i)] * 4, i % 3) for i in range(0, 30, 2)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = uniform_negatives(df, n_neg=4, seed=29).collect()
+    assert len(out) == 15 * 4  # contract survives the gaps
+    missing = [r for r in out if r["missing"] == 1]
+    assert missing, "a 50%-gap id space must surface at least one missing draw"
+    for r in missing:
+        assert r["neg_id"] % 2 == 1  # every gap draw is an absent odd id
+        assert r["same_label"] == 0  # flag is 0, not NULL, on missing
+    for r in out:
+        if r["missing"] == 0:
+            assert r["neg_id"] % 2 == 0
