@@ -5843,6 +5843,139 @@ def q_attribution_decay(spark: SparkSession, sf: str) -> DataFrame:
     return O.sort(out, ["event_type"])
 
 
+def q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival analysis (round 8): Kaplan-Meier product-limit curve
+    of user LIFETIME (operators/timeseries.py km_survival) — duration
+    = days between a user's first and last event; a user whose last
+    event falls within 1 day of the corpus end is right-CENSORED
+    (still active) and leaves the at-risk set without counting as
+    churn (the fixture spans ~30 days, so a 1-day inactivity horizon
+    yields a non-degenerate censored/churned mix at every SF). The churn/retention curve every subscription analytics
+    stack starts with; exact integer at-risk accounting, factors
+    ln-summed at 9 dp. All windows run over the duration-grain cell
+    table, never per-user rows."""
+    ev = load_table(spark, sf, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    obs = users.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("dur"),
+        (F.col("last_ts") < F.col("__mx") - F.expr("INTERVAL 1 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    return TS.km_survival(obs, F.col("dur"), F.col("churned"))
+
+
+def q_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-structure diagnostic (round 8): sample autocorrelation of
+    the hourly value series at lags 1..12 (operators/timeseries.py
+    autocorrelation) — the test that justifies q_stl_decompose's
+    period choice and q_anomaly_seasonal's seasonality assumption.
+    Per-hour micro-sums are exact; pairwise products accumulate in
+    DECIMAL(38,0); one equi-join on (hour + lag) over the
+    time-range-sized series."""
+    ev = load_table(spark, sf, "events")
+    return TS.autocorrelation(ev, "ts", "value", grain_seconds=3600, max_lag=12)
+
+
+def q_abtest_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation (round 8): CUPED variance reduction
+    (operators/aggregates.py cuped_adjust; Deng et al. WSDM 2013) —
+    the third leg next to q_abtest_welch (fixed-horizon) and
+    q_abtest_sprt (sequential). Covariate X = the user's view count
+    (pre-exposure engagement proxy), metric Y = purchase value sum in
+    micro-units; arms by portable hash so the split replays. One
+    exact-integer sufficient-stats aggregate; θ, x̄ pooled via a
+    2-row window."""
+    ev = load_table(spark, sf, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("int")).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1e6, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("y_micro"),
+    )
+    h = TX.portable_hash60(
+        F.concat_ws("\x1f", F.col("user_id").cast("string"), F.lit("37"))
+    )
+    arms = users.select(
+        (h % 2).cast("int").alias("arm"), F.col("x"), F.col("y_micro")
+    )
+    return agg.cuped_adjust(arms, "arm", F.col("x"), F.col("y_micro"))
+
+
+def q_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Model evaluation (round 8): reliability table + expected
+    calibration error of the NB classifier's holdout scores
+    (operators/mining.py calibration_bins over corpus.nb_classify) —
+    the companion to q_classifier_eval: precision/recall say WHAT the
+    filter gets right, the reliability curve says whether its scores
+    mean anything at a threshold. Confidence = min-max-normalized
+    winning log-posterior (exact integer floor-div); 10 equi-width
+    bins; ECE over the 10-row cell table."""
+    docs = load_table(spark, sf, "documents")
+    preds = CP.nb_classify(docs, label_col="lang", id_col="doc_id",
+                           holdout_mod=5, holdout_rem=0, seed=11)
+    return MN.calibration_bins(preds, "score", "correct", n_bins=10)
+
+
+def q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Concentration audit (round 8): per-nation Gini coefficient of
+    customer revenue (operators/aggregates.py gini_group) — the
+    Lorenz-ordering complement to q_mixture_concentration's
+    HHI-style share audit (HHI reads squared shares; Gini reads the
+    full sorted cumulative distribution). Revenue = exact micro-unit
+    o_totalprice sums per customer; rank window is group-sized;
+    Σ rank·value in DECIMAL(38,0)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    rev = (
+        o.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias(
+                "rev_micro"
+            )
+        )
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return agg.gini_group(
+        rev, ["c_nationkey"], F.col("rev_micro"), F.col("c_custkey")
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph density filter (round 8): 2-core of the VERIFIED
+    near-dup pair graph after 3 synchronous peels (operators/graph.py
+    k_core; Seidman 1983) — strips pendant docs so only mutually-
+    duplicated clusters remain, the densification step between
+    q_graph_components (who connects) and q_graph_triangles (how
+    tightly). Deterministic bounded peeling, oracle-unrolled; per
+    round one degree aggregate + two semi-joins."""
+    docs = load_table(spark, sf, "documents")
+    pairs = TX.minhash_verified_pairs(docs, threshold=0.8)
+    out = GR.k_core(pairs, src="id_a", dst="id_b", k=2, rounds=3)
+    return out.withColumnRenamed("node", "doc_id")
+
+
+def q_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval diversification (round 8): Maximal Marginal
+    Relevance slate over embeddings (operators/vectors.py
+    mmr_diversify; Carbonell & Goldstein 1998) — relevance top-20
+    pool (TakeOrderedAndProject), then a 5-step greedy walk on the
+    pool's 6-dp-rounded cosine table with λ = 0.75 (exact binary
+    fraction, so 1−λ is too). Each step collects one id — bounded
+    model-state reads, never corpus rows. The slate-side twin of
+    SemDeDup's corpus-side dedup."""
+    em = load_table(spark, sf, "embeddings")
+    return V.mmr_diversify(em, [1.0] * 64, k=5, pool=20, lam=0.75)
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -6168,71 +6301,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pq": q_ann_pq,
         "q_random_projection": q_random_projection,
         "q_attribution_decay": q_attribution_decay,
+        # — round 8: survival / experimentation / calibration / diversity —
+        "q_survival_km": q_survival_km,
+        "q_acf": q_acf,
+        "q_abtest_cuped": q_abtest_cuped,
+        "q_calibration": q_calibration,
+        "q_gini": q_gini,
+        "q_graph_kcore": q_graph_kcore,
+        "q_mmr_diversify": q_mmr_diversify,
     }
-    # Round-7 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 19 ids with NO driver CORRECTNESS row after round 6 —
-    # the three round-6 late adds (q_ann_pq, q_random_projection,
-    # q_attribution_decay) then the 16 round-5 pure-SQL twins — this
-    # converts the registry to full cumulative driver coverage;
-    # (b) q_dp_release, whose oracle changed this round (escaped-key +
-    # ln-clamp parity) and must re-verify under the driver;
-    # (c) new round-7 queries; (d) refresh slots for the ids whose
-    # only driver row is round 1 (oldest evidence first). Coverage
-    # debt is machine-checked: tests/test_registry.py asserts every
+    # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
+    # (a) the 7 new round-8 queries (no driver row yet);
+    # (b) the 4 ids whose semantics, output schema, or physical plan
+    # changed this round and must re-verify under the driver —
+    # q_abtest_sprt (conversion window bounded to the cohort close),
+    # q_sample_negatives (new `missing` column + LEFT label join),
+    # q_graph_labelprop (seed dedup in the library), q_assoc_rules
+    # (self-join replaced by higher-order pair expansion);
+    # (c) 39 refresh slots for the stalest evidence — ids whose ONLY
+    # driver row is round 1 (44 such ids; computed by script over the
+    # r01–r07 union; the 5 left over roll to round 9). Coverage debt
+    # is machine-checked: tests/test_registry.py asserts every
     # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
-        "q_ann_pq",
-        "q_random_projection",
-        "q_attribution_decay",
-        "q_group_regress",
-        "q_skyline",
-        "q_phrase_search",
-        "q_jackknife",
-        "q_winsorize",
-        "q_rolling_median",
-        "q_crosstab_chi2",
-        "q_benford",
-        "q_join_nullsafe",
-        "q_lateral_topk",
-        "q_agg_maxby",
-        "q_corr_group",
-        "q_streaks",
-        "q_rolling_distinct",
-        "q_abtest_welch",
-        "q_quantile_rollup",
-        "q_dp_release",
-        # ---- refresh tier: round-1-only driver rows, oldest first ----
-        "q_sink_csv",
-        "q_ddl_create",
-        "q_forecast_backtest",
-        "q_dedup_semantic_scaled",
-        "q_stl_decompose",
-        "q_zipf_fit",
-        "q_dsir_select",
-        "q_rrf_fusion",
-        "q_hard_negatives",
-        "q_knn_label_noise",
-        # ---- round-7 wave 3 ----
-        "q_nb_classify",
-        "q_bootstrap_ci",
-        "q_event_pattern",
-        "q_stats_equidepth",
-        "q_graph_labelprop",
-        "q_anomaly_seasonal",
-        "q_changepoint_cusum",
-        "q_retrieval_eval",
-        "q_ann_ivfpq",
-        "q_forecast_conformal",
-        "q_percentile_weighted",
+        # ---- (a) round-8 wave ----
+        "q_survival_km",
+        "q_acf",
+        "q_abtest_cuped",
+        "q_calibration",
+        "q_gini",
+        "q_graph_kcore",
+        "q_mmr_diversify",
+        # ---- (b) changed this round ----
         "q_abtest_sprt",
-        "q_dedup_savings",
-        "q_classifier_eval",
-        "q_sql_tpch_q1",
-        "q_doremi_step",
-        "q_mixture_concentration",
-        "q_nb_cross_validate",
-        "q_topic_keywords",
         "q_sample_negatives",
+        "q_graph_labelprop",
+        "q_assoc_rules",
+        # ---- (c) refresh tier: round-1-only driver rows ----
+        "q_agg_basic",
+        "q_agg_count_distinct",
+        "q_agg_having",
+        "q_agg_rollup",
+        "q_array_explode",
+        "q_array_posexplode",
+        "q_cast_schema",
+        "q_count",
+        "q_date_arithmetic",
+        "q_date_funcs",
+        "q_dedup_exact",
+        "q_derive_year_month",
+        "q_filter_predicates",
+        "q_filter_time_range",
+        "q_groupby_avg_orderby",
+        "q_join_broadcast",
+        "q_join_cross",
+        "q_join_inner",
+        "q_join_outer",
+        "q_join_range",
+        "q_join_semi",
+        "q_join_star",
+        "q_json_extract",
+        "q_map_funcs",
+        "q_math_funcs",
+        "q_null_funcs",
+        "q_partition_prune",
+        "q_project_case",
+        "q_project_drop",
+        "q_set_ops",
+        "q_sink_append",
+        "q_sink_partitioned",
+        "q_string_funcs",
+        "q_text_quality",
+        "q_text_token_count",
+        "q_text_wordcount",
+        "q_topk",
+        "q_udaf_grouped",
+        "q_udf_scalar",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -11594,6 +11738,313 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT c_id)::BIGINT AS n_conversions,
                    ROUND(SUM(share_micro) / 1000000.0, 6) AS credit
             FROM share GROUP BY t_type ORDER BY t_type
+        """,
+        # round 8: Kaplan-Meier — exact integer at-risk accounting,
+        # factors ln-rounded 9 dp before the running sum (libm-ulp fence)
+        "q_survival_km": r"""
+            WITH mx AS (SELECT MAX(ts) AS m FROM events),
+            u AS (
+                SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
+                FROM events GROUP BY user_id
+            ), obs AS (
+                SELECT CAST(DATE_DIFF('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+                       CASE WHEN l < m - INTERVAL 1 DAY THEN 1 ELSE 0 END AS e
+                FROM u, mx
+            ), cells AS (
+                SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                       CAST(SUM(1 - e) AS BIGINT) AS c
+                FROM obs GROUP BY t
+            ), stepped AS (
+                SELECT t, d, c,
+                       SUM(d + c) OVER ()
+                       - COALESCE(SUM(d + c) OVER (
+                             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS n_risk
+                FROM cells
+            ), lns AS (
+                SELECT t, d, c, n_risk,
+                       CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_risk > 0
+                            THEN ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                            ELSE 0.0 END AS lnf,
+                       CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_risk <= 0
+                            THEN 1 ELSE 0 END AS dead
+                FROM stepped
+            ), runs AS (
+                SELECT t, n_risk, d, c,
+                       SUM(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+                       MAX(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS anydead
+                FROM lns
+            )
+            SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+                   c AS c_censored,
+                   CASE WHEN anydead = 1 THEN 0.0
+                        ELSE ROUND(EXP(lnsum), 6) END AS survival
+            FROM runs WHERE d > 0 ORDER BY t
+        """,
+        # round 8: ACF — per-hour micro-sums, HUGEINT pairwise sums,
+        # closed form mirrors the Spark expression tree term-for-term
+        "q_acf": r"""
+            WITH series AS (
+                SELECT (EPOCH_US(ts) // 1000000) // 3600 AS i,
+                       CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS v
+                FROM events GROUP BY 1
+            ), gstats AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(v AS HUGEINT)) AS sx,
+                       SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+                FROM series
+            ), pairs AS (
+                SELECT k.k, a.v AS va, b.v AS vb
+                FROM series a
+                CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 12)) AS k) k
+                JOIN series b ON b.i = a.i + k.k
+            ), per_k AS (
+                SELECT k, COUNT(*) AS m,
+                       SUM(CAST(va AS HUGEINT)) AS sa,
+                       SUM(CAST(vb AS HUGEINT)) AS sb,
+                       SUM(CAST(va AS HUGEINT) * CAST(vb AS HUGEINT)) AS sab
+                FROM pairs GROUP BY k
+            )
+            SELECT CAST(k AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+                   CASE WHEN CAST(sxx AS DOUBLE)
+                             - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) != 0
+                        THEN ROUND(
+                            (CAST(sab AS DOUBLE)
+                             - (CAST(sx AS DOUBLE) / n)
+                               * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                             + m * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                            / (CAST(sxx AS DOUBLE)
+                               - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+                            6)
+                   END AS acf
+            FROM per_k, gstats ORDER BY lag
+        """,
+        # round 8: CUPED — exact integer sufficient stats (HUGEINT
+        # second-order sums), pooled theta/xbar via full-window sums
+        "q_abtest_cuped": r"""
+            WITH users AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(ROUND(value * 1000000, 0) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY user_id
+            ), arms AS (
+                SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), CHR(31), '37')), 1, 15))
+                                 AS BIGINT) % 2 AS INT) AS arm,
+                       x, y
+                FROM users
+            ), per_arm AS (
+                SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                       SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                       SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+                FROM arms GROUP BY arm
+            ), pooled AS (
+                SELECT *,
+                       SUM(n) OVER () AS nn, SUM(sx) OVER () AS gsx,
+                       SUM(sy) OVER () AS gsy, SUM(sxx) OVER () AS gsxx,
+                       SUM(sxy) OVER () AS gsxy, SUM(syy) OVER () AS gsyy
+                FROM per_arm
+            ), terms AS (
+                SELECT arm, n, sx, sy,
+                       CAST(nn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+                       - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE) AS cov_n,
+                       CAST(nn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+                       - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) AS varx_n,
+                       CAST(nn AS DOUBLE) * CAST(gsyy AS DOUBLE)
+                       - CAST(gsy AS DOUBLE) * CAST(gsy AS DOUBLE) AS vary_n,
+                       CAST(gsx AS DOUBLE) / CAST(nn AS DOUBLE) AS xbar
+                FROM pooled
+            )
+            SELECT arm, n,
+                   ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_y,
+                   ROUND(CASE WHEN varx_n != 0
+                              THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                                    - (cov_n / varx_n)
+                                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar))
+                                   / 1000000.0
+                              ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                         END, 6) AS mean_y_adj,
+                   ROUND(CASE WHEN varx_n != 0 THEN cov_n / varx_n END / 1000000.0, 6) AS theta,
+                   ROUND(CASE WHEN varx_n != 0 AND vary_n != 0
+                              THEN cov_n * cov_n / (varx_n * vary_n) END, 6) AS rho2
+            FROM terms ORDER BY arm
+        """,
+        # round 8: calibration — the shared NB chain, then exact
+        # integer min-max confidence quantization + 10-bin reliability
+        "q_calibration": "WITH " + _NB_CHAIN + """
+            , scored AS (
+                SELECT CAST(ROUND(score * 1000000, 0) AS BIGINT) AS s,
+                       CAST(correct AS BIGINT) AS ok
+                FROM preds
+            ), bounds AS (
+                SELECT MIN(s) AS mn, MAX(s) AS mx FROM scored
+            ), binned AS (
+                SELECT CASE WHEN mx - mn > 0
+                            THEN ((s - mn) * 1000000) // (mx - mn)
+                            ELSE 0 END AS cq,
+                       ok
+                FROM scored, bounds
+            ), cells AS (
+                SELECT CAST(LEAST((cq * 10) // 1000000, 9) AS INT) AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(ok) AS BIGINT) AS n_correct,
+                       CAST(SUM(cq) AS BIGINT) AS sconf
+                FROM binned GROUP BY 1
+            ), tot AS (
+                SELECT bin, n, n_correct, sconf,
+                       SUM(n) OVER () AS nn,
+                       SUM(ABS(CAST(n_correct AS DOUBLE) / n
+                               - CAST(sconf AS DOUBLE) / n / 1000000.0) * n) OVER ()
+                           AS gapsum
+                FROM cells
+            )
+            SELECT bin, n, n_correct,
+                   ROUND(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy,
+                   ROUND(CAST(sconf AS DOUBLE) / n / 1000000.0, 6) AS avg_conf,
+                   ROUND(gapsum / nn, 6) AS ece
+            FROM tot ORDER BY bin
+        """,
+        # round 8: Gini — the rank identity on exact micro-unit
+        # integers; HUGEINT for the rank-weighted sum
+        "q_gini": r"""
+            WITH rev AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 1000000, 0) AS BIGINT)) AS BIGINT) AS v
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT c.c_nationkey, r.v, r.o_custkey
+                FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+            ), ranked AS (
+                SELECT c_nationkey, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_nationkey ORDER BY v, o_custkey) AS i
+                FROM j
+            ), agg AS (
+                SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(v AS HUGEINT)) AS s,
+                       SUM(CAST(i AS HUGEINT) * CAST(v AS HUGEINT)) AS si
+                FROM ranked GROUP BY c_nationkey
+            )
+            SELECT c_nationkey, n AS n_members,
+                   CASE WHEN CAST(s AS DOUBLE) > 0 THEN
+                       ROUND((2.0 * CAST(si AS DOUBLE)
+                              - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+                   END AS gini
+            FROM agg ORDER BY c_nationkey
+        """,
+        # round 8: bounded k-core — the verified near-dup pair replay
+        # (same chain as q_graph_labelprop), 3 peels unrolled
+        "q_graph_kcore": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, LENGTH(LOWER(text)) - 4),
+                               i -> SUBSTRING(LOWER(text), i, 5)))
+                       ELSE CAST([] AS VARCHAR[]) END AS sh
+                FROM documents
+            ), shx AS (
+                SELECT doc_id, UNNEST(sh) AS sg FROM s
+            ), sizes AS (
+                SELECT doc_id, LEN(sh) AS n FROM s
+            ), cm AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), prs AS (
+                SELECT id_a, id_b
+                FROM cm JOIN sizes sa ON sa.doc_id = id_a
+                        JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
+            ), a0 AS (
+                SELECT id_a AS u, id_b AS v FROM prs
+                UNION SELECT id_b, id_a FROM prs
+            ), k1 AS (
+                SELECT u FROM a0 GROUP BY u HAVING COUNT(*) >= 2
+            ), a1 AS (
+                SELECT a.u, a.v FROM a0 a
+                WHERE a.u IN (SELECT u FROM k1) AND a.v IN (SELECT u FROM k1)
+            ), k2 AS (
+                SELECT u FROM a1 GROUP BY u HAVING COUNT(*) >= 2
+            ), a2 AS (
+                SELECT a.u, a.v FROM a1 a
+                WHERE a.u IN (SELECT u FROM k2) AND a.v IN (SELECT u FROM k2)
+            ), k3 AS (
+                SELECT u FROM a2 GROUP BY u HAVING COUNT(*) >= 2
+            ), a3 AS (
+                SELECT a.u, a.v FROM a2 a
+                WHERE a.u IN (SELECT u FROM k3) AND a.v IN (SELECT u FROM k3)
+            )
+            SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM a3 GROUP BY u HAVING COUNT(*) >= 2 ORDER BY doc_id
+        """,
+        # round 8: MMR — pool top-20 by 6-dp cosine, 5 greedy steps
+        # unrolled; lambda 0.75 so both lambda and 1-lambda are exact
+        "q_mmr_diversify": r"""
+            WITH qv AS (SELECT [1.0 FOR _ IN RANGE(64)]::DOUBLE[] AS q),
+            pool AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                       ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), q) /
+                             (SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+                              * SQRT(LIST_DOT_PRODUCT(q, q))), 6) AS rel
+                FROM embeddings, qv
+                ORDER BY rel DESC, vec_id LIMIT 20
+            ), sims AS (
+                SELECT a.id AS ca, b.id AS cb,
+                       ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                             (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                              * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS sm
+                FROM pool a JOIN pool b ON a.id <> b.id
+            ), s1 AS (
+                SELECT id, rel, ROUND(0.75 * rel, 6) AS score
+                FROM pool ORDER BY score DESC, id LIMIT 1
+            ), s2 AS (
+                SELECT p.id, p.rel,
+                       ROUND(0.75 * p.rel - 0.25 * COALESCE(MAX(s.sm), 0.0), 6) AS score
+                FROM pool p LEFT JOIN sims s
+                  ON s.ca = p.id AND s.cb IN (SELECT id FROM s1)
+                WHERE p.id NOT IN (SELECT id FROM s1)
+                GROUP BY p.id, p.rel ORDER BY score DESC, p.id LIMIT 1
+            ), sel2 AS (
+                SELECT id FROM s1 UNION ALL SELECT id FROM s2
+            ), s3 AS (
+                SELECT p.id, p.rel,
+                       ROUND(0.75 * p.rel - 0.25 * COALESCE(MAX(s.sm), 0.0), 6) AS score
+                FROM pool p LEFT JOIN sims s
+                  ON s.ca = p.id AND s.cb IN (SELECT id FROM sel2)
+                WHERE p.id NOT IN (SELECT id FROM sel2)
+                GROUP BY p.id, p.rel ORDER BY score DESC, p.id LIMIT 1
+            ), sel3 AS (
+                SELECT id FROM sel2 UNION ALL SELECT id FROM s3
+            ), s4 AS (
+                SELECT p.id, p.rel,
+                       ROUND(0.75 * p.rel - 0.25 * COALESCE(MAX(s.sm), 0.0), 6) AS score
+                FROM pool p LEFT JOIN sims s
+                  ON s.ca = p.id AND s.cb IN (SELECT id FROM sel3)
+                WHERE p.id NOT IN (SELECT id FROM sel3)
+                GROUP BY p.id, p.rel ORDER BY score DESC, p.id LIMIT 1
+            ), sel4 AS (
+                SELECT id FROM sel3 UNION ALL SELECT id FROM s4
+            ), s5 AS (
+                SELECT p.id, p.rel,
+                       ROUND(0.75 * p.rel - 0.25 * COALESCE(MAX(s.sm), 0.0), 6) AS score
+                FROM pool p LEFT JOIN sims s
+                  ON s.ca = p.id AND s.cb IN (SELECT id FROM sel4)
+                WHERE p.id NOT IN (SELECT id FROM sel4)
+                GROUP BY p.id, p.rel ORDER BY score DESC, p.id LIMIT 1
+            )
+            SELECT CAST(1 AS INT) AS rank, id, rel, score AS mmr_score FROM s1
+            UNION ALL SELECT CAST(2 AS INT), id, rel, score FROM s2
+            UNION ALL SELECT CAST(3 AS INT), id, rel, score FROM s3
+            UNION ALL SELECT CAST(4 AS INT), id, rel, score FROM s4
+            UNION ALL SELECT CAST(5 AS INT), id, rel, score FROM s5
+            ORDER BY rank
         """,
     }
 

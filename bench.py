@@ -168,6 +168,17 @@ ROUND7_OPS = [
     # harness budget; its cost trend is k x q_nb_classify's line
 ]
 
+# round-8: survival / experimentation / calibration / diversity wave
+ROUND8_OPS = [
+    "q_survival_km",
+    "q_acf",
+    "q_abtest_cuped",
+    "q_calibration",
+    "q_gini",
+    "q_graph_kcore",
+    "q_mmr_diversify",
+]
+
 
 PASSES = 3
 
@@ -429,7 +440,7 @@ def main() -> None:
     qs = E.queries()
 
     # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS + ROUND6_OPS + ROUND7_OPS:
+    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS + ROUND6_OPS + ROUND7_OPS + ROUND8_OPS:
         qs[name](spark, sf_dir).count()
 
     timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
@@ -441,12 +452,13 @@ def main() -> None:
     multimodal_ops = _timed_pass(qs, MULTIMODAL_OPS, spark, sf_dir)
     round6_ops = _timed_pass(qs, ROUND6_OPS, spark, sf_dir)
     round7_ops = _timed_pass(qs, ROUND7_OPS, spark, sf_dir)
+    round8_ops = _timed_pass(qs, ROUND8_OPS, spark, sf_dir)
     skew_join = _skew_bench(spark, sf_dir)
     bloom_join = _bloom_bench(spark, sf_dir)
     all_timings = {
         **timings, **extended, **versioned_io, **corpus_ops,
         **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
-        **round7_ops,
+        **round7_ops, **round8_ops,
     }
     baseline_name, regressions = _regressions(all_timings)
     retimes: dict[str, dict[str, float]] = {}
@@ -463,7 +475,7 @@ def main() -> None:
         retimed = _timed_pass(qs, names, spark, sf_dir)
         for grp in (timings, extended, versioned_io, corpus_ops,
                     analytics_ops, mining_ops, multimodal_ops, round6_ops,
-                    round7_ops):
+                    round7_ops, round8_ops):
             for q in list(grp):
                 if q in retimed:
                     retimes[q] = {"first": grp[q], "retimed": retimed[q]}
@@ -472,7 +484,7 @@ def main() -> None:
         all_timings = {
             **timings, **extended, **versioned_io, **corpus_ops,
             **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
-            **round7_ops,
+            **round7_ops, **round8_ops,
         }
         baseline_name, regressions = _regressions(all_timings)
     total = round(sum(timings.values()), 3)
@@ -498,6 +510,8 @@ def main() -> None:
                 "round6_ops_total": round(sum(round6_ops.values()), 3),
                 "round7_ops": round7_ops,
                 "round7_ops_total": round(sum(round7_ops.values()), 3),
+                "round8_ops": round8_ops,
+                "round8_ops_total": round(sum(round8_ops.values()), 3),
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,
                 "regressions_vs": baseline_name,

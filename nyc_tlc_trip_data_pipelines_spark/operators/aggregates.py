@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1067,3 +1067,138 @@ def sprt_daily_walk(
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("arm", period_name)
+
+
+def cuped_adjust(
+    df: DataFrame,
+    arm_col: str,
+    x_int: Column,
+    y_scaled: Column,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    — the industry-standard A/B sensitivity boost: adjust each arm's
+    metric with a PRE-experiment covariate X,
+        Y_adj = Y − θ·(X − x̄),   θ = cov(X, Y) / var(X)
+    (θ and x̄ pooled over all arms, so the adjustment is unbiased
+    under randomization), shrinking metric variance by the factor
+    ρ² = cov²/(var X · var Y) without moving the true treatment
+    effect. Complements :func:`welch_ttest` (fixed-horizon) and
+    :func:`sprt_daily_walk` (sequential) as the third leg of the
+    experimentation surface.
+
+    Returns one row per arm: (arm, n, mean_y, mean_y_adj, theta,
+    rho2), means AND theta in value units (``y_scale`` rescales; θ =
+    Δy per unit X), all rounded 6 dp. theta/rho2 repeat per row
+    (pooled). Degenerate var(X) = 0 yields NULL theta/rho2 and
+    mean_y_adj = mean_y.
+
+    Cross-engine determinism: the single aggregate pass reduces
+    EXACT INTEGERS — x integral, y pre-quantized, all second-order
+    sums in DECIMAL(38,0) (micro² overflows int64) — so partition
+    reduce order cannot perturb them; the closed form is one fixed
+    double expression tree (the :func:`ols_group` rule).
+
+    Scale shape: one corpus hash-aggregate to per-arm sufficient
+    statistics, then a 2-row window for the pooled terms. Map-side
+    combinable; nothing downstream of the first reduction scales
+    with rows.
+    """
+    x = x_int.cast("long")
+    y = y_scaled.cast("long")
+    dx = x.cast("decimal(38,0)")
+    dy = y.cast("decimal(38,0)")
+    per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    # pooled sums get distinct names — Spark's default case-INSENSITIVE
+    # resolution would let "N" silently replace "n"
+    w = Window.partitionBy(F.lit(1))
+    pooled = (
+        per_arm.withColumn("gn", F.sum("n").over(w))
+        .withColumn("gsx", F.sum("sx").over(w))
+        .withColumn("gsy", F.sum("sy").over(w))
+        .withColumn("gsxx", F.sum("sxx").over(w))
+        .withColumn("gsxy", F.sum("sxy").over(w))
+        .withColumn("gsyy", F.sum("syy").over(w))
+    )
+    d = lambda c: F.col(c).cast("double")
+    cov_n = d("gn") * d("gsxy") - d("gsx") * d("gsy")     # N²·cov
+    varx_n = d("gn") * d("gsxx") - d("gsx") * d("gsx")    # N²·var X
+    vary_n = d("gn") * d("gsyy") - d("gsy") * d("gsy")    # N²·var Y
+    theta = F.when(varx_n != 0, cov_n / varx_n)
+    xbar = d("gsx") / d("gn")
+    scale = F.lit(float(y_scale))
+    mean_y = d("sy") / d("n") / scale
+    mean_y_adj = F.when(
+        varx_n != 0,
+        (d("sy") / d("n") - theta * (d("sx") / d("n") - xbar)) / scale,
+    ).otherwise(mean_y)
+    rho2 = F.when(
+        (varx_n != 0) & (vary_n != 0), cov_n * cov_n / (varx_n * vary_n)
+    )
+    return pooled.select(
+        "arm",
+        "n",
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_y_adj, 6).alias("mean_y_adj"),
+        F.round(theta / scale, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho2"),
+    ).orderBy("arm")
+
+
+def gini_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_int: Column,
+    tiebreak: Column,
+) -> DataFrame:
+    """Per-group Gini coefficient — the inequality/concentration
+    measure (revenue concentration per market, token-budget share per
+    domain) on EXACT integers, by the rank identity over the group's
+    ascending-sorted values x₁ ≤ … ≤ xₙ:
+        G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+    Complements the HHI-style mixture-concentration audit: HHI reads
+    share dispersion from squared shares; Gini reads the full Lorenz
+    ordering. 0 = perfectly equal, → 1 = one member holds everything.
+
+    ``value_int`` must be pre-quantized (micro-units); ``tiebreak``
+    makes the rank deterministic on equal values — the identity's
+    value is tie-ORDER-invariant (equal x swap i's without changing
+    Σ i·xᵢ's contribution), so any total order gives the same G, but
+    a deterministic one keeps plans replayable. Σ i·xᵢ accumulates in
+    DECIMAL(38,0) (rank × micro overflows int64). Negative totals
+    (Σx ≤ 0) yield NULL.
+
+    Scale shape: one group-partitioned rank window (group-sized, the
+    per-group sort every Lorenz computation needs) + one hash
+    aggregate. At 100 TB, groups are market-sized, not corpus-sized.
+    """
+    kcols = [F.col(c) for c in keys]
+    v = value_int.cast("long")
+    w = Window.partitionBy(*kcols).orderBy(v, tiebreak)
+    ranked = df.select(
+        *kcols, v.alias("__v"), F.row_number().over(w).alias("__i")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("__i").cast("decimal(38,0)") * F.col("__v").cast("decimal(38,0)")
+        ).alias("si"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    gini = F.when(
+        d("s") > 0,
+        (2.0 * d("si") - (d("n") + 1.0) * d("s")) / (d("n") * d("s")),
+    )
+    return agg.select(
+        *keys,
+        F.col("n").alias("n_members"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy(*keys)

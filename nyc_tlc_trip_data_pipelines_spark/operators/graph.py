@@ -350,3 +350,53 @@ def label_propagation(
         )
         labels = labels.union(adopted).localCheckpoint()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-core peeling — the degeneracy-based density filter
+    (community cores, spam-farm detection, collaboration-graph
+    backbones; Seidman 1983): repeatedly delete every node whose
+    degree in the REMAINING graph is < k. After enough rounds the
+    survivors are exactly the k-core (the maximal subgraph of minimum
+    degree ≥ k); with fixed ``rounds`` the result is the safe
+    OVER-approximation reached by that many synchronous peels —
+    deterministic, oracle-unrollable, and the same bounded-iteration
+    contract as :func:`label_propagation` (run more rounds with a
+    convergence check at diameter scale).
+
+    Returns (node, degree) for surviving nodes with their degree
+    inside the surviving subgraph.
+
+    Scale shape: per round one degree hash-aggregate + two semi-joins
+    of the edge set against the (broadcastable-when-small) survivor
+    set; lineage cut per round with localCheckpoint. Undirected:
+    edges are symmetrized and deduped first.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = sym
+    for _ in range(rounds):
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        alive = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        alive.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .orderBy("node")
+    )

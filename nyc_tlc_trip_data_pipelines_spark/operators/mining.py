@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokenize
@@ -333,3 +333,85 @@ def classifier_eval(
             ),
         ).alias("f1"),
     ).orderBy("cls")
+
+
+def calibration_bins(
+    preds: DataFrame,
+    score_col: str = "score",
+    correct_col: str = "correct",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Score-calibration reliability table + expected calibration
+    error (ECE) — the measurement a classifier's scores need before
+    they gate data at a threshold (Guo et al. 2017's ECE, computed
+    over a min-max-normalized confidence PROXY since a raw
+    log-posterior margin is not a probability; the proxy is monotone
+    in the score, which is all reliability ranking needs —
+    documented, not hidden).
+
+    Scores quantize to micro-units, then confidence
+    ``conf_q = ((s − min)·10⁶) div (max − min)`` ∈ [0, 10⁶] is EXACT
+    integer arithmetic (floor-div on non-negative operands, so Spark
+    ``div`` and DuckDB ``//`` agree); equi-width bin =
+    ``min(conf_q·n_bins div 10⁶, n_bins−1)``. Per bin: count,
+    accuracy, mean confidence (exact integer sums); ECE =
+    Σ_b (n_b/N)·|acc_b − conf̄_b| via a window over the n_bins-row
+    aggregate, repeated per row.
+
+    Returns (bin, n, n_correct, accuracy, avg_conf, ece) rounded 6 dp,
+    ordered by bin. A degenerate score range (max = min) puts every
+    row in bin 0 with avg_conf 0.
+
+    Scale shape: one bounds aggregate (broadcast 1-row), one corpus
+    hash-aggregate to ≤ n_bins cells, one n_bins-row window — nothing
+    after the reduction scales with rows.
+    """
+    sm = F.round(F.col(score_col) * 1e6, 0).cast("long")
+    base = preds.select(
+        sm.alias("__s"), F.col(correct_col).cast("long").alias("__ok")
+    )
+    bounds = base.agg(
+        F.min("__s").alias("__mn"), F.max("__s").alias("__mx")
+    )
+    spread = F.col("__mx") - F.col("__mn")
+    # integer floor-div via expr (both engines floor on non-negatives)
+    binned = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__cq",
+            F.when(
+                spread > 0,
+                F.expr("((__s - __mn) * 1000000) div (__mx - __mn)"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__bin",
+            F.least(
+                F.expr(f"(__cq * {int(n_bins)}) div 1000000"),
+                F.lit(int(n_bins) - 1),
+            ).cast("int"),
+        )
+    )
+    cells = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__ok").cast("long").alias("n_correct"),
+        F.sum("__cq").cast("long").alias("__sconf"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    acc = F.col("n_correct") / F.col("n")
+    avg_conf = F.col("__sconf") / F.col("n") / 1e6
+    out = (
+        cells.withColumn("__N", F.sum("n").over(w))
+        .withColumn("__gap", F.abs(acc - avg_conf) * F.col("n"))
+        .withColumn("__ece", F.sum("__gap").over(w) / F.col("__N"))
+        .select(
+            F.col("__bin").alias("bin"),
+            "n",
+            "n_correct",
+            F.round(acc, 6).alias("accuracy"),
+            F.round(avg_conf, 6).alias("avg_conf"),
+            F.round(F.col("__ece"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+    return out

@@ -1031,3 +1031,156 @@ def conformal_forecast_intervals(
         .select("day", "n_eval", "n_covered", "coverage", "qhat")
         .orderBy("day")
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration: Column,
+    event: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator — the standard
+    nonparametric time-to-event curve (churn/retention lifetimes,
+    hardware failure, job completion) with right-censoring handled
+    exactly: a censored observation leaves the at-risk set at its
+    duration without counting as an event.
+
+    Input: one row per subject with an integer ``duration`` (e.g.
+    days observed) and ``event`` = 1 if the terminal event was
+    observed, 0 if censored. Per distinct duration t:
+      n_risk(t)  = subjects with duration ≥ t
+      d(t)       = events at t,  c(t) = censorings at t
+      S(t)       = Π_{u ≤ t} (1 − d(u)/n_risk(u))
+    Output (keys…, t, n_risk, d_events, c_censored, survival) at
+    EVENT times only (the curve's step points), survival rounded 6 dp.
+
+    Cross-engine determinism: d/n is a ratio of exact integers (same
+    double everywhere); each log factor is rounded to 9 dp before the
+    running sum so a 1-ulp libm difference in LN cannot leak through
+    EXP into the 6-dp output; a zero factor (everyone at risk dies)
+    is handled by flag, not ln(0).
+
+    Scale shape: one hash aggregate to per-(keys, t) cells, then all
+    windows run over the time-grain cell table (time-range-sized, not
+    subject-sized) — the same reduce-before-window rule as
+    equidepth/KS. Per-key curves shuffle once on ``keys``.
+    """
+    kcols = [F.col(c) for c in keys]
+    obs = df.select(
+        *kcols,
+        duration.cast("long").alias("t"),
+        event.cast("int").alias("e"),
+    )
+    cells = obs.groupBy(*keys, "t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(1 - F.col("e")).cast("long").alias("c"),
+    )
+    w_all = Window.partitionBy(*kcols) if keys else Window.partitionBy(F.lit(1))
+    w_bef = (
+        Window.partitionBy(*kcols) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = (
+        Window.partitionBy(*kcols) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum(F.col("d") + F.col("c")).over(w_all)
+    left_before = F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_bef), F.lit(0)
+    )
+    stepped = cells.withColumn("n_risk", total - left_before)
+    factor = F.lit(1.0) - F.col("d") / F.col("n_risk")
+    stepped = stepped.withColumn(
+        "__lnf", F.when(factor > 0, F.round(F.log(factor), 9)).otherwise(F.lit(0.0))
+    ).withColumn("__dead", F.when(factor <= 0, 1).otherwise(0))
+    out = (
+        stepped.withColumn("__lnsum", F.sum("__lnf").over(w_run))
+        .withColumn("__anydead", F.max("__dead").over(w_run))
+        .filter(F.col("d") > 0)
+        .select(
+            *keys,
+            F.col("t"),
+            F.col("n_risk"),
+            F.col("d").alias("d_events"),
+            F.col("c").alias("c_censored"),
+            F.when(F.col("__anydead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("__lnsum")), 6))
+            .alias("survival"),
+        )
+    )
+    return out.orderBy(*keys, "t")
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain_seconds: int = 3600,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Sample autocorrelation function (ACF) of the regular-grain
+    aggregate series — the lag-structure diagnostic behind seasonal
+    period choice (q_stl_decompose's period input), AR-order picking
+    and white-noise checks:
+      r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    with x̄ the FULL-series mean (the standard biased estimator;
+    missing grains simply contribute no pair — documented, exact).
+
+    Cross-engine determinism: the series is per-grain integer
+    micro-sums; every pairwise Σab is accumulated in DECIMAL(38,0)
+    (micro² products overflow int64), so all sums are exact integers
+    in any engine and reduce order; the closed form is then one fixed
+    double expression tree.
+
+    Scale shape: one corpus hash-aggregate to the time-grain series,
+    then an explode(1..K) + single equi-join and a K-row aggregate —
+    everything after the first reduction is time-range-sized. At
+    100 TB the series for years of hourly grain is ~10⁵ rows.
+    """
+    vm = F.round(F.col(value_col) * 1e6, 0).cast("long")
+    series = (
+        df.select(
+            F.floor(F.col(ts_col).cast("long") / grain_seconds)
+            .cast("long")
+            .alias("i"),
+            vm.alias("vm"),
+        )
+        .groupBy("i")
+        .agg(F.sum("vm").alias("v"))
+        .persist()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    glob = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("sxx"),
+    )
+    lagged = series.select(
+        "i",
+        F.col("v").alias("va"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("k"),
+    )
+    pairs = lagged.join(
+        series.select(F.col("i").alias("j"), F.col("v").alias("vb")),
+        F.col("j") == F.col("i") + F.col("k"),
+    )
+    per_k = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("va").cast("decimal(38,0)").alias("sa"),
+        F.sum("vb").cast("decimal(38,0)").alias("sb"),
+        F.sum(dec(F.col("va")) * dec(F.col("vb"))).alias("sab"),
+    )
+    j = per_k.crossJoin(F.broadcast(glob))
+    xbar = F.col("sx").cast("double") / F.col("n")
+    num = (
+        F.col("sab").cast("double")
+        - xbar * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+        + F.col("m") * xbar * xbar
+    )
+    den = F.col("sxx").cast("double") - F.col("n") * xbar * xbar
+    return (
+        j.select(
+            F.col("k").cast("int").alias("lag"),
+            F.col("m").alias("n_pairs"),
+            F.when(den != 0, F.round(num / den, 6)).alias("acf"),
+        )
+        .orderBy("lag")
+    )

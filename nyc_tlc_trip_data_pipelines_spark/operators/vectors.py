@@ -1407,3 +1407,103 @@ def uniform_negatives(
         )
         .orderBy("anchor_id", "j")
     )
+
+
+def mmr_diversify(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity-aware retrieval step between ANN
+    recall and a training batch / RAG context: greedily pick k items
+    maximizing
+        λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    (first pick: λ·rel, empty-max = 0), so near-duplicate hits can't
+    crowd the slate — the retrieval-side twin of SemDeDup's
+    corpus-side pruning.
+
+    Two-phase plan: (1) the CORPUS-scale part is plain relevance
+    top-``pool`` (TakeOrderedAndProject, per-partition heaps — the
+    cosine_topk plan); (2) the greedy loop then runs entirely on the
+    pool (pool² pairwise cosine table, both 6-dp-rounded so any
+    engine replays the argmax walk). Each of the k steps collects
+    exactly ONE (id) row — bounded model-state reads of the
+    :func:`kmeans` kind, k·1 rows total, never corpus data. Ties
+    break by id ASC at every argmax.
+
+    Returns (rank, id, rel, mmr_score) with rank = 1..k in selection
+    order, mmr_score the winning objective value (rounded 6 dp).
+
+    Scale: pool is the only knob — the loop cost is pool²-bounded
+    regardless of corpus size; at 100 TB phase 1 rides the ANN index
+    (swap cosine_topk for ivfpq_topk) and phase 2 is unchanged.
+    """
+    q = _as_vec_lit(query)
+    rel = F.round(
+        array_dot(F.col(vec_col), q)
+        / (array_norm(F.col(vec_col)) * array_norm(q)),
+        6,
+    )
+    pooled = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(int(pool))
+        .persist()
+    )
+    sim = F.round(
+        array_dot(F.col("a.v"), F.col("b.v"))
+        / (array_norm(F.col("a.v")) * array_norm(F.col("b.v"))),
+        6,
+    )
+    sims = (
+        pooled.alias("a")
+        .crossJoin(F.broadcast(pooled.alias("b")))
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ca"), F.col("b.id").alias("cb"), sim.alias("s")
+        )
+        .persist()
+    )
+    chosen: list[tuple[int, object, float, float]] = []
+    cand = pooled.select("id", "rel")
+    lam_f = float(lam)
+    for step in range(1, int(k) + 1):
+        if chosen:
+            sel_ids = [c[1] for c in chosen]
+            maxsim = (
+                sims.filter(F.col("cb").isin(*sel_ids))
+                .groupBy(F.col("ca").alias("id"))
+                .agg(F.max("s").alias("ms"))
+            )
+            scored = (
+                cand.join(maxsim, "id", "left")
+                .select(
+                    "id",
+                    "rel",
+                    F.round(
+                        F.lit(lam_f) * F.col("rel")
+                        - F.lit(1.0 - lam_f) * F.coalesce(F.col("ms"), F.lit(0.0)),
+                        6,
+                    ).alias("score"),
+                )
+            )
+        else:
+            scored = cand.select(
+                "id", "rel", F.round(F.lit(lam_f) * F.col("rel"), 6).alias("score")
+            )
+        top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        chosen.append((step, r["id"], float(r["rel"]), float(r["score"])))
+        cand = cand.filter(F.col("id") != F.lit(r["id"]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(s, i, rl, sc) for s, i, rl, sc in chosen],
+        "rank int, id long, rel double, mmr_score double",
+    )

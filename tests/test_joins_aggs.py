@@ -627,3 +627,56 @@ def test_poisson_bootstrap_fast_tier_same_contract(spark):
         poisson_bootstrap_ci(
             df, ["k"], F.col("value"), "event_id", hash_tier="nope"
         )
+
+
+def test_cuped_adjust_variance_reduction_and_parity(spark):
+    """Perfectly correlated X,Y -> rho2 == 1 and both arms' adjusted
+    means collapse to the same value; theta equals the OLS slope."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import cuped_adjust
+
+    # y = 10*x in micro-units; arm 0 has larger x (covariate imbalance)
+    rows = [(0, x, 10 * x * 1_000_000) for x in (4, 5, 6)] + [
+        (1, x, 10 * x * 1_000_000) for x in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "arm int, x long, y long")
+    out = {r["arm"]: r for r in cuped_adjust(df, "arm", F.col("x"), F.col("y")).collect()}
+    assert out[0]["n"] == 3 and out[1]["n"] == 3
+    assert abs(out[0]["theta"] - 10.0) < 1e-6
+    assert abs(out[0]["rho2"] - 1.0) < 1e-6
+    # raw means differ by 30; the adjustment removes ALL covariate
+    # imbalance, so adjusted means agree (both = grand mean 35)
+    assert abs(out[0]["mean_y"] - 50.0) < 1e-6
+    assert abs(out[1]["mean_y"] - 20.0) < 1e-6
+    assert abs(out[0]["mean_y_adj"] - 35.0) < 1e-6
+    assert abs(out[1]["mean_y_adj"] - 35.0) < 1e-6
+
+
+def test_cuped_adjust_degenerate_covariate(spark):
+    """var(X) = 0 -> NULL theta/rho2 and mean_y_adj falls back to
+    mean_y rather than erroring."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import cuped_adjust
+
+    rows = [(0, 7, 1_000_000), (0, 7, 3_000_000), (1, 7, 2_000_000)]
+    df = spark.createDataFrame(rows, "arm int, x long, y long")
+    out = {r["arm"]: r for r in cuped_adjust(df, "arm", F.col("x"), F.col("y")).collect()}
+    assert out[0]["theta"] is None and out[0]["rho2"] is None
+    assert out[0]["mean_y_adj"] == out[0]["mean_y"] == 2.0
+    assert out[1]["mean_y_adj"] == out[1]["mean_y"] == 2.0
+
+
+def test_gini_group_extremes(spark):
+    """Equal shares -> 0; one member holding everything -> (n-1)/n."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import gini_group
+
+    rows = (
+        [("eq", i, 100) for i in range(4)]
+        + [("one", 0, 400), ("one", 1, 0), ("one", 2, 0), ("one", 3, 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, m long, v long")
+    out = {
+        r["g"]: r
+        for r in gini_group(df, ["g"], F.col("v"), F.col("m")).collect()
+    }
+    assert out["eq"]["gini"] == 0.0
+    assert abs(out["one"]["gini"] - 0.75) < 1e-9   # (n-1)/n, n=4
+    assert out["eq"]["n_members"] == 4

@@ -324,3 +324,30 @@ def test_classifier_eval_confusion_metrics(spark):
     assert c["n_predicted"] == 0 and c["precision"] is None and c["recall"] == 0.0
     x = out["x"]
     assert x["n_actual"] == 0 and x["recall"] is None and x["precision"] == 0.0
+
+
+def test_calibration_bins_reliability_and_ece(spark):
+    """Scores 0..9 (min-max -> conf 0..1), correct iff score >= 5:
+    bins are exact integer cells; hand-check accuracy/avg_conf/ece."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import calibration_bins
+
+    rows = [(float(s), 1 if s >= 5 else 0) for s in range(10)]
+    df = spark.createDataFrame(rows, "score double, correct int")
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    # spread = 9 -> conf_q = s*1e6/9 (floor); score 9 -> conf 1.0 -> bin 9
+    assert set(out) <= set(range(10)) and 9 in out and 0 in out
+    assert out[0]["accuracy"] == 0.0 and out[9]["accuracy"] == 1.0
+    assert out[0]["avg_conf"] == 0.0 and out[9]["avg_conf"] == 1.0
+    # single ece value repeated on every row
+    assert len({r["ece"] for r in out.values()}) == 1
+    assert 0.0 <= out[0]["ece"] <= 1.0
+
+
+def test_calibration_bins_degenerate_scores(spark):
+    """All-equal scores -> one bin 0 with avg_conf 0, no div-by-zero."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import calibration_bins
+
+    df = spark.createDataFrame([(2.5, 1), (2.5, 0)], "score double, correct int")
+    out = calibration_bins(df, n_bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0
+    assert out[0]["avg_conf"] == 0.0 and out[0]["accuracy"] == 0.5

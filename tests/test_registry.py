@@ -56,9 +56,8 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-7 prefix leads with the 19 ids that had no driver
-    CORRECTNESS row after round 6 (3 round-6 late adds + 16 round-5
-    SQL twins) followed by q_dp_release (oracle changed round 7), has
+    the round-8 prefix leads with (a) the 7 new round-8 queries, then
+    (b) the 4 ids whose semantics/schema/plan changed in round 8, has
     no duplicates, and every prefix id has a DuckDB oracle (a prefix
     slot without an oracle wastes a driver window on a rows-only
     check)."""
@@ -67,13 +66,19 @@ def test_prefix_50_rotation_contract():
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:4] == [
-        "q_ann_pq",
-        "q_random_projection",
-        "q_attribution_decay",
-        "q_group_regress",
+    assert prefix[:11] == [
+        "q_survival_km",
+        "q_acf",
+        "q_abtest_cuped",
+        "q_calibration",
+        "q_gini",
+        "q_graph_kcore",
+        "q_mmr_diversify",
+        "q_abtest_sprt",
+        "q_sample_negatives",
+        "q_graph_labelprop",
+        "q_assoc_rules",
     ]
-    assert "q_dp_release" in prefix
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
     assert not missing, f"prefix ids without oracle: {missing}"

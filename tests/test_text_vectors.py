@@ -868,3 +868,67 @@ def test_uniform_negatives_sparse_ids_surface_missing(spark):
     for r in out:
         if r["missing"] == 0:
             assert r["neg_id"] % 2 == 0
+
+
+def test_k_core_peels_pendants_keeps_triangle(spark):
+    """Triangle 1-2-3 plus pendant chain 3-4-5: the 2-core is exactly
+    the triangle (each with degree 2); pendants peel off within 2
+    rounds (4 survives round 1 via 3-4-5... then loses 5)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["degree"] for r in k_core(edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=1 keeps everything (every node has degree >= 1)
+    out1 = {r["node"] for r in k_core(edges, k=1, rounds=3).collect()}
+    assert out1 == {1, 2, 3, 4, 5}
+
+
+def test_k_core_bounded_rounds_overapproximate(spark):
+    """A long chain needs one round per pendant hop: with rounds=1 the
+    inner chain nodes survive (over-approximation), with enough rounds
+    the 2-core is empty — monotone, never under-peeled."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src bigint, dst bigint"
+    )
+    r1 = {r["node"] for r in k_core(chain, k=2, rounds=1).collect()}
+    r4 = {r["node"] for r in k_core(chain, k=2, rounds=4).collect()}
+    assert r4 == set()            # a chain has no 2-core
+    assert r4 <= r1               # more rounds only shrink the survivor set
+
+
+def test_mmr_diversify_skips_near_duplicate(spark):
+    """Pool of: q-aligned a, its near-clone a', and orthogonal-ish b.
+    Rank 1 = best rel; rank 2 must be b (the clone's max-sim penalty
+    crushes its marginal score); rank 3 the clone."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import mmr_diversify
+
+    # query deliberately NOT parallel to any item (else rel == sim to
+    # the first pick and every marginal score degenerates to zero):
+    # rel: 1 -> .9966, 2 -> .9950, 3 -> .7475; sim(2,1)=.9999 crushes
+    # the clone at step 2 while sim(3,1)=.6897 leaves 3 ahead
+    rows = [
+        (1, [1.0, 0.4, 0.0, 0.0]),
+        (2, [1.0, 0.38, 0.0, 0.0]),         # near-clone of 1
+        (3, [0.4, 1.0, 0.0, 0.0]),          # diverse, lower rel
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_diversify(df, [1.0, 0.5, 0.0, 0.0], k=3, pool=3, lam=0.5)
+    got = [(r["rank"], r["id"]) for r in out.collect()]
+    assert got == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_mmr_diversify_deterministic_ties(spark):
+    """Identical vectors tie on every score -> selection falls back to
+    id ASC, and reruns reproduce the slate exactly."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.vectors import mmr_diversify
+
+    rows = [(i, [1.0, 1.0]) for i in (7, 3, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = [(r["rank"], r["id"]) for r in mmr_diversify(df, [1.0, 1.0], k=3, pool=3).collect()]
+    b = [(r["rank"], r["id"]) for r in mmr_diversify(df, [1.0, 1.0], k=3, pool=3).collect()]
+    assert a == b == [(1, 3), (2, 5), (3, 7)]

@@ -513,3 +513,81 @@ def test_conformal_forecast_intervals_periodic_with_eval_noise(spark):
     assert abs(last["coverage"] - 22 / 24) < 1e-6
     clean = out["2024-01-07"]
     assert clean["n_covered"] == clean["n_eval"] and clean["coverage"] == 1.0
+
+
+# ------------------------------------------------------------- round 8: KM
+def test_km_survival_textbook_curve(spark):
+    """Hand-checked product-limit curve: durations 1(event), 2(censor),
+    3(event), 3(event), 5(censor) -> S(1)=0.8, S(3)=0.8*(1-2/3)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import km_survival
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)], "dur int, e int"
+    )
+    rows = km_survival(df, F.col("dur"), F.col("e")).collect()
+    # only event times appear
+    assert [r["t"] for r in rows] == [1, 3]
+    t1, t3 = rows
+    assert (t1["n_risk"], t1["d_events"], t1["c_censored"]) == (5, 1, 0)
+    assert abs(t1["survival"] - 0.8) < 1e-9
+    assert (t3["n_risk"], t3["d_events"]) == (3, 2)
+    assert abs(t3["survival"] - round(0.8 * (1 - 2 / 3), 6)) < 1e-6
+
+
+def test_km_survival_zero_factor_and_keys(spark):
+    """Everyone at risk dying at the last time step drives survival to
+    exactly 0.0 (flag path, not ln(0)); per-key curves are independent."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import km_survival
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("b", 1, 0), ("b", 2, 1)],
+        "g string, dur int, e int",
+    )
+    out = {
+        (r["g"], r["t"]): r["survival"]
+        for r in km_survival(df, F.col("dur"), F.col("e"), keys=["g"]).collect()
+    }
+    assert out[("a", 1)] == 0.5
+    assert out[("a", 2)] == 0.0          # 1 - 1/1 = 0 -> flagged dead
+    assert out[("b", 2)] == 0.0          # b's only event wipes b's curve
+    assert ("b", 1) not in out           # censoring-only time emits no row
+
+
+# ------------------------------------------------------------ round 8: ACF
+def test_autocorrelation_alternating_series(spark):
+    """x = 1,2,1,2,... at hourly grain: r_1 = -(n-1)/n exactly (every
+    lag-1 product is -0.25, denominator 0.25*n); r_2 = +(n-2)/n."""
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    n = 48
+    rows = [
+        (base + datetime.timedelta(hours=i), 1.0 if i % 2 == 0 else 2.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["lag"]: r for r in autocorrelation(df, "ts", "value", 3600, 3).collect()}
+    assert out[1]["n_pairs"] == n - 1
+    assert abs(out[1]["acf"] - round(-(n - 1) / n, 6)) < 1e-6
+    assert abs(out[2]["acf"] - round((n - 2) / n, 6)) < 1e-6
+
+
+def test_autocorrelation_constant_series_null(spark):
+    """Zero variance -> NULL acf (no division blowup)."""
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(hours=i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = autocorrelation(df, "ts", "value", 3600, 2).collect()
+    assert all(r["acf"] is None for r in out)
