@@ -4699,10 +4699,13 @@ def q_join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     bloom_prefilter), the standard technique for cutting a 100 TB fact
     shuffle down to near the match set. False negatives are impossible,
     so the aggregated result is byte-identical to the plain join — the
-    oracle IS the plain join, which checks exactly that invariant."""
+    oracle IS the plain join, which checks exactly that invariant.
+    min_big_bytes=0 forces the bloom on: the round-8 production floor
+    (64 MiB big-side size estimate) would skip it at bench SFs, and
+    this query exists to exercise the bloom machinery itself."""
     li = load_table(spark, sf, "lineitem")
     parts = load_table(spark, sf, "part").filter(F.col("p_size") == 15)
-    pruned = J.bloom_prefilter(li, "l_partkey", parts, "p_partkey")
+    pruned = J.bloom_prefilter(li, "l_partkey", parts, "p_partkey", min_big_bytes=0)
     out = (
         pruned.join(F.broadcast(parts), pruned.l_partkey == parts.p_partkey)
         .groupBy("l_returnflag")

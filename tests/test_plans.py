@@ -760,3 +760,75 @@ def test_ivfpq_lut_join_is_broadcast(spark, sf_dir):
     out = V.ivfpq_topk(emb, [1.0] * 64, kc=4, n_probe=2, m=4, k_codes=4)
     p = plan_string(out, "simple")
     assert "BroadcastHashJoin" in p
+
+
+def test_acf_pairs_join_runs_on_reduced_series(spark, sf_dir):
+    """Round 8: the ACF lag join must operate on the per-grain
+    aggregate SERIES (time-range-sized), never on raw event rows —
+    exactly one join, fed by hash aggregates on both sides."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.autocorrelation(ev, "ts", "value", 3600, 12)
+    p = plan_string(out, "simple")
+    # exactly two joins: the lag equi-join over the series, plus the
+    # 1-row broadcast global-stats attach (a benign BNLJ by design)
+    assert node_count(out, "Join") == 2
+    assert "CartesianProduct" not in p
+    # both lag-join inputs are aggregates: >= 2 grouping aggregates
+    # before the join plus the per-k one after it
+    assert node_count(out, "HashAggregate") >= 4
+
+
+def test_cuped_single_corpus_aggregate(spark, sf_dir):
+    """Round 8: CUPED reduces the corpus in ONE keyed aggregate pass
+    (partial + final); the pooled window then runs over the per-arm
+    rows only — no second corpus shuffle, no Python."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+    from nyc_tlc_trip_data_pipelines_spark.operators import text as TX
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("int")).alias("x"),
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("y"),
+    )
+    h = TX.portable_hash60(F.concat_ws("\x1f", F.col("user_id").cast("string"), F.lit("37")))
+    arms = users.select((h % 2).cast("int").alias("arm"), "x", "y")
+    out = agg.cuped_adjust(arms, "arm", F.col("x"), F.col("y"))
+    p = plan_string(out, "simple")
+    assert "Python" not in p
+    assert node_count(out, "Window") == 1
+
+
+def test_gini_one_rank_window_one_aggregate(spark, sf_dir):
+    """Round 8: Gini = one group-partitioned rank window + one hash
+    aggregate; the rank exchange is reused by the aggregate (same
+    key), so the operator adds no extra shuffle beyond the sort."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 1e6, 0).cast("long")).alias("v")
+    ).withColumn("g", F.pmod(F.col("o_custkey"), F.lit(25)))
+    out = agg.gini_group(rev, ["g"], F.col("v"), F.col("o_custkey"))
+    assert node_count(out, "Window") == 1
+    assert "Python" not in plan_string(out, "simple")
+
+
+def test_km_survival_windows_over_cells_not_subjects(spark, sf_dir):
+    """Round 8: KM's windows must consume the per-duration CELL table
+    (one hash aggregate below every window), so window volume is
+    time-grain-sized regardless of subject count."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("dur"),
+        F.lit(1).alias("e"),
+    )
+    out = TS.km_survival(users, F.col("dur"), F.col("e"))
+    p = plan_string(out, "simple")
+    # the duration-cell aggregate sits between subjects and windows
+    assert node_count(out, "HashAggregate") >= 2
+    assert node_count(out, "Window") >= 1
+    assert "Python" not in p
