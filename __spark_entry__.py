@@ -5979,6 +5979,31 @@ def q_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
     return V.mmr_diversify(em, [1.0] * 64, k=5, pool=20, lam=0.75)
 
 
+def q_seq_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence mining (round 8): happens-before pair support
+    (operators/mining.py sequential_pairs) — for each ordered
+    event-type pair (a → b), the share of users whose FIRST a
+    precedes their first b. Order-sensitive across any gap, unlike
+    q_markov_transitions (adjacent only) and q_assoc_rules
+    (unordered). First occurrences via one keyed aggregate on exact
+    (µs, event_id) keys; ordered pairs by the assoc-rules sorted-
+    array higher-order expansion — no self-join."""
+    ev = load_table(spark, sf, "events")
+    return MN.sequential_pairs(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def q_path_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence mining (round 8): top user journeys
+    (operators/mining.py top_paths) — each user's first 5 events in
+    (ts, event_id) order joined into a '>' path string, counted
+    across users, top 20 by (count DESC, path ASC). The click-path
+    exploration report; prefix cap bounds path strings regardless of
+    history length, TakeOrderedAndProject serves the top."""
+    ev = load_table(spark, sf, "events")
+    return MN.top_paths(ev, "user_id", "ts", "event_type", "event_id",
+                        prefix_len=5, top_n=20)
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -6312,18 +6337,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gini": q_gini,
         "q_graph_kcore": q_graph_kcore,
         "q_mmr_diversify": q_mmr_diversify,
+        "q_seq_pairs": q_seq_pairs,
+        "q_path_mining": q_path_mining,
     }
     # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 7 new round-8 queries (no driver row yet);
+    # (a) the 9 new round-8 queries (no driver row yet);
     # (b) the 4 ids whose semantics, output schema, or physical plan
     # changed this round and must re-verify under the driver —
     # q_abtest_sprt (conversion window bounded to the cohort close),
     # q_sample_negatives (new `missing` column + LEFT label join),
     # q_graph_labelprop (seed dedup in the library), q_assoc_rules
     # (self-join replaced by higher-order pair expansion);
-    # (c) 39 refresh slots for the stalest evidence — ids whose ONLY
+    # (c) 37 refresh slots for the stalest evidence — ids whose ONLY
     # driver row is round 1 (44 such ids; computed by script over the
-    # r01–r07 union; the 5 left over roll to round 9). Coverage debt
+    # r01–r07 union; the 7 left over roll to round 9). Coverage debt
     # is machine-checked: tests/test_registry.py asserts every
     # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
@@ -6335,6 +6362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gini",
         "q_graph_kcore",
         "q_mmr_diversify",
+        "q_seq_pairs",
+        "q_path_mining",
         # ---- (b) changed this round ----
         "q_abtest_sprt",
         "q_sample_negatives",
@@ -6378,8 +6407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_token_count",
         "q_text_wordcount",
         "q_topk",
-        "q_udaf_grouped",
-        "q_udf_scalar",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -10067,7 +10094,7 @@ def oracle_sql() -> dict[str, str]:
         # both monotone rounds unrolled (votes -> max count -> min
         # label, only not-yet-labeled nodes adopt)
         "q_graph_labelprop": r"""
-            WITH s AS (
+            WITH s AS MATERIALIZED (
                 SELECT doc_id,
                        CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
                            LIST_DISTINCT(LIST_TRANSFORM(
@@ -10075,52 +10102,52 @@ def oracle_sql() -> dict[str, str]:
                                i -> SUBSTRING(LOWER(text), i, 5)))
                        ELSE CAST([] AS VARCHAR[]) END AS sh
                 FROM documents
-            ), shx AS (
+            ), shx AS MATERIALIZED (
                 SELECT doc_id, UNNEST(sh) AS sg FROM s
-            ), sizes AS (
+            ), sizes AS MATERIALIZED (
                 SELECT doc_id, LEN(sh) AS n FROM s
-            ), cm AS (
+            ), cm AS MATERIALIZED (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
                 FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
-            ), pairs AS (
+            ), pairs AS MATERIALIZED (
                 SELECT id_a, id_b
                 FROM cm JOIN sizes sa ON sa.doc_id = id_a
                         JOIN sizes sb ON sb.doc_id = id_b
                 WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
-            ), edges AS (
+            ), edges AS MATERIALIZED (
                 SELECT id_a AS u, id_b AS v FROM pairs
                 UNION SELECT id_b, id_a FROM pairs
-            ), l0 AS (
+            ), l0 AS MATERIALIZED (
                 SELECT doc_id AS node, lang AS label, 0 AS round_assigned
                 FROM documents
                 WHERE (CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), CHR(31), '23')), 1, 15))
                             AS BIGINT) % 4) = 0
-            ), v1 AS (
+            ), v1 AS MATERIALIZED (
                 SELECT e.v AS cand, l.label, COUNT(*) AS c
                 FROM edges e JOIN l0 l ON l.node = e.u
                 WHERE e.v NOT IN (SELECT node FROM l0)
                 GROUP BY e.v, l.label
-            ), b1 AS (
+            ), b1 AS MATERIALIZED (
                 SELECT cand, MAX(c) AS mc FROM v1 GROUP BY cand
-            ), a1 AS (
+            ), a1 AS MATERIALIZED (
                 SELECT v1.cand AS node, MIN(v1.label) AS label, 1 AS round_assigned
                 FROM v1 JOIN b1 ON v1.cand = b1.cand AND v1.c = b1.mc
                 GROUP BY v1.cand
-            ), l1 AS (
+            ), l1 AS MATERIALIZED (
                 SELECT * FROM l0 UNION ALL SELECT * FROM a1
-            ), v2 AS (
+            ), v2 AS MATERIALIZED (
                 SELECT e.v AS cand, l.label, COUNT(*) AS c
                 FROM edges e JOIN l1 l ON l.node = e.u
                 WHERE e.v NOT IN (SELECT node FROM l1)
                 GROUP BY e.v, l.label
-            ), b2 AS (
+            ), b2 AS MATERIALIZED (
                 SELECT cand, MAX(c) AS mc FROM v2 GROUP BY cand
-            ), a2 AS (
+            ), a2 AS MATERIALIZED (
                 SELECT v2.cand AS node, MIN(v2.label) AS label, 2 AS round_assigned
                 FROM v2 JOIN b2 ON v2.cand = b2.cand AND v2.c = b2.mc
                 GROUP BY v2.cand
-            ), l2 AS (
+            ), l2 AS MATERIALIZED (
                 SELECT * FROM l1 UNION ALL SELECT * FROM a2
             )
             SELECT node AS doc_id, label, CAST(round_assigned AS INT) AS round_assigned
@@ -11943,7 +11970,7 @@ def oracle_sql() -> dict[str, str]:
         # round 8: bounded k-core — the verified near-dup pair replay
         # (same chain as q_graph_labelprop), 3 peels unrolled
         "q_graph_kcore": r"""
-            WITH s AS (
+            WITH s AS MATERIALIZED (
                 SELECT doc_id,
                        CASE WHEN LENGTH(LOWER(text)) >= 5 THEN
                            LIST_DISTINCT(LIST_TRANSFORM(
@@ -11951,35 +11978,35 @@ def oracle_sql() -> dict[str, str]:
                                i -> SUBSTRING(LOWER(text), i, 5)))
                        ELSE CAST([] AS VARCHAR[]) END AS sh
                 FROM documents
-            ), shx AS (
+            ), shx AS MATERIALIZED (
                 SELECT doc_id, UNNEST(sh) AS sg FROM s
-            ), sizes AS (
+            ), sizes AS MATERIALIZED (
                 SELECT doc_id, LEN(sh) AS n FROM s
-            ), cm AS (
+            ), cm AS MATERIALIZED (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
                 FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
-            ), prs AS (
+            ), prs AS MATERIALIZED (
                 SELECT id_a, id_b
                 FROM cm JOIN sizes sa ON sa.doc_id = id_a
                         JOIN sizes sb ON sb.doc_id = id_b
                 WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
-            ), a0 AS (
+            ), a0 AS MATERIALIZED (
                 SELECT id_a AS u, id_b AS v FROM prs
                 UNION SELECT id_b, id_a FROM prs
-            ), k1 AS (
+            ), k1 AS MATERIALIZED (
                 SELECT u FROM a0 GROUP BY u HAVING COUNT(*) >= 2
-            ), a1 AS (
+            ), a1 AS MATERIALIZED (
                 SELECT a.u, a.v FROM a0 a
                 WHERE a.u IN (SELECT u FROM k1) AND a.v IN (SELECT u FROM k1)
-            ), k2 AS (
+            ), k2 AS MATERIALIZED (
                 SELECT u FROM a1 GROUP BY u HAVING COUNT(*) >= 2
-            ), a2 AS (
+            ), a2 AS MATERIALIZED (
                 SELECT a.u, a.v FROM a1 a
                 WHERE a.u IN (SELECT u FROM k2) AND a.v IN (SELECT u FROM k2)
-            ), k3 AS (
+            ), k3 AS MATERIALIZED (
                 SELECT u FROM a2 GROUP BY u HAVING COUNT(*) >= 2
-            ), a3 AS (
+            ), a3 AS MATERIALIZED (
                 SELECT a.u, a.v FROM a2 a
                 WHERE a.u IN (SELECT u FROM k3) AND a.v IN (SELECT u FROM k3)
             )
@@ -12048,6 +12075,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(4 AS INT), id, rel, score FROM s4
             UNION ALL SELECT CAST(5 AS INT), id, rel, score FROM s5
             ORDER BY rank
+        """,
+        # round 8: happens-before pairs — first occurrences on exact
+        # (micros, event_id) keys, matching the Spark unix_micros key
+        "q_seq_pairs": r"""
+            WITH firsts AS (
+                SELECT user_id, event_type, ts, event_id FROM (
+                    SELECT user_id, event_type, ts, event_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY EPOCH_US(ts), event_id) AS rn
+                    FROM events
+                ) t WHERE rn = 1
+            ), tot AS (
+                SELECT COUNT(DISTINCT user_id) AS n FROM events
+            ), prs AS (
+                SELECT a.event_type AS item_a, b.event_type AS item_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_entities
+                FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+                 AND (EPOCH_US(a.ts) < EPOCH_US(b.ts)
+                      OR (EPOCH_US(a.ts) = EPOCH_US(b.ts)
+                          AND a.event_id < b.event_id))
+                GROUP BY 1, 2
+            )
+            SELECT item_a, item_b, n_entities,
+                   ROUND(CAST(n_entities AS DOUBLE) / n, 6) AS support
+            FROM prs, tot ORDER BY item_a, item_b
+        """,
+        # round 8: top paths — ordered LIST truncated to the 5-step
+        # prefix, '>'-joined, counted, (count DESC, path ASC) top-20
+        "q_path_mining": r"""
+            WITH seqs AS (
+                SELECT user_id,
+                       LIST_SLICE(
+                           LIST(event_type ORDER BY EPOCH_US(ts), event_id),
+                           1, 5) AS steps
+                FROM events GROUP BY user_id
+            )
+            SELECT ARRAY_TO_STRING(steps, '>') AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_entities,
+                   CAST(LEN(steps) AS INT) AS path_len
+            FROM seqs GROUP BY path, path_len
+            ORDER BY n_entities DESC, path LIMIT 20
         """,
     }
 

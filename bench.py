@@ -177,6 +177,8 @@ ROUND8_OPS = [
     "q_gini",
     "q_graph_kcore",
     "q_mmr_diversify",
+    "q_seq_pairs",
+    "q_path_mining",
 ]
 
 

@@ -415,3 +415,137 @@ def calibration_bins(
         .orderBy("bin")
     )
     return out
+
+
+def sequential_pairs(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Happens-before pair support — the depth-2 core of sequential
+    pattern mining (AprioriAll/PrefixSpan at length 2): for each
+    ordered item pair (a → b), the number of entities whose FIRST
+    occurrence of a precedes the first occurrence of b, and its share
+    of all entities. Complements :func:`assoc_rules` (UNORDERED
+    co-occurrence) and ``timeseries.markov_transitions`` (ADJACENT
+    steps only): this is order-sensitive across any gap.
+
+    First-occurrence semantics make support well-defined under
+    repeats; order is (ts micros, tiebreak) — a total order, so ties
+    cannot exist and any engine replays the pair set exactly.
+
+    Scale shape: the assoc_rules round-8 discipline — reduce to
+    per-(entity, item) first occurrences (one keyed aggregate), group
+    to per-entity SORTED struct arrays (entity-sized: distinct items
+    per entity are bounded), expand ordered pairs with nested
+    higher-order ``transform`` (codegen, no self-join), aggregate.
+    Two corpus shuffles total; the entity count rides in as a
+    broadcast 1-row aggregate.
+
+    Returns (item_a, item_b, n_entities, support) — support = share
+    of ALL entities (with ≥1 event), rounded 6 dp.
+    """
+    k = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+    )
+    first = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.col(item_col).alias("item"),
+            k.alias("k"),
+        )
+        .groupBy("entity", "item")
+        .agg(F.min("k").alias("k"))
+    )
+    seqs = (
+        first.groupBy("entity")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("k.t").alias("t"),
+                        F.col("k.tb").alias("tb"),
+                        F.col("item").alias("item"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .persist()
+    )
+    tot = seqs.select(F.count(F.lit(1)).alias("n_total"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("seq"),
+            lambda x, i: F.transform(
+                F.slice(F.col("seq"), i + F.lit(2), F.size(F.col("seq"))),
+                lambda y: F.struct(
+                    x["item"].alias("item_a"), y["item"].alias("item_b")
+                ),
+            ),
+        )
+    )
+    return (
+        seqs.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_entities",
+            F.round(F.col("n_entities") / F.col("n_total"), 6).alias("support"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+    prefix_len: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top entity journeys — the click-path / funnel-exploration
+    report: each entity's first ``prefix_len`` items in (ts,
+    tiebreak) order joined with '>' into a path string, counted
+    across entities, top ``top_n`` by (count DESC, path ASC).
+
+    The prefix cap is the scale contract: paths are bounded strings
+    regardless of entity history length, and the count aggregate's
+    key space is at most |items|^prefix_len in theory but the
+    observed-path count in practice. One entity-keyed shuffle (the
+    collect), one path aggregate, TakeOrderedAndProject for the top.
+
+    Returns (path, n_entities, path_len) — path_len the number of
+    steps in the (possibly truncated) prefix.
+    """
+    row = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+        F.col(item_col).alias("item"),
+    )
+    seqs = df.select(F.col(entity_col).alias("entity"), row.alias("r")).groupBy(
+        "entity"
+    ).agg(
+        F.slice(
+            F.transform(F.array_sort(F.collect_list("r")), lambda s: s["item"]),
+            1,
+            int(prefix_len),
+        ).alias("steps")
+    )
+    return (
+        seqs.groupBy(
+            F.concat_ws(">", F.col("steps")).alias("path"),
+            F.size("steps").alias("path_len"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+        .select("path", "n_entities", F.col("path_len").cast("int").alias("path_len"))
+        .orderBy(F.col("n_entities").desc(), "path")
+        .limit(int(top_n))
+    )

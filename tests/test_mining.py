@@ -351,3 +351,78 @@ def test_calibration_bins_degenerate_scores(spark):
     out = calibration_bins(df, n_bins=10).collect()
     assert len(out) == 1 and out[0]["bin"] == 0
     assert out[0]["avg_conf"] == 0.0 and out[0]["accuracy"] == 0.5
+
+
+def test_sequential_pairs_order_and_support(spark):
+    """Hand-built histories: first-occurrence order decides the pair;
+    repeats don't double-count; support = share of ALL entities."""
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import sequential_pairs
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(u, i, typ, minutes):
+        return (u, i, typ, t0 + datetime.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: a -> b -> a (repeat of a ignored for first-occurrence)
+        ev(1, 1, "a", 0), ev(1, 2, "b", 5), ev(1, 3, "a", 9),
+        # u2: b -> a (reverse order)
+        ev(2, 4, "b", 0), ev(2, 5, "a", 1),
+        # u3: only a (no pair)
+        ev(3, 6, "a", 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    out = {
+        (r["item_a"], r["item_b"]): (r["n_entities"], r["support"])
+        for r in sequential_pairs(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    assert out[("a", "b")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (1, round(1 / 3, 6))
+    assert len(out) == 2
+
+
+def test_sequential_pairs_tiebreak_same_timestamp(spark):
+    """Two first occurrences at the SAME timestamp order by the
+    tiebreak column — deterministic, never dropped."""
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import sequential_pairs
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [(1, 10, "x", t), (1, 11, "y", t)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    out = {(r["item_a"], r["item_b"]) for r in
+           sequential_pairs(df, "user_id", "ts", "event_type", "event_id").collect()}
+    assert out == {("x", "y")}   # event_id 10 < 11
+
+
+def test_top_paths_prefix_cap_and_ranking(spark):
+    """Paths truncate at prefix_len; identical journeys aggregate;
+    (count DESC, path ASC) ordering with the cap respected."""
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import top_paths
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def hist(u, types):
+        return [
+            (u, u * 100 + i, typ, t0 + datetime.timedelta(minutes=i))
+            for i, typ in enumerate(types)
+        ]
+
+    rows = (
+        hist(1, ["s", "c", "p"]) + hist(2, ["s", "c", "p"])   # 2 users: s>c>p
+        + hist(3, ["s", "v"])                                  # 1 user: s>v
+        + hist(4, ["a", "b", "c", "d", "e", "f", "g"])         # truncates to 5
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    out = top_paths(df, "user_id", "ts", "event_type", "event_id",
+                    prefix_len=5, top_n=10).collect()
+    assert (out[0]["path"], out[0]["n_entities"]) == ("s>c>p", 2)
+    got = {r["path"]: (r["n_entities"], r["path_len"]) for r in out}
+    assert got["a>b>c>d>e"] == (1, 5)   # capped at 5 steps
+    assert got["s>v"] == (1, 2)
+    assert len(out) == 3
