@@ -193,7 +193,14 @@ def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
     single ambient spike without understating the way min can — a
     real slow creep raises every pass and therefore the median, while
     min would keep reporting the one lucky pass and hide the creep
-    inside the ambient band."""
+    inside the ambient band.
+
+    Side channel: each query's max/min pass ratio is recorded into
+    ``_SPREADS`` — the per-run measured ambient noise. The payload
+    summarizes it (``ambient_spread``) and every regression entry
+    carries its own query's ratio, so a reader can tell "flagged
+    inside the noise band" from "flagged well beyond it" without
+    re-running anything."""
     timings: dict[str, float] = {}
     for name in names:
         runs = []
@@ -203,7 +210,29 @@ def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
+        if runs[0] > 0:
+            _SPREADS[name] = round(runs[-1] / runs[0], 2)
     return timings
+
+
+# per-query max/min pass ratio from the most recent _timed_pass calls
+# (retime passes overwrite — the freshest measurement wins)
+_SPREADS: dict[str, float] = {}
+
+
+def _spread_summary() -> dict[str, float]:
+    """Distribution of within-run pass spreads: the measured noise
+    floor of THIS bench run. A ~1.1 median says passes are stable and
+    a 1.3× cross-round flag is signal; a ~1.5 median says the whole
+    run sits in ambient churn and flags need the retime record."""
+    if not _SPREADS:
+        return {}
+    vals = sorted(_SPREADS.values())
+    return {
+        "median": vals[len(vals) // 2],
+        "p90": vals[min(len(vals) - 1, int(len(vals) * 0.9))],
+        "max": vals[-1],
+    }
 
 
 def _bloom_bench(spark, sf_dir) -> dict[str, float]:
@@ -426,9 +455,12 @@ def _regressions(current: dict[str, float], threshold: float = 1.3):
         p = flat_prev.get(q)
         # sub-0.15 s timings are scheduler noise, not plans
         if p is not None and p >= 0.15 and now > threshold * p:
-            out.append(
-                {"query": q, "prev": p, "now": now, "ratio": round(now / p, 2)}
-            )
+            entry = {"query": q, "prev": p, "now": now, "ratio": round(now / p, 2)}
+            if q in _SPREADS:
+                # this run's own pass spread for the same query: the
+                # flag's measured noise context
+                entry["pass_spread"] = _SPREADS[q]
+            out.append(entry)
     out.sort(key=lambda r: -r["ratio"])
     return name, out
 
@@ -519,6 +551,7 @@ def main() -> None:
                 "regressions_vs": baseline_name,
                 "regressions": regressions,
                 "retimes": retimes,
+                "ambient_spread": _spread_summary(),
                 "passes": PASSES,
                 "sf": float(sf) if sf else sf_dir,
     }

@@ -101,3 +101,30 @@ def test_baseline_walks_past_unusable_newest_file(tmp_path, monkeypatch):
     name, flat = b._baseline()
     assert name == "BENCH_r98.json"
     assert flat == {"q_agg_basic": 1.0}
+
+
+def test_spread_summary_and_regression_context():
+    """Round 8: the run's own pass-spread distribution is summarized
+    and each regression entry carries its query's spread ratio, so a
+    flag can be read against the measured noise floor."""
+    import bench as b
+
+    b._SPREADS.clear()
+    b._SPREADS.update({"q_a": 1.05, "q_b": 1.5, "q_c": 1.1})
+    s = b._spread_summary()
+    assert s["median"] == 1.1 and s["max"] == 1.5
+    # regression on q_b must carry its own spread
+    import json, os, tempfile
+    prev = {"queries": {"q_b": 1.0}}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "BENCH_r99.json")
+        with open(path, "w") as fh:
+            json.dump(prev, fh)
+        os.environ["SPARK_GRAFT_BENCH_BASELINE"] = path
+        try:
+            name, regs = b._regressions({"q_b": 2.0})
+        finally:
+            del os.environ["SPARK_GRAFT_BENCH_BASELINE"]
+    assert regs and regs[0]["query"] == "q_b"
+    assert regs[0]["pass_spread"] == 1.5
+    b._SPREADS.clear()
