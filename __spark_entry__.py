@@ -6004,6 +6004,22 @@ def q_path_mining(spark: SparkSession, sf: str) -> DataFrame:
                         prefix_len=5, top_n=20)
 
 
+def q_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    """Recommendation (round 8): item-item collaborative filtering
+    (operators/mining.py item_cf_neighbors; Sarwar et al. 2001 /
+    Amazon item-to-item) — part-family cosine similarity over order
+    baskets, each item's top-5 "also bought" neighbors by (sim DESC,
+    neighbor ASC). Co-occurrence via the round-8 sorted-set
+    higher-order expansion (no self-join); the pair table and the
+    rank window are items²-bounded, never corpus-sized."""
+    li = load_table(spark, sf, "lineitem")
+    baskets = li.select(
+        "l_orderkey", F.pmod(F.col("l_partkey"), F.lit(40)).alias("item")
+    )
+    return MN.item_cf_neighbors(baskets, "l_orderkey", "item",
+                                min_pair_count=2, k=5)
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -6339,18 +6355,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mmr_diversify": q_mmr_diversify,
         "q_seq_pairs": q_seq_pairs,
         "q_path_mining": q_path_mining,
+        "q_item_cf": q_item_cf,
     }
     # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 9 new round-8 queries (no driver row yet);
+    # (a) the 10 new round-8 queries (no driver row yet);
     # (b) the 4 ids whose semantics, output schema, or physical plan
     # changed this round and must re-verify under the driver —
     # q_abtest_sprt (conversion window bounded to the cohort close),
     # q_sample_negatives (new `missing` column + LEFT label join),
     # q_graph_labelprop (seed dedup in the library), q_assoc_rules
     # (self-join replaced by higher-order pair expansion);
-    # (c) 37 refresh slots for the stalest evidence — ids whose ONLY
+    # (c) 36 refresh slots for the stalest evidence — ids whose ONLY
     # driver row is round 1 (44 such ids; computed by script over the
-    # r01–r07 union; the 7 left over roll to round 9). Coverage debt
+    # r01–r07 union; the 8 left over roll to round 9). Coverage debt
     # is machine-checked: tests/test_registry.py asserts every
     # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
@@ -6364,6 +6381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mmr_diversify",
         "q_seq_pairs",
         "q_path_mining",
+        "q_item_cf",
         # ---- (b) changed this round ----
         "q_abtest_sprt",
         "q_sample_negatives",
@@ -6406,7 +6424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality",
         "q_text_token_count",
         "q_text_wordcount",
-        "q_topk",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -12117,6 +12134,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEN(steps) AS INT) AS path_len
             FROM seqs GROUP BY path, path_len
             ORDER BY n_entities DESC, path LIMIT 20
+        """,
+        # round 8: item-item CF — exact basket counts, cosine at 6 dp,
+        # per-item (sim DESC, neighbor ASC) top-5
+        "q_item_cf": r"""
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS basket,
+                       l_partkey % 40 AS item
+                FROM lineitem
+            ), ic AS (
+                SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+                FROM bi GROUP BY item
+            ), prs AS (
+                SELECT a.item AS item_a, b.item AS item_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM bi a JOIN bi b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), sym AS (
+                SELECT item_a AS item, item_b AS neighbor, n_ab FROM prs
+                UNION ALL
+                SELECT item_b, item_a, n_ab FROM prs
+            ), scored AS (
+                SELECT s.item, s.neighbor, s.n_ab AS n_common,
+                       ROUND(s.n_ab / SQRT(ia.n_item * ib.n_item), 6) AS sim
+                FROM sym s
+                JOIN ic ia ON ia.item = s.item
+                JOIN ic ib ON ib.item = s.neighbor
+            )
+            SELECT item, neighbor, n_common, sim, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY item ORDER BY sim DESC, neighbor) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+            ORDER BY item, rank
         """,
     }
 

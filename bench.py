@@ -179,6 +179,7 @@ ROUND8_OPS = [
     "q_mmr_diversify",
     "q_seq_pairs",
     "q_path_mining",
+    "q_item_cf",
 ]
 
 

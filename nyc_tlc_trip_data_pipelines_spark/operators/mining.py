@@ -549,3 +549,91 @@ def top_paths(
         .orderBy(F.col("n_entities").desc(), "path")
         .limit(int(top_n))
     )
+
+
+def item_cf_neighbors(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Item-item collaborative filtering — the classic neighborhood
+    recommender (Sarwar et al. WWW 2001, the Amazon item-to-item
+    scheme): item similarity = cosine over the binary basket-item
+    matrix, sim(a,b) = c_ab / √(c_a·c_b) with c_* exact basket
+    counts, then each item's top-``k`` neighbors by (sim DESC,
+    neighbor ASC). The "customers who bought X also bought"
+    primitive, and the engine's recsys entry point next to the
+    content-side retrieval ops (BM25, ANN, MMR).
+
+    Co-occurrence counts come from the round-8 assoc_rules shape:
+    per-basket sorted item sets expanded by nested higher-order
+    ``transform`` (no self-join, two corpus shuffles); the pair table
+    is items²-bounded, so symmetrization and the per-item top-k
+    window are model-sized, not corpus-sized. All inputs to the
+    cosine are exact integers — √ and the division are one fixed
+    expression tree any engine replays at 6 dp.
+
+    Returns (item, neighbor, n_common, sim, rank), rank 1..k.
+    """
+    sets = (
+        df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .persist()
+    )
+    item_counts = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_count)
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_ab",
+    ).union(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_ab",
+        )
+    )
+    ca = item_counts.select(F.col("item"), F.col("n_item").alias("n_i"))
+    cb = item_counts.select(
+        F.col("item").alias("neighbor"), F.col("n_item").alias("n_j")
+    )
+    scored = (
+        sym.join(F.broadcast(ca), "item")
+        .join(F.broadcast(cb), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            F.col("n_ab").alias("n_common"),
+            F.round(
+                F.col("n_ab") / F.sqrt(F.col("n_i") * F.col("n_j")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("sim").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("item", "neighbor", "n_common", "sim", "rank")
+        .orderBy("item", "rank")
+    )

@@ -426,3 +426,23 @@ def test_top_paths_prefix_cap_and_ranking(spark):
     assert got["a>b>c>d>e"] == (1, 5)   # capped at 5 steps
     assert got["s>v"] == (1, 2)
     assert len(out) == 3
+
+
+def test_item_cf_cosine_and_topk(spark):
+    """Hand-built baskets: sim = c_ab/sqrt(c_a*c_b) exactly; top-k
+    orders (sim DESC, neighbor ASC); min_pair_count prunes."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import item_cf_neighbors
+
+    # baskets: {a,b} x2, {a,c} x1  -> c_a=3, c_b=2, c_c=1
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = item_cf_neighbors(df, "basket", "item", min_pair_count=1, k=5).collect()
+    got = {(r["item"], r["neighbor"]): (r["n_common"], r["sim"], r["rank"]) for r in out}
+    import math
+    assert got[("a", "b")] == (2, round(2 / math.sqrt(3 * 2), 6), 1)
+    assert got[("a", "c")] == (1, round(1 / math.sqrt(3 * 1), 6), 2)
+    assert got[("b", "a")][2] == 1 and got[("c", "a")][2] == 1
+    assert ("b", "c") not in got          # never co-bought
+    # min_pair_count=2 drops the single a-c co-occurrence
+    out2 = item_cf_neighbors(df, "basket", "item", min_pair_count=2, k=5).collect()
+    assert {(r["item"], r["neighbor"]) for r in out2} == {("a", "b"), ("b", "a")}
