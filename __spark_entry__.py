@@ -6020,6 +6020,41 @@ def q_item_cf(spark: SparkSession, sf: str) -> DataFrame:
                                 min_pair_count=2, k=5)
 
 
+def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag diagnostic (round 8): cross-correlation between the
+    hourly click-count series and the hourly purchase-value series
+    (operators/timeseries.py cross_correlation) at lags -6..+6 — "do
+    clicks now predict purchases k hours later?", the two-series
+    complement to q_acf. Same exactness contract: micro-unit integer
+    series, DECIMAL(38,0) pairwise sums, one lag equi-join over the
+    time-range-sized series."""
+    ev = load_table(spark, sf, "events")
+    return TS.cross_correlation(
+        ev,
+        "ts",
+        (F.col("event_type") == "click").cast("int"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+            F.lit(0.0)
+        ),
+        grain_seconds=3600,
+        max_lag=6,
+    )
+
+
+def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Nonparametric testing (round 8): Mann-Whitney U / Wilcoxon
+    rank-sum between click and purchase value distributions
+    (operators/aggregates.py mann_whitney_u) — the outlier-robust leg
+    of the testing surface next to q_abtest_welch (parametric),
+    q_ks_test (full-distribution) and q_abtest_sprt (sequential).
+    Exact midranks on the distinct-value cell table via DOUBLED-rank
+    integers; tie-corrected z from exact sums."""
+    ev = load_table(spark, sf, "events")
+    return agg.mann_whitney_u(
+        ev, "event_type", F.round(F.col("value") * 1e6, 0), "click", "purchase"
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -6356,18 +6391,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_pairs": q_seq_pairs,
         "q_path_mining": q_path_mining,
         "q_item_cf": q_item_cf,
+        "q_ccf": q_ccf,
+        "q_mannwhitney": q_mannwhitney,
     }
     # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 10 new round-8 queries (no driver row yet);
+    # (a) the 12 new round-8 queries (no driver row yet);
     # (b) the 4 ids whose semantics, output schema, or physical plan
     # changed this round and must re-verify under the driver —
     # q_abtest_sprt (conversion window bounded to the cohort close),
     # q_sample_negatives (new `missing` column + LEFT label join),
     # q_graph_labelprop (seed dedup in the library), q_assoc_rules
     # (self-join replaced by higher-order pair expansion);
-    # (c) 36 refresh slots for the stalest evidence — ids whose ONLY
+    # (c) 34 refresh slots for the stalest evidence — ids whose ONLY
     # driver row is round 1 (44 such ids; computed by script over the
-    # r01–r07 union; the 8 left over roll to round 9). Coverage debt
+    # r01–r07 union; the 10 left over roll to round 9). Coverage debt
     # is machine-checked: tests/test_registry.py asserts every
     # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
@@ -6382,6 +6419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_pairs",
         "q_path_mining",
         "q_item_cf",
+        "q_ccf",
+        "q_mannwhitney",
         # ---- (b) changed this round ----
         "q_abtest_sprt",
         "q_sample_negatives",
@@ -6422,8 +6461,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_partitioned",
         "q_string_funcs",
         "q_text_quality",
-        "q_text_token_count",
-        "q_text_wordcount",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -12169,6 +12206,102 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
             ORDER BY item, rank
+        """,
+        # round 8: CCF — micro-unit integer series, HUGEINT pairwise
+        # sums, full-series normalization, lags -6..+6
+        "q_ccf": r"""
+            WITH series AS (
+                SELECT (EPOCH_US(ts) // 1000000) // 3600 AS i,
+                       CAST(SUM(CASE WHEN event_type = 'click'
+                                     THEN 1000000 ELSE 0 END) AS BIGINT) AS x,
+                       CAST(SUM(CAST(ROUND(CASE WHEN event_type = 'purchase'
+                                                THEN value ELSE 0.0 END * 1000000, 0)
+                                     AS BIGINT)) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), gstats AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+                FROM series
+            ), pairs AS (
+                SELECT k.k, a.x AS xa, b.y AS yb
+                FROM series a
+                CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(-6, 6)) AS k) k
+                JOIN series b ON b.i = a.i + k.k
+            ), per_k AS (
+                SELECT k, COUNT(*) AS m,
+                       SUM(CAST(xa AS HUGEINT)) AS sa,
+                       SUM(CAST(yb AS HUGEINT)) AS sb,
+                       SUM(CAST(xa AS HUGEINT) * CAST(yb AS HUGEINT)) AS sab
+                FROM pairs GROUP BY k
+            )
+            SELECT CAST(k AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+                   CASE WHEN (CAST(sxx AS DOUBLE)
+                              - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) > 0
+                         AND (CAST(syy AS DOUBLE)
+                              - n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) > 0
+                        THEN ROUND(
+                            (CAST(sab AS DOUBLE)
+                             - (CAST(sx AS DOUBLE) / n) * CAST(sb AS DOUBLE)
+                             - (CAST(sy AS DOUBLE) / n) * CAST(sa AS DOUBLE)
+                             + m * (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                            / SQRT((CAST(sxx AS DOUBLE)
+                                    - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                                   * (CAST(syy AS DOUBLE)
+                                      - n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))),
+                            6)
+                   END AS ccf
+            FROM per_k, gstats ORDER BY lag
+        """,
+        # round 8: Mann-Whitney U — doubled midranks on distinct-value
+        # cells, tie-corrected z, exact integer reductions
+        "q_mannwhitney": r"""
+            WITH base AS (
+                SELECT CASE WHEN event_type = 'click' THEN 'a'
+                            WHEN event_type = 'purchase' THEN 'b' END AS g,
+                       CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+            ), cells AS (
+                SELECT v,
+                       CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                       CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+                FROM base GROUP BY v
+            ), ranked AS (
+                SELECT *,
+                       COALESCE(SUM(ta + tb) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_before
+                FROM cells
+            ), stats AS (
+                SELECT CAST(SUM(ta) AS BIGINT) AS na,
+                       CAST(SUM(tb) AS BIGINT) AS nb,
+                       CAST(SUM(ta * (2 * cum_before + ta + tb + 1)) AS BIGINT) AS ra2,
+                       SUM(CAST((ta + tb) * (ta + tb) * (ta + tb) - (ta + tb)
+                                AS HUGEINT)) AS tie_sum
+                FROM ranked
+            ), terms AS (
+                SELECT na, nb,
+                       CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                       CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd,
+                       CAST(ra2 AS DOUBLE) / 2.0
+                       - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0 AS ua,
+                       CAST(tie_sum AS DOUBLE) AS ties
+                FROM stats
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   ROUND(ua, 1) AS u_a,
+                   ROUND(nad * nbd - ua, 1) AS u_b,
+                   CASE WHEN (nad * nbd / 12.0)
+                             * ((nd + 1.0) - ties / (nd * (nd - 1.0))) > 0
+                        THEN ROUND((ua - nad * nbd / 2.0)
+                                   / SQRT((nad * nbd / 12.0)
+                                          * ((nd + 1.0) - ties / (nd * (nd - 1.0)))),
+                                   6)
+                   END AS z
+            FROM terms
         """,
     }
 

@@ -180,6 +180,8 @@ ROUND8_OPS = [
     "q_seq_pairs",
     "q_path_mining",
     "q_item_cf",
+    "q_ccf",
+    "q_mannwhitney",
 ]
 
 

@@ -1202,3 +1202,72 @@ def gini_group(
         F.col("n").alias("n_members"),
         F.round(gini, 6).alias("gini"),
     ).orderBy(*keys)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC
+    two-sample location test, completing the A/B surface next to
+    :func:`welch_ttest` (parametric means), :func:`ks_two_sample`
+    (full-distribution) and :func:`sprt_daily_walk` (sequential):
+    robust to outliers and any monotone transform of the metric.
+
+    Exact tie handling by MIDRANKS on the distinct-value cell table:
+    for value v with cum_before smaller values and t_v total
+    occurrences, midrank(v) = cum_before + (t_v + 1)/2. To keep every
+    reduction integral, DOUBLED ranks are used internally
+    (2·midrank = 2·cum_before + t_v + 1 — always an integer).
+      U_a = R_a − n_a(n_a+1)/2,   U_a + U_b = n_a·n_b
+    z uses the tie-corrected variance
+      σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+    computed from exact integer sums in one double expression tree.
+
+    Scale shape: the corpus reduces to per-(value) cells first (the
+    KS/equidepth sketch-size rule); ranks come from ONE ordered
+    window over that cell table. Returns one row:
+    (n_a, n_b, u_a, u_b, z) with U exact halves and z rounded 6 dp.
+    """
+    v = value_int.cast("long")
+    base = df.select(
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .when(F.col(group_col) == group_b, F.lit("b"))
+        .alias("g"),
+        v.alias("v"),
+    ).filter(F.col("g").isNotNull())
+    cells = base.groupBy("v").agg(
+        F.sum((F.col("g") == "a").cast("long")).alias("ta"),
+        F.sum((F.col("g") == "b").cast("long")).alias("tb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("ta") + F.col("tb")
+    ranked = cells.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("ta") + F.col("tb")).over(w), F.lit(0))
+    ).withColumn("r2", 2 * F.col("cum_before") + t + 1)  # doubled midrank
+    stats = ranked.agg(
+        F.sum("ta").cast("long").alias("na"),
+        F.sum("tb").cast("long").alias("nb"),
+        F.sum(F.col("ta") * F.col("r2")).cast("long").alias("ra2"),
+        F.sum(
+            (t * t * t - t).cast("decimal(38,0)")
+        ).alias("tie_sum"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    ua = F.col("ra2") / 2.0 - na * (na + 1.0) / 2.0
+    ub = na * nb - ua
+    var = (na * nb / 12.0) * (
+        (n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0))
+    )
+    z = F.when(var > 0, F.round((ua - na * nb / 2.0) / F.sqrt(var), 6))
+    return stats.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ua, 1).alias("u_a"),
+        F.round(ub, 1).alias("u_b"),
+        z.alias("z"),
+    )

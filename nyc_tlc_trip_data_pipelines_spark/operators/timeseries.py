@@ -1184,3 +1184,92 @@ def autocorrelation(
         )
         .orderBy("lag")
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    x_value: Column,
+    y_value: Column,
+    grain_seconds: int = 3600,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample cross-correlation function (CCF) between two aggregate
+    series built from the SAME event stream — the leading-indicator
+    diagnostic (do clicks now predict purchases k hours later?):
+      r_k = Σ_t (x_t − x̄)(y_{t+k} − ȳ) / √(Σ(x−x̄)² · Σ(y−ȳ)²)
+    for k = −max_lag..max_lag (negative k: y LEADS x), with x̄/ȳ and
+    the denominator over the FULL series (the standard normalization,
+    so |r_k| ≤ 1 and lags are comparable).
+
+    Same exactness contract as :func:`autocorrelation`: per-grain
+    micro-unit integer sums, DECIMAL(38,0) pairwise accumulation, one
+    fixed double expression tree; missing grains contribute no pair.
+
+    Scale shape: ONE corpus hash-aggregate to the (grain, x, y)
+    series, then an explode(−K..K) + single equi-join and a
+    (2K+1)-row aggregate — everything after the first reduction is
+    time-range-sized.
+
+    Returns (lag, n_pairs, ccf) ordered by lag; NULL ccf when either
+    variance is zero.
+    """
+    xm = F.round(x_value * 1e6, 0).cast("long")
+    ym = F.round(y_value * 1e6, 0).cast("long")
+    series = (
+        df.select(
+            F.floor(F.col(ts_col).cast("long") / grain_seconds)
+            .cast("long")
+            .alias("i"),
+            xm.alias("xm"),
+            ym.alias("ym"),
+        )
+        .groupBy("i")
+        .agg(F.sum("xm").alias("x"), F.sum("ym").alias("y"))
+        .persist()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    gstats = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    lagged = series.select(
+        "i",
+        F.col("x").alias("xa"),
+        F.explode(F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))).alias("k"),
+    )
+    pairs = lagged.join(
+        series.select(F.col("i").alias("j"), F.col("y").alias("yb")),
+        F.col("j") == F.col("i") + F.col("k"),
+    )
+    per_k = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("xa").cast("decimal(38,0)").alias("sa"),
+        F.sum("yb").cast("decimal(38,0)").alias("sb"),
+        F.sum(dec(F.col("xa")) * dec(F.col("yb"))).alias("sab"),
+    )
+    j = per_k.crossJoin(F.broadcast(gstats))
+    xbar = F.col("sx").cast("double") / F.col("n")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    num = (
+        F.col("sab").cast("double")
+        - xbar * F.col("sb").cast("double")
+        - ybar * F.col("sa").cast("double")
+        + F.col("m") * xbar * ybar
+    )
+    varx = F.col("sxx").cast("double") - F.col("n") * xbar * xbar
+    vary = F.col("syy").cast("double") - F.col("n") * ybar * ybar
+    return (
+        j.select(
+            F.col("k").cast("int").alias("lag"),
+            F.col("m").alias("n_pairs"),
+            F.when(
+                (varx > 0) & (vary > 0),
+                F.round(num / F.sqrt(varx * vary), 6),
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

@@ -680,3 +680,36 @@ def test_gini_group_extremes(spark):
     assert out["eq"]["gini"] == 0.0
     assert abs(out["one"]["gini"] - 0.75) < 1e-9   # (n-1)/n, n=4
     assert out["eq"]["n_members"] == 4
+
+
+def test_mann_whitney_u_textbook_and_ties(spark):
+    """No-ties case checked against the closed form; tie case uses
+    midranks and keeps U_a + U_b = n_a * n_b exactly."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import mann_whitney_u
+
+    # a = {1, 3, 5}, b = {2, 4}: ranks a = {1, 3, 5} -> R_a = 9,
+    # U_a = 9 - 6 = 3, U_b = 3*2 - 3 = 3 (perfectly interleaved)
+    rows = [("a", 1), ("a", 3), ("a", 5), ("b", 2), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mann_whitney_u(df, "g", F.col("v"), "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u_a"] == 3.0 and r["u_b"] == 3.0
+    assert abs(r["z"]) < 0.2           # dead-center under H0
+    # ties: a = {1, 2}, b = {2, 3}; midrank of the two 2s = 2.5
+    rows2 = [("a", 1), ("a", 2), ("b", 2), ("b", 3)]
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    r2 = mann_whitney_u(df2, "g", F.col("v"), "a", "b").collect()[0]
+    # R_a = 1 + 2.5 = 3.5 -> U_a = 3.5 - 3 = 0.5
+    assert r2["u_a"] == 0.5 and r2["u_b"] == 3.5
+    assert r2["u_a"] + r2["u_b"] == r2["n_a"] * r2["n_b"]
+
+
+def test_mann_whitney_u_separation_sign(spark):
+    """All of b above all of a -> U_a = 0 and strongly negative z."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import mann_whitney_u
+
+    rows = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mann_whitney_u(df, "g", F.col("v"), "a", "b").collect()[0]
+    assert r["u_a"] == 0.0 and r["u_b"] == 100.0
+    assert r["z"] < -3.5

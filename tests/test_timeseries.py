@@ -591,3 +591,45 @@ def test_autocorrelation_constant_series_null(spark):
     df = spark.createDataFrame(rows, "ts timestamp, value double")
     out = autocorrelation(df, "ts", "value", 3600, 2).collect()
     assert all(r["acf"] is None for r in out)
+
+
+def test_cross_correlation_shifted_signal(spark):
+    """y is x shifted 2 hours later: ccf peaks at lag +2 (near 1.0)
+    and is weak at the other lags; n_pairs shrinks with |lag|."""
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        cross_correlation,
+    )
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    n = 48
+    # x_t = t % 5; y_t = (t-2) % 5  (exact 2-hour lag of x)
+    rows = [
+        (base + datetime.timedelta(hours=t), float(t % 5), float((t - 2) % 5))
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, x double, y double")
+    out = {r["lag"]: r for r in cross_correlation(
+        df, "ts", F.col("x"), F.col("y"), 3600, 3).collect()}
+    assert set(out) == set(range(-3, 4))
+    assert out[2]["ccf"] is not None and out[2]["ccf"] > 0.95
+    assert all(out[k]["ccf"] < 0.5 for k in (-1, 0, 1) if out[k]["ccf"] is not None)
+    assert out[3]["n_pairs"] == n - 3 and out[-3]["n_pairs"] == n - 3
+
+
+def test_cross_correlation_zero_variance_null(spark):
+    """Constant y -> NULL ccf at every lag."""
+    import datetime
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import (
+        cross_correlation,
+    )
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(hours=t), float(t), 3.0) for t in range(12)]
+    df = spark.createDataFrame(rows, "ts timestamp, x double, y double")
+    out = cross_correlation(df, "ts", F.col("x"), F.col("y"), 3600, 2).collect()
+    assert all(r["ccf"] is None for r in out)
