@@ -832,3 +832,42 @@ def test_km_survival_windows_over_cells_not_subjects(spark, sf_dir):
     assert node_count(out, "HashAggregate") >= 2
     assert node_count(out, "Window") >= 1
     assert "Python" not in p
+
+
+def test_seq_pairs_and_item_cf_no_shuffled_join(spark, sf_dir):
+    """Round 8: every pair-generation op on the sorted-array
+    higher-order expansion (seq pairs, item CF) must plan WITHOUT a
+    shuffled join — broadcast joins for the count/total attach only."""
+    import __spark_entry__ as E
+
+    for q in ("q_seq_pairs", "q_item_cf"):
+        out = E.queries()[q](spark, sf_dir)
+        p = plan_string(out, "simple")
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, q
+
+
+def test_ccf_joins_after_reduction(spark, sf_dir):
+    """Round 8: the CCF lag join runs over the per-grain aggregate
+    series (two joins total: lag equi-join + 1-row stats broadcast)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    out = TS.cross_correlation(
+        ev, "ts",
+        (F.col("event_type") == "click").cast("int"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)),
+        3600, 6,
+    )
+    assert node_count(out, "Join") == 2
+    assert "CartesianProduct" not in plan_string(out, "simple")
+
+
+def test_path_mining_take_ordered_top(spark, sf_dir):
+    """Round 8: the top-N path report must serve its top via
+    TakeOrderedAndProject, not a global sort."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q_path_mining"](spark, sf_dir)
+    p = plan_string(out, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
