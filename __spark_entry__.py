@@ -6055,6 +6055,57 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival inference (round 8): log-rank / Mantel-Cox test
+    (operators/timeseries.py logrank_test) between two portable-hash
+    user cohorts over the same lifetime/censoring construction as
+    q_survival_km — does cohort A churn faster than B? Exact integer
+    at-risk accounting; per-time hypergeometric expectation and
+    variance quantize to micro-units BEFORE the sums, so the
+    reductions are exact in any engine; chi2 compares to 3.84 for
+    p < 0.05."""
+    ev = load_table(spark, sf, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    h = TX.portable_hash60(
+        F.concat_ws("\x1f", F.col("user_id").cast("string"), F.lit("41"))
+    )
+    obs = users.crossJoin(F.broadcast(mx)).select(
+        (h % 2).cast("int").alias("cohort"),
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("dur"),
+        (F.col("last_ts") < F.col("__mx") - F.expr("INTERVAL 1 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    return TS.logrank_test(
+        obs, F.col("dur"), F.col("churned"), F.col("cohort"), 0, 1
+    )
+
+
+def q_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank correlation (round 8): Spearman's rho between the hourly
+    click-count and purchase-value series (operators/aggregates.py
+    spearman_corr) — the monotone-association leg next to
+    q_corr_group's Pearson and q_mannwhitney's rank-sum test. Exact
+    midrank ties via doubled ranks on the hour-grain cell tables
+    (time-range-sized, broadcast); DECIMAL(38,0) sufficient stats."""
+    ev = load_table(spark, sf, "events")
+    series = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("i")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1e6, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    return agg.spearman_corr(series, F.col("x"), F.col("y"))
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -6393,18 +6444,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_item_cf": q_item_cf,
         "q_ccf": q_ccf,
         "q_mannwhitney": q_mannwhitney,
+        "q_survival_logrank": q_survival_logrank,
+        "q_spearman": q_spearman,
     }
     # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 12 new round-8 queries (no driver row yet);
+    # (a) the 14 new round-8 queries (no driver row yet);
     # (b) the 4 ids whose semantics, output schema, or physical plan
     # changed this round and must re-verify under the driver —
     # q_abtest_sprt (conversion window bounded to the cohort close),
     # q_sample_negatives (new `missing` column + LEFT label join),
     # q_graph_labelprop (seed dedup in the library), q_assoc_rules
     # (self-join replaced by higher-order pair expansion);
-    # (c) 34 refresh slots for the stalest evidence — ids whose ONLY
+    # (c) 32 refresh slots for the stalest evidence — ids whose ONLY
     # driver row is round 1 (44 such ids; computed by script over the
-    # r01–r07 union; the 10 left over roll to round 9). Coverage debt
+    # r01–r07 union; the 12 left over roll to round 9). Coverage debt
     # is machine-checked: tests/test_registry.py asserts every
     # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
@@ -6421,6 +6474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_item_cf",
         "q_ccf",
         "q_mannwhitney",
+        "q_survival_logrank",
+        "q_spearman",
         # ---- (b) changed this round ----
         "q_abtest_sprt",
         "q_sample_negatives",
@@ -6459,8 +6514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops",
         "q_sink_append",
         "q_sink_partitioned",
-        "q_string_funcs",
-        "q_text_quality",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -12302,6 +12355,116 @@ def oracle_sql() -> dict[str, str]:
                                    6)
                    END AS z
             FROM terms
+        """,
+        # round 8: log-rank — KM cell windows for both cohorts,
+        # micro-quantized expectation/variance terms before the sums
+        "q_survival_logrank": r"""
+            WITH mx AS (SELECT MAX(ts) AS m FROM events),
+            u AS (
+                SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
+                FROM events GROUP BY user_id
+            ), obs AS (
+                SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), CHR(31), '41')), 1, 15))
+                                 AS BIGINT) % 2 AS INT) AS g,
+                       CAST(DATE_DIFF('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+                       CASE WHEN l < m - INTERVAL 1 DAY THEN 1 ELSE 0 END AS e
+                FROM u, mx
+            ), cells AS (
+                SELECT t,
+                       CAST(SUM(CASE WHEN g = 0 THEN e ELSE 0 END) AS BIGINT) AS d1,
+                       CAST(SUM(CASE WHEN g = 0 THEN 1 - e ELSE 0 END) AS BIGINT) AS c1,
+                       CAST(SUM(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT) AS d2,
+                       CAST(SUM(CASE WHEN g = 1 THEN 1 - e ELSE 0 END) AS BIGINT) AS c2
+                FROM obs GROUP BY t
+            ), stepped AS (
+                SELECT t, d1, d2,
+                       SUM(d1 + c1) OVER ()
+                       - COALESCE(SUM(d1 + c1) OVER (
+                             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+                       SUM(d2 + c2) OVER ()
+                       - COALESCE(SUM(d2 + c2) OVER (
+                             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2,
+                       SUM(d1 + c1) OVER () AS na,
+                       SUM(d2 + c2) OVER () AS nb
+                FROM cells
+            ), terms AS (
+                SELECT d1, na, nb,
+                       CAST(ROUND((d1 + d2) * n1 / (n1 + n2) * 1000000, 0) AS BIGINT) AS e1_micro,
+                       CAST(ROUND(CASE WHEN (n1 + n2) > 1
+                                       THEN (d1 + d2) * (n1 / (n1 + n2))
+                                            * (1.0 - n1 / (n1 + n2))
+                                            * ((n1 + n2) - (d1 + d2))
+                                            / ((n1 + n2) - 1.0)
+                                       ELSE 0.0 END * 1000000, 0) AS BIGINT) AS v_micro
+                FROM stepped WHERE d1 + d2 > 0
+            ), agg_row AS (
+                SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+                       CAST(MAX(nb) AS BIGINT) AS n_b,
+                       CAST(SUM(d1) AS BIGINT) AS o_a,
+                       CAST(SUM(e1_micro) AS BIGINT) AS ea_micro,
+                       CAST(SUM(v_micro) AS BIGINT) AS v_sum_micro
+                FROM terms
+            )
+            SELECT n_a, n_b, o_a,
+                   ROUND(ea_micro / 1e6, 6) AS e_a,
+                   CASE WHEN v_sum_micro > 0
+                        THEN ROUND((o_a - ea_micro / 1e6) * (o_a - ea_micro / 1e6)
+                                   / (v_sum_micro / 1e6), 6)
+                   END AS chi2
+            FROM agg_row
+        """,
+        # round 8: Spearman — doubled midranks per variable on the
+        # hour-grain series, Pearson closed form on HUGEINT sums
+        "q_spearman": r"""
+            WITH series AS (
+                SELECT (EPOCH_US(ts) // 1000000) // 3600 AS i,
+                       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(ROUND(value * 1000000, 0) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), xc AS (
+                SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM series GROUP BY x
+            ), xr AS (
+                SELECT x,
+                       2 * COALESCE(SUM(t) OVER (
+                           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + t + 1 AS r_x
+                FROM xc
+            ), yc AS (
+                SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM series GROUP BY y
+            ), yr AS (
+                SELECT y,
+                       2 * COALESCE(SUM(t) OVER (
+                           ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + t + 1 AS r_y
+                FROM yc
+            ), ranked AS (
+                SELECT r_x, r_y FROM series JOIN xr USING (x) JOIN yr USING (y)
+            ), stats AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(r_x AS HUGEINT)) AS sx,
+                       SUM(CAST(r_y AS HUGEINT)) AS sy,
+                       SUM(CAST(r_x AS HUGEINT) * CAST(r_x AS HUGEINT)) AS sxx,
+                       SUM(CAST(r_x AS HUGEINT) * CAST(r_y AS HUGEINT)) AS sxy,
+                       SUM(CAST(r_y AS HUGEINT) * CAST(r_y AS HUGEINT)) AS syy
+                FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN ROUND(
+                            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                            6)
+                   END AS rho
+            FROM stats
         """,
     }
 

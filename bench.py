@@ -182,6 +182,8 @@ ROUND8_OPS = [
     "q_item_cf",
     "q_ccf",
     "q_mannwhitney",
+    "q_survival_logrank",
+    "q_spearman",
 ]
 
 

@@ -1271,3 +1271,69 @@ def mann_whitney_u(
         F.round(ub, 1).alias("u_b"),
         z.alias("z"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_int: Column,
+    y_int: Column,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson over MIDRANKS, the
+    monotone-association measure robust to outliers and any monotone
+    transform (the rank-based leg next to :func:`corr_group`'s
+    Pearson and :func:`mann_whitney_u`'s rank-sum test).
+
+    Exact tie handling via the :func:`mann_whitney_u` doubled-midrank
+    device on each variable's distinct-value cell table
+    (2·midrank = 2·cum_before + t + 1, always an integer); each row
+    then joins its x- and y-doubled-ranks (broadcast cell tables) and
+    one aggregate pass collects Pearson's sufficient statistics in
+    DECIMAL(38,0) (doubled ranks reach 2n, squares 4n², sums 4n³ —
+    past int64 at ~10⁶ rows). The constant factors of 2 cancel in the
+    correlation, so rho over doubled ranks IS Spearman's rho.
+
+    Returns one row: (n, rho) with rho rounded 6 dp; NULL when either
+    variable has zero rank variance.
+
+    Scale shape: two distinct-value cell aggregates + their windows
+    (sketch-sized), two broadcast joins back to the corpus, one
+    map-side-combinable stats pass — nothing after the first
+    reduction scales with rows except the rank-attach joins. For a
+    HIGH-CARDINALITY continuous metric, quantize to a fixed grid
+    first (the equidepth/KS sketch-size rationale) so the cell tables
+    stay broadcastable; rho on the quantized grid is the documented
+    estimator, not an approximation of something else.
+    """
+    base = df.select(x_int.cast("long").alias("x"), y_int.cast("long").alias("y"))
+
+    def rank_table(col: str):
+        cells = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return cells.withColumn(
+            "cb", F.coalesce(F.sum("t").over(w), F.lit(0))
+        ).select(
+            F.col(col),
+            (2 * F.col("cb") + F.col("t") + 1).alias(f"r_{col}"),
+        )
+
+    ranked = base.join(F.broadcast(rank_table("x")), "x").join(
+        F.broadcast(rank_table("y")), "y"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_x").cast("decimal(38,0)").alias("sx"),
+        F.sum("r_y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("r_x") * dec("r_x")).alias("sxx"),
+        F.sum(dec("r_x") * dec("r_y")).alias("sxy"),
+        F.sum(dec("r_y") * dec("r_y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    cov_n = d("n") * d("sxy") - d("sx") * d("sy")
+    varx_n = d("n") * d("sxx") - d("sx") * d("sx")
+    vary_n = d("n") * d("syy") - d("sy") * d("sy")
+    rho = F.when(
+        (varx_n > 0) & (vary_n > 0),
+        F.round(cov_n / F.sqrt(varx_n * vary_n), 6),
+    )
+    return stats.select(F.col("n"), rho.alias("rho"))

@@ -1273,3 +1273,95 @@ def cross_correlation(
         )
         .orderBy("lag")
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration: Column,
+    event: Column,
+    group: Column,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test — THE standard comparison of two
+    survival curves (does cohort A churn faster than cohort B?),
+    the inferential companion to :func:`km_survival`: at each event
+    time t, observed group-A events d_A(t) are compared with the
+    hypergeometric expectation d(t)·n_A(t)/n(t);
+      chi2 = (Σ_t (d_A − e_A))² / Σ_t v_t,
+      v_t = d·(n_A/n)·(1 − n_A/n)·(n − d)/(n − 1).
+
+    Cross-engine determinism: at-risk counts are exact integers from
+    the same cell-table windows as KM; each per-time e_A and v term
+    quantizes to micro-units (HALF_UP) BEFORE the sum, so the
+    reductions are exact integer additions in any engine and reduce
+    order — the only doubles are the final chi2 division.
+
+    Returns one row: (n_a, n_b, o_a, e_a, chi2) — observed vs
+    expected group-A events and the 1-df chi-square statistic
+    (compare to 3.84 for p < 0.05). NULL chi2 when no variance (no
+    event time with both groups at risk).
+
+    Scale shape: one corpus aggregate to per-duration cells carrying
+    BOTH groups' counts, then time-grain-sized windows — the KM cost
+    envelope exactly.
+    """
+    g = F.when(group == group_a, F.lit("a")).when(group == group_b, F.lit("b"))
+    obs = df.select(
+        g.alias("g"),
+        duration.cast("long").alias("t"),
+        event.cast("int").alias("e"),
+    ).filter(F.col("g").isNotNull())
+    cells = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == "a", F.col("e")).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("g") == "a", 1 - F.col("e")).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == "b", F.col("e")).otherwise(0)).cast("long").alias("d2"),
+        F.sum(F.when(F.col("g") == "b", 1 - F.col("e")).otherwise(0)).cast("long").alias("c2"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_bef = Window.partitionBy(F.lit(1)).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot1 = F.sum(F.col("d1") + F.col("c1")).over(w_all)
+    tot2 = F.sum(F.col("d2") + F.col("c2")).over(w_all)
+    bef1 = F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(w_bef), F.lit(0))
+    bef2 = F.coalesce(F.sum(F.col("d2") + F.col("c2")).over(w_bef), F.lit(0))
+    stepped = cells.select(
+        "t", "d1", "d2",
+        (tot1 - bef1).alias("n1"),
+        (tot2 - bef2).alias("n2"),
+        tot1.alias("na"),
+        tot2.alias("nb"),
+    )
+    d = F.col("d1") + F.col("d2")
+    n = F.col("n1") + F.col("n2")
+    e1 = d * F.col("n1") / n
+    share = F.col("n1") / n
+    v = F.when(
+        n > 1,
+        d * share * (F.lit(1.0) - share) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    terms = stepped.filter(d > 0).select(
+        "d1", "na", "nb",
+        F.round(e1 * 1e6, 0).cast("long").alias("e1_micro"),
+        F.round(v * 1e6, 0).cast("long").alias("v_micro"),
+    )
+    agg_row = terms.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum("d1").cast("long").alias("o_a"),
+        F.sum("e1_micro").cast("long").alias("ea_micro"),
+        F.sum("v_micro").cast("long").alias("v_sum_micro"),
+    )
+    diff = F.col("o_a") - F.col("ea_micro") / 1e6
+    chi2 = F.when(
+        F.col("v_sum_micro") > 0,
+        F.round(diff * diff / (F.col("v_sum_micro") / 1e6), 6),
+    )
+    return agg_row.select(
+        "n_a",
+        "n_b",
+        "o_a",
+        F.round(F.col("ea_micro") / 1e6, 6).alias("e_a"),
+        chi2.alias("chi2"),
+    )

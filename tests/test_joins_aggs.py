@@ -713,3 +713,29 @@ def test_mann_whitney_u_separation_sign(spark):
     r = mann_whitney_u(df, "g", F.col("v"), "a", "b").collect()[0]
     assert r["u_a"] == 0.0 and r["u_b"] == 100.0
     assert r["z"] < -3.5
+
+
+def test_spearman_monotone_and_ties(spark):
+    """Any monotone relation -> rho = 1 exactly (rank invariance);
+    reversed -> -1; ties use midranks."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import spearman_corr
+
+    # y = x^3 (nonlinear but monotone): Pearson < 1, Spearman == 1
+    rows = [(x, x ** 3) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = spearman_corr(df, F.col("x"), F.col("y")).collect()[0]
+    assert r["n"] == 10 and r["rho"] == 1.0
+    rows2 = [(x, -(x ** 3)) for x in range(1, 11)]
+    df2 = spark.createDataFrame(rows2, "x long, y long")
+    assert spearman_corr(df2, F.col("x"), F.col("y")).collect()[0]["rho"] == -1.0
+    # constant y -> zero rank variance -> NULL
+    df3 = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
+    assert spearman_corr(df3, F.col("x"), F.col("y")).collect()[0]["rho"] is None
+    # tie case, hand-computed with midranks: x=[1,2,2,3] -> ranks
+    # [1, 2.5, 2.5, 4]; y=[1,2,3,4]; cov=4.5, varx=4.5, vary=5
+    # -> rho = 4.5/sqrt(22.5) = 0.948683 (matches scipy.spearmanr)
+    df4 = spark.createDataFrame(
+        [(1, 1), (2, 2), (2, 3), (3, 4)], "x long, y long"
+    )
+    r4 = spearman_corr(df4, F.col("x"), F.col("y")).collect()[0]
+    assert abs(r4["rho"] - 0.948683) < 1e-6

@@ -633,3 +633,31 @@ def test_cross_correlation_zero_variance_null(spark):
     df = spark.createDataFrame(rows, "ts timestamp, x double, y double")
     out = cross_correlation(df, "ts", F.col("x"), F.col("y"), 3600, 2).collect()
     assert all(r["ccf"] is None for r in out)
+
+
+def test_logrank_identical_groups_zero_chi2(spark):
+    """Identical survival experiences in both groups -> O = E exactly
+    and chi2 = 0."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import logrank_test
+    from pyspark.sql import functions as F
+
+    rows = [(g, t, e) for g in ("a", "b") for t, e in [(1, 1), (2, 1), (3, 0)]]
+    df = spark.createDataFrame(rows, "g string, dur int, e int")
+    r = logrank_test(df, F.col("dur"), F.col("e"), F.col("g"), "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["o_a"] == 2 and abs(r["e_a"] - 2.0) < 1e-6
+    assert r["chi2"] == 0.0
+
+
+def test_logrank_separated_groups_large_chi2(spark):
+    """Group a all fails early, group b all censored late -> observed
+    far from expected, chi2 well above the 3.84 threshold."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import logrank_test
+    from pyspark.sql import functions as F
+
+    rows = [("a", t, 1) for t in range(1, 9)] + [("b", 20, 0)] * 8
+    df = spark.createDataFrame(rows, "g string, dur int, e int")
+    r = logrank_test(df, F.col("dur"), F.col("e"), F.col("g"), "a", "b").collect()[0]
+    assert r["o_a"] == 8
+    assert r["e_a"] < 6.0          # many b at risk at every event time
+    assert r["chi2"] > 3.84
