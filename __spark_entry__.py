@@ -6106,6 +6106,44 @@ def q_spearman(spark: SparkSession, sf: str) -> DataFrame:
     return agg.spearman_corr(series, F.col("x"), F.col("y"))
 
 
+def q_graph_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction (round 8): neighbor-set Jaccard similarity
+    over the item co-occurrence graph (operators/graph.py
+    node_jaccard; Liben-Nowell & Kleinberg 2003) — items whose
+    co-purchase NEIGHBORHOODS overlap are substitutes/complements
+    even when never bought together. Edges = part-family pairs
+    co-occurring in ≥ 5 baskets (the assoc_rules pair table); wedge
+    join pivots on the shared neighbor, never all-pairs."""
+    li = load_table(spark, sf, "lineitem")
+    baskets = li.select(
+        "l_orderkey", F.pmod(F.col("l_partkey"), F.lit(40)).alias("item")
+    )
+    pairs = MN.assoc_rules(baskets, "l_orderkey", "item", min_pair_count=5)
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return GR.node_jaccard(edges, min_common=1)
+
+
+def q_abtest_srm(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation guardrail (round 8): sample-ratio-mismatch
+    check (operators/aggregates.py chi2_goodness_of_fit) — chi-square
+    goodness-of-fit of the portable-hash arm assignment against the
+    designed 50/50 split, the test every A/B platform runs BEFORE
+    trusting a readout (a biased assignment invalidates q_abtest_welch
+    / q_abtest_cuped downstream). Per-arm contributions micro-quantize
+    before the sum; compare chi2 to 3.84 (1 dof)."""
+    ev = load_table(spark, sf, "events")
+    users = ev.select("user_id").distinct()
+    h = TX.portable_hash60(
+        F.concat_ws("\x1f", F.col("user_id").cast("string"), F.lit("37"))
+    )
+    arms = users.select((h % 2).cast("int").cast("string").alias("arm"))
+    return agg.chi2_goodness_of_fit(
+        arms, "arm", {"0": 0.5, "1": 0.5}
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -6446,18 +6484,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mannwhitney": q_mannwhitney,
         "q_survival_logrank": q_survival_logrank,
         "q_spearman": q_spearman,
+        "q_graph_jaccard": q_graph_jaccard,
+        "q_abtest_srm": q_abtest_srm,
     }
     # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 14 new round-8 queries (no driver row yet);
+    # (a) the 16 new round-8 queries (no driver row yet);
     # (b) the 4 ids whose semantics, output schema, or physical plan
     # changed this round and must re-verify under the driver —
     # q_abtest_sprt (conversion window bounded to the cohort close),
     # q_sample_negatives (new `missing` column + LEFT label join),
     # q_graph_labelprop (seed dedup in the library), q_assoc_rules
     # (self-join replaced by higher-order pair expansion);
-    # (c) 32 refresh slots for the stalest evidence — ids whose ONLY
+    # (c) 30 refresh slots for the stalest evidence — ids whose ONLY
     # driver row is round 1 (44 such ids; computed by script over the
-    # r01–r07 union; the 12 left over roll to round 9). Coverage debt
+    # r01–r07 union; the 14 left over roll to round 9). Coverage debt
     # is machine-checked: tests/test_registry.py asserts every
     # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
@@ -6476,6 +6516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mannwhitney",
         "q_survival_logrank",
         "q_spearman",
+        "q_graph_jaccard",
+        "q_abtest_srm",
         # ---- (b) changed this round ----
         "q_abtest_sprt",
         "q_sample_negatives",
@@ -6512,8 +6554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_project_case",
         "q_project_drop",
         "q_set_ops",
-        "q_sink_append",
-        "q_sink_partitioned",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -12465,6 +12505,61 @@ def oracle_sql() -> dict[str, str]:
                             6)
                    END AS rho
             FROM stats
+        """,
+        # round 8: neighbor Jaccard over the item co-occurrence graph
+        "q_graph_jaccard": r"""
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey % 40 AS item
+                FROM lineitem
+            ), prs AS (
+                SELECT a.item AS ia, b.item AS ib
+                FROM bi a JOIN bi b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            ), sym AS (
+                SELECT ia AS u, ib AS v FROM prs
+                UNION SELECT ib, ia FROM prs
+            ), deg AS (
+                SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+            ), common AS (
+                SELECT a.u AS na, b.u AS nb, CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+                GROUP BY 1, 2
+            )
+            SELECT c.na AS node_a, c.nb AS node_b, c.n_common,
+                   ROUND(c.n_common / (da.d + db.d - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN deg da ON da.u = c.na
+            JOIN deg db ON db.u = c.nb
+            WHERE c.n_common >= 1
+            ORDER BY node_a, node_b
+        """,
+        # round 8: SRM — chi2 goodness-of-fit vs the designed 50/50,
+        # micro-quantized per-arm contributions before the sum
+        "q_abtest_srm": r"""
+            WITH users AS (
+                SELECT DISTINCT user_id FROM events
+            ), arms AS (
+                SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), CHR(31), '37')), 1, 15))
+                                 AS BIGINT) % 2 AS VARCHAR) AS category
+                FROM users
+            ), cells AS (
+                SELECT category, CAST(COUNT(*) AS BIGINT) AS observed
+                FROM arms GROUP BY category
+            ), tot AS (
+                SELECT CAST(SUM(observed) AS BIGINT) AS nn FROM cells
+            ), per AS (
+                SELECT category, observed,
+                       CAST(nn AS DOUBLE) * 0.5 AS e
+                FROM cells, tot
+            )
+            SELECT category, observed,
+                   ROUND(e, 6) AS expected,
+                   ROUND((observed - e) * (observed - e) / e, 6) AS contrib,
+                   ROUND(SUM(CAST(ROUND((observed - e) * (observed - e) / e * 1000000, 0)
+                                  AS BIGINT)) OVER () / 1e6, 6) AS chi2,
+                   CAST(COUNT(*) OVER () - 1 AS INT) AS dof
+            FROM per ORDER BY category
         """,
     }
 

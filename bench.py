@@ -184,6 +184,8 @@ ROUND8_OPS = [
     "q_mannwhitney",
     "q_survival_logrank",
     "q_spearman",
+    "q_graph_jaccard",
+    "q_abtest_srm",
 ]
 
 

@@ -1337,3 +1337,78 @@ def spearman_corr(
         F.round(cov_n / F.sqrt(varx_n * vary_n), 6),
     )
     return stats.select(F.col("n"), rho.alias("rho"))
+
+
+def chi2_goodness_of_fit(
+    df: DataFrame,
+    category_col: str,
+    expected_shares: Mapping | None = None,
+) -> DataFrame:
+    """Chi-square goodness-of-fit of observed category counts against
+    expected shares — the SRM (sample-ratio-mismatch) guardrail every
+    experimentation platform runs before trusting an A/B readout
+    (uniform default = equal split), and the generic dice-fairness /
+    distribution-drift check next to :func:`ks_two_sample`
+    (two-sample) and the crosstab chi2 (independence).
+
+    ``expected_shares`` maps category → share (must cover every
+    observed category; shares needn't sum to 1 — they're normalized).
+    chi2 = Σ (o_c − e_c)²/e_c with e_c = N·share_c; per-category
+    contributions quantize to micro-units before the final sum so the
+    reduction is exact. Returns one row per category
+    (category, observed, expected, contrib) plus the repeated totals
+    (chi2, dof) — compare chi2 to the χ²(dof) critical value.
+
+    Scale: one corpus hash-aggregate to |categories| cells; the share
+    table is a broadcast literal.
+    """
+    cells = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    if expected_shares:
+        total_share = float(sum(expected_shares.values()))
+        share_rows = F.array(
+            *[
+                F.struct(
+                    F.lit(str(k)).alias("c"),
+                    F.lit(float(v) / total_share).alias("s"),
+                )
+                for k, v in sorted(expected_shares.items())
+            ]
+        )
+        shares = (
+            cells.sparkSession.range(1)
+            .select(F.explode(share_rows).alias("e"))
+            .select(F.col("e.c").alias("category"), F.col("e.s").alias("share"))
+        )
+        joined = cells.join(F.broadcast(shares), "category", "inner")
+    else:
+        w = Window.partitionBy(F.lit(1))
+        joined = cells.withColumn(
+            "share", F.lit(1.0) / F.count(F.lit(1)).over(w)
+        )
+    w = Window.partitionBy(F.lit(1))
+    with_tot = joined.withColumn("__N", F.sum("observed").over(w))
+    e = F.col("__N") * F.col("share")
+    contrib = (F.col("observed") - e) * (F.col("observed") - e) / e
+    per_cat = with_tot.select(
+        "category",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round(contrib * 1e6, 0).cast("long").alias("__cmicro"),
+        F.round(contrib, 6).alias("contrib"),
+    )
+    out = (
+        per_cat.withColumn("__chi2micro", F.sum("__cmicro").over(w))
+        .withColumn("__k", F.count(F.lit(1)).over(w))
+        .select(
+            "category",
+            "observed",
+            "expected",
+            "contrib",
+            F.round(F.col("__chi2micro") / 1e6, 6).alias("chi2"),
+            (F.col("__k") - 1).cast("int").alias("dof"),
+        )
+        .orderBy("category")
+    )
+    return out

@@ -400,3 +400,74 @@ def k_core(
         .filter(F.col("degree") >= k)
         .orderBy("node")
     )
+
+
+def node_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity between node pairs — the
+    classic link-prediction / substitute-detection primitive
+    (Liben-Nowell & Kleinberg 2003): for every pair (a < b) sharing
+    at least ``min_common`` neighbors,
+      jaccard = |N(a) ∩ N(b)| / (deg(a) + deg(b) − |N(a) ∩ N(b)|).
+
+    Plan: symmetrize+dedup once, count degrees, then WEDGE-join —
+    common neighbors are counted by pivoting on the shared neighbor
+    (u→a, u→b, a < b), an equi-join on the pivot, never an all-pairs
+    comparison. Wedge fanout is Σ_v deg(v)², so power-law hubs
+    dominate cost: ``max_degree`` (semi-join prune BEFORE the pivot)
+    is the standard hub cap — a node seen with everything carries no
+    similarity signal anyway (the stopword of graphs). Degrees are
+    computed on the PRUNED graph so the Jaccard stays internally
+    consistent.
+
+    Returns (node_a, node_b, n_common, jaccard) rounded 6 dp,
+    ordered by (node_a, node_b).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    if max_degree is not None:
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") <= int(max_degree))
+            .select("u")
+        )
+        sym = sym.join(keep, "u", "left_semi").join(
+            keep.withColumnRenamed("u", "v"), "v", "left_semi"
+        ).select("u", "v")
+    sym = sym.persist()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = sym.select(F.col("v").alias("pivot"), F.col("u").alias("a"))
+    b = sym.select(F.col("v").alias("pivot"), F.col("u").alias("b"))
+    common = (
+        a.join(b, "pivot")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= int(min_common))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("db"))
+    return (
+        common.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("node_a", "node_b")
+    )

@@ -739,3 +739,30 @@ def test_spearman_monotone_and_ties(spark):
     )
     r4 = spearman_corr(df4, F.col("x"), F.col("y")).collect()[0]
     assert abs(r4["rho"] - 0.948683) < 1e-6
+
+
+def test_chi2_gof_uniform_and_biased(spark):
+    """Exact 50/50 -> chi2 = 0; a 75/25 split of 400 rows against a
+    50/50 design -> chi2 = (300-200)^2/200 + (100-200)^2/200 = 100."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        chi2_goodness_of_fit,
+    )
+
+    even = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "arm string"
+    )
+    r = chi2_goodness_of_fit(even, "arm", {"a": 0.5, "b": 0.5}).collect()
+    assert all(row["chi2"] == 0.0 and row["dof"] == 1 for row in r)
+    biased = spark.createDataFrame(
+        [("a",)] * 300 + [("b",)] * 100, "arm string"
+    )
+    r2 = chi2_goodness_of_fit(biased, "arm", {"a": 0.5, "b": 0.5}).collect()
+    assert all(row["chi2"] == 100.0 for row in r2)
+    by = {row["category"]: row for row in r2}
+    assert by["a"]["expected"] == 200.0 and by["a"]["contrib"] == 50.0
+    # uniform default (no shares): 3 categories, equal thirds
+    tri = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 30 + [("z",)] * 30, "arm string"
+    )
+    r3 = chi2_goodness_of_fit(tri, "arm").collect()
+    assert all(row["chi2"] == 0.0 and row["dof"] == 2 for row in r3)

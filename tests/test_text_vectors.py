@@ -932,3 +932,27 @@ def test_mmr_diversify_deterministic_ties(spark):
     a = [(r["rank"], r["id"]) for r in mmr_diversify(df, [1.0, 1.0], k=3, pool=3).collect()]
     b = [(r["rank"], r["id"]) for r in mmr_diversify(df, [1.0, 1.0], k=3, pool=3).collect()]
     assert a == b == [(1, 3), (2, 5), (3, 7)]
+
+
+def test_node_jaccard_exact_and_hub_cap(spark):
+    """Hand graph: star 0-{1,2,3} + edge 1-2. Neighborhoods:
+    N(1)={0,2}, N(2)={0,1}, N(3)={0}; check exact Jaccard values and
+    the max_degree prune removing the hub."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import node_jaccard
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "src long, dst long"
+    )
+    out = {(r["node_a"], r["node_b"]): (r["n_common"], r["jaccard"])
+           for r in node_jaccard(edges).collect()}
+    # common(1,2) = {0}; deg1=deg2=2 -> 1/(2+2-1) = 1/3
+    assert out[(1, 2)] == (1, round(1 / 3, 6))
+    # common(1,3) = {0}; deg3=1 -> 1/(2+1-1) = 0.5
+    assert out[(1, 3)] == (1, 0.5)
+    assert out[(2, 3)] == (1, 0.5)
+    # common(0,1) = {2}: deg0=3 -> 1/(3+2-1) = 0.25
+    assert out[(0, 1)] == (1, 0.25)
+    # hub cap at degree 2 removes node 0 entirely; on the remaining
+    # graph (1-2 only) no pair shares a neighbor
+    capped = node_jaccard(edges, max_degree=2).collect()
+    assert capped == []
