@@ -763,3 +763,104 @@ def test_sprt_walk_equals_closed_form_at_every_close(spark, obs):
     # cumulative counts are monotone over the walk
     seq = sorted(out, key=lambda r: r["day"])
     assert all(a["n_cum"] < b["n_cum"] for a, b in zip(seq, seq[1:]))
+
+
+@given(
+    st.lists(st.integers(0, 10_000_000), min_size=2, max_size=25),
+)
+@settings(max_examples=10, deadline=None)
+def test_gini_bounds_and_scale_invariance(spark, vals):
+    """Round 8: for non-negative values with a positive total, Gini is
+    in [0, 1) and invariant under positive scaling of the values."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import gini_group
+
+    if sum(vals) == 0:
+        vals = [v + 1 for v in vals]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, m long, v long")
+    g1 = gini_group(df, ["g"], F.col("v"), F.col("m")).collect()[0]["gini"]
+    assert 0.0 <= g1 < 1.0
+    df3 = spark.createDataFrame(
+        [("g", i, v * 3) for i, v in enumerate(vals)], "g string, m long, v long"
+    )
+    g3 = gini_group(df3, ["g"], F.col("v"), F.col("m")).collect()[0]["gini"]
+    assert abs(g1 - g3) < 2e-6   # scale invariance (6-dp rounding slack)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=3,
+        max_size=20,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_spearman_matches_pure_python_midranks(spark, pairs):
+    """Round 8: rho equals a pure-Python midrank Pearson on the same
+    pairs (exactness), and is invariant under the monotone transform
+    x -> 2x + 7 of either variable."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import spearman_corr
+
+    def midranks(xs):
+        order = sorted(xs)
+        first = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i)
+        cnt = {}
+        for v in order:
+            cnt[v] = cnt.get(v, 0) + 1
+        return [first[v] + (cnt[v] + 1) / 2 for v in xs]
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(pairs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(a * a for a in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    expected = None
+    if varx > 0 and vary > 0:
+        expected = round((n * sxy - sx * sy) / (varx * vary) ** 0.5, 6)
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = spearman_corr(df, F.col("x"), F.col("y")).collect()[0]["rho"]
+    if expected is None:
+        assert got is None
+    else:
+        assert abs(got - expected) < 2e-6
+        df2 = spark.createDataFrame(
+            [(2 * x + 7, y) for x, y in pairs], "x long, y long"
+        )
+        got2 = spearman_corr(df2, F.col("x"), F.col("y")).collect()[0]["rho"]
+        assert abs(got2 - got) < 2e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 30), st.integers(0, 1)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_km_survival_monotone_and_bounded(spark, obs):
+    """Round 8: the KM curve is non-increasing over event times and
+    stays within [0, 1]; at-risk counts strictly decrease over t."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import km_survival
+
+    df = spark.createDataFrame(obs, "dur int, e int")
+    rows = km_survival(df, F.col("dur"), F.col("e")).collect()
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    risks = [r["n_risk"] for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
