@@ -6144,6 +6144,38 @@ def q_abtest_srm(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_abtest_did(spark: SparkSession, sf: str) -> DataFrame:
+    """Quasi-experimental inference (round 8): difference-in-
+    differences (operators/aggregates.py diff_in_diff; Card & Krueger
+    1994) — per-user purchase value in the pre (days 1-15) vs post
+    (day 16+) halves of the month, treatment by portable hash; DID
+    removes the group baseline and the shared time trend under the
+    parallel-trends assumption. Completes the causal family:
+    welch/CUPED randomized, SPRT sequential, SRM validity, DID
+    observational. One 4-cell sufficient-stats pass."""
+    ev = load_table(spark, sf, "events")
+    per = ev.groupBy(
+        "user_id",
+        F.when(F.dayofmonth("ts") >= 16, F.lit("post"))
+        .otherwise(F.lit("pre"))
+        .alias("period"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1e6, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("y")
+    )
+    h = TX.portable_hash60(
+        F.concat_ws("\x1f", F.col("user_id").cast("string"), F.lit("43"))
+    )
+    obs = per.select((h % 2).cast("int").alias("grp_raw"), "period", "y")
+    return agg.diff_in_diff(
+        obs, "grp_raw", "period", F.col("y"), treat_value=1, post_value="post"
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -6486,18 +6518,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spearman": q_spearman,
         "q_graph_jaccard": q_graph_jaccard,
         "q_abtest_srm": q_abtest_srm,
+        "q_abtest_did": q_abtest_did,
     }
     # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 16 new round-8 queries (no driver row yet);
+    # (a) the 17 new round-8 queries (no driver row yet);
     # (b) the 4 ids whose semantics, output schema, or physical plan
     # changed this round and must re-verify under the driver —
     # q_abtest_sprt (conversion window bounded to the cohort close),
     # q_sample_negatives (new `missing` column + LEFT label join),
     # q_graph_labelprop (seed dedup in the library), q_assoc_rules
     # (self-join replaced by higher-order pair expansion);
-    # (c) 30 refresh slots for the stalest evidence — ids whose ONLY
+    # (c) 29 refresh slots for the stalest evidence — ids whose ONLY
     # driver row is round 1 (44 such ids; computed by script over the
-    # r01–r07 union; the 14 left over roll to round 9). Coverage debt
+    # r01–r07 union; the 15 left over roll to round 9). Coverage debt
     # is machine-checked: tests/test_registry.py asserts every
     # registry id has a CORRECTNESS row or sits in this prefix.
     prefix = [
@@ -6518,6 +6551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spearman",
         "q_graph_jaccard",
         "q_abtest_srm",
+        "q_abtest_did",
         # ---- (b) changed this round ----
         "q_abtest_sprt",
         "q_sample_negatives",
@@ -6553,7 +6587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partition_prune",
         "q_project_case",
         "q_project_drop",
-        "q_set_ops",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -12560,6 +12593,43 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)) OVER () / 1e6, 6) AS chi2,
                    CAST(COUNT(*) OVER () - 1 AS INT) AS dof
             FROM per ORDER BY category
+        """,
+        # round 8: DID — 4-cell exact sufficient stats, fixed double tree
+        "q_abtest_did": r"""
+            WITH up AS (
+                SELECT user_id,
+                       CASE WHEN EXTRACT(day FROM ts) >= 16
+                            THEN 'post' ELSE 'pre' END AS period,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(ROUND(value * 1000000, 0) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ), obs AS (
+                SELECT CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), CHR(31), '43')), 1, 15))
+                                 AS BIGINT) % 2 = 1
+                            THEN 'treat' ELSE 'ctrl' END AS grp,
+                       period, y
+                FROM up
+            ), cells AS (
+                SELECT grp, period, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(y AS HUGEINT)) AS sy
+                FROM obs GROUP BY 1, 2
+            ), m AS (
+                SELECT grp, period, n,
+                       CAST(sy AS DOUBLE) / n / 1000000.0 AS mean
+                FROM cells
+            ), pv AS (
+                SELECT MAX(CASE WHEN grp = 'treat' AND period = 'post' THEN mean END) AS tp,
+                       MAX(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean END) AS tr,
+                       MAX(CASE WHEN grp = 'ctrl' AND period = 'post' THEN mean END) AS cp,
+                       MAX(CASE WHEN grp = 'ctrl' AND period = 'pre' THEN mean END) AS cr
+                FROM m
+            )
+            SELECT grp, period, n, ROUND(mean, 6) AS mean_y,
+                   ROUND(tp - tr, 6) AS treat_delta,
+                   ROUND(cp - cr, 6) AS ctrl_delta,
+                   ROUND((tp - tr) - (cp - cr), 6) AS did
+            FROM m, pv ORDER BY grp, period
         """,
     }
 

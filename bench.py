@@ -186,6 +186,7 @@ ROUND8_OPS = [
     "q_spearman",
     "q_graph_jaccard",
     "q_abtest_srm",
+    "q_abtest_did",
 ]
 
 

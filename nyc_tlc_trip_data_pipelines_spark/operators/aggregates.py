@@ -1412,3 +1412,74 @@ def chi2_goodness_of_fit(
         .orderBy("category")
     )
     return out
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    y_scaled: Column,
+    treat_value,
+    post_value,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental effect
+    estimator when randomization isn't available (Card & Krueger
+    1994's design): with treatment/control groups each observed
+    pre/post,
+      DID = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    removes both the group-level baseline difference and the shared
+    time trend (parallel-trends assumption — state it, don't hide
+    it). Completes the experimentation surface's causal family:
+    welch/CUPED (randomized), SPRT (sequential), SRM (validity),
+    DID (observational).
+
+    One exact-integer sufficient-stats pass to the 4 (group, period)
+    cells; means and the DID are one fixed double expression tree.
+    Returns the 4 cell rows (group, period, n, mean_y) with the
+    repeated (did, treat_delta, ctrl_delta) columns, all value-units
+    rounded 6 dp. Any empty cell yields NULL did.
+
+    Scale: shuffle = 4 cells; map-side combinable; nothing downstream
+    scales with rows.
+    """
+    y = y_scaled.cast("long")
+    cells = df.select(
+        F.when(F.col(group_col) == treat_value, F.lit("treat"))
+        .otherwise(F.lit("ctrl"))
+        .alias("grp"),
+        F.when(F.col(period_col) == post_value, F.lit("post"))
+        .otherwise(F.lit("pre"))
+        .alias("period"),
+        y.alias("y"),
+    ).groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+    )
+    scale = F.lit(float(y_scale))
+    mean = F.col("sy").cast("double") / F.col("n") / scale
+    w = Window.partitionBy(F.lit(1))
+
+    def cell_mean(g: str, p: str):
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p), mean
+            )
+        ).over(w)
+
+    tp, tr = cell_mean("treat", "post"), cell_mean("treat", "pre")
+    cp, cr = cell_mean("ctrl", "post"), cell_mean("ctrl", "pre")
+    return (
+        cells.withColumn("__td", tp - tr)
+        .withColumn("__cd", cp - cr)
+        .select(
+            F.col("grp").alias("grp"),
+            F.col("period").alias("period"),
+            "n",
+            F.round(mean, 6).alias("mean_y"),
+            F.round(F.col("__td"), 6).alias("treat_delta"),
+            F.round(F.col("__cd"), 6).alias("ctrl_delta"),
+            F.round(F.col("__td") - F.col("__cd"), 6).alias("did"),
+        )
+        .orderBy("grp", "period")
+    )

@@ -766,3 +766,27 @@ def test_chi2_gof_uniform_and_biased(spark):
     )
     r3 = chi2_goodness_of_fit(tri, "arm").collect()
     assert all(row["chi2"] == 0.0 and row["dof"] == 2 for row in r3)
+
+
+def test_diff_in_diff_hand_computed(spark):
+    """4-cell textbook example: treat 10->18 (+8), ctrl 5->9 (+4)
+    -> DID = +4 exactly; empty-cell case yields NULL did."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import diff_in_diff
+
+    rows = (
+        [("t", "pre", 10_000_000)] * 3 + [("t", "post", 18_000_000)] * 3
+        + [("c", "pre", 5_000_000)] * 2 + [("c", "post", 9_000_000)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, p string, y long")
+    out = diff_in_diff(df, "g", "p", F.col("y"), "t", "post").collect()
+    assert len(out) == 4
+    by = {(r["grp"], r["period"]): r for r in out}
+    assert by[("treat", "pre")]["mean_y"] == 10.0
+    assert by[("treat", "post")]["mean_y"] == 18.0
+    assert all(r["treat_delta"] == 8.0 and r["ctrl_delta"] == 4.0 for r in out)
+    assert all(r["did"] == 4.0 for r in out)
+    # missing ctrl/post cell -> NULL did, no error
+    rows2 = [("t", "pre", 1_000_000), ("t", "post", 2_000_000), ("c", "pre", 1_000_000)]
+    df2 = spark.createDataFrame(rows2, "g string, p string, y long")
+    out2 = diff_in_diff(df2, "g", "p", F.col("y"), "t", "post").collect()
+    assert all(r["did"] is None for r in out2)

@@ -56,7 +56,7 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-8 prefix leads with (a) the 16 new round-8 queries, then
+    the round-8 prefix leads with (a) the 17 new round-8 queries, then
     (b) the 4 ids whose semantics/schema/plan changed in round 8, has
     no duplicates, and every prefix id has a DuckDB oracle (a prefix
     slot without an oracle wastes a driver window on a rows-only
@@ -66,7 +66,7 @@ def test_prefix_50_rotation_contract():
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:20] == [
+    assert prefix[:21] == [
         "q_survival_km",
         "q_acf",
         "q_abtest_cuped",
@@ -83,6 +83,7 @@ def test_prefix_50_rotation_contract():
         "q_spearman",
         "q_graph_jaccard",
         "q_abtest_srm",
+        "q_abtest_did",
         "q_abtest_sprt",
         "q_sample_negatives",
         "q_graph_labelprop",
