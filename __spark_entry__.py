@@ -6172,7 +6172,9 @@ def q_abtest_did(spark: SparkSession, sf: str) -> DataFrame:
     )
     obs = per.select((h % 2).cast("int").alias("grp_raw"), "period", "y")
     return agg.diff_in_diff(
-        obs, "grp_raw", "period", F.col("y"), treat_value=1, post_value="post"
+        obs, "grp_raw", "period", F.col("y"),
+        treat_value=1, post_value="post",
+        control_value=0, pre_value="pre",
     )
 
 

@@ -1351,16 +1351,28 @@ def chi2_goodness_of_fit(
     distribution-drift check next to :func:`ks_two_sample`
     (two-sample) and the crosstab chi2 (independence).
 
-    ``expected_shares`` maps category → share (must cover every
-    observed category; shares needn't sum to 1 — they're normalized).
-    chi2 = Σ (o_c − e_c)²/e_c with e_c = N·share_c; per-category
-    contributions quantize to micro-units before the final sum so the
-    reduction is exact. Returns one row per category
-    (category, observed, expected, contrib) plus the repeated totals
-    (chi2, dof) — compare chi2 to the χ²(dof) critical value.
+    ``expected_shares`` maps category → share (shares needn't sum to
+    1 — they're normalized). chi2 = Σ (o_c − e_c)²/e_c with
+    e_c = N·share_c; per-category contributions quantize to
+    micro-units before the final sum so the reduction is exact.
+    Returns one row per category (category, observed, expected,
+    contrib) plus the repeated totals (chi2, dof) — compare chi2 to
+    the χ²(dof) critical value.
+
+    Cell alignment is a FULL OUTER join (round-8 ADVICE): a designed
+    category with zero observed rows participates as observed = 0
+    (an arm that received no traffic is exactly when SRM must fire),
+    and an observed category missing from ``expected_shares`` — an
+    unexpected third bucket — has no defined expectation, so its row
+    surfaces with NULL expected/contrib and the totals (chi2, dof)
+    are NULL on every row: a readable "assignment is broken, the
+    designed test doesn't apply" signal instead of a silently
+    understated statistic. N always counts ALL observed rows,
+    including unexpected buckets.
 
     Scale: one corpus hash-aggregate to |categories| cells; the share
-    table is a broadcast literal.
+    table is a literal handful of rows (full outer joins can't
+    broadcast in Spark, but the shuffle moves |categories| rows).
     """
     cells = df.groupBy(F.col(category_col).alias("category")).agg(
         F.count(F.lit(1)).cast("long").alias("observed")
@@ -1381,7 +1393,11 @@ def chi2_goodness_of_fit(
             .select(F.explode(share_rows).alias("e"))
             .select(F.col("e.c").alias("category"), F.col("e.s").alias("share"))
         )
-        joined = cells.join(F.broadcast(shares), "category", "inner")
+        joined = cells.join(shares, "category", "full").select(
+            "category",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            "share",
+        )
     else:
         w = Window.partitionBy(F.lit(1))
         joined = cells.withColumn(
@@ -1394,10 +1410,12 @@ def chi2_goodness_of_fit(
     per_cat = with_tot.select(
         "category",
         "observed",
+        F.col("share").isNull().cast("int").alias("__unknown"),
         F.round(e, 6).alias("expected"),
         F.round(contrib * 1e6, 0).cast("long").alias("__cmicro"),
         F.round(contrib, 6).alias("contrib"),
     )
+    bad = F.max("__unknown").over(w) == 1
     out = (
         per_cat.withColumn("__chi2micro", F.sum("__cmicro").over(w))
         .withColumn("__k", F.count(F.lit(1)).over(w))
@@ -1406,8 +1424,8 @@ def chi2_goodness_of_fit(
             "observed",
             "expected",
             "contrib",
-            F.round(F.col("__chi2micro") / 1e6, 6).alias("chi2"),
-            (F.col("__k") - 1).cast("int").alias("dof"),
+            F.when(~bad, F.round(F.col("__chi2micro") / 1e6, 6)).alias("chi2"),
+            F.when(~bad, F.col("__k") - 1).cast("int").alias("dof"),
         )
         .orderBy("category")
     )
@@ -1422,6 +1440,8 @@ def diff_in_diff(
     treat_value,
     post_value,
     y_scale: int = 1_000_000,
+    control_value=None,
+    pre_value=None,
 ) -> DataFrame:
     """Difference-in-differences — the quasi-experimental effect
     estimator when randomization isn't available (Card & Krueger
@@ -1440,11 +1460,26 @@ def diff_in_diff(
     repeated (did, treat_delta, ctrl_delta) columns, all value-units
     rounded 6 dp. Any empty cell yields NULL did.
 
+    Cell bucketing (round-8 ADVICE): when ``control_value`` /
+    ``pre_value`` are given, ONLY rows whose group/period column
+    equals one of the two declared values enter the corresponding
+    cells — other values (including NULL) are dropped, so a
+    multi-valued group or period column can't silently contaminate
+    the control/pre cells. When they are None (the two-valued-column
+    default), every non-treat group value — including NULL — buckets
+    into 'ctrl' and every non-post period into 'pre'; that catch-all
+    is only sound when the columns are genuinely two-valued.
+
     Scale: shuffle = 4 cells; map-side combinable; nothing downstream
     scales with rows.
     """
     y = y_scaled.cast("long")
-    cells = df.select(
+    src = df
+    if control_value is not None:
+        src = src.filter(F.col(group_col).isin(treat_value, control_value))
+    if pre_value is not None:
+        src = src.filter(F.col(period_col).isin(post_value, pre_value))
+    cells = src.select(
         F.when(F.col(group_col) == treat_value, F.lit("treat"))
         .otherwise(F.lit("ctrl"))
         .alias("grp"),

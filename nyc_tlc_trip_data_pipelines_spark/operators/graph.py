@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .joins import size_gated_broadcast
+
 
 def connected_components(
     edges: DataFrame,
@@ -427,6 +429,14 @@ def node_jaccard(
 
     Returns (node_a, node_b, n_common, jaccard) rounded 6 dp,
     ordered by (node_a, node_b).
+
+    The degree lookup joins are *node-count-sized*, so the broadcast
+    hint is size-gated (round-8 verdict item 3 / ADVICE): under
+    joins.size_gated_broadcast's 64 MiB Catalyst estimate the hint is
+    applied (fixture/dim scale); above it the join is left unhinted
+    and AQE / autoBroadcastJoinThreshold decide — on a billion-node
+    graph a forced broadcast of the degree table would OOM the
+    driver. Results are byte-identical either way.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -457,8 +467,8 @@ def node_jaccard(
     da = deg.select(F.col("u").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("u").alias("b"), F.col("deg").alias("db"))
     return (
-        common.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        common.join(size_gated_broadcast(da), "a")
+        .join(size_gated_broadcast(db), "b")
         .select(
             F.col("a").alias("node_a"),
             F.col("b").alias("node_b"),

