@@ -6522,73 +6522,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_srm": q_abtest_srm,
         "q_abtest_did": q_abtest_did,
     }
-    # Round-8 prefix-50 rotation (the driver checks the FIRST 50 keys):
-    # (a) the 17 new round-8 queries (no driver row yet);
-    # (b) the 4 ids whose semantics, output schema, or physical plan
-    # changed this round and must re-verify under the driver —
-    # q_abtest_sprt (conversion window bounded to the cohort close),
-    # q_sample_negatives (new `missing` column + LEFT label join),
-    # q_graph_labelprop (seed dedup in the library), q_assoc_rules
-    # (self-join replaced by higher-order pair expansion);
-    # (c) 29 refresh slots for the stalest evidence — ids whose ONLY
-    # driver row is round 1 (44 such ids; computed by script over the
-    # r01–r07 union; the 15 left over roll to round 9). Coverage debt
-    # is machine-checked: tests/test_registry.py asserts every
-    # registry id has a CORRECTNESS row or sits in this prefix.
+    # Round-9 prefix-50 rotation (the driver checks the FIRST 50 keys).
+    # No new registry ids this round (registry closed at 306 per the
+    # round-8 verdict); every slot is freshness: (a) the 15 ids whose
+    # ONLY driver row is round 1 (the r08 rotation's leftovers,
+    # scheduled there for r09); (b) 35 of the 48 ids whose latest row
+    # is round 3 — the verdict-named q_dedup_minhash / q_similarity_topk
+    # / q_join_anti, the 11 r03 TPC-H queries, and the rest in
+    # alphabetical order. The 13 r03 ids deferred to the round-10
+    # prefix (q_agg_conditional, q_agg_filter_clause, q_agg_stats,
+    # q_array_funcs, q_histogram, q_string_distance, q_subquery_scalar,
+    # q_text_bigrams, q_text_pack, q_unpivot, q_vector_centroid,
+    # q_vector_norms, q_window_distribution) are the simplest
+    # deterministic ops in the tier; tests/test_registry.py's
+    # freshness horizon (no id's latest evidence older than 6 rounds,
+    # prefix slots counting as current) makes that deferral
+    # self-enforcing — at round 10 those ids age out unless rotated in.
+    # The round-8 ADVICE fixes (chi2 full-outer cells, DID declared
+    # values, MMR unpersist, size-gated degree/count broadcasts) are
+    # all fixture-byte-identical (asserted by tests + local oracle
+    # runs of the six touched queries), so they spend no slots here.
     prefix = [
-        # ---- (a) round-8 wave ----
-        "q_survival_km",
-        "q_acf",
-        "q_abtest_cuped",
-        "q_calibration",
-        "q_gini",
-        "q_graph_kcore",
-        "q_mmr_diversify",
-        "q_seq_pairs",
-        "q_path_mining",
-        "q_item_cf",
-        "q_ccf",
-        "q_mannwhitney",
-        "q_survival_logrank",
-        "q_spearman",
-        "q_graph_jaccard",
-        "q_abtest_srm",
-        "q_abtest_did",
-        # ---- (b) changed this round ----
-        "q_abtest_sprt",
-        "q_sample_negatives",
-        "q_graph_labelprop",
-        "q_assoc_rules",
-        # ---- (c) refresh tier: round-1-only driver rows ----
-        "q_agg_basic",
-        "q_agg_count_distinct",
-        "q_agg_having",
-        "q_agg_rollup",
-        "q_array_explode",
-        "q_array_posexplode",
-        "q_cast_schema",
-        "q_count",
-        "q_date_arithmetic",
-        "q_date_funcs",
-        "q_dedup_exact",
-        "q_derive_year_month",
-        "q_filter_predicates",
-        "q_filter_time_range",
-        "q_groupby_avg_orderby",
-        "q_join_broadcast",
-        "q_join_cross",
-        "q_join_inner",
-        "q_join_outer",
-        "q_join_range",
-        "q_join_semi",
-        "q_join_star",
-        "q_json_extract",
-        "q_map_funcs",
-        "q_math_funcs",
-        "q_null_funcs",
-        "q_partition_prune",
-        "q_project_case",
-        "q_project_drop",
+        # ---- (a) refresh tier: round-1-only driver rows ----
+        "q_topk",
+        "q_window_rank",
+        "q_window_avg_two_grains",
+        "q_window_lag_lead",
+        "q_window_running_sum",
+        "q_text_wordcount",
+        "q_text_quality",
+        "q_text_token_count",
+        "q_string_funcs",
+        "q_set_ops",
+        "q_sink_append",
+        "q_sink_partitioned",
+        "q_udf_scalar",
+        "q_udaf_grouped",
+        "q_udtf_tokenize",
+        # ---- (b) refresh tier: round-3 driver rows ----
+        "q_dedup_minhash",
+        "q_similarity_topk",
+        "q_join_anti",
+        "q_sql_tpch_q3",
+        "q_sql_tpch_q4",
+        "q_sql_tpch_q5",
+        "q_sql_tpch_q6",
+        "q_sql_tpch_q7",
+        "q_sql_tpch_q8",
+        "q_sql_tpch_q9",
+        "q_sql_tpch_q10",
+        "q_sql_tpch_q12",
+        "q_sql_tpch_q14",
+        "q_sql_tpch_q18",
+        "q_agg_approx_distinct",
+        "q_agg_approx_percentile",
+        "q_agg_cube",
+        "q_agg_grouping_sets",
+        "q_agg_percentile",
+        "q_agg_pivot",
+        "q_dedup_keep_best",
+        "q_dedup_ngram_jaccard",
+        "q_funnel",
+        "q_grouped_map",
+        "q_incremental_agg",
+        "q_join_asof",
+        "q_lang_id",
+        "q_rollup_time",
+        "q_sample_stratified",
+        "q_similarity_pairwise",
+        "q_stream_static_join",
+        "q_text_tfidf",
+        "q_time_gapfill",
+        "q_upsert",
+        "q_window_tumbling_batch",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}

@@ -56,39 +56,35 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-8 prefix leads with (a) the 17 new round-8 queries, then
-    (b) the 4 ids whose semantics/schema/plan changed in round 8, has
-    no duplicates, and every prefix id has a DuckDB oracle (a prefix
-    slot without an oracle wastes a driver window on a rows-only
-    check)."""
+    the round-9 prefix is pure freshness rotation — it leads with the
+    15 ids whose only driver row was round 1, then the 35 scheduled
+    round-3 refreshes — has no duplicates, and every prefix id has a
+    DuckDB oracle (a prefix slot without an oracle wastes a driver
+    window on a rows-only check)."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:21] == [
-        "q_survival_km",
-        "q_acf",
-        "q_abtest_cuped",
-        "q_calibration",
-        "q_gini",
-        "q_graph_kcore",
-        "q_mmr_diversify",
-        "q_seq_pairs",
-        "q_path_mining",
-        "q_item_cf",
-        "q_ccf",
-        "q_mannwhitney",
-        "q_survival_logrank",
-        "q_spearman",
-        "q_graph_jaccard",
-        "q_abtest_srm",
-        "q_abtest_did",
-        "q_abtest_sprt",
-        "q_sample_negatives",
-        "q_graph_labelprop",
-        "q_assoc_rules",
+    assert prefix[:15] == [
+        "q_topk",
+        "q_window_rank",
+        "q_window_avg_two_grains",
+        "q_window_lag_lead",
+        "q_window_running_sum",
+        "q_text_wordcount",
+        "q_text_quality",
+        "q_text_token_count",
+        "q_string_funcs",
+        "q_set_ops",
+        "q_sink_append",
+        "q_sink_partitioned",
+        "q_udf_scalar",
+        "q_udaf_grouped",
+        "q_udtf_tokenize",
     ]
+    assert "q_dedup_minhash" in prefix and "q_similarity_topk" in prefix
+    assert "q_join_anti" in prefix
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
     assert not missing, f"prefix ids without oracle: {missing}"
@@ -116,4 +112,48 @@ def test_no_unscheduled_coverage_debt():
     unscheduled = [k for k in keys if k not in checked and k not in prefix]
     assert unscheduled == [], (
         f"registry ids with no driver row and no prefix slot: {unscheduled}"
+    )
+
+
+def test_freshness_horizon():
+    """Round-9 (verdict item 7): staleness can never silently
+    re-accumulate. For every registry id, its freshest evidence — the
+    latest recorded driver CORRECTNESS round, or the UPCOMING round if
+    the id sits in the current prefix-50 — must be no more than
+    HORIZON rounds behind the upcoming round. At the round-9 state the
+    binding cases are the 13 round-3 ids deferred to the round-10
+    prefix (age exactly 6); if any of them is not rotated in next
+    round this test turns red there."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as E
+
+    HORIZON = 6
+    latest = {}
+    rounds = []
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        try:
+            ids = json.load(open(f)).keys()
+        except Exception:
+            continue
+        for k in ids:
+            latest[k] = max(latest.get(k, 0), r)
+    assert rounds, "no driver CORRECTNESS files found"
+    upcoming = max(rounds) + 1
+    keys = list(E.queries())
+    prefix = set(keys[:50])
+    stale = sorted(
+        k for k in keys
+        if (upcoming if k in prefix else latest.get(k, 0)) < upcoming - HORIZON
+    )
+    assert stale == [], (
+        f"ids whose latest evidence is more than {HORIZON} rounds old "
+        f"and not scheduled in the current prefix: {stale}"
     )
