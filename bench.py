@@ -193,7 +193,33 @@ ROUND8_OPS = [
 PASSES = 3
 
 
-def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
+def _control_fn(spark, sf_dir):
+    """The calm-mode control: a fixed scan-bound two-column lineitem
+    aggregate. Scan + hash-agg only — no joins, no windows, no Python —
+    so its run-to-run drift measures the MACHINE (CPU contention, page
+    cache, GC), not any operator under test."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        li.agg(F.sum("l_quantity"), F.sum("l_extendedprice")).collect()
+        return time.perf_counter() - t0
+
+    return run
+
+
+# per-query control time measured IMMEDIATELY BEFORE each query's timed
+# passes — the calm-mode (round-8 verdict item 4) drift reference
+_CONTROLS: dict[str, float] = {}
+
+
+def _timed_pass(qs, names, spark, sf_dir, control=None) -> dict[str, float]:
     """Per query: MEDIAN over PASSES steady-state runs (round-7
     verdict item 1). Ambient machine load has swung identical plans
     ~1.6× between rounds (BENCH_r2 vs r3: even scan-bound TPC-H Q6
@@ -208,9 +234,19 @@ def _timed_pass(qs, names, spark, sf_dir) -> dict[str, float]:
     summarizes it (``ambient_spread``) and every regression entry
     carries its own query's ratio, so a reader can tell "flagged
     inside the noise band" from "flagged well beyond it" without
-    re-running anything."""
+    re-running anything.
+
+    Calm protocol (round-8 verdict item 4): when ``control`` is
+    given, it is run once immediately before each query's timed
+    passes and recorded in ``_CONTROLS[name]`` — the machine-drift
+    reference taken AT the query's measurement time. The regression
+    gate then compares ratio-to-control across rounds, so a
+    machine-wide shift (which moves query and control in lockstep)
+    cancels instead of flagging every unchanged plan."""
     timings: dict[str, float] = {}
     for name in names:
+        if control is not None:
+            _CONTROLS[name] = round(control(), 4)
         runs = []
         for _ in range(PASSES):
             t0 = time.perf_counter()
@@ -364,12 +400,41 @@ def _flat_timings(prev: dict) -> dict[str, float]:
     if isinstance(prev.get("parsed"), dict):
         prev = prev["parsed"]
     flat: dict[str, float] = {}
-    for val in prev.values():
+    for key, val in prev.items():
+        if key in ("controls", "retimes"):
+            continue  # calm references / audit records, not timings
         if isinstance(val, dict):
             for q, t in val.items():
-                if isinstance(t, (int, float)):
+                if isinstance(t, (int, float)) and q.startswith("q_"):
                     flat[q] = float(t)
     return flat
+
+
+def _flat_controls(prev: dict) -> tuple[dict[str, float], float | None]:
+    """Calm references from a bench payload: the per-query control
+    times (stored under ``controls`` with ``c:`` key prefixes so the
+    tail-recovery regex for timings can never confuse them) and the
+    run-level control median. Tail fallback mirrors _flat_from_tail."""
+    import re
+
+    if isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    per_q = {
+        k[2:]: float(v)
+        for k, v in (prev.get("controls") or {}).items()
+        if isinstance(v, (int, float)) and k.startswith("c:")
+    }
+    run_level = prev.get("control_sec")
+    if not per_q and not run_level and isinstance(prev.get("tail"), str):
+        per_q = {
+            q: float(t)
+            for q, t in re.findall(
+                r'"c:(q_\w+)":\s*([0-9]+(?:\.[0-9]+)?)', prev["tail"]
+            )
+        }
+        m = re.search(r'"control_sec":\s*([0-9]+(?:\.[0-9]+)?)', prev["tail"])
+        run_level = float(m.group(1)) if m else None
+    return per_q, (float(run_level) if run_level else None)
 
 
 def _flat_from_tail(prev: dict) -> dict[str, float]:
@@ -403,6 +468,15 @@ def _baseline() -> tuple[str | None, dict[str, float]]:
     import glob
     import re
 
+    _BASELINE_CONTROLS.clear()
+
+    def _note_controls(prev: dict, qset) -> None:
+        per_q, run_level = _flat_controls(prev)
+        for q in qset:
+            c = per_q.get(q, run_level)
+            if c and q not in _BASELINE_CONTROLS:
+                _BASELINE_CONTROLS[q] = c
+
     override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     if override:
         try:
@@ -412,6 +486,7 @@ def _baseline() -> tuple[str | None, dict[str, float]]:
             prev = {}
         flat = _flat_timings(prev) or _flat_from_tail(prev)
         if flat:
+            _note_controls(prev, flat)
             return os.path.basename(override), flat
         # unusable override (typo'd path, empty JSON) must not turn
         # the gate off — print a loud stderr note and fall through to
@@ -426,6 +501,13 @@ def _baseline() -> tuple[str | None, dict[str, float]]:
     # BENCH_rX.json would match the glob but not the regex, and a
     # .group(1) on None inside the sort key kills the whole bench run
     numbered = []
+    # the committed BENCH_LOCAL.json is the FULL payload of the most
+    # recent bench run (every run rewrites it, every round commits
+    # it), so it outranks the driver wrappers — whose 2000-char stdout
+    # tails can't hold the per-query calm references
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        numbered.append((1 << 30, local))
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)", p)
         if m:
@@ -445,9 +527,17 @@ def _baseline() -> tuple[str | None, dict[str, float]]:
         flat = _flat_timings(prev) or _flat_from_tail(prev)
         fresh = {q: t for q, t in flat.items() if q not in merged}
         if fresh:
+            _note_controls(prev, fresh)
             merged.update(fresh)
             names.append(os.path.basename(path))
     return ("+".join(names) if names else None), merged
+
+
+# q -> the control reference paired with that query's BASELINE timing
+# (same file, per-query when recorded, else that run's control_sec).
+# Filled by _baseline(); kept module-level so _baseline's public
+# 2-tuple signature — which tests and tools pin — stays unchanged.
+_BASELINE_CONTROLS: dict[str, float] = {}
 
 
 def _regressions(current: dict[str, float], threshold: float = 1.3):
@@ -456,21 +546,54 @@ def _regressions(current: dict[str, float], threshold: float = 1.3):
     BENCH_r*.json in the repo root and list queries slower than
     ``threshold``× their previous-round time. Returns (baseline_name,
     [{query, prev, now, ratio}, ...]); empty when no prior bench
-    exists."""
+    exists.
+
+    Calm normalization (round-8 verdict item 4): when BOTH sides have
+    a control reference — this run's adjacent control in ``_CONTROLS``
+    and the baseline's in ``_BASELINE_CONTROLS`` — the flag decision
+    uses the ratio of ratios-to-control,
+        (now/ctrl_now) / (prev/ctrl_prev),
+    so a machine-wide shift that moves query and control in lockstep
+    cancels, while a genuine plan regression (query moves, control
+    doesn't) still trips. Entries keep the RAW ratio for continuity
+    and add ``ratio_calm`` + ``basis``; raw-flagged-but-calm-cleared
+    queries land in ``_AMBIENT_DISMISSED`` for the payload, so the
+    cancellation is auditable, never silent."""
     name, flat_prev = _baseline()
+    _AMBIENT_DISMISSED.clear()
     out = []
     for q, now in current.items():
         p = flat_prev.get(q)
         # sub-0.15 s timings are scheduler noise, not plans
-        if p is not None and p >= 0.15 and now > threshold * p:
-            entry = {"query": q, "prev": p, "now": now, "ratio": round(now / p, 2)}
+        if p is None or p < 0.15:
+            continue
+        raw = now / p
+        pc, nc = _BASELINE_CONTROLS.get(q), _CONTROLS.get(q)
+        calm = (now / nc) / (p / pc) if pc and nc else None
+        flagged = (calm if calm is not None else raw) > threshold
+        if flagged:
+            entry = {"query": q, "prev": p, "now": now, "ratio": round(raw, 2)}
+            if calm is not None:
+                entry["ratio_calm"] = round(calm, 2)
+                entry["basis"] = "normalized"
+            else:
+                entry["basis"] = "raw"
             if q in _SPREADS:
                 # this run's own pass spread for the same query: the
                 # flag's measured noise context
                 entry["pass_spread"] = _SPREADS[q]
             out.append(entry)
+        elif raw > threshold and calm is not None:
+            _AMBIENT_DISMISSED.append(
+                {"query": q, "ratio": round(raw, 2), "ratio_calm": round(calm, 2)}
+            )
     out.sort(key=lambda r: -r["ratio"])
     return name, out
+
+
+# raw-threshold crossers the calm normalization cleared this run —
+# published in the payload so drift cancellation is auditable
+_AMBIENT_DISMISSED: list[dict] = []
 
 
 def main() -> None:
@@ -481,27 +604,40 @@ def main() -> None:
     spark = get_spark("bench")
     qs = E.queries()
 
-    # untimed warmup pass: codegen compile, JIT, parquet footers
-    for name in HEADLINE + EXTENDED + VERSIONED_IO + CORPUS_OPS + ANALYTICS_OPS + MINING_OPS + MULTIMODAL_OPS + ROUND6_OPS + ROUND7_OPS + ROUND8_OPS:
-        qs[name](spark, sf_dir).count()
+    # --headline-only: the quick calm-protocol loop (two consecutive
+    # runs' normalized_total agreeing within 5% is the stability
+    # criterion) — times ONLY the headline section, same JSON contract
+    headline_only = "--headline-only" in sys.argv
 
-    timings = _timed_pass(qs, HEADLINE, spark, sf_dir)
-    extended = _timed_pass(qs, EXTENDED, spark, sf_dir)
-    versioned_io = _timed_pass(qs, VERSIONED_IO, spark, sf_dir)
-    corpus_ops = _timed_pass(qs, CORPUS_OPS, spark, sf_dir)
-    analytics_ops = _timed_pass(qs, ANALYTICS_OPS, spark, sf_dir)
-    mining_ops = _timed_pass(qs, MINING_OPS, spark, sf_dir)
-    multimodal_ops = _timed_pass(qs, MULTIMODAL_OPS, spark, sf_dir)
-    round6_ops = _timed_pass(qs, ROUND6_OPS, spark, sf_dir)
-    round7_ops = _timed_pass(qs, ROUND7_OPS, spark, sf_dir)
-    round8_ops = _timed_pass(qs, ROUND8_OPS, spark, sf_dir)
-    skew_join = _skew_bench(spark, sf_dir)
-    bloom_join = _bloom_bench(spark, sf_dir)
-    all_timings = {
-        **timings, **extended, **versioned_io, **corpus_ops,
-        **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
-        **round7_ops, **round8_ops,
+    sections = [("queries", HEADLINE)] if headline_only else [
+        ("queries", HEADLINE), ("extended", EXTENDED),
+        ("versioned_io", VERSIONED_IO), ("corpus_ops", CORPUS_OPS),
+        ("analytics_ops", ANALYTICS_OPS), ("mining_ops", MINING_OPS),
+        ("multimodal_ops", MULTIMODAL_OPS), ("round6_ops", ROUND6_OPS),
+        ("round7_ops", ROUND7_OPS), ("round8_ops", ROUND8_OPS),
+    ]
+
+    # untimed warmup pass: codegen compile, JIT, parquet footers
+    for _, names in sections:
+        for name in names:
+            qs[name](spark, sf_dir).count()
+
+    # calm-protocol control (round-8 verdict item 4): calibrate the
+    # scan-bound control, then re-run it adjacent to every query
+    control = _control_fn(spark, sf_dir)
+    control()  # warmup
+    control_runs = sorted(control() for _ in range(PASSES))
+    control_sec = round(control_runs[len(control_runs) // 2], 4)
+
+    _CONTROLS.clear()
+    section_timings = {
+        key: _timed_pass(qs, names, spark, sf_dir, control=control)
+        for key, names in sections
     }
+    timings = section_timings["queries"]
+    skew_join = {} if headline_only else _skew_bench(spark, sf_dir)
+    bloom_join = {} if headline_only else _bloom_bench(spark, sf_dir)
+    all_timings = {q: t for sec in section_timings.values() for q, t in sec.items()}
     baseline_name, regressions = _regressions(all_timings)
     retimes: dict[str, dict[str, float]] = {}
     if regressions:
@@ -514,58 +650,60 @@ def main() -> None:
         # human can audit what the gate dismissed — min() can only
         # erase flags, never manufacture them.
         names = [r["query"] for r in regressions]
-        retimed = _timed_pass(qs, names, spark, sf_dir)
-        for grp in (timings, extended, versioned_io, corpus_ops,
-                    analytics_ops, mining_ops, multimodal_ops, round6_ops,
-                    round7_ops, round8_ops):
+        retimed = _timed_pass(qs, names, spark, sf_dir, control=control)
+        for grp in section_timings.values():
             for q in list(grp):
                 if q in retimed:
                     retimes[q] = {"first": grp[q], "retimed": retimed[q]}
                     if retimed[q] < grp[q]:
                         grp[q] = retimed[q]
         all_timings = {
-            **timings, **extended, **versioned_io, **corpus_ops,
-            **analytics_ops, **mining_ops, **multimodal_ops, **round6_ops,
-            **round7_ops, **round8_ops,
+            q: t for sec in section_timings.values() for q, t in sec.items()
         }
         baseline_name, regressions = _regressions(all_timings)
     total = round(sum(timings.values()), 3)
+    # normalized headline total: Σ t_q / ctrl_q — the drift-cancelled
+    # stability metric (two consecutive calm runs should agree ≤5%)
+    normalized_total = round(
+        sum(t / _CONTROLS[q] for q, t in timings.items() if _CONTROLS.get(q)), 3
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extended": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                "versioned_io": versioned_io,
-                "versioned_io_total": round(sum(versioned_io.values()), 3),
-                "corpus_ops": corpus_ops,
-                "corpus_ops_total": round(sum(corpus_ops.values()), 3),
-                "analytics_ops": analytics_ops,
-                "analytics_ops_total": round(sum(analytics_ops.values()), 3),
-                "mining_ops": mining_ops,
-                "mining_ops_total": round(sum(mining_ops.values()), 3),
-                "multimodal_ops": multimodal_ops,
-                "multimodal_ops_total": round(sum(multimodal_ops.values()), 3),
-                "round6_ops": round6_ops,
-                "round6_ops_total": round(sum(round6_ops.values()), 3),
-                "round7_ops": round7_ops,
-                "round7_ops_total": round(sum(round7_ops.values()), 3),
-                "round8_ops": round8_ops,
-                "round8_ops_total": round(sum(round8_ops.values()), 3),
+    }
+    for key, sec in section_timings.items():
+        if key == "queries":
+            continue
+        payload[key] = sec
+        payload[f"{key}_total"] = round(sum(sec.values()), 3)
+    payload.update({
                 "skew_join": skew_join,
                 "bloom_join": bloom_join,
+                # per-query calm references go BEFORE the gate outputs:
+                # the driver keeps only the stdout TAIL, and the small
+                # decision keys below must survive truncation
+                "controls": {f"c:{q}": c for q, c in _CONTROLS.items()},
                 "regressions_vs": baseline_name,
                 "regressions": regressions,
+                "ambient_dismissed": list(_AMBIENT_DISMISSED),
                 "retimes": retimes,
                 "ambient_spread": _spread_summary(),
                 "passes": PASSES,
+                "control_sec": control_sec,
+                "normalized_total": normalized_total,
                 "sf": float(sf) if sf else sf_dir,
-    }
+    })
     # full copy on disk: the driver keeps only the stdout TAIL in
     # BENCH_r{N}.json, which truncated away round 6's headline section;
-    # BENCH_LOCAL.json preserves every number for the next baseline
+    # BENCH_LOCAL.json preserves every number for the next baseline.
+    # --headline-only runs never write it: a 13-query quick loop must
+    # not replace the full-registry baseline the calm gate reads.
+    if headline_only:
+        print(json.dumps(payload))
+        return
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:

@@ -82,24 +82,85 @@ def ingest_bronze(
     end_month: str | None = None,
     tolerance_hours: int = 1,
     manifest_dir: str | None = None,
+    max_parallel_files: int = 1,
 ) -> RunResult:
     """Stage 1 (``create_bronze_layer``): discover monthly files, prune by
     filename month range, then per file: cast to declared schema, filter
-    temporal outliers to the file's month window, append to bronze."""
+    temporal outliers to the file's month window, append to bronze.
+
+    ``max_parallel_files`` (round-8 verdict item 5, opt-in): with N > 1
+    the per-file jobs are submitted from a thread pool — Spark's
+    scheduler is thread-safe, so N casts/filters/writes run
+    concurrently, which is the win when each monthly file is small
+    relative to the cluster (the reference's serial loop
+    ``pasta1_etl/src/main.py:154-199`` leaves the cluster idle
+    per-file). Per-file error isolation and manifest semantics are
+    identical to the serial path; ``processed``/``failed`` keep
+    discovery order.
+
+    Commit protocol: concurrent ``append`` jobs into ONE directory are
+    NOT safe — Hadoop's FileOutputCommitter stages every job under the
+    shared ``<path>/_temporary/0`` and the first commit's cleanup
+    deletes the others' staged task files (measured here: chmod/rename
+    FileNotFound failures and lost rows under an 8-thread append).
+    Each parallel task therefore writes its OWN staging directory
+    (``<bronze>.staging/<uuid>`` — a per-job committer root) and the
+    part files are moved into bronze under a driver-side lock: all
+    Spark compute stays parallel, only O(#files) renames serialize —
+    the same stage-then-atomic-commit shape Delta/Iceberg use for
+    concurrent writers. Part filenames embed write UUIDs, so moves
+    can't collide.
+    """
     result = RunResult()
     files = prune_files_by_month(discover_files(source_dir), start_month, end_month)
-    for path in files:
-        try:
-            m = _MONTH_RE.search(os.path.basename(path))
-            if not m:
-                raise ValueError(f"no YYYY-MM in filename: {path}")
-            lo, hi = month_bounds(int(m.group(1)), int(m.group(2)), tolerance_hours)
-            df = schema.apply_cast(read_parquet(spark, path))
-            df = filter_time_range(df, ts_col, lo, hi)
-            append_table(df, bronze_path)
-            result.processed.append(path)
-        except Exception:  # per-file isolation: one bad file never kills the run
-            result.failed.append(path)
+
+    def _frame(path: str) -> DataFrame:
+        m = _MONTH_RE.search(os.path.basename(path))
+        if not m:
+            raise ValueError(f"no YYYY-MM in filename: {path}")
+        lo, hi = month_bounds(int(m.group(1)), int(m.group(2)), tolerance_hours)
+        df = schema.apply_cast(read_parquet(spark, path))
+        return filter_time_range(df, ts_col, lo, hi)
+
+    if max_parallel_files <= 1:
+        for path in files:
+            try:
+                append_table(_frame(path), bronze_path)
+                result.processed.append(path)
+            except Exception:  # per-file isolation: one bad file never kills the run
+                result.failed.append(path)
+    else:
+        import shutil
+        import threading
+        import uuid
+        from concurrent.futures import ThreadPoolExecutor
+
+        commit_lock = threading.Lock()
+        staging_root = bronze_path.rstrip("/") + ".staging"
+
+        def _one(path: str) -> bool:
+            staging = os.path.join(staging_root, uuid.uuid4().hex)
+            try:
+                _frame(path).write.mode("overwrite").parquet(staging)
+                with commit_lock:
+                    os.makedirs(bronze_path, exist_ok=True)
+                    for f in os.listdir(staging):
+                        if f.startswith("part-"):
+                            shutil.move(
+                                os.path.join(staging, f),
+                                os.path.join(bronze_path, f),
+                            )
+                return True
+            except Exception:  # per-file isolation, as in the serial path
+                return False
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+
+        with ThreadPoolExecutor(max_workers=int(max_parallel_files)) as ex:
+            outcomes = list(ex.map(_one, files))
+        shutil.rmtree(staging_root, ignore_errors=True)
+        for path, ok in zip(files, outcomes):
+            (result.processed if ok else result.failed).append(path)
     if manifest_dir:
         result.manifest_path = write_run_manifest(manifest_dir, result.processed, result.failed)
     return result

@@ -128,3 +128,61 @@ def test_spread_summary_and_regression_context():
     assert regs and regs[0]["query"] == "q_b"
     assert regs[0]["pass_spread"] == 1.5
     b._SPREADS.clear()
+
+
+def test_calm_gate_flags_real_regression_and_cancels_ambient(
+    tmp_path, monkeypatch
+):
+    """Round-9 (verdict item 4): with calm references on both sides,
+    a planted 1.3x+ PLAN regression (query moves, control doesn't)
+    still flags, while a machine-wide shift (query and control move
+    in lockstep) is dismissed into ambient_dismissed — auditable, not
+    silent."""
+    b = _bench()
+    prev = {
+        "queries": {"q_real": 1.0, "q_ambient": 1.0},
+        "controls": {"c:q_real": 0.10, "c:q_ambient": 0.10},
+        "control_sec": 0.10,
+    }
+    path = tmp_path / "BENCH_r98.json"
+    path.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASELINE", str(path))
+    b._CONTROLS.clear()
+    # q_real: control flat (0.10), query 1.5x -> genuine regression
+    # q_ambient: control ALSO 1.5x -> whole-machine shift, calm ~1.0
+    b._CONTROLS.update({"q_real": 0.10, "q_ambient": 0.15})
+    try:
+        name, regs = b._regressions({"q_real": 1.5, "q_ambient": 1.5})
+    finally:
+        b._CONTROLS.clear()
+    assert name == "BENCH_r98.json"
+    assert [r["query"] for r in regs] == ["q_real"]
+    assert regs[0]["basis"] == "normalized" and regs[0]["ratio_calm"] == 1.5
+    assert [d["query"] for d in b._AMBIENT_DISMISSED] == ["q_ambient"]
+    assert b._AMBIENT_DISMISSED[0]["ratio_calm"] == 1.0
+
+
+def test_calm_references_recovered_from_tail():
+    """Driver wrappers keep only the stdout tail; the c:-prefixed
+    control keys and control_sec must be recoverable from it, and the
+    timing regex must never eat a c:-prefixed key."""
+    b = _bench()
+    tail = (
+        '"controls": {"c:q_agg_basic": 0.12, "c:q_topk": 0.11}, '
+        '"queries": {"q_agg_basic": 1.0}, "control_sec": 0.115, "sf": 0.1}\n'
+    )
+    per_q, run_level = b._flat_controls({"parsed": None, "tail": tail})
+    assert per_q == {"q_agg_basic": 0.12, "q_topk": 0.11}
+    assert run_level == 0.115
+    flat = b._flat_from_tail({"parsed": None, "tail": tail})
+    assert flat == {"q_agg_basic": 1.0}
+
+
+def test_flat_timings_skips_calm_and_retime_sections():
+    b = _bench()
+    raw = {
+        "queries": {"q_a": 0.4},
+        "controls": {"c:q_a": 0.1},
+        "retimes": {"q_a": {"first": 0.5, "retimed": 0.4}},
+    }
+    assert b._flat_timings(raw) == {"q_a": 0.4}

@@ -1,0 +1,164 @@
+"""Generate the sf1 scale-evidence tier (~6M lineitem rows) from the
+driver's read-only sf0.1 fixtures — round-9 verdict item 2.
+
+The driver ships sf0.001/sf0.01/sf0.1 only; sf1 exists to convert the
+100 TB design claims (n²/k semantic dedup, banded LSH, wedge joins,
+B-fold bootstrap) from docstring assertions into measured sf0.1→sf1
+growth curves. Method: TEN deterministically-salted copies of sf0.1,
+written to /root/repo/testdata_sf1 (gitignored — regenerate with
+`python tools/make_sf1.py`, ~1 min on local[32]).
+
+Why salted replication instead of a fresh generator:
+- every marginal distribution (dates, prices, text lengths, vector
+  norms, basket sizes) is IDENTICAL to the driver's by construction,
+  so a growth factor measures the PLAN, not a distribution shift;
+- key spaces are offset per copy (orderkey/custkey/partkey/suppkey/
+  event_id/user_id/doc_id/vec_id += i·(max+1)), so join fan-outs and
+  per-key group sizes stay exactly sf0.1-shaped while key cardinality
+  scales 10x — what a real 10x data month does;
+- cross-copy rows must NOT be near-duplicates, or dedup answer sizes
+  (and only the answers, not the plans) would explode quadratically:
+  document text goes through a per-copy BIJECTIVE character rotation
+  (translate a→b→c… by i positions, i>0) — a bijection on characters
+  is a bijection on char-k shingles and on word tokens, so EVERY
+  within-copy similarity (shingle Jaccard, token overlap, text
+  length, n_chars) is exactly sf0.1's, while cross-copy shingle sets
+  are disjoint. (A first attempt suffixed _c<i> onto every word;
+  that injects a high-frequency shared substring into every doc of a
+  copy, inflating unrelated-pair shingle Jaccard past the LSH
+  prefilter and exploding the candidate set quadratically — the
+  measured sf1 minhash run went from ~linear to >200x. Bijective
+  renaming has no such artifact.) Embeddings are dimension-ROTATED
+  per copy (norms and within-copy inner products exact-preserved;
+  cross-copy cosines decorrelate). Within-copy duplicate/neighbor
+  structure is identical to sf0.1, so true answer sizes scale ~10x,
+  i.e. linearly.
+
+Caveat (documented, not hidden): character rotation changes stopword
+/ language-ID statistics for copies 1..9, so QUALITY-metric queries
+are not distribution-faithful at sf1; the scale-sensitive set this
+tier exists for (dedup/ANN/graph/bootstrap/CF) never reads those
+signals. Fixed dims (region, nation) are copied as-is, as TPC-H
+scaling does.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/testdata_sf1"
+COPIES = 10
+
+# (table, [key columns to offset per copy])
+KEYED = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# offsets must be CONSISTENT across tables (l_orderkey uses orders'
+# stride), so strides are computed once per key domain:
+KEY_DOMAIN = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.session import get_spark
+
+    spark = get_spark()
+    os.makedirs(DST, exist_ok=True)
+
+    strides: dict[tuple[str, str], int] = {}
+    for dom_table, dom_col in set(KEY_DOMAIN.values()):
+        mx = (
+            load_table(spark, SRC, dom_table)
+            .agg(F.max(dom_col)).collect()[0][0]
+        )
+        strides[(dom_table, dom_col)] = int(mx) + 1
+
+    t0 = time.time()
+    for table, keys in KEYED.items():
+        src = load_table(spark, SRC, table)
+        if not keys:  # fixed dims: copy once
+            out = src
+        else:
+            copied = src.withColumn(
+                "__copy", F.explode(F.array(*[F.lit(i) for i in range(COPIES)]))
+            )
+            for kcol in keys:
+                stride = strides[KEY_DOMAIN[kcol]]
+                copied = copied.withColumn(
+                    kcol,
+                    (F.col(kcol) + F.col("__copy") * F.lit(stride)).cast("long"),
+                )
+            if table == "documents":
+                # bijective char rotation per copy: a->(a+i) mod 26.
+                # Bijection on chars == bijection on shingles/tokens,
+                # so within-copy similarity structure is EXACTLY
+                # sf0.1's and cross-copy shingle sets are disjoint.
+                alpha = "abcdefghijklmnopqrstuvwxyz"
+                expr = F.col("text")
+                rotated = F.col("text")
+                for i in range(1, COPIES):
+                    rotated = F.when(
+                        F.col("__copy") == i,
+                        F.translate(expr, alpha, alpha[i:] + alpha[:i]),
+                    ).otherwise(rotated)
+                copied = copied.withColumn("text", rotated)
+            if table == "embeddings":
+                # rotate dims by __copy: preserves norms + within-copy
+                # inner products; cross-copy cosines decorrelate
+                d = len(src.select("embedding").first()[0])
+                copied = copied.withColumn(
+                    "embedding",
+                    F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(
+                        F.concat(
+                            F.slice(
+                                F.col("embedding"),
+                                F.col("__copy") + 1,
+                                F.lit(d) - F.col("__copy"),
+                            ),
+                            F.slice(F.col("embedding"), 1, F.col("__copy")),
+                        )
+                    ),
+                )
+            out = copied.select(*src.columns)
+        n_parts = max(4, COPIES * src.rdd.getNumPartitions()) if keys else 1
+        (
+            out.repartition(n_parts)
+            .write.mode("overwrite")
+            .parquet(f"{DST}/{table}.parquet")
+        )
+        n = spark.read.parquet(f"{DST}/{table}.parquet").count()
+        print(f"{table}: {n} rows")
+    print(f"done in {time.time() - t0:.1f}s -> {DST}")
+
+
+if __name__ == "__main__":
+    main()
