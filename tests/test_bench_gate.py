@@ -186,3 +186,46 @@ def test_flat_timings_skips_calm_and_retime_sections():
         "retimes": {"q_a": {"first": 0.5, "retimed": 0.4}},
     }
     assert b._flat_timings(raw) == {"q_a": 0.4}
+
+
+def test_control_smoothing_kills_single_run_noise():
+    """Round-9: one outlier control run must not survive the windowed
+    median — the q_gini case (0.066 adjacent control vs 0.11 run
+    median flagged an unchanged, raw-FASTER query at 1.7x calm)."""
+    b = _bench()
+    b._CONTROLS.clear()
+    b._CONTROLS.update({
+        "q_a": 0.11, "q_b": 0.10, "q_gini": 0.066, "q_d": 0.12, "q_e": 0.11,
+    })
+    b._smooth_controls(window=5)
+    assert b._CONTROLS["q_gini"] == 0.11  # median of the 5-window
+    # neighbors keep sane values too (windows clipped at the edges)
+    assert 0.10 <= b._CONTROLS["q_a"] <= 0.11
+    b._CONTROLS.clear()
+
+
+def test_calm_flag_requires_raw_movement():
+    """A calm ratio inflated purely by control-reference noise (raw
+    barely moved) must not flag; a genuine regression (raw and calm
+    both up) must."""
+    b = _bench()
+    import json, os, tempfile
+    prev = {
+        "queries": {"q_noise": 1.0, "q_real": 1.0},
+        "controls": {"c:q_noise": 0.12, "c:q_real": 0.10},
+    }
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "BENCH_r98.json")
+        with open(path, "w") as fh:
+            json.dump(prev, fh)
+        os.environ["SPARK_GRAFT_BENCH_BASELINE"] = path
+        b._CONTROLS.clear()
+        # q_noise: raw 1.05, control ref dropped 0.12->0.08 -> calm 1.6
+        # q_real: raw 1.5, control flat -> calm 1.5
+        b._CONTROLS.update({"q_noise": 0.08, "q_real": 0.10})
+        try:
+            name, regs = b._regressions({"q_noise": 1.05, "q_real": 1.5})
+        finally:
+            del os.environ["SPARK_GRAFT_BENCH_BASELINE"]
+            b._CONTROLS.clear()
+    assert [r["query"] for r in regs] == ["q_real"]
