@@ -11,6 +11,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -151,7 +152,12 @@ def main():
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver fixtures are single files; generated tiers (sf1) are
+        # Spark-written DIRECTORIES of part files — glob those
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = E.queries()
     oracles = E.oracle_sql()
