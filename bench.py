@@ -725,12 +725,17 @@ def main() -> None:
         }
         baseline_name, regressions = _regressions(all_timings)
     total = round(sum(timings.values()), 3)
+    try:
+        sf_label = float(
+            os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+        )
+    except ValueError:  # non-"sfX" dir names (e.g. the sf1 tier path)
+        sf_label = sf_dir
     # normalized headline total: Σ t_q / ctrl_q — the drift-cancelled
     # stability metric (two consecutive calm runs should agree ≤5%)
     normalized_total = round(
         sum(t / _CONTROLS[q] for q, t in timings.items() if _CONTROLS.get(q)), 3
     )
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
                 "metric": "headline_queries_total_time",
                 "value": total,
@@ -757,7 +762,7 @@ def main() -> None:
                 "passes": {"headline": PASSES, "sections": 2, "retime": PASSES},
                 "control_sec": control_sec,
                 "normalized_total": normalized_total,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf_label,
     })
     # full copy on disk: the driver keeps only the stdout TAIL in
     # BENCH_r{N}.json, which truncated away round 6's headline section;
