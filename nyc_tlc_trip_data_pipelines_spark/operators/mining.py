@@ -166,7 +166,9 @@ def collocations_pmi(
     vocab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") >= min_df
     )
-    pruned = dt.join(F.broadcast(vocab.select("tok")), "tok", "semi").persist()
+    # vocab is min_df-pruned but still vocabulary-sized: size-gate
+    # the hints (round-9) so a 100M-term vocab cannot force-OOM
+    pruned = dt.join(size_gated_broadcast(vocab.select("tok")), "tok", "semi").persist()
     a = pruned.alias("a")
     b = pruned.alias("b")
     pair_df = (
@@ -181,8 +183,8 @@ def collocations_pmi(
     va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
     vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
     return (
-        pair_df.join(F.broadcast(va), "tok_a")
-        .join(F.broadcast(vb), "tok_b")
+        pair_df.join(size_gated_broadcast(va), "tok_a")
+        .join(size_gated_broadcast(vb), "tok_b")
         .crossJoin(F.broadcast(nd))
         .select(
             "tok_a",

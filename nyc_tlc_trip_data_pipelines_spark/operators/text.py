@@ -22,6 +22,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .joins import size_gated_broadcast
+
 TOKEN_PATTERN = "\\s+"
 
 # Candidate-stage pruning (length filters, prefix lengths) must stay
@@ -947,7 +949,9 @@ def bm25_rank(
     )
     scored = (
         tf.join(dlen, id_col)
-        .join(F.broadcast(dfreq), "term")
+        # dfreq is VOCABULARY-sized: size-gate the hint (round-9 --
+        # same catalog-scale class as node degrees / item counts)
+        .join(size_gated_broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,
@@ -1519,7 +1523,9 @@ def retrieval_eval(
     )
     scored = (
         tf.join(dlen, id_col)
-        .join(F.broadcast(dfreq), "term")
+        # dfreq is VOCABULARY-sized: size-gate the hint (round-9 --
+        # same catalog-scale class as node degrees / item counts)
+        .join(size_gated_broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,
