@@ -6522,79 +6522,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_srm": q_abtest_srm,
         "q_abtest_did": q_abtest_did,
     }
-    # Round-9 prefix-50 rotation (the driver checks the FIRST 50 keys).
-    # No new registry ids this round (registry closed at 306 per the
-    # round-8 verdict); every slot is freshness: (a) the 15 ids whose
-    # ONLY driver row is round 1 (the r08 rotation's leftovers,
-    # scheduled there for r09); (b) 35 of the 48 ids whose latest row
-    # is round 3 — the verdict-named q_dedup_minhash / q_similarity_topk
-    # / q_join_anti, the 11 r03 TPC-H queries, and the rest in
-    # alphabetical order. The 13 r03 ids deferred to the round-10
-    # prefix (q_agg_conditional, q_agg_filter_clause, q_agg_stats,
-    # q_array_funcs, q_histogram, q_string_distance, q_subquery_scalar,
-    # q_text_bigrams, q_text_pack, q_unpivot, q_vector_centroid,
-    # q_vector_norms, q_window_distribution) are the simplest
-    # deterministic ops in the tier; tests/test_registry.py's
-    # freshness horizon (no id's latest evidence older than 6 rounds,
-    # prefix slots counting as current) makes that deferral
-    # self-enforcing — at round 10 those ids age out unless rotated in.
-    # The round-8 ADVICE fixes (chi2 full-outer cells, DID declared
-    # values, MMR unpersist, size-gated degree/count broadcasts) are
-    # all fixture-byte-identical (asserted by tests + local oracle
-    # runs of the six touched queries), so they spend no slots here.
+    # Round-10 prefix-50 rotation (the driver checks the FIRST 50 keys).
+    # No new registry ids (registry closed at 306 per the round-8
+    # verdict); every slot is freshness, per the DESIGN.md round-10
+    # rotation queue: (a) the 13 round-3 ids deferred from the r09
+    # prefix (age 7 at round 10 — past the 6-round horizon, so
+    # tests/test_registry.py::test_freshness_horizon turns red if any
+    # is missing here); (b) 37 of the 50 ids whose latest driver row
+    # is round 4 (age 6, at the boundary) — all 10 remaining r04
+    # TPC-H queries, the full streaming block (10), the env-sensitive
+    # multimodal decoders (3), the ANN/vector family (5), graph (2),
+    # and 7 versioned-IO/curation ids. The 13 r04 ids deferred to the
+    # round-11 prefix (q_anomaly_mad, q_cohort_retention,
+    # q_dq_validate, q_ohlc, q_pii_redact, q_quality_filter,
+    # q_repetition_profile, q_sample_weighted, q_sessionize,
+    # q_time_weighted_avg, q_unigram_logprob, q_vocab_build,
+    # q_window_time_range) are the simplest deterministic ops in the
+    # tier; the freshness-horizon test makes that deferral
+    # self-enforcing — at round 11 they age out unless rotated in.
     prefix = [
-        # ---- (a) refresh tier: round-1-only driver rows ----
-        "q_topk",
-        "q_window_rank",
-        "q_window_avg_two_grains",
-        "q_window_lag_lead",
-        "q_window_running_sum",
-        "q_text_wordcount",
-        "q_text_quality",
-        "q_text_token_count",
-        "q_string_funcs",
-        "q_set_ops",
-        "q_sink_append",
-        "q_sink_partitioned",
-        "q_udf_scalar",
-        "q_udaf_grouped",
-        "q_udtf_tokenize",
-        # ---- (b) refresh tier: round-3 driver rows ----
-        "q_dedup_minhash",
-        "q_similarity_topk",
-        "q_join_anti",
-        "q_sql_tpch_q3",
-        "q_sql_tpch_q4",
-        "q_sql_tpch_q5",
-        "q_sql_tpch_q6",
-        "q_sql_tpch_q7",
-        "q_sql_tpch_q8",
-        "q_sql_tpch_q9",
-        "q_sql_tpch_q10",
-        "q_sql_tpch_q12",
-        "q_sql_tpch_q14",
-        "q_sql_tpch_q18",
-        "q_agg_approx_distinct",
-        "q_agg_approx_percentile",
-        "q_agg_cube",
-        "q_agg_grouping_sets",
-        "q_agg_percentile",
-        "q_agg_pivot",
-        "q_dedup_keep_best",
-        "q_dedup_ngram_jaccard",
-        "q_funnel",
-        "q_grouped_map",
-        "q_incremental_agg",
-        "q_join_asof",
-        "q_lang_id",
-        "q_rollup_time",
-        "q_sample_stratified",
-        "q_similarity_pairwise",
-        "q_stream_static_join",
-        "q_text_tfidf",
-        "q_time_gapfill",
-        "q_upsert",
-        "q_window_tumbling_batch",
+        # ---- (a) must-rotate tier: round-3 ids at the horizon ----
+        "q_agg_conditional",
+        "q_agg_filter_clause",
+        "q_agg_stats",
+        "q_array_funcs",
+        "q_histogram",
+        "q_string_distance",
+        "q_subquery_scalar",
+        "q_text_bigrams",
+        "q_text_pack",
+        "q_unpivot",
+        "q_vector_centroid",
+        "q_vector_norms",
+        "q_window_distribution",
+        # ---- (b) refresh tier: round-4 driver rows ----
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q11",
+        "q_sql_tpch_q13",
+        "q_sql_tpch_q15",
+        "q_sql_tpch_q16",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q19",
+        "q_sql_tpch_q20",
+        "q_sql_tpch_q21",
+        "q_sql_tpch_q22",
+        "q_stream_tumbling",
+        "q_stream_sliding",
+        "q_stream_session",
+        "q_stream_watermark",
+        "q_stream_stateful",
+        "q_stream_stream_join",
+        "q_stream_dedup",
+        "q_stream_foreach_batch",
+        "q_stream_ohlc",
+        "q_stream_quarantine",
+        "q_multimodal_audio_decode",
+        "q_multimodal_image_decode",
+        "q_multimodal_resize_real",
+        "q_ann_ivf",
+        "q_ann_lsh",
+        "q_ann_recall",
+        "q_vector_quantize",
+        "q_dedup_embedding",
+        "q_graph_components",
+        "q_pagerank",
+        "q_cdc_apply",
+        "q_decontaminate",
+        "q_dedup_containment",
+        "q_dedup_pipeline",
+        "q_entity_resolve",
+        "q_skew_profile",
+        "q_zorder_layout",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}

@@ -456,7 +456,12 @@ def _flat_controls(prev: dict) -> tuple[dict[str, float], float | None]:
         if isinstance(v, (int, float)) and k.startswith("c:")
     }
     run_level = prev.get("control_sec")
-    if not per_q and not run_level and isinstance(prev.get("tail"), str):
+    # Round-9 ADVICE: reject a zero/invalid control EXPLICITLY, not by
+    # truthiness — a pathologically fast control that rounds to 0.0 is
+    # unusable as a normalization reference and must read as missing.
+    if not isinstance(run_level, (int, float)) or run_level <= 0:
+        run_level = None
+    if not per_q and run_level is None and isinstance(prev.get("tail"), str):
         per_q = {
             q: float(t)
             for q, t in re.findall(
@@ -464,8 +469,10 @@ def _flat_controls(prev: dict) -> tuple[dict[str, float], float | None]:
             )
         }
         m = re.search(r'"control_sec":\s*([0-9]+(?:\.[0-9]+)?)', prev["tail"])
-        run_level = float(m.group(1)) if m else None
-    return per_q, (float(run_level) if run_level else None)
+        if m and float(m.group(1)) > 0:
+            run_level = float(m.group(1))
+    per_q = {q: t for q, t in per_q.items() if t > 0}
+    return per_q, (float(run_level) if run_level is not None else None)
 
 
 def _flat_from_tail(prev: dict) -> dict[str, float]:
@@ -505,7 +512,7 @@ def _baseline() -> tuple[str | None, dict[str, float]]:
         per_q, run_level = _flat_controls(prev)
         for q in qset:
             c = per_q.get(q, run_level)
-            if c and q not in _BASELINE_CONTROLS:
+            if c is not None and c > 0 and q not in _BASELINE_CONTROLS:
                 _BASELINE_CONTROLS[q] = c
 
     override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
@@ -600,7 +607,10 @@ def _regressions(current: dict[str, float], threshold: float = 1.3):
             continue
         raw = now / p
         pc, nc = _BASELINE_CONTROLS.get(q), _CONTROLS.get(q)
-        calm = (now / nc) / (p / pc) if pc and nc else None
+        calm_ok = (
+            pc is not None and pc > 0 and nc is not None and nc > 0
+        )
+        calm = (now / nc) / (p / pc) if calm_ok else None
         # calm-basis flags also need raw > 1.1: residual control noise
         # (a ±10-20% reference error on a 0.1 s control) can push an
         # unchanged sub-0.5 s query's calm ratio past the threshold

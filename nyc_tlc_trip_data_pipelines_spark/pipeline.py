@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import re
 from dataclasses import dataclass, field
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,10 +107,20 @@ def ingest_bronze(
     Each parallel task therefore writes its OWN staging directory
     (``<bronze>.staging/<uuid>`` — a per-job committer root) and the
     part files are moved into bronze under a driver-side lock: all
-    Spark compute stays parallel, only O(#files) renames serialize —
-    the same stage-then-atomic-commit shape Delta/Iceberg use for
-    concurrent writers. Part filenames embed write UUIDs, so moves
-    can't collide.
+    Spark compute stays parallel, only O(#files) renames serialize.
+    Part filenames embed write UUIDs, so moves can't collide. The
+    per-file commit is a sequence of same-filesystem renames with
+    rollback — if a rename fails midway, the already-moved part files
+    are removed before the file is recorded as failed, so a retry
+    never double-ingests (best-effort: a crash *between* a rename and
+    its bookkeeping can still orphan one part file — a true atomic
+    multi-file commit needs a manifest/log, which ``append_versioned``
+    in io.py provides).
+
+    The staging commit uses local-filesystem ``os``/``shutil`` calls,
+    so the parallel path requires a local ``bronze_path``; with a
+    remote scheme (``hdfs://``, ``s3a://``, ...) it falls back to the
+    serial Spark-write path, which handles any Hadoop URI.
     """
     result = RunResult()
     files = prune_files_by_month(discover_files(source_dir), start_month, end_month)
@@ -121,6 +132,13 @@ def ingest_bronze(
         lo, hi = month_bounds(int(m.group(1)), int(m.group(2)), tolerance_hours)
         df = schema.apply_cast(read_parquet(spark, path))
         return filter_time_range(df, ts_col, lo, hi)
+
+    # The parallel commit path renames staged part files with local
+    # os/shutil calls — only valid for local paths. Remote URIs take
+    # the serial path (round-9 ADVICE: don't let every file "fail").
+    scheme = urlparse(bronze_path).scheme
+    if max_parallel_files > 1 and scheme not in ("", "file"):
+        max_parallel_files = 1
 
     if max_parallel_files <= 1:
         for path in files:
@@ -144,12 +162,22 @@ def ingest_bronze(
                 _frame(path).write.mode("overwrite").parquet(staging)
                 with commit_lock:
                     os.makedirs(bronze_path, exist_ok=True)
-                    for f in os.listdir(staging):
-                        if f.startswith("part-"):
-                            shutil.move(
-                                os.path.join(staging, f),
-                                os.path.join(bronze_path, f),
-                            )
+                    moved: list[str] = []
+                    try:
+                        for f in os.listdir(staging):
+                            if f.startswith("part-"):
+                                dst = os.path.join(bronze_path, f)
+                                shutil.move(os.path.join(staging, f), dst)
+                                moved.append(dst)
+                    except Exception:
+                        # Roll back the partial commit so a retry of this
+                        # file can't double-ingest the rows already moved.
+                        for dst in moved:
+                            try:
+                                os.remove(dst)
+                            except OSError:
+                                pass
+                        raise
                 return True
             except Exception:  # per-file isolation, as in the serial path
                 return False

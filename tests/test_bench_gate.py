@@ -229,3 +229,41 @@ def test_calm_flag_requires_raw_movement():
             del os.environ["SPARK_GRAFT_BENCH_BASELINE"]
             b._CONTROLS.clear()
     assert [r["query"] for r in regs] == ["q_real"]
+
+
+def test_zero_control_rejected_explicitly(tmp_path, monkeypatch):
+    """Round-9 ADVICE: a control_sec of 0 (or a c: entry of 0) is an
+    invalid reference, not a falsy one — _flat_controls must report it
+    as missing deliberately, and _regressions must fall back to the
+    raw-ratio basis instead of dividing by zero or silently degrading
+    via truthiness."""
+    b = _bench()
+    import json
+
+    # zero run-level control -> None; zero per-query entries dropped
+    per_q, run_level = b._flat_controls(
+        {"queries": {"q_a": 1.0}, "controls": {"c:q_a": 0.0}, "control_sec": 0}
+    )
+    assert run_level is None and per_q == {}
+    # zero control in the tail is likewise rejected
+    per_q, run_level = b._flat_controls(
+        {"parsed": None, "tail": '"control_sec": 0, "sf": 0.1}\n'}
+    )
+    assert run_level is None
+    # end-to-end: baseline with zero controls -> raw basis still flags
+    prev = {
+        "queries": {"q_real": 1.0},
+        "controls": {"c:q_real": 0.0},
+        "control_sec": 0.0,
+    }
+    path = tmp_path / "BENCH_r97.json"
+    path.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASELINE", str(path))
+    b._CONTROLS.clear()
+    b._CONTROLS.update({"q_real": 0.10})
+    try:
+        name, regs = b._regressions({"q_real": 1.5})
+    finally:
+        b._CONTROLS.clear()
+    assert [r["query"] for r in regs] == ["q_real"]
+    assert "ratio_calm" not in regs[0]  # raw basis, no bogus calm math

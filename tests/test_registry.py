@@ -56,35 +56,33 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-9 prefix is pure freshness rotation — it leads with the
-    15 ids whose only driver row was round 1, then the 35 scheduled
-    round-3 refreshes — has no duplicates, and every prefix id has a
-    DuckDB oracle (a prefix slot without an oracle wastes a driver
-    window on a rows-only check)."""
+    the round-10 prefix is pure freshness rotation — it leads with the
+    13 round-3 ids at the 6-round horizon (deferred from the r09
+    prefix), then 37 of the 50 round-4 ids — has no duplicates, and
+    every prefix id has a DuckDB oracle (a prefix slot without an
+    oracle wastes a driver window on a rows-only check)."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:15] == [
-        "q_topk",
-        "q_window_rank",
-        "q_window_avg_two_grains",
-        "q_window_lag_lead",
-        "q_window_running_sum",
-        "q_text_wordcount",
-        "q_text_quality",
-        "q_text_token_count",
-        "q_string_funcs",
-        "q_set_ops",
-        "q_sink_append",
-        "q_sink_partitioned",
-        "q_udf_scalar",
-        "q_udaf_grouped",
-        "q_udtf_tokenize",
+    assert prefix[:13] == [
+        "q_agg_conditional",
+        "q_agg_filter_clause",
+        "q_agg_stats",
+        "q_array_funcs",
+        "q_histogram",
+        "q_string_distance",
+        "q_subquery_scalar",
+        "q_text_bigrams",
+        "q_text_pack",
+        "q_unpivot",
+        "q_vector_centroid",
+        "q_vector_norms",
+        "q_window_distribution",
     ]
-    assert "q_dedup_minhash" in prefix and "q_similarity_topk" in prefix
-    assert "q_join_anti" in prefix
+    assert "q_sql_tpch_q21" in prefix and "q_stream_tumbling" in prefix
+    assert "q_pagerank" in prefix
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
     assert not missing, f"prefix ids without oracle: {missing}"
@@ -157,3 +155,30 @@ def test_freshness_horizon():
         f"ids whose latest evidence is more than {HORIZON} rounds old "
         f"and not scheduled in the current prefix: {stale}"
     )
+
+
+def test_sf1_rotation_is_class_preserving_bijection():
+    """Round-9 ADVICE: the sf1 generator's per-copy character rotation
+    must be a bijection over lowercase, UPPERCASE, and digits (not
+    just a-z), and must preserve character class — so cross-copy
+    token/shingle sets built from alphanumeric characters are disjoint
+    while within-copy similarity structure is untouched."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_sf1 import COPIES, rotation_alphabets
+
+    import string
+
+    for i in range(1, COPIES):
+        src, dst = rotation_alphabets(i)
+        assert len(src) == len(dst) == 62
+        assert sorted(src) == sorted(dst)  # bijection on the alphabet
+        table = str.maketrans(src, dst)
+        for cls in (string.ascii_lowercase, string.ascii_uppercase,
+                    string.digits):
+            mapped = cls.translate(table)
+            assert sorted(mapped) == sorted(cls)  # class-preserving
+            assert mapped != cls  # actually rotated (i>0)
+        # distinct copies produce distinct rotations of any word
+        assert "Order66".translate(table) != "Order66"

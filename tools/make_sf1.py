@@ -85,6 +85,29 @@ KEY_DOMAIN = {
 }
 
 
+def rotation_alphabets(i: int) -> tuple[str, str]:
+    """Per-copy class-preserving bijective rotation alphabets for
+    ``F.translate``: a→(a+i) mod 26, A→(A+i) mod 26, 0→(0+i) mod 10.
+    Rotating WITHIN each character class keeps letters letters and
+    digits digits (token/shingle boundaries unchanged) while staying a
+    bijection on characters — hence on char-k shingles and word
+    tokens. Round-9 ADVICE: the first version rotated only a-z, so
+    uppercase/digit-bearing tokens were shared verbatim across copies;
+    punctuation-only tokens remain shared (no rotation class), a
+    vocabulary-bounded residual irrelevant to the word/char-shingle
+    features the dedup family measures."""
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    digits = "0123456789"
+    src = lower + upper + digits
+    dst = (
+        lower[i % 26:] + lower[: i % 26]
+        + upper[i % 26:] + upper[: i % 26]
+        + digits[i % 10:] + digits[: i % 10]
+    )
+    return src, dst
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -118,17 +141,15 @@ def main() -> None:
                     (F.col(kcol) + F.col("__copy") * F.lit(stride)).cast("long"),
                 )
             if table == "documents":
-                # bijective char rotation per copy: a->(a+i) mod 26.
-                # Bijection on chars == bijection on shingles/tokens,
-                # so within-copy similarity structure is EXACTLY
-                # sf0.1's and cross-copy shingle sets are disjoint.
-                alpha = "abcdefghijklmnopqrstuvwxyz"
+                # class-preserving bijective char rotation per copy —
+                # see rotation_alphabets() for the invariants.
                 expr = F.col("text")
                 rotated = F.col("text")
                 for i in range(1, COPIES):
+                    src_alpha, dst_alpha = rotation_alphabets(i)
                     rotated = F.when(
                         F.col("__copy") == i,
-                        F.translate(expr, alpha, alpha[i:] + alpha[:i]),
+                        F.translate(expr, src_alpha, dst_alpha),
                     ).otherwise(rotated)
                 copied = copied.withColumn("text", rotated)
             if table == "embeddings":
