@@ -10,8 +10,15 @@ analytics results land as headered CSV (``pasta2_analytics/src/main.py:26,51``).
 Here the same capabilities are re-expressed storage-agnostically over
 plain Parquet (delta-spark is absent in this environment — SURVEY.md §7.3
 "Delta gap"): append + partitioned layout semantics are preserved, ACID
-log semantics are out of scope. All paths work identically for local
-paths and ``s3a://`` URIs (Spark's Hadoop FS layer handles both).
+log semantics are out of scope. The plain read/write surface
+(read_*/write_*/append_table/append_idempotent) works identically for
+local paths and ``s3a://`` URIs (Spark's Hadoop FS layer handles both);
+the VERSIONED family (append_versioned, delete_where, merge_versioned,
+read_version, table_changes, vacuum_versioned, compact_dir) keeps its
+JSON manifests with local ``os`` calls and is therefore a
+LOCAL-filesystem Delta analog — it raises loudly on a remote scheme
+(``_ensure_local``); a real deployment points the same call sites at
+delta-spark (deltastore.py, import-guarded).
 
 100 TB notes:
 - Partitioned writes give dynamic partition pruning on read — a query
@@ -179,6 +186,22 @@ def append_idempotent(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _ensure_local(path: str, op: str) -> None:
+    """The versioned parquet+manifest family keeps its JSON manifests
+    with local ``os`` calls — fail LOUDLY on a remote URI instead of
+    half-working (the round-9 pipeline ADVICE class of bug). Real
+    deployments use delta-spark (deltastore.py) for remote tables."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{op} is a LOCAL-filesystem Delta analog (JSON manifests via "
+            f"os calls) and cannot operate on {scheme}:// paths; use the "
+            "delta-spark backend (deltastore.py) for remote tables"
+        )
+
+
 _REWRITE_SUFFIX_RE = re.compile(r"(\.[dm]\d+)+$")
 
 
@@ -263,6 +286,7 @@ def append_versioned(
     change; manifest content and reader semantics are unchanged. See
     DESIGN.md "Versioned-commit S3 boundary".
     """
+    _ensure_local(path, "append_versioned")
     import re
     import uuid
 
@@ -317,6 +341,7 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
     Returns the new version number (or the current one if nothing
     matched — a no-op delete mints no version, like Delta).
     """
+    _ensure_local(path, "delete_where")
     versions = list_versions(path)
     if not versions:
         raise ValueError(f"no versions committed under {path}")
@@ -418,6 +443,7 @@ def merge_versioned(
     partition directory would corrupt the older versions that still
     reference it.
     """
+    _ensure_local(path, "merge_versioned")
     import re
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
@@ -457,6 +483,7 @@ def merge_versioned(
 
 def list_versions(path: str) -> list[tuple[int, list[str]]]:
     """All committed versions of a versioned-append table, ascending."""
+    _ensure_local(path, "list_versions")
     mdir = os.path.join(path, "_manifests")
     if not os.path.isdir(mdir):
         return []
@@ -537,6 +564,7 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     directories gone) — schedule beyond the longest reader runtime.
     The latest version is always retained (``retain_last`` floors at 1).
     """
+    _ensure_local(path, "vacuum_versioned")
     import shutil
 
     retain_last = max(1, retain_last)
@@ -576,6 +604,7 @@ def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[i
     row-count heuristics drift with encoding; target ~128 MB keeps
     scan tasks near one HDFS block / S3 range request each.
     """
+    _ensure_local(path, "compact_dir")
     import math
     import shutil
     import uuid

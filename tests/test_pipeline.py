@@ -555,3 +555,19 @@ def test_parallel_ingest_commit_rolls_back_partial_moves(
             serial,
         )
     assert got == spark.read.parquet(serial).count()
+
+
+def test_versioned_family_rejects_remote_schemes():
+    """The versioned parquet+manifest family keeps manifests via local
+    os calls; a remote URI must raise the documented loud error, not
+    half-work (same class as the round-9 parallel-ingest ADVICE)."""
+    import pytest as _pytest
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    for fn, args in [
+        (IO.list_versions, ("s3a://bucket/tbl",)),
+        (IO.vacuum_versioned, ("hdfs://nn/tbl",)),
+    ]:
+        with _pytest.raises(ValueError, match="LOCAL-filesystem"):
+            fn(*args)
