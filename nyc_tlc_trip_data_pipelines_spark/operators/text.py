@@ -238,7 +238,7 @@ def bpe_encode_token_counts(
         "__n_bpe", F.size(F.split(bpe_apply_merges(F.col("__w"), merges), F.lit(" ")))
     )
     return (
-        words.join(F.broadcast(enc), "__w")
+        words.join(size_gated_broadcast(enc), "__w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -591,7 +591,7 @@ def minhash_verified_pairs(
     cand_ids = cand.select(F.col("id_a").alias(id_col)).union(
         cand.select(F.col("id_b").alias(id_col))
     ).distinct()
-    docs_c = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    docs_c = df.join(size_gated_broadcast(cand_ids), id_col, "left_semi")
     # persisted: referenced once per pair side — without it the shingle
     # set build runs twice over the candidate docs, which dominates the
     # verify stage on template-heavy corpora where the candidate set is
@@ -836,9 +836,13 @@ def jaccard_ngram_pairs(
       posting list never goes quadratic. Exact — no recall loss.
 
     Verification never materializes shingle arrays: candidate pairs are
-    re-attached to the full posting lists (broadcast pair-attach, equi-
-    join on (id, shingle)) and the exact intersection size falls out of
-    a count, so the shuffle stays fixed-width end to end.
+    re-attached to the full posting lists (size-gated broadcast pair-
+    attach, equi-join on (id, shingle)) and the exact intersection size
+    falls out of a count, so the shuffle stays fixed-width end to end.
+    The candidate table is ANSWER-sized (grows with near-dup density),
+    so its broadcast hint is gated like the entity-count tables — on a
+    template-heavy 100 TB corpus AQE picks the strategy from real
+    sizes instead of a forced driver-side collect.
     """
     from pyspark.sql import Window
 
@@ -890,7 +894,7 @@ def jaccard_ngram_pairs(
     pa = posts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle")
     pb = posts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
     common = (
-        F.broadcast(cand)
+        size_gated_broadcast(cand)
         .join(pa, "id_a")
         .join(pb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b", "na", "nb")
@@ -1171,7 +1175,7 @@ def probe_band_index(
         .union(cand.select(F.col("idx_id").alias(id_col)))
         .distinct()
     )
-    docs_c = corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+    docs_c = corpus.join(size_gated_broadcast(cand_ids), id_col, "left_semi")
     shset = docs_c.select(
         F.col(id_col),
         F.array_distinct(
