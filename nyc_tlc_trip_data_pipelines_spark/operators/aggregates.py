@@ -20,6 +20,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .joins import size_gated_broadcast
+
 
 def group_agg(
     df: DataFrame,
@@ -801,7 +803,8 @@ def poisson_bootstrap_ci(
 
     win = _W.partitionBy(*keys).orderBy("__mb", "b")
     ranked = means.withColumn("__rn", F.row_number().over(win)).join(
-        F.broadcast(pe), list(keys)
+        # per-key point-estimate table: GROUP-KEY-cardinality-sized
+        size_gated_broadcast(pe), list(keys)
     )
     d = F.col("__mb") - F.col("__pe_micro")
     out = ranked.groupBy(*keys).agg(
@@ -879,7 +882,7 @@ def equidepth_histogram(
     w = _W.partitionBy(*keys).orderBy("v")
     cum = (
         counts.withColumn("cum", F.sum("c").over(w).cast("long"))
-        .join(F.broadcast(tot), list(keys))
+        .join(size_gated_broadcast(tot), list(keys))
     )
     bin_col = F.least(
         F.lit(int(n_bins)).cast("long"),
@@ -958,7 +961,7 @@ def weighted_percentile(
     tot = cells.groupBy(*keys).agg(F.sum("w").cast("long").alias("tw"))
     run = _W.partitionBy(*keys).orderBy("v")
     cum = cells.withColumn("cum", F.sum("w").over(run).cast("long")).join(
-        F.broadcast(tot), list(keys)
+        size_gated_broadcast(tot), list(keys)
     )
     out = tot.select(
         *keys, F.round(F.col("tw") / 1e6, 6).alias("total_weight")

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .joins import size_gated_broadcast
+
 
 def sessionize(
     df: DataFrame,
@@ -131,10 +133,12 @@ def gapfill(
     """Left-join aggregated facts onto a dense spine, zero-filling gaps.
 
     ``facts`` must already be aggregated to one row per bucket, so both
-    sides are spine-sized (one row per time bucket) — broadcast the
-    facts side to keep the join shuffle-free.
+    sides are spine-sized (one row per time bucket) — hint the facts
+    side for a shuffle-free join when Catalyst can prove it small
+    (size-gated: a decade-long 1-second spine is bucket-grain-sized,
+    not model-sized; AQE decides from real sizes above the gate).
     """
-    out = spine.join(F.broadcast(facts), on=bucket_col, how="left")
+    out = spine.join(size_gated_broadcast(facts), on=bucket_col, how="left")
     for c in fill_zero_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
@@ -464,7 +468,7 @@ def rolling_distinct_count(
     de = df.select(day.alias("day"), F.col(entity_col).alias("entity")).distinct()
     spine = de.select(F.col("day").alias("target_day")).distinct()
     joined = de.join(
-        F.broadcast(spine),
+        size_gated_broadcast(spine),
         on=(F.datediff(F.col("target_day"), F.col("day")) >= 0)
         & (F.datediff(F.col("target_day"), F.col("day")) < window_days),
     )
