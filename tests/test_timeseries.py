@@ -95,13 +95,21 @@ def test_time_spine_and_gapfill(spark):
 
 
 def test_gapfill_plan_is_broadcast(spark):
+    """The facts side is size-gated (round-10): an in-memory relation
+    carries UNKNOWN Catalyst stats, so the static plan may be SMJ —
+    the contract is that AQE promotes the join to broadcast at
+    runtime from real sizes. Execute, then assert the FINAL adaptive
+    plan used a broadcast join."""
     spine = TS.time_spine(
         spark, "2024-01-01 00:00:00", "2024-01-01 03:00:00", "1 hour", "bucket_ts"
     )
     facts = spark.createDataFrame(
         [(_ts("2024-01-01 01:00:00"), 7)], "bucket_ts timestamp, n long"
     )
-    plan = TS.gapfill(spine, facts, "bucket_ts", ["n"])._jdf.queryExecution().executedPlan().toString()
+    out = TS.gapfill(spine, facts, "bucket_ts", ["n"])
+    out.collect()  # materialize so AQE finalizes the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
