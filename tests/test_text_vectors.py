@@ -88,6 +88,25 @@ def test_connected_components_chain(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Round-10: pointer jumping makes the round count logarithmic in
+    the component diameter. A 60-node path needs ~59 rounds under
+    plain min-label propagation; with path halving it must converge
+    within 8 (min-label halves the unresolved chain every round once
+    jumps compound: ceil(log2(60)) + slack)."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges, max_iterations=8).collect()
+    }
+    assert set(comp.values()) == {0}  # one component, fully converged
+    assert len(comp) == 61
+
+
 def test_near_duplicate_groups_transitive(spark):
     # measured est_jaccard: a~b 0.75, b~c 0.78, a~c 0.656 — threshold 0.7
     # gives the chain a-b-c with no direct a-c edge
