@@ -69,11 +69,18 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
-        prop = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
+        # Checkpointed: the jump self-join references `prop` twice, and
+        # without materialization Catalyst would execute the |edges|
+        # neighbor-min join once PER reference.
+        prop = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
         )
         # Pointer jumping (path halving): follow the label's OWN label —
         # component values are always node ids present in `labels`, so a
