@@ -186,19 +186,32 @@ def append_idempotent(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def is_local_path(path: str) -> bool:
+    """True when ``path`` addresses the local filesystem. A path is
+    remote only when it carries an explicit ``scheme://`` (hdfs://,
+    s3a://, ...; ``file://`` counts as local) — a bare ``urlparse``
+    scheme check would misclassify a relative LOCAL path whose first
+    segment contains a colon (``runs:2024/table``), which os calls
+    handle fine. Shared by the versioned-IO guard and the parallel
+    ingest fallback so the classification can never diverge."""
+    if "://" not in path:
+        return True
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme in ("", "file")
+
+
 def _ensure_local(path: str, op: str) -> None:
     """The versioned parquet+manifest family keeps its JSON manifests
     with local ``os`` calls — fail LOUDLY on a remote URI instead of
     half-working (the round-9 pipeline ADVICE class of bug). Real
     deployments use delta-spark (deltastore.py) for remote tables."""
-    from urllib.parse import urlparse
-
-    scheme = urlparse(path).scheme
-    if scheme not in ("", "file"):
+    if not is_local_path(path):
         raise ValueError(
             f"{op} is a LOCAL-filesystem Delta analog (JSON manifests via "
-            f"os calls) and cannot operate on {scheme}:// paths; use the "
-            "delta-spark backend (deltastore.py) for remote tables"
+            f"os calls) and cannot operate on remote-scheme paths "
+            f"({path!r}); use the delta-spark backend (deltastore.py) "
+            "for remote tables"
         )
 
 

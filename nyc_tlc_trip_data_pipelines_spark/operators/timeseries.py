@@ -467,8 +467,15 @@ def rolling_distinct_count(
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     de = df.select(day.alias("day"), F.col(entity_col).alias("entity")).distinct()
     spine = de.select(F.col("day").alias("target_day")).distinct()
+    # UNCONDITIONAL broadcast, deliberately not size-gated (review
+    # finding): the spine is calendar-bounded (one row per distinct
+    # day — thousands of rows for decades of data), so the hint can
+    # never OOM; and because this is a datediff THETA-join with no
+    # equi keys, dropping the hint on an unknown-stats input would
+    # leave the static planner a CartesianProduct, not an SMJ that
+    # AQE can later promote.
     joined = de.join(
-        size_gated_broadcast(spine),
+        F.broadcast(spine),
         on=(F.datediff(F.col("target_day"), F.col("day")) >= 0)
         & (F.datediff(F.col("target_day"), F.col("day")) < window_days),
     )

@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 import re
 from dataclasses import dataclass, field
-from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +34,7 @@ from pyspark.sql import functions as F
 from nyc_tlc_trip_data_pipelines_spark.io import (
     append_table,
     discover_files,
+    is_local_path,
     prune_files_by_month,
     read_parquet,
     write_csv,
@@ -113,9 +113,10 @@ def ingest_bronze(
     rollback — if a rename fails midway, the already-moved part files
     are removed before the file is recorded as failed, so a retry
     never double-ingests (best-effort: a crash *between* a rename and
-    its bookkeeping can still orphan one part file — a true atomic
-    multi-file commit needs a manifest/log, which ``append_versioned``
-    in io.py provides).
+    its bookkeeping, or a rollback removal that itself fails — loudly
+    warned with the orphaned paths — can still leave part files
+    behind; a true atomic multi-file commit needs a manifest/log,
+    which ``append_versioned`` in io.py provides).
 
     The staging commit uses local-filesystem ``os``/``shutil`` calls,
     so the parallel path requires a local ``bronze_path``; with a
@@ -136,8 +137,7 @@ def ingest_bronze(
     # The parallel commit path renames staged part files with local
     # os/shutil calls — only valid for local paths. Remote URIs take
     # the serial path (round-9 ADVICE: don't let every file "fail").
-    scheme = urlparse(bronze_path).scheme
-    if max_parallel_files > 1 and scheme not in ("", "file"):
+    if max_parallel_files > 1 and not is_local_path(bronze_path):
         max_parallel_files = 1
 
     if max_parallel_files <= 1:
@@ -172,11 +172,27 @@ def ingest_bronze(
                     except Exception:
                         # Roll back the partial commit so a retry of this
                         # file can't double-ingest the rows already moved.
+                        # A removal that ITSELF fails must not be silent —
+                        # the surviving part file would double-ingest on
+                        # retry — so orphans are loudly warned (review
+                        # finding: a swallowed rollback error contradicts
+                        # the no-double-ingest guarantee).
+                        orphans = []
                         for dst in moved:
                             try:
                                 os.remove(dst)
                             except OSError:
-                                pass
+                                orphans.append(dst)
+                        if orphans:
+                            import warnings
+
+                            warnings.warn(
+                                "ingest_bronze: rollback could not remove "
+                                f"{orphans} after a failed commit of {path}; "
+                                "remove them before retrying or the retry "
+                                "will double-ingest those rows",
+                                stacklevel=2,
+                            )
                         raise
                 return True
             except Exception:  # per-file isolation, as in the serial path

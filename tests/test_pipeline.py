@@ -571,3 +571,17 @@ def test_versioned_family_rejects_remote_schemes():
     ]:
         with _pytest.raises(ValueError, match="LOCAL-filesystem"):
             fn(*args)
+
+
+def test_is_local_path_colon_segments():
+    """Review finding: a relative LOCAL path whose first segment
+    contains a colon (runs:2024/table) must not be misclassified as a
+    remote scheme — only explicit scheme:// URIs are remote."""
+    from nyc_tlc_trip_data_pipelines_spark.io import is_local_path
+
+    assert is_local_path("runs:2024/table")
+    assert is_local_path("/abs/plain")
+    assert is_local_path("rel/plain")
+    assert is_local_path("file:///tmp/t")
+    assert not is_local_path("hdfs://nn/t")
+    assert not is_local_path("s3a://bucket/t")
