@@ -371,6 +371,11 @@ def label_propagation(
         .localCheckpoint()
     )
     for r in range(1, rounds + 1):
+        # Checkpointed: `votes` is referenced twice (by `best` and by
+        # the adoption join) — without materialization Catalyst
+        # executes the |edges| vote join + aggregate once PER
+        # reference each round (the same duplicate-subtree cost the
+        # round-10 connected-components review caught).
         votes = (
             sym.join(labels.select(F.col("node").alias("u"), "label"), "u")
             .join(
@@ -378,6 +383,7 @@ def label_propagation(
             )
             .groupBy(F.col("v").alias("cand"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
         )
         best = votes.groupBy("cand").agg(F.max("c").alias("mc")).select(
             F.col("cand").alias("cand_b"), "mc"
@@ -434,7 +440,11 @@ def k_core(
     alive = sym
     for _ in range(rounds):
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("u")
+        # Checkpointed: `keep` feeds BOTH semi-joins — without
+        # materialization the degree aggregate executes once per
+        # reference each round (same duplicate-subtree class as the
+        # labelprop votes / components prop fixes this round).
+        keep = deg.filter(F.col("deg") >= k).select("u").localCheckpoint()
         alive = (
             alive.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
