@@ -6522,77 +6522,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_srm": q_abtest_srm,
         "q_abtest_did": q_abtest_did,
     }
-    # Round-10 prefix-50 rotation (the driver checks the FIRST 50 keys).
+    # Round-11 prefix-50 rotation (the driver checks the FIRST 50 keys).
     # No new registry ids (registry closed at 306 per the round-8
-    # verdict); every slot is freshness, per the DESIGN.md round-10
-    # rotation queue: (a) the 13 round-3 ids deferred from the r09
-    # prefix (age 7 at round 10 — past the 6-round horizon, so
+    # verdict); every slot is freshness, per the DESIGN.md round-11
+    # rotation queue: (a) the 13 round-4 ids deferred from the r10
+    # prefix (age 7 at round 11 — past the 6-round horizon, so
     # tests/test_registry.py::test_freshness_horizon turns red if any
-    # is missing here); (b) 37 of the 50 ids whose latest driver row
-    # is round 4 (age 6, at the boundary) — all 10 remaining r04
-    # TPC-H queries, the full streaming block (10), the env-sensitive
-    # multimodal decoders (3), the ANN/vector family (5), graph (2),
-    # and 7 versioned-IO/curation ids. The 13 r04 ids deferred to the
-    # round-11 prefix (q_anomaly_mad, q_cohort_retention,
-    # q_dq_validate, q_ohlc, q_pii_redact, q_quality_filter,
-    # q_repetition_profile, q_sample_weighted, q_sessionize,
-    # q_time_weighted_avg, q_unigram_logprob, q_vocab_build,
-    # q_window_time_range) are the simplest deterministic ops in the
+    # is missing here); (b) 37 of the 48 ids whose latest driver row
+    # is round 5 (age 6, at the boundary) — versioned-IO/table-maintenance
+    # (compact, delete_where, merge_versioned, scd2_merge,
+    # schema_evolution, table_changes, time_travel, vacuum,
+    # zonemap_prune, file_provenance), ingest/sources (csv_corrupt
+    # isolation, custom_datasource, source_discovery, source_jsonl,
+    # stream_cdc_apply), graph (bfs, triangles), joins (bucketed,
+    # full_outer, salted), text/corpus (bm25, bpe_encode, bpe_pairs,
+    # doc_chunk, dedup_simhash, lm_perplexity, text_fingerprint),
+    # vectors/ML (ann_index_probe, kmeans, stable_split, sample_es),
+    # multimodal (framesample, resize, video_decode), and data-quality
+    # (dq_observe, dq_profile, recursive_cte). The 11 r05 ids deferred
+    # to the round-12 prefix (q_date_extract2, q_geo_binning,
+    # q_json_flatten, q_sample_per_group, q_set_ops_all, q_sink_json,
+    # q_sink_orc, q_string_funcs2, q_text_normalize, q_variant_json,
+    # q_window_first_last) are the simplest deterministic ops in the
     # tier; the freshness-horizon test makes that deferral
-    # self-enforcing — at round 11 they age out unless rotated in.
+    # self-enforcing — at round 12 they age out unless rotated in.
     prefix = [
-        # ---- (a) must-rotate tier: round-3 ids at the horizon ----
-        "q_agg_conditional",
-        "q_agg_filter_clause",
-        "q_agg_stats",
-        "q_array_funcs",
-        "q_histogram",
-        "q_string_distance",
-        "q_subquery_scalar",
-        "q_text_bigrams",
-        "q_text_pack",
-        "q_unpivot",
-        "q_vector_centroid",
-        "q_vector_norms",
-        "q_window_distribution",
-        # ---- (b) refresh tier: round-4 driver rows ----
-        "q_sql_tpch_q2",
-        "q_sql_tpch_q11",
-        "q_sql_tpch_q13",
-        "q_sql_tpch_q15",
-        "q_sql_tpch_q16",
-        "q_sql_tpch_q17",
-        "q_sql_tpch_q19",
-        "q_sql_tpch_q20",
-        "q_sql_tpch_q21",
-        "q_sql_tpch_q22",
-        "q_stream_tumbling",
-        "q_stream_sliding",
-        "q_stream_session",
-        "q_stream_watermark",
-        "q_stream_stateful",
-        "q_stream_stream_join",
-        "q_stream_dedup",
-        "q_stream_foreach_batch",
-        "q_stream_ohlc",
-        "q_stream_quarantine",
-        "q_multimodal_audio_decode",
-        "q_multimodal_image_decode",
-        "q_multimodal_resize_real",
-        "q_ann_ivf",
-        "q_ann_lsh",
-        "q_ann_recall",
-        "q_vector_quantize",
-        "q_dedup_embedding",
-        "q_graph_components",
-        "q_pagerank",
-        "q_cdc_apply",
-        "q_decontaminate",
-        "q_dedup_containment",
-        "q_dedup_pipeline",
-        "q_entity_resolve",
-        "q_skew_profile",
-        "q_zorder_layout",
+        # ---- (a) must-rotate tier: round-4 ids at the horizon ----
+        "q_anomaly_mad",
+        "q_cohort_retention",
+        "q_dq_validate",
+        "q_ohlc",
+        "q_pii_redact",
+        "q_quality_filter",
+        "q_repetition_profile",
+        "q_sample_weighted",
+        "q_sessionize",
+        "q_time_weighted_avg",
+        "q_unigram_logprob",
+        "q_vocab_build",
+        "q_window_time_range",
+        # ---- (b) refresh tier: round-5 driver rows ----
+        "q_ann_index_probe",
+        "q_bm25_rank",
+        "q_bpe_encode",
+        "q_bpe_pairs",
+        "q_compact",
+        "q_csv_corrupt_isolation",
+        "q_custom_datasource",
+        "q_dedup_simhash",
+        "q_delete_where",
+        "q_doc_chunk",
+        "q_dq_observe",
+        "q_dq_profile",
+        "q_file_provenance",
+        "q_graph_bfs",
+        "q_graph_triangles",
+        "q_join_bucketed",
+        "q_join_full_outer",
+        "q_join_salted",
+        "q_kmeans",
+        "q_lm_perplexity",
+        "q_merge_versioned",
+        "q_multimodal_framesample",
+        "q_multimodal_resize",
+        "q_multimodal_video_decode",
+        "q_recursive_cte",
+        "q_sample_es",
+        "q_scd2_merge",
+        "q_schema_evolution",
+        "q_source_discovery",
+        "q_source_jsonl",
+        "q_stable_split",
+        "q_stream_cdc_apply",
+        "q_table_changes",
+        "q_text_fingerprint",
+        "q_time_travel",
+        "q_vacuum",
+        "q_zonemap_prune",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}

@@ -201,11 +201,49 @@ def is_local_path(path: str) -> bool:
     return urlparse(path).scheme in ("", "file")
 
 
-def _ensure_local(path: str, op: str) -> None:
+_FILE_URI_RE = re.compile(r"^file:(?://(?P<netloc>[^/]*))?(?P<path>/.*)$", re.IGNORECASE)
+
+
+def to_local_os_path(path: str) -> str:
+    """Normalize an explicit ``file:`` URI to the plain OS path the
+    ``os``/``shutil`` layer needs — both the RFC-8089 triple-slash form
+    (``file:///tmp/t``) and the single-slash Hadoop form
+    (``file:/tmp/t``, no ``://`` at all). Anything else passes through
+    unchanged.
+
+    Round-10 ADVICE: :func:`is_local_path` classifies ``file://`` URIs
+    as local (correct), but the consumers it gates ran raw os calls on
+    the UNSTRIPPED URI — ``os.path.join('file:///tmp/t', '_manifests')``
+    is a bogus relative path, so manifests landed under cwd while Spark
+    wrote parquet to the real location (the exact half-working class
+    ``_ensure_local`` exists to prevent). Every ``is_local_path``-gated
+    os/shutil consumer must route through this helper first.
+
+    A ``file://host/p`` URI with a real (non-``localhost``) authority
+    is NOT this machine's filesystem — raise instead of silently
+    reading the wrong host's path."""
+    m = _FILE_URI_RE.match(path)
+    if not m:
+        return path
+    netloc = m.group("netloc") or ""
+    if netloc not in ("", "localhost"):
+        raise ValueError(
+            f"file: URI with non-local authority {netloc!r} cannot be "
+            f"accessed via local os calls: {path!r}"
+        )
+    return m.group("path")
+
+
+def _ensure_local(path: str, op: str) -> str:
     """The versioned parquet+manifest family keeps its JSON manifests
     with local ``os`` calls — fail LOUDLY on a remote URI instead of
     half-working (the round-9 pipeline ADVICE class of bug). Real
-    deployments use delta-spark (deltastore.py) for remote tables."""
+    deployments use delta-spark (deltastore.py) for remote tables.
+
+    Returns the path normalized for os-level access (``file:`` URIs
+    stripped to plain OS paths via :func:`to_local_os_path`) — callers
+    MUST use the returned value for both os and Spark calls so the two
+    layers can never address different locations."""
     if not is_local_path(path):
         raise ValueError(
             f"{op} is a LOCAL-filesystem Delta analog (JSON manifests via "
@@ -213,6 +251,7 @@ def _ensure_local(path: str, op: str) -> None:
             f"({path!r}); use the delta-spark backend (deltastore.py) "
             "for remote tables"
         )
+    return to_local_os_path(path)
 
 
 _REWRITE_SUFFIX_RE = re.compile(r"(\.[dm]\d+)+$")
@@ -299,7 +338,7 @@ def append_versioned(
     change; manifest content and reader semantics are unchanged. See
     DESIGN.md "Versioned-commit S3 boundary".
     """
-    _ensure_local(path, "append_versioned")
+    path = _ensure_local(path, "append_versioned")
     import re
     import uuid
 
@@ -354,7 +393,7 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
     Returns the new version number (or the current one if nothing
     matched — a no-op delete mints no version, like Delta).
     """
-    _ensure_local(path, "delete_where")
+    path = _ensure_local(path, "delete_where")
     versions = list_versions(path)
     if not versions:
         raise ValueError(f"no versions committed under {path}")
@@ -456,7 +495,7 @@ def merge_versioned(
     partition directory would corrupt the older versions that still
     reference it.
     """
-    _ensure_local(path, "merge_versioned")
+    path = _ensure_local(path, "merge_versioned")
     import re
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
@@ -496,7 +535,7 @@ def merge_versioned(
 
 def list_versions(path: str) -> list[tuple[int, list[str]]]:
     """All committed versions of a versioned-append table, ascending."""
-    _ensure_local(path, "list_versions")
+    path = _ensure_local(path, "list_versions")
     mdir = os.path.join(path, "_manifests")
     if not os.path.isdir(mdir):
         return []
@@ -522,6 +561,7 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     :func:`read_parquet_merged`'s docstring warns about). At 100 TB
     scale cache the merged schema in a catalog rather than re-merging
     footers per read."""
+    path = _ensure_local(path, "read_version")
     versions = dict(list_versions(path))
     if not versions:
         raise ValueError(f"no versions committed under {path}")
@@ -577,7 +617,7 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     directories gone) — schedule beyond the longest reader runtime.
     The latest version is always retained (``retain_last`` floors at 1).
     """
-    _ensure_local(path, "vacuum_versioned")
+    path = _ensure_local(path, "vacuum_versioned")
     import shutil
 
     retain_last = max(1, retain_last)
@@ -617,7 +657,7 @@ def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[i
     row-count heuristics drift with encoding; target ~128 MB keeps
     scan tasks near one HDFS block / S3 range request each.
     """
-    _ensure_local(path, "compact_dir")
+    path = _ensure_local(path, "compact_dir")
     import math
     import shutil
     import uuid

@@ -585,3 +585,163 @@ def test_is_local_path_colon_segments():
     assert is_local_path("file:///tmp/t")
     assert not is_local_path("hdfs://nn/t")
     assert not is_local_path("s3a://bucket/t")
+
+
+def test_to_local_os_path_strips_file_uris():
+    """Round-10 ADVICE: is_local_path classifies file:// URIs as local
+    (correct), but os/shutil consumers need the plain OS path — both
+    the RFC-8089 triple-slash and the single-slash Hadoop forms."""
+    import pytest as _pytest
+
+    from nyc_tlc_trip_data_pipelines_spark.io import to_local_os_path
+
+    assert to_local_os_path("file:///tmp/t") == "/tmp/t"
+    assert to_local_os_path("file:/tmp/t") == "/tmp/t"
+    assert to_local_os_path("file://localhost/tmp/t") == "/tmp/t"
+    assert to_local_os_path("FILE:///tmp/t") == "/tmp/t"
+    # non-file strings pass through untouched
+    assert to_local_os_path("/abs/plain") == "/abs/plain"
+    assert to_local_os_path("rel/plain") == "rel/plain"
+    assert to_local_os_path("s3a://bucket/t") == "s3a://bucket/t"
+    assert to_local_os_path("runs:2024/table") == "runs:2024/table"
+    # a real remote authority is NOT this machine's filesystem
+    with _pytest.raises(ValueError, match="authority"):
+        to_local_os_path("file://otherhost/tmp/t")
+
+
+def test_versioned_family_accepts_file_uris(spark, tmp_path):
+    """Round-10 ADVICE (the half-working class): append_versioned on a
+    file:// URI must put the JSON manifests next to the parquet at the
+    REAL location — not write parquet via Spark to /tmp while the
+    manifests land under cwd — and every reader must agree whichever
+    spelling it is handed."""
+    import os as _os
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    real = str(tmp_path / "vt")
+    uri = "file://" + real
+    v0 = IO.append_versioned(
+        spark.createDataFrame([(1, "a")], "k long, s string"), uri, "job0"
+    )
+    assert v0 == 0
+    # manifests live at the real path, nothing landed under cwd
+    assert _os.path.isdir(_os.path.join(real, "_manifests"))
+    assert not _os.path.exists(_os.path.join(_os.getcwd(), "file:"))
+    # single-slash Hadoop form appends to the SAME table
+    v1 = IO.append_versioned(
+        spark.createDataFrame([(2, "b")], "k long, s string"), "file:" + real, "job1"
+    )
+    assert v1 == 1
+    # all three spellings resolve to the same version history
+    assert IO.list_versions(real) == IO.list_versions(uri)
+    assert IO.list_versions("file:" + real) == IO.list_versions(real)
+    got = sorted(
+        (r.k, r.s) for r in IO.read_version(spark, uri, 1).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_parallel_ingest_accepts_file_uri_bronze(spark, taxi_dirs, tmp_path):
+    """Round-10 ADVICE: a file:// bronze path took the parallel branch
+    (is_local_path says local) but every os-level rename then failed on
+    the unstripped URI, so every file landed in `failed`. The URI must
+    now work end-to-end and produce the same rows as a plain path."""
+    src, _ = taxi_dirs
+    plain = str(tmp_path / "bronze_plain")
+    via_uri = str(tmp_path / "bronze_uri")
+    res_plain = ingest_bronze(spark, src, plain, max_parallel_files=3)
+    res_uri = ingest_bronze(
+        spark, src, "file://" + via_uri, max_parallel_files=3
+    )
+    assert res_uri.failed == [] and res_uri.processed == res_plain.processed
+    a = sorted(map(tuple, spark.read.parquet(plain).collect()))
+    b = sorted(map(tuple, spark.read.parquet(via_uri).collect()))
+    assert a == b
+
+
+def test_commit_journal_recovers_hard_crash(spark, taxi_dirs, tmp_path):
+    """Round-10 verdict item 4: a process crash mid-commit leaves a
+    write-ahead journal; the NEXT parallel ingest rolls the partial
+    part files back before appending, so the retry cannot
+    double-ingest. Simulated by planting the exact crash state — a
+    journal plus the partial files it lists — in a committed bronze."""
+    import json as _json
+    import shutil as _shutil
+    import warnings as _warnings
+
+    import nyc_tlc_trip_data_pipelines_spark.pipeline as P
+
+    src, _ = taxi_dirs
+    bronze = str(tmp_path / "bronze_crash")
+    # run 1: a clean single-file ingest (only 2023-01 via month range)
+    res1 = ingest_bronze(
+        spark, src, bronze, start_month="2023-01", end_month="2023-01",
+        max_parallel_files=2,
+    )
+    assert res1.failed == []
+    baseline = spark.read.parquet(bronze).count()
+    # plant the crash state: copy an existing part under two new names
+    # (a commit whose process died between the renames and the journal
+    # cleanup) plus the journal listing them
+    parts = [f for f in os.listdir(bronze) if f.startswith("part-")]
+    partials = []
+    for i in range(2):
+        dst = os.path.join(bronze, f"part-crash-{i}.snappy.parquet")
+        _shutil.copy(os.path.join(bronze, parts[0]), dst)
+        partials.append(dst)
+    with open(os.path.join(bronze, "._commit.deadbeef.json"), "w") as fh:
+        _json.dump({"src_file": "crashed.parquet", "dst_files": partials}, fh)
+    # the partials are visible to a raw reader right now (the crash
+    # window) — the next ingest must remove them BEFORE appending
+    assert spark.read.parquet(bronze).count() > baseline
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        res2 = ingest_bronze(
+            spark, src, bronze, start_month="2023-02", end_month="2023-02",
+            max_parallel_files=2,
+        )
+    assert res2.failed == []
+    assert any("rolled back 2 part file" in str(x.message) for x in w)
+    assert not any(f.startswith("._commit.") for f in os.listdir(bronze))
+    assert not any("crash" in f for f in os.listdir(bronze))
+    # final rows == the two months ingested cleanly, no duplicates
+    serial = str(tmp_path / "bronze_serial_crash")
+    ingest_bronze(spark, src, serial, start_month="2023-01", end_month="2023-02")
+    assert spark.read.parquet(bronze).count() == spark.read.parquet(serial).count()
+
+
+def test_commit_rollback_sweeps_unrecorded_rename(spark, taxi_dirs, tmp_path, monkeypatch):
+    """The in-process rollback consults the journal's destination list,
+    not a moved-so-far accumulator: a rename that COMPLETED but raised
+    before bookkeeping (crash-between-rename-and-bookkeeping, the
+    round-9 docstring's residual case) must still be swept."""
+    import shutil as _shutil
+
+    import nyc_tlc_trip_data_pipelines_spark.pipeline as P
+
+    src, _ = taxi_dirs
+    bronze = str(tmp_path / "bronze_sneaky")
+    real_move = _shutil.move
+    state = {"n": 0}
+
+    def sneaky_move(s, d):
+        state["n"] += 1
+        real_move(s, d)  # the rename REALLY happens...
+        if state["n"] == 1:
+            raise OSError("simulated failure after rename, before bookkeeping")
+
+    monkeypatch.setattr(_shutil, "move", sneaky_move)
+    res = P.ingest_bronze(
+        spark, src, bronze, start_month="2023-01", end_month="2023-01",
+        max_parallel_files=2,
+    )
+    monkeypatch.undo()
+    assert len(res.failed) == 1
+    # the completed-but-unrecorded rename was swept: no part files and
+    # no journal remain visible
+    leftovers = [
+        f for f in (os.listdir(bronze) if os.path.isdir(bronze) else [])
+        if f.startswith(("part-", "._commit."))
+    ]
+    assert leftovers == []

@@ -56,9 +56,9 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-10 prefix is pure freshness rotation — it leads with the
-    13 round-3 ids at the 6-round horizon (deferred from the r09
-    prefix), then 37 of the 50 round-4 ids — has no duplicates, and
+    the round-11 prefix is pure freshness rotation — it leads with the
+    13 round-4 ids at the 6-round horizon (deferred from the r10
+    prefix), then 37 of the 48 round-5 ids — has no duplicates, and
     every prefix id has a DuckDB oracle (a prefix slot without an
     oracle wastes a driver window on a rows-only check)."""
     import __spark_entry__ as E
@@ -67,25 +67,80 @@ def test_prefix_50_rotation_contract():
     prefix = keys[:50]
     assert len(set(prefix)) == 50
     assert prefix[:13] == [
-        "q_agg_conditional",
-        "q_agg_filter_clause",
-        "q_agg_stats",
-        "q_array_funcs",
-        "q_histogram",
-        "q_string_distance",
-        "q_subquery_scalar",
-        "q_text_bigrams",
-        "q_text_pack",
-        "q_unpivot",
-        "q_vector_centroid",
-        "q_vector_norms",
-        "q_window_distribution",
+        "q_anomaly_mad",
+        "q_cohort_retention",
+        "q_dq_validate",
+        "q_ohlc",
+        "q_pii_redact",
+        "q_quality_filter",
+        "q_repetition_profile",
+        "q_sample_weighted",
+        "q_sessionize",
+        "q_time_weighted_avg",
+        "q_unigram_logprob",
+        "q_vocab_build",
+        "q_window_time_range",
     ]
-    assert "q_sql_tpch_q21" in prefix and "q_stream_tumbling" in prefix
-    assert "q_pagerank" in prefix
+    assert "q_time_travel" in prefix and "q_graph_triangles" in prefix
+    assert "q_kmeans" in prefix
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
     assert not missing, f"prefix ids without oracle: {missing}"
+
+
+def test_round12_rotation_queue_is_scheduled():
+    """Round-10 verdict item 7: the freshness cadence must not depend
+    on a mid-round scramble. Simulate the round-12 state (the r11
+    driver results landing) and pin that the ONLY ids that would then
+    sit past the horizon are the 11 round-5 leftovers explicitly
+    queued for the round-12 prefix in DESIGN.md — so the next rotation
+    is fully determined in advance and nothing else can age out."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as E
+
+    HORIZON = 6
+    latest = {}
+    rounds = []
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        for k in json.load(open(f)):
+            latest[k] = max(latest.get(k, 0), r)
+    keys = list(E.queries())
+    prefix = keys[:50]
+    # simulate: the current prefix gets driver rows at round max+1,
+    # making the upcoming round max+2
+    sim_round = max(rounds) + 1
+    for k in prefix:
+        latest[k] = max(latest.get(k, 0), sim_round)
+    upcoming = sim_round + 1
+    stale = sorted(
+        k for k in keys if latest.get(k, 0) < upcoming - HORIZON
+    )
+    R12_QUEUE = sorted([
+        "q_date_extract2",
+        "q_geo_binning",
+        "q_json_flatten",
+        "q_sample_per_group",
+        "q_set_ops_all",
+        "q_sink_json",
+        "q_sink_orc",
+        "q_string_funcs2",
+        "q_text_normalize",
+        "q_variant_json",
+        "q_window_first_last",
+    ])
+    assert stale == R12_QUEUE, (
+        f"simulated round-{upcoming} staleness does not match the "
+        f"queued round-12 rotation: extra={sorted(set(stale) - set(R12_QUEUE))}, "
+        f"missing={sorted(set(R12_QUEUE) - set(stale))}"
+    )
 
 
 def test_no_unscheduled_coverage_debt():
@@ -182,3 +237,20 @@ def test_sf1_rotation_is_class_preserving_bijection():
             assert mapped != cls  # actually rotated (i>0)
         # distinct copies produce distinct rotations of any word
         assert "Order66".translate(table) != "Order66"
+
+
+def test_sf1_rotation_guards_identity_indices():
+    """Round-10 ADVICE: rotation_alphabets must refuse copy indices at
+    which any class rotation degenerates to the identity (i % 10 == 0
+    for digits, i % 26 == 0 for letters) instead of silently sharing
+    same-class tokens verbatim across copies."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_sf1 import rotation_alphabets
+
+    for bad in (0, 10, 26, 30, -3):
+        with _pytest.raises(ValueError, match="identity"):
+            rotation_alphabets(bad)

@@ -95,7 +95,20 @@ def rotation_alphabets(i: int) -> tuple[str, str]:
     uppercase/digit-bearing tokens were shared verbatim across copies;
     punctuation-only tokens remain shared (no rotation class), a
     vocabulary-bounded residual irrelevant to the word/char-shingle
-    features the dedup family measures."""
+    features the dedup family measures.
+
+    Round-10 ADVICE: the rotation degrades SILENTLY if a copy index
+    ever reaches a class size — at i=10 the digit rotation is the
+    identity, at i=26 the letter rotations are — so digit-only or
+    letter-only tokens would leak verbatim across those copies (the
+    round-9 bug class reappearing). Guard it here, at the source of
+    the invariant, instead of relying on COPIES staying at 10."""
+    if not 0 < i < 10:
+        raise ValueError(
+            f"rotation copy index {i} outside (0, 10): i % 10 == 0 makes "
+            "the digit rotation the identity (and i % 26 == 0 the letter "
+            "rotations), leaking same-class tokens verbatim across copies"
+        )
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
     digits = "0123456789"
