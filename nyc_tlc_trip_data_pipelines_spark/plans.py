@@ -60,3 +60,48 @@ def codegen_stage_count(df: DataFrame) -> int:
 def node_count(df: DataFrame, node: str) -> int:
     """Occurrences of a physical node name in the simple plan."""
     return plan_string(df, "simple").count(node)
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a node line in Spark's tree-art plan string: the column
+    of its ``+-``/``:-`` marker (root lines have none → -1). Children
+    sit exactly 3 columns right of their parent's marker."""
+    for i in range(len(line) - 1):
+        if line[i] in "+:" and line[i + 1] == "-":
+            return i
+    return -1
+
+
+def serial_exchange_inputs_are_aggregated(df: DataFrame) -> bool:
+    """The 100 TB serial-stage contract (round-10 verdict item 6): an
+    ``Exchange SinglePartition`` funnels its whole input through ONE
+    task, so it is only acceptable when that input is a post-aggregate
+    sketch/grain table — never raw fact rows. Several statistics
+    operators (KS, CUSUM, STL, ACF/CCF, equidepth) rely on exactly this
+    argument ("the only serial window is sketch-sized"); this check
+    makes it mechanical: True iff EVERY FileScan beneath every
+    single-partition exchange has an Aggregate node between the scan
+    and the exchange. A plan with no serial exchange is trivially True;
+    a serial exchange sitting on an un-aggregated scan returns False.
+    """
+    lines = plan_string(df, "simple").splitlines()
+    depths = [_tree_depth(ln) for ln in lines]
+    agg_markers = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = depths[i]
+        # walk the subtree, tracking the aggregate-ancestor chain
+        agg_stack: list[int] = []  # depths of aggregate nodes on the current path
+        for j in range(i + 1, len(lines)):
+            dj = depths[j]
+            if dj <= d:
+                break  # left the exchange's subtree
+            while agg_stack and agg_stack[-1] >= dj:
+                agg_stack.pop()  # moved to a sibling branch
+            if any(m in lines[j] for m in agg_markers):
+                agg_stack.append(dj)
+            elif "Scan " in lines[j] or "FileScan" in lines[j]:
+                if not agg_stack:
+                    return False  # raw scan feeds the serial stage
+    return True

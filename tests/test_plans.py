@@ -936,3 +936,49 @@ def test_mmr_diversify_releases_cache(spark):
     mmr_diversify(df, [1.0, 0.2], k=2, pool=4).collect()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before
+
+
+def test_stats_serial_windows_are_sketch_sized(spark, sf_dir):
+    """Round-10 verdict item 6: several statistics operators argue
+    "the only serial (single-partition) stage is sketch-sized" — their
+    global windows/sorts run on a post-aggregate grain table, never on
+    the fact table. Fence it mechanically: every FileScan beneath every
+    Exchange SinglePartition must pass through an Aggregate first, so a
+    future edit can't silently move a global window onto raw rows."""
+    import __spark_entry__ as E
+
+    from nyc_tlc_trip_data_pipelines_spark.plans import (
+        serial_exchange_inputs_are_aggregated,
+    )
+
+    qs = E.queries()
+    for q in [
+        "q_ks_test",
+        "q_changepoint_cusum",
+        "q_acf",
+        "q_ccf",
+        "q_stats_equidepth",
+        "q_stl_decompose",
+        "q_mannwhitney",
+    ]:
+        assert serial_exchange_inputs_are_aggregated(qs[q](spark, sf_dir)), (
+            f"{q}: a single-partition exchange consumes an un-aggregated "
+            "scan — the serial stage is no longer sketch-sized"
+        )
+
+
+def test_serial_exchange_fence_rejects_global_window_on_facts(spark, sf_dir):
+    """The mutated-plan red case for the fence above: a global
+    (unpartitioned) window straight over the events fact table is
+    exactly the 100 TB scale-killer the check exists to catch."""
+    from pyspark.sql import Window
+
+    from nyc_tlc_trip_data_pipelines_spark.plans import (
+        serial_exchange_inputs_are_aggregated,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bad = ev.select(
+        "event_id", F.sum("value").over(Window.orderBy("ts")).alias("r")
+    )
+    assert not serial_exchange_inputs_are_aggregated(bad)
