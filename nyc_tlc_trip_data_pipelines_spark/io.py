@@ -805,7 +805,9 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 def write_run_manifest(path: str, processed: Sequence[str], failed: Sequence[str]) -> str:
     """Run-log sink (R22): the reference writes processed/failed file
     lists as dated text blobs to S3 (``pasta1_etl/src/main.py:253-267``,
-    ``utils.py:69-84``); engine analog is a local JSON manifest."""
+    ``utils.py:69-84``); engine analog is a local JSON manifest.
+    (Remote run logs go through :func:`objectstore.save_text`.)"""
+    path = to_local_os_path(path)
     os.makedirs(path, exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
     out = os.path.join(path, f"run_{stamp}.json")
