@@ -424,10 +424,11 @@ def append_versioned(
     loser re-reads and claims N+1. Manifest content and reader
     semantics are byte-identical across backends; only the claim
     primitive differs. The data write itself goes through Spark's
-    Hadoop FS layer either way. The COPY-ON-WRITE family
-    (:func:`delete_where`, :func:`merge_versioned`,
-    :func:`vacuum_versioned`, :func:`compact_dir`) remains local-only:
-    those rewrite/remove partition directories with os/shutil calls.
+    Hadoop FS layer either way. :func:`delete_where` and
+    :func:`merge_versioned` are scheme-aware the same way (their COW
+    rewrites WRITE new directories, never remove old ones);
+    :func:`vacuum_versioned` and :func:`compact_dir` remain local-only
+    — they physically remove/rename directories with os/shutil calls.
     See DESIGN.md "Versioned-commit S3 boundary".
     """
     if is_local_path(path):
@@ -472,14 +473,22 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
 
     Returns the new version number (or the current one if nothing
     matched — a no-op delete mints no version, like Delta).
+
+    Scheme-aware since round 11: data reads/rewrites go through
+    Spark's Hadoop FS layer and the manifest read/commit through
+    :func:`_manifest_io`, so COW DELETE works on ``s3://``/``s3a://``
+    tables too (old directories are left in place for time travel, so
+    no object deletion is needed — that remains
+    :func:`vacuum_versioned`'s local-only job).
     """
-    path = _ensure_local(path, "delete_where")
-    versions = list_versions(path)
+    if is_local_path(path):
+        path = to_local_os_path(path)
+    mio = _manifest_io(path)
+    versions = mio.list_versions()
     if not versions:
         raise ValueError(f"no versions committed under {path}")
     cur_v, jobs = versions[-1]
-    with open(os.path.join(path, "_manifests", f"v{cur_v}.json")) as fh:
-        job_col = json.load(fh)["job_col"]
+    job_col = mio.read_meta(cur_v)["job_col"]
     new_jobs: list[str] = []
     changed = False
     for job in jobs:
@@ -519,13 +528,14 @@ def _commit_manifest(
     writer's changes (lost update). Append passes ``None``: its job
     list is re-derived inside the claim loop, so retrying the next
     slot is safe.
-    """
-    import uuid
 
-    mdir = os.path.join(path, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
+    Scheme-aware since round 11: the exclusive claim goes through
+    :func:`_manifest_io` (local ``os.link``; S3 conditional PUT), so
+    delete/merge commit on object storage with the same semantics.
+    """
+    mio = _manifest_io(path)
     while True:
-        versions = list_versions(path)
+        versions = mio.list_versions()
         latest = versions[-1][0] if versions else -1
         if base_version is not None and latest != base_version:
             raise ConcurrentCommitError(
@@ -533,19 +543,14 @@ def _commit_manifest(
                 "copy-on-write rewrite; re-run the operation against the new base"
             )
         n = latest + 1
-        target = os.path.join(mdir, f"v{n}.json")
-        tmp = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump({"version": n, "job_col": job_col, "job_ids": job_ids}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
-            continue
-        finally:
-            os.unlink(tmp)
-        return n
+        payload = {"version": n, "job_col": job_col, "job_ids": job_ids}
+        if mio.try_commit(n, payload):
+            return n
+        if base_version is not None:
+            raise ConcurrentCommitError(
+                f"{path}: version {n} was claimed by a concurrent writer "
+                "during copy-on-write commit; re-run against the new base"
+            )
 
 
 def merge_versioned(
@@ -575,12 +580,14 @@ def merge_versioned(
     partition directory would corrupt the older versions that still
     reference it.
     """
-    path = _ensure_local(path, "merge_versioned")
+    if is_local_path(path):
+        path = to_local_os_path(path)
     import re
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
         raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
-    versions = list_versions(path)
+    mio = _manifest_io(path)
+    versions = mio.list_versions()
     if not versions:
         raise ValueError(f"no versions committed under {path}")
     cur_v, jobs = versions[-1]
@@ -592,8 +599,7 @@ def merge_versioned(
             "version; reusing it would overwrite a partition directory that "
             "older manifests still reference — pick a fresh job_id"
         )
-    with open(os.path.join(path, "_manifests", f"v{cur_v}.json")) as fh:
-        job_col = json.load(fh)["job_col"]
+    job_col = mio.read_meta(cur_v)["job_col"]
     from pyspark.sql import functions as F
 
     keyset = updates.select(*keys).distinct()

@@ -421,3 +421,110 @@ def test_append_versioned_s3_concurrent_committer_loses_cleanly(monkeypatch):
         assert v == 1
         assert len(writes) == 1
         assert eio.list_versions(url) == [(0, ["rival"]), (1, ["rival", "mine"])]
+
+
+@s3_deps
+def test_delete_and_merge_versioned_on_s3(monkeypatch, spark, tmp_path):
+    """Round-11: COW DELETE/MERGE are scheme-aware — manifests commit
+    to S3 via the conditional-PUT claim while the parquet rewrite goes
+    through Spark's FS layer. The sandbox Spark has no s3a connector,
+    so reads/writes of the DATA are mirrored to a local directory
+    (path-translation monkeypatch); the MANIFESTS live in moto-S3 for
+    real, which is the layer under test."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    url = "s3a://bkt/tbl"
+    mirror = str(tmp_path / "mirror")
+    real_r, real_w = DataFrameReader.parquet, DataFrameWriter.parquet
+    monkeypatch.setattr(
+        DataFrameReader,
+        "parquet",
+        lambda self, *ps: real_r(self, *[p.replace(url, mirror) for p in ps]),
+    )
+    monkeypatch.setattr(
+        DataFrameWriter,
+        "parquet",
+        lambda self, p: real_w(self, p.replace(url, mirror)),
+    )
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        assert eio.append_versioned(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), url, "j1"
+        ) == 0
+        assert eio.append_versioned(
+            spark.createDataFrame([(3, "c")], "k long, s string"), url, "j2"
+        ) == 1
+        # COW DELETE on the remote table: v2 drops k=2, v0/v1 intact
+        assert eio.delete_where(spark, url, F.col("k") == 2) == 2
+        assert sorted(
+            r.k for r in eio.read_version(spark, url).collect()
+        ) == [1, 3]
+        assert sorted(
+            r.k for r in eio.read_version(spark, url, 1).collect()
+        ) == [1, 2, 3]
+        # MERGE upsert: replace k=3, insert k=4, single commit v3
+        up = spark.createDataFrame([(3, "C"), (4, "d")], "k long, s string")
+        assert eio.merge_versioned(spark, url, up, ["k"], "j3") == 3
+        got = {(r.k, r.s) for r in eio.read_version(spark, url).collect()}
+        assert got == {(1, "a"), (3, "C"), (4, "d")}
+        # manifests really live in S3 (not the mirror)
+        assert obs.list_objects("s3a://bkt/tbl", prefix="_manifests/") == [
+            "_manifests/v0.json",
+            "_manifests/v1.json",
+            "_manifests/v2.json",
+            "_manifests/v3.json",
+        ]
+        assert not os.path.exists(os.path.join(mirror, "_manifests"))
+
+
+@s3_deps
+def test_cow_commit_on_s3_detects_concurrent_writer(monkeypatch, spark, tmp_path):
+    """A delete/merge whose base version advances mid-rewrite must
+    raise ConcurrentCommitError on S3 exactly as it does locally — the
+    conditional PUT losing is NOT allowed to silently claim the next
+    slot (that would publish a job list dropping the rival's commit)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    url = "s3a://bkt/tbl2"
+    mirror = str(tmp_path / "mirror2")
+    real_r, real_w = DataFrameReader.parquet, DataFrameWriter.parquet
+    monkeypatch.setattr(
+        DataFrameReader,
+        "parquet",
+        lambda self, *ps: real_r(self, *[p.replace(url, mirror) for p in ps]),
+    )
+    monkeypatch.setattr(
+        DataFrameWriter,
+        "parquet",
+        lambda self, p: real_w(self, p.replace(url, mirror)),
+    )
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        eio.append_versioned(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), url, "j1"
+        )
+        rival = obs.S3Store("bkt", "tbl2")
+        real_try = eio._StoreManifestIO.try_commit
+        state = {"hit": False}
+
+        def racing_try(self, n, payload):
+            if not state["hit"]:
+                state["hit"] = True
+                import json as _json
+
+                assert rival.put_text_if_absent(
+                    f"_manifests/v{n}.json",
+                    _json.dumps(
+                        {"version": n, "job_col": "__job_id", "job_ids": ["rival"]}
+                    ),
+                )
+            return real_try(self, n, payload)
+
+        monkeypatch.setattr(eio._StoreManifestIO, "try_commit", racing_try)
+        with _pytest.raises(eio.ConcurrentCommitError):
+            eio.delete_where(spark, url, F.col("k") == 2)
