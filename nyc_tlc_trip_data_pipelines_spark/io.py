@@ -694,27 +694,51 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     reader that resolved its manifest before the vacuum may find its
     directories gone) — schedule beyond the longest reader runtime.
     The latest version is always retained (``retain_last`` floors at 1).
-    """
-    path = _ensure_local(path, "vacuum_versioned")
-    import shutil
 
+    Scheme-aware since round 11: on ``s3://``/``s3a://`` tables the
+    dropped manifests and unreferenced partition "directories" are
+    removed with batched ``DeleteObjects`` calls over the object
+    store's key listing (a bucket has no directories — a partition
+    dir is the set of keys under its prefix). Same return value,
+    counting distinct partition prefixes removed.
+    """
     retain_last = max(1, retain_last)
-    versions = list_versions(path)
+    mio = _manifest_io(path)
+    versions = mio.list_versions()
     if not versions:
         raise ValueError(f"no versions committed under {path}")
-    with open(os.path.join(path, "_manifests", f"v{versions[-1][0]}.json")) as fh:
-        job_col = json.load(fh)["job_col"]
+    job_col = mio.read_meta(versions[-1][0])["job_col"]
     dropped = versions[:-retain_last]
     retained_jobs = {j for _v, jobs in versions[-retain_last:] for j in jobs}
-    for v, _jobs in dropped:
-        os.unlink(os.path.join(path, "_manifests", f"v{v}.json"))
-    n_dirs = 0
     prefix = f"{job_col}="
-    for name in os.listdir(path):
-        if name.startswith(prefix) and name[len(prefix):] not in retained_jobs:
-            shutil.rmtree(os.path.join(path, name))
-            n_dirs += 1
-    return len(dropped), n_dirs
+
+    if is_local_path(path):
+        import shutil
+
+        path = to_local_os_path(path)
+        for v, _jobs in dropped:
+            os.unlink(os.path.join(path, "_manifests", f"v{v}.json"))
+        n_dirs = 0
+        for name in os.listdir(path):
+            if name.startswith(prefix) and name[len(prefix):] not in retained_jobs:
+                shutil.rmtree(os.path.join(path, name))
+                n_dirs += 1
+        return len(dropped), n_dirs
+
+    from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+    store = objectstore.get_store(path)
+    store.delete_keys([f"_manifests/v{v}.json" for v, _jobs in dropped])
+    doomed: list[str] = []
+    doomed_dirs: set[str] = set()
+    for page in store.iter_pages(prefix):
+        for key in page:
+            seg = key.split("/", 1)[0]
+            if seg.startswith(prefix) and seg[len(prefix):] not in retained_jobs:
+                doomed.append(key)
+                doomed_dirs.add(seg)
+    store.delete_keys(doomed)
+    return len(dropped), len(doomed_dirs)
 
 
 def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[int, int]:

@@ -67,6 +67,25 @@ class LocalStore:
         with open(os.path.join(self.root, *key.split("/"))) as fh:
             return fh.read()
 
+    def delete_keys(self, keys: Sequence[str]) -> int:
+        """Delete keys (missing ones ignored, S3-style); empty parent
+        directories are pruned so the tree mirrors a bucket where no
+        object under a prefix means the prefix is gone. Returns the
+        number of keys that existed and were removed."""
+        n = 0
+        for key in keys:
+            dest = os.path.join(self.root, *key.split("/"))
+            try:
+                os.remove(dest)
+                n += 1
+            except FileNotFoundError:
+                continue
+            d = os.path.dirname(dest)
+            while d and d != self.root and not os.listdir(d):
+                os.rmdir(d)
+                d = os.path.dirname(d)
+        return n
+
     def put_text_if_absent(self, key: str, content: str) -> bool:
         """Atomic exclusive create — True when this call claimed the
         key, False when it already existed. Write-fsync-link, the same
@@ -143,6 +162,23 @@ class S3Store:
     def get_text(self, key: str) -> str:
         obj = self.client.get_object(Bucket=self.bucket, Key=self._full(key))
         return obj["Body"].read().decode("utf-8")
+
+    def delete_keys(self, keys: Sequence[str]) -> int:
+        """Batch object delete (``DeleteObjects``, 1000-key pages —
+        the S3 API cap). Missing keys are S3 no-ops. Returns the
+        number of keys submitted (S3 reports deletes of absent keys
+        as success, so existence is not re-checked)."""
+        keys = list(keys)
+        for i in range(0, len(keys), 1000):
+            chunk = keys[i : i + 1000]
+            self.client.delete_objects(
+                Bucket=self.bucket,
+                Delete={
+                    "Objects": [{"Key": self._full(k)} for k in chunk],
+                    "Quiet": True,
+                },
+            )
+        return len(keys)
 
     def put_text_if_absent(self, key: str, content: str) -> bool:
         """Atomic exclusive create on S3 — True when this call claimed

@@ -528,3 +528,47 @@ def test_cow_commit_on_s3_detects_concurrent_writer(monkeypatch, spark, tmp_path
         monkeypatch.setattr(eio._StoreManifestIO, "try_commit", racing_try)
         with _pytest.raises(eio.ConcurrentCommitError):
             eio.delete_where(spark, url, F.col("k") == 2)
+
+
+def test_local_store_delete_keys(tmp_path):
+    store = obs.LocalStore(str(tmp_path))
+    store.put_text("a/one.txt", "1")
+    store.put_text("a/two.txt", "2")
+    store.put_text("b/three.txt", "3")
+    assert store.delete_keys(["a/one.txt", "a/two.txt", "missing.txt"]) == 2
+    # emptied prefix is gone entirely, sibling untouched
+    assert obs.list_objects(str(tmp_path)) == ["b/three.txt"]
+
+
+@s3_deps
+def test_vacuum_versioned_on_s3(monkeypatch):
+    """Round-11: VACUUM is scheme-aware — dropped manifests and every
+    object under an unreferenced partition prefix go via batched
+    DeleteObjects; retained versions stay fully readable."""
+    import json as _json
+
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        url = "s3a://bkt/tbl"
+        store = obs.S3Store("bkt", "tbl")
+        # three committed versions; v2's delete-rewrite dropped job0
+        for n, jobs in [(0, ["j0"]), (1, ["j0", "j1"]), (2, ["j0.d2", "j1"])]:
+            store.put_text(
+                f"_manifests/v{n}.json",
+                _json.dumps({"version": n, "job_col": "__job_id", "job_ids": jobs}),
+            )
+        for job in ("j0", "j1", "j0.d2"):
+            store.put_text(f"__job_id={job}/part-0.parquet", "data")
+            store.put_text(f"__job_id={job}/part-1.parquet", "data")
+        dropped, dirs = eio.vacuum_versioned(url, retain_last=1)
+        assert (dropped, dirs) == (2, 1)  # v0+v1 manifests; j0's dir
+        keys = obs.list_objects(url)
+        assert "_manifests/v2.json" in keys
+        assert not any(k.startswith("_manifests/v0") or k.startswith("_manifests/v1") for k in keys)
+        # j0 (only referenced by vacuumed versions) is gone; the
+        # retained manifest's jobs keep every object
+        assert not any(k.startswith("__job_id=j0/") for k in keys)
+        assert sum(k.startswith("__job_id=j0.d2/") for k in keys) == 2
+        assert sum(k.startswith("__job_id=j1/") for k in keys) == 2
+        assert eio.list_versions(url) == [(2, ["j0.d2", "j1"])]

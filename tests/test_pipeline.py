@@ -557,23 +557,24 @@ def test_parallel_ingest_commit_rolls_back_partial_moves(
     assert got == spark.read.parquet(serial).count()
 
 
-def test_versioned_cow_family_rejects_remote_schemes():
-    """The COPY-ON-WRITE versioned family (delete/vacuum) rewrites and
-    removes partition directories via local os/shutil calls; a remote
-    URI must raise the documented loud error, not half-work (same
-    class as the round-9 parallel-ingest ADVICE). The APPEND +
-    time-travel family is scheme-aware since round 11 and is covered
-    by the moto tests in test_objectstore.py."""
+def test_versioned_family_remote_scheme_guards():
+    """Loud-failure contracts for paths this environment can't serve:
+    compact_dir stays LOCAL-only (directory renames — no object-store
+    analog), and any versioned op on a scheme with no registered
+    object store (hdfs://) fails in get_store rather than half-working
+    (the round-9 ADVICE class). The s3/s3a paths are scheme-aware
+    since round 11 and covered by the moto tests in
+    test_objectstore.py."""
     import pytest as _pytest
 
     from nyc_tlc_trip_data_pipelines_spark import io as IO
 
-    for fn, args in [
-        (IO.vacuum_versioned, ("hdfs://nn/tbl",)),
-        (IO.compact_dir, (None, "s3a://bucket/tbl")),
-    ]:
-        with _pytest.raises(ValueError, match="LOCAL-filesystem"):
-            fn(*args)
+    with _pytest.raises(ValueError, match="LOCAL-filesystem"):
+        IO.compact_dir(None, "s3a://bucket/tbl")
+    with _pytest.raises(NotImplementedError, match="no registered object store"):
+        IO.vacuum_versioned("hdfs://nn/tbl")
+    with _pytest.raises(NotImplementedError, match="no registered object store"):
+        IO.list_versions("hdfs://nn/tbl")
 
 
 def test_is_local_path_colon_segments():
