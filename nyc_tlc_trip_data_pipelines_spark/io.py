@@ -741,6 +741,56 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     return len(dropped), len(doomed_dirs)
 
 
+def optimize_versioned(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Delta ``OPTIMIZE`` analog for versioned-append tables: rewrite
+    the LATEST version's rows as one right-sized job partition and
+    commit a single manifest that swaps every current job for it — the
+    manifest-native compaction that, unlike :func:`compact_dir`'s
+    rename swap, is ATOMIC (readers resolve manifests, so they see the
+    old file set or the new one, never a mix), works on object storage
+    (no renames — only a data write plus the conditional-PUT manifest
+    claim), and PRESERVES time travel (old versions still resolve to
+    the original directories; :func:`vacuum_versioned` reclaims them
+    later).
+
+    The rewritten job is named ``optimize.o{N}`` for the minted
+    version N — outside the ``.d``/``.m`` rewrite namespace, so
+    cross-manifest retry dedup and :func:`_base_job_id` stay exact. A
+    table whose latest version is already a single optimize job is
+    returned as-is (idempotent re-run / crash-after-commit retry). A
+    concurrent append/delete/merge between the read and the commit
+    raises :class:`ConcurrentCommitError` — the rewrite was computed
+    from a stale base (same contract as delete/merge).
+
+    Output file count is ``ceil(bytes / target_mb)`` from Catalyst's
+    scan statistics of the version being rewritten (file bytes of the
+    pruned directories) — the same ~128 MB-per-task sizing rationale
+    as :func:`compact_dir`. Returns the new version number.
+    """
+    import math
+
+    if is_local_path(path):
+        path = to_local_os_path(path)
+    mio = _manifest_io(path)
+    versions = mio.list_versions()
+    if not versions:
+        raise ValueError(f"no versions committed under {path}")
+    cur_v, jobs = versions[-1]
+    if len(jobs) == 1 and jobs[0].startswith("optimize.o"):
+        return cur_v  # already compacted; re-run is a no-op
+    job_col = mio.read_meta(cur_v)["job_col"]
+    df = read_version(spark, path, cur_v)
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_out = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    new_job = f"optimize.o{cur_v + 1}"
+    df.repartition(n_out).write.mode("overwrite").parquet(
+        os.path.join(path, f"{job_col}={new_job}")
+    )
+    return _commit_manifest(path, job_col, [new_job], base_version=cur_v)
+
+
 def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[int, int]:
     """Small-file compaction for an append-heavy parquet directory — the
     maintenance pass the append_* sinks' docstrings promise ("one

@@ -572,3 +572,37 @@ def test_vacuum_versioned_on_s3(monkeypatch):
         assert sum(k.startswith("__job_id=j0.d2/") for k in keys) == 2
         assert sum(k.startswith("__job_id=j1/") for k in keys) == 2
         assert eio.list_versions(url) == [(2, ["j0.d2", "j1"])]
+
+
+@s3_deps
+def test_optimize_versioned_on_s3(monkeypatch, spark, tmp_path):
+    """OPTIMIZE is object-store-native: no renames — one data write
+    plus one conditional-PUT manifest swap (data mirrored locally as in
+    the delete/merge test; manifests in moto-S3 for real)."""
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    url = "s3a://bkt/tblopt"
+    mirror = str(tmp_path / "mirror_opt")
+    real_r, real_w = DataFrameReader.parquet, DataFrameWriter.parquet
+    monkeypatch.setattr(
+        DataFrameReader,
+        "parquet",
+        lambda self, *ps: real_r(self, *[p.replace(url, mirror) for p in ps]),
+    )
+    monkeypatch.setattr(
+        DataFrameWriter,
+        "parquet",
+        lambda self, p: real_w(self, p.replace(url, mirror)),
+    )
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        for i in range(3):
+            eio.append_versioned(
+                spark.createDataFrame([(i, "x")], "k long, s string"), url, f"j{i}"
+            )
+        assert eio.optimize_versioned(spark, url) == 3
+        assert eio.list_versions(url)[-1] == (3, ["optimize.o3"])
+        assert sorted(r.k for r in eio.read_version(spark, url).collect()) == [0, 1, 2]
+        # time travel intact across the compaction
+        assert sorted(r.k for r in eio.read_version(spark, url, 1).collect()) == [0, 1]

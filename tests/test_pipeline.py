@@ -749,3 +749,70 @@ def test_commit_rollback_sweeps_unrecorded_rename(spark, taxi_dirs, tmp_path, mo
         if f.startswith(("part-", "._commit."))
     ]
     assert leftovers == []
+
+
+def test_optimize_versioned_compacts_in_one_commit(spark, tmp_path):
+    """Delta OPTIMIZE analog: the latest version's jobs are rewritten
+    as ONE right-sized job in ONE manifest commit — atomic for readers,
+    time travel preserved, idempotent re-run, vacuum reclaims."""
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "opt")
+    for i in range(3):
+        IO.append_versioned(
+            spark.createDataFrame([(i, f"r{i}")], "k long, s string"), path, f"j{i}"
+        )
+    v = IO.optimize_versioned(spark, path)
+    assert v == 3
+    assert IO.list_versions(path)[-1] == (3, ["optimize.o3"])
+    # latest rows unchanged; pre-optimize versions still readable
+    assert sorted(r.k for r in IO.read_version(spark, path).collect()) == [0, 1, 2]
+    assert sorted(r.k for r in IO.read_version(spark, path, 1).collect()) == [0, 1]
+    # idempotent: an already-optimized table is a no-op
+    assert IO.optimize_versioned(spark, path) == 3
+    # append after optimize, re-optimize mints the next optimize job
+    IO.append_versioned(
+        spark.createDataFrame([(9, "late")], "k long, s string"), path, "late"
+    )
+    assert IO.optimize_versioned(spark, path) == 5
+    assert IO.list_versions(path)[-1] == (5, ["optimize.o5"])
+    assert sorted(r.k for r in IO.read_version(spark, path).collect()) == [0, 1, 2, 9]
+    # vacuum reclaims every superseded directory, latest stays readable
+    IO.vacuum_versioned(path, retain_last=1)
+    assert sorted(r.k for r in IO.read_version(spark, path).collect()) == [0, 1, 2, 9]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        IO.read_version(spark, path, 2)
+
+
+def test_optimize_versioned_detects_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between optimize's read and its manifest claim
+    must raise ConcurrentCommitError, not silently drop the rival's
+    jobs from the swapped manifest."""
+    import pytest as _pytest
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "opt_race")
+    for i in range(2):
+        IO.append_versioned(
+            spark.createDataFrame([(i, "x")], "k long, s string"), path, f"j{i}"
+        )
+    real_commit = IO._commit_manifest
+    state = {"hit": False}
+
+    def racing_commit(p, job_col, job_ids, base_version=None):
+        if not state["hit"]:
+            state["hit"] = True
+            IO.append_versioned(
+                spark.createDataFrame([(7, "rival")], "k long, s string"), p, "rival"
+            )
+        return real_commit(p, job_col, job_ids, base_version=base_version)
+
+    monkeypatch.setattr(IO, "_commit_manifest", racing_commit)
+    with _pytest.raises(IO.ConcurrentCommitError):
+        IO.optimize_versioned(spark, path)
+    monkeypatch.undo()
+    # the rival's append survived; the table is still consistent
+    assert sorted(r.k for r in IO.read_version(spark, path).collect()) == [0, 1, 7]
