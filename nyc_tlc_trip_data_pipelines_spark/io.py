@@ -14,11 +14,16 @@ log semantics are out of scope. The plain read/write surface
 (read_*/write_*/append_table/append_idempotent) works identically for
 local paths and ``s3a://`` URIs (Spark's Hadoop FS layer handles both);
 the VERSIONED family (append_versioned, delete_where, merge_versioned,
-read_version, table_changes, vacuum_versioned, compact_dir) keeps its
-JSON manifests with local ``os`` calls and is therefore a
-LOCAL-filesystem Delta analog — it raises loudly on a remote scheme
-(``_ensure_local``); a real deployment points the same call sites at
-delta-spark (deltastore.py, import-guarded).
+optimize_versioned, read_version, table_changes, vacuum_versioned) is
+SCHEME-AWARE since round 11: its JSON manifests go through
+``_manifest_io`` — local ``os`` calls (write-fsync-link O_EXCL claim)
+on local paths, the :mod:`objectstore` layer (S3 conditional-PUT
+claim, batched deletes) on ``s3://``/``s3a://``. Only ``compact_dir``
+(directory-rename swap, no object-store analog) remains local-only
+behind the loud ``_ensure_local`` guard; unknown schemes
+(``hdfs://``) fail loudly in ``objectstore.get_store``. A real Delta
+deployment can still point the same call sites at delta-spark
+(deltastore.py, import-guarded).
 
 100 TB notes:
 - Partitioned writes give dynamic partition pruning on read — a query
