@@ -40,6 +40,20 @@ from pyspark.sql.datasource import (
 )
 
 
+def _local_root(root: str | None) -> str | None:
+    """Normalize a ``root`` option for the os-level walk/makedirs these
+    local-tree stand-ins run (round-10 ADVICE class): an explicit
+    ``file:`` URI must become a plain OS path, or the walk silently
+    yields nothing / the sink writes under cwd — the exact half-working
+    failure the versioned-IO family fixed in round 11. Driver-side (in
+    ``__init__``), so executors pickle the already-normalized path."""
+    if not root:
+        return root
+    from nyc_tlc_trip_data_pipelines_spark.io import to_local_os_path
+
+    return to_local_os_path(root)
+
+
 class _ShardPartition(InputPartition):
     def __init__(self, shard: int, n_shards: int):
         self.shard = shard
@@ -48,7 +62,7 @@ class _ShardPartition(InputPartition):
 
 class ObjectStoreListingReader(DataSourceReader):
     def __init__(self, options):
-        self.root = options.get("root")
+        self.root = _local_root(options.get("root"))
         if not self.root:
             raise ValueError("objectstore_listing requires .option('root', <path>)")
         self.n_shards = int(options.get("shards", "4"))
@@ -157,7 +171,7 @@ class _ShardFile(WriterCommitMessage):
 
 class ObjectStoreJsonlWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool):
-        self.root = options.get("root")
+        self.root = _local_root(options.get("root"))
         if not self.root:
             raise ValueError("objectstore_jsonl requires option 'root'")
         self.overwrite = overwrite
@@ -243,7 +257,7 @@ class ObjectStoreListingStreamReader:
     """
 
     def __init__(self, options):
-        self.root = options.get("root")
+        self.root = _local_root(options.get("root"))
         if not self.root:
             raise ValueError("objectstore_listing_stream requires .option('root', <path>)")
         self.batch_size = int(options.get("batch_size", "10"))

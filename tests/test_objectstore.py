@@ -606,3 +606,30 @@ def test_optimize_versioned_on_s3(monkeypatch, spark, tmp_path):
         assert sorted(r.k for r in eio.read_version(spark, url).collect()) == [0, 1, 2]
         # time travel intact across the compaction
         assert sorted(r.k for r in eio.read_version(spark, url, 1).collect()) == [0, 1]
+
+
+def test_custom_datasources_accept_file_uri_root(spark, tmp_path):
+    """Round-10 ADVICE class closed across the package: the custom
+    Python data sources run os.walk/makedirs on their ``root`` option,
+    so an explicit file:// URI must be normalized — previously the
+    listing silently yielded zero rows and the jsonl sink wrote under
+    cwd."""
+    from nyc_tlc_trip_data_pipelines_spark import datasource as DSRC
+
+    DSRC.register(spark)
+    root = tmp_path / "ds_root"
+    root.mkdir()
+    (root / "a.txt").write_text("x")
+    (root / "b.txt").write_text("y")
+    uri = "file://" + str(root)
+    got = (
+        spark.read.format("objectstore_listing").option("root", uri).load()
+    )
+    assert sorted(r.key for r in got.collect()) == ["a.txt", "b.txt"]
+    # jsonl sink via URI writes to the real location, not cwd
+    sink = tmp_path / "ds_sink"
+    spark.range(3).coalesce(1).write.format("objectstore_jsonl").option(
+        "root", "file://" + str(sink)
+    ).mode("append").save()
+    assert any(f.startswith("part-") for f in os.listdir(sink))
+    assert not os.path.exists(os.path.join(os.getcwd(), "file:"))
