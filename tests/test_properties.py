@@ -864,3 +864,78 @@ def test_km_survival_monotone_and_bounded(spark, obs):
     assert all(a >= b for a, b in zip(surv, surv[1:]))
     risks = [r["n_risk"] for r in rows]
     assert all(a > b for a, b in zip(risks, risks[1:]))
+
+
+# --- round-11: file:// URI normalization --------------------------------
+
+_path_segment = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="/\0:"
+    ).filter(lambda c: c.isprintable()),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(st.lists(_path_segment, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_to_local_os_path_file_uri_roundtrip(segments):
+    """For any absolute OS path p: every file:-URI spelling of p must
+    normalize to exactly p, and normalization must be idempotent."""
+    from nyc_tlc_trip_data_pipelines_spark.io import to_local_os_path
+
+    p = "/" + "/".join(segments)
+    for uri in (f"file://{p}", f"file:{p}", f"file://localhost{p}"):
+        assert to_local_os_path(uri) == p
+    assert to_local_os_path(p) == p  # plain paths pass through
+    assert to_local_os_path(to_local_os_path(f"file://{p}")) == p  # idempotent
+
+
+@given(_path_segment, st.lists(_path_segment, min_size=0, max_size=3))
+@settings(max_examples=100, deadline=None)
+def test_to_local_os_path_non_file_passthrough(head, rest):
+    """Anything that is not an explicit file: URI — relative paths,
+    colon-bearing first segments, other schemes — passes through
+    byte-identical (the is_local_path classification contract)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import to_local_os_path
+
+    rel = "/".join([head] + rest)
+    assert to_local_os_path(rel) == rel
+    for scheme in ("s3a", "hdfs", "s3"):
+        u = f"{scheme}://bucket/{rel}"
+        assert to_local_os_path(u) == u
+
+
+@given(
+    st.lists(st.sampled_from(["keep", "orphan"]), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=50, deadline=None)
+def test_recover_partial_commits_idempotent(kinds, runs):
+    """Recovery removes EXACTLY the journaled files and is idempotent:
+    any number of repeated runs leaves the same state — non-journaled
+    files untouched, journals gone."""
+    import json
+    import os
+    import tempfile
+
+    from nyc_tlc_trip_data_pipelines_spark.pipeline import recover_partial_commits
+
+    with tempfile.TemporaryDirectory() as bronze:
+        keep, orphan = [], []
+        for i, kind in enumerate(kinds):
+            f = os.path.join(bronze, f"part-{i:03d}.parquet")
+            with open(f, "w") as fh:
+                fh.write("x")
+            (keep if kind == "keep" else orphan).append(f)
+        if orphan:
+            with open(os.path.join(bronze, "._commit.j1.json"), "w") as fh:
+                json.dump({"src_file": "s", "dst_files": orphan}, fh)
+        removed = recover_partial_commits(bronze)
+        assert sorted(removed) == sorted(orphan)
+        for _ in range(runs):
+            assert recover_partial_commits(bronze) == []
+        left = sorted(
+            os.path.join(bronze, n) for n in os.listdir(bronze)
+        )
+        assert left == sorted(keep)
