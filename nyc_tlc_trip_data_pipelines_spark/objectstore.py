@@ -167,16 +167,32 @@ class S3Store:
         """Batch object delete (``DeleteObjects``, 1000-key pages —
         the S3 API cap). Missing keys are S3 no-ops. Returns the
         number of keys submitted (S3 reports deletes of absent keys
-        as success, so existence is not re-checked)."""
+        as success, so existence is not re-checked).
+
+        Per-key failures in the batch response (Quiet mode still
+        reports ERRORS, it only suppresses successes) raise instead of
+        being swallowed — a silently partial VACUUM would leave
+        unreferenced objects that look reclaimed (the half-working
+        failure class this module's consumers exist to avoid)."""
         keys = list(keys)
+        failed: list[str] = []
         for i in range(0, len(keys), 1000):
             chunk = keys[i : i + 1000]
-            self.client.delete_objects(
+            resp = self.client.delete_objects(
                 Bucket=self.bucket,
                 Delete={
                     "Objects": [{"Key": self._full(k)} for k in chunk],
                     "Quiet": True,
                 },
+            )
+            failed += [
+                f"{e.get('Key')}: {e.get('Code')}" for e in resp.get("Errors", [])
+            ]
+        if failed:
+            raise RuntimeError(
+                f"delete_keys: {len(failed)} of {len(keys)} deletions failed "
+                f"(first: {failed[0]}); the batch is partially applied — "
+                "retry after resolving the errors"
             )
         return len(keys)
 

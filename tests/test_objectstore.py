@@ -633,3 +633,29 @@ def test_custom_datasources_accept_file_uri_root(spark, tmp_path):
     ).mode("append").save()
     assert any(f.startswith("part-") for f in os.listdir(sink))
     assert not os.path.exists(os.path.join(os.getcwd(), "file:"))
+
+
+@s3_deps
+def test_s3_delete_keys_raises_on_partial_failure(monkeypatch):
+    """DeleteObjects failures come back in the response body (even in
+    Quiet mode), not as exceptions — swallowing them would make VACUUM
+    silently partial. delete_keys must surface them."""
+    import pytest as _pytest
+
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        store = obs.S3Store("bkt", "t")
+        store.put_text("a.txt", "x")
+        real = store.client.delete_objects
+
+        def flaky(Bucket, Delete):
+            resp = real(Bucket=Bucket, Delete=Delete)
+            resp.setdefault("Errors", []).append(
+                {"Key": Delete["Objects"][0]["Key"], "Code": "InternalError"}
+            )
+            return resp
+
+        monkeypatch.setattr(store.client, "delete_objects", flaky)
+        with _pytest.raises(RuntimeError, match="partially applied"):
+            store.delete_keys(["a.txt"])
