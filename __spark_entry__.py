@@ -1061,36 +1061,62 @@ def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_compact(spark: SparkSession, sf: str) -> DataFrame:
-    """Maintenance pass (round 4): small-file compaction — 16 tiny
-    append files rewritten to size-targeted files with a near-atomic
-    directory swap, then read back. Data must survive byte-identically
-    (count + value checksum against the source oracle). The file-count
-    contract is the INVARIANT ``1 <= n_after <= n_before`` rather than
-    a hard-coded count — driver testdata can grow between rounds, and a
-    dataset crossing the 128 MB target would flip an exact-count oracle
-    red with no code bug (round-4 advice)."""
-    from nyc_tlc_trip_data_pipelines_spark.io import compact_dir
+    """Maintenance pass (round 4; re-routed round 12 per verdict item
+    3): small-file compaction via ``optimize_versioned`` — the Delta
+    OPTIMIZE analog — instead of the deprecated ``compact_dir`` rename
+    swap. 16 tiny files land as ONE versioned append, then a single
+    manifest commit swaps in the right-sized rewrite: atomic for
+    readers, object-store-capable (no renames), and time travel
+    preserved (the pre-compaction version must still read back with
+    the same row count). Data must survive byte-identically (count +
+    value checksum against the source oracle). The file-count contract
+    is the INVARIANT ``1 <= n_after <= n_before`` rather than a
+    hard-coded count — driver testdata can grow between rounds, and a
+    dataset crossing the 128 MB target would flip an exact-count
+    oracle red with no code bug (round-4 advice)."""
+    from nyc_tlc_trip_data_pipelines_spark.io import (
+        append_versioned,
+        optimize_versioned,
+        read_version,
+    )
+
+    def _leaf_parquet_count(root: str) -> int:
+        n = 0
+        for dirpath, _dirs, files in os.walk(root):
+            n += sum(
+                1
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        return n
 
     ev = load_table(spark, sf, "events").filter(F.col("event_id") % 3 == 0)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "events_small")
-        ev.repartition(16).write.parquet(path)
-        n_before, n_after = compact_dir(spark, path, target_mb=128)
-        back = spark.read.parquet(path)
+        v0 = append_versioned(ev.repartition(16), path, "batch0")
+        n_before = _leaf_parquet_count(os.path.join(path, "__job_id=batch0"))
+        v1 = optimize_versioned(spark, path, target_mb=128)
+        n_after = _leaf_parquet_count(os.path.join(path, f"__job_id=optimize.o{v1}"))
+        back = read_version(spark, path, v1)
         row = back.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         ).collect()[0]
+        # time travel survives compaction: the pre-OPTIMIZE version
+        # still resolves to the original 16-file directory
+        history_ok = read_version(spark, path, v0).count() == row.n_rows
     return spark.createDataFrame(
         [
             (
                 n_before >= 16,
                 1 <= n_after <= n_before,
+                bool(history_ok),
                 int(row.n_rows),
                 float(row.sum_value),
             )
         ],
-        "many_files_before boolean, compacted boolean, n_rows bigint, sum_value double",
+        "many_files_before boolean, compacted boolean, history_preserved boolean,"
+        " n_rows bigint, sum_value double",
     )
 
 
@@ -6522,83 +6548,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_srm": q_abtest_srm,
         "q_abtest_did": q_abtest_did,
     }
-    # Round-11 prefix-50 rotation (the driver checks the FIRST 50 keys).
+    # Round-12 prefix-50 rotation (the driver checks the FIRST 50 keys).
     # No new registry ids (registry closed at 306 per the round-8
-    # verdict); every slot is freshness, per the DESIGN.md round-11
-    # rotation queue: (a) the 13 round-4 ids deferred from the r10
-    # prefix (age 7 at round 11 — past the 6-round horizon, so
+    # verdict); every slot is freshness, per the DESIGN.md round-12
+    # rotation queue committed (and pre-validated 59/59 green at
+    # sf0.01) in round 11: (a) the 11 round-5 ids deferred from the
+    # r11 prefix (age 7 at round 12 — past the 6-round horizon, so
     # tests/test_registry.py::test_freshness_horizon turns red if any
-    # is missing here); (b) 37 of the 48 ids whose latest driver row
-    # is round 5 (age 6, at the boundary) — versioned-IO/table-maintenance
-    # (compact, delete_where, merge_versioned, scd2_merge,
-    # schema_evolution, table_changes, time_travel, vacuum,
-    # zonemap_prune, file_provenance), ingest/sources (csv_corrupt
-    # isolation, custom_datasource, source_discovery, source_jsonl,
-    # stream_cdc_apply), graph (bfs, triangles), joins (bucketed,
-    # full_outer, salted), text/corpus (bm25, bpe_encode, bpe_pairs,
-    # doc_chunk, dedup_simhash, lm_perplexity, text_fingerprint),
-    # vectors/ML (ann_index_probe, kmeans, stable_split, sample_es),
-    # multimodal (framesample, resize, video_decode), and data-quality
-    # (dq_observe, dq_profile, recursive_cte). The 11 r05 ids deferred
-    # to the round-12 prefix (q_date_extract2, q_geo_binning,
-    # q_json_flatten, q_sample_per_group, q_set_ops_all, q_sink_json,
-    # q_sink_orc, q_string_funcs2, q_text_normalize, q_variant_json,
-    # q_window_first_last) are the simplest deterministic ops in the
+    # is missing here); (b) 39 of the 48 ids whose latest driver row
+    # is round 6 (age 6, at the boundary) — dedup/text (semantic,
+    # span, simhash_hamming, index_probe, minhash_accuracy,
+    # collocations_pmi, token_entropy), sketches (heavy_hitters_cms,
+    # sketch_rollup, sketch_intersection, bitmap_rollup), joins
+    # (bloom_prefilter, interval_bucket, geo_radius), multimodal
+    # (features, scene_detect, silence_trim, image_dedup, audio_dedup),
+    # statistics (ks_test, psi_drift, mutual_info, pca_power),
+    # streaming (stream_drift, stream_source_custom,
+    # session_window_native), versioned/IO (partition_overwrite_dynamic,
+    # custom_sink, table_diff, xml_ingest), curation (curation_pipeline,
+    # domain_mixture, train_shuffle, attribution, grouped_arrow,
+    # udf_arrow, sql_parameterized, time_interpolate, collated_group).
+    # The 9 r06 ids deferred to the round-13 prefix (q_agg_collect_list,
+    # q_csv_inrow, q_ewma, q_feature_hash, q_fixed_width_ingest,
+    # q_html_strip, q_log_parse, q_markov_transitions,
+    # q_url_canonicalize) are the simplest deterministic ops in the
     # tier; the freshness-horizon test makes that deferral
-    # self-enforcing — at round 12 they age out unless rotated in.
+    # self-enforcing — at round 13 they age out unless rotated in.
     prefix = [
-        # ---- (a) must-rotate tier: round-4 ids at the horizon ----
-        "q_anomaly_mad",
-        "q_cohort_retention",
-        "q_dq_validate",
-        "q_ohlc",
-        "q_pii_redact",
-        "q_quality_filter",
-        "q_repetition_profile",
-        "q_sample_weighted",
-        "q_sessionize",
-        "q_time_weighted_avg",
-        "q_unigram_logprob",
-        "q_vocab_build",
-        "q_window_time_range",
-        # ---- (b) refresh tier: round-5 driver rows ----
-        "q_ann_index_probe",
-        "q_bm25_rank",
-        "q_bpe_encode",
-        "q_bpe_pairs",
-        "q_compact",
-        "q_csv_corrupt_isolation",
-        "q_custom_datasource",
-        "q_dedup_simhash",
-        "q_delete_where",
-        "q_doc_chunk",
-        "q_dq_observe",
-        "q_dq_profile",
-        "q_file_provenance",
-        "q_graph_bfs",
-        "q_graph_triangles",
-        "q_join_bucketed",
-        "q_join_full_outer",
-        "q_join_salted",
-        "q_kmeans",
-        "q_lm_perplexity",
-        "q_merge_versioned",
-        "q_multimodal_framesample",
-        "q_multimodal_resize",
-        "q_multimodal_video_decode",
-        "q_recursive_cte",
-        "q_sample_es",
-        "q_scd2_merge",
-        "q_schema_evolution",
-        "q_source_discovery",
-        "q_source_jsonl",
-        "q_stable_split",
-        "q_stream_cdc_apply",
-        "q_table_changes",
-        "q_text_fingerprint",
-        "q_time_travel",
-        "q_vacuum",
-        "q_zonemap_prune",
+        # ---- (a) must-rotate tier: round-5 ids at the horizon ----
+        "q_date_extract2",
+        "q_geo_binning",
+        "q_json_flatten",
+        "q_sample_per_group",
+        "q_set_ops_all",
+        "q_sink_json",
+        "q_sink_orc",
+        "q_string_funcs2",
+        "q_text_normalize",
+        "q_variant_json",
+        "q_window_first_last",
+        # ---- (b) refresh tier: round-6 driver rows ----
+        "q_attribution",
+        "q_audio_dedup",
+        "q_bitmap_rollup",
+        "q_collated_group",
+        "q_collocations_pmi",
+        "q_curation_pipeline",
+        "q_custom_sink",
+        "q_dedup_index_probe",
+        "q_dedup_semantic",
+        "q_dedup_span",
+        "q_domain_mixture",
+        "q_geo_radius_join",
+        "q_grouped_arrow",
+        "q_heavy_hitters_cms",
+        "q_image_dedup",
+        "q_join_bloom_prefilter",
+        "q_join_interval_bucket",
+        "q_ks_test",
+        "q_minhash_accuracy",
+        "q_multimodal_features",
+        "q_multimodal_scene_detect",
+        "q_multimodal_silence_trim",
+        "q_mutual_info",
+        "q_partition_overwrite_dynamic",
+        "q_pca_power",
+        "q_psi_drift",
+        "q_session_window_native",
+        "q_simhash_hamming",
+        "q_sketch_intersection",
+        "q_sketch_rollup",
+        "q_sql_parameterized",
+        "q_stream_drift",
+        "q_stream_source_custom",
+        "q_table_diff",
+        "q_time_interpolate",
+        "q_token_entropy",
+        "q_train_shuffle",
+        "q_udf_arrow",
+        "q_xml_ingest",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -11748,12 +11776,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS old_version_unreadable
             FROM events
         """,
-        # round 4/5: compaction round-trip — data survives byte-identically
-        # and the file count shrinks (invariant, not an exact count: the
-        # dataset size may cross the 128 MB target between rounds)
+        # round 4/5 (re-routed r12 through optimize_versioned):
+        # compaction round-trip — data survives byte-identically, the
+        # file count shrinks (invariant, not an exact count: the dataset
+        # size may cross the 128 MB target between rounds), and the
+        # pre-compaction version stays time-travel-readable
         "q_compact": """
             SELECT TRUE AS many_files_before,
                    TRUE AS compacted,
+                   TRUE AS history_preserved,
                    COUNT(*) AS n_rows,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events WHERE event_id % 3 = 0

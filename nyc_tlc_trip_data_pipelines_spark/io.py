@@ -351,6 +351,23 @@ def _manifest_io(path: str):
 _REWRITE_SUFFIX_RE = re.compile(r"(\.[dm]\d+)+$")
 
 
+def _validate_user_job_id(job_id: str) -> None:
+    """Shared append/merge job_id validation: filesystem-safe, and
+    outside the ``optimize.o`` namespace (round-11 ADVICE:
+    :func:`optimize_versioned`'s idempotence check trusts that prefix —
+    a user append named ``optimize.o7`` would make a later OPTIMIZE
+    incorrectly no-op as "already compacted"). The ``.d``/``.m``
+    rewrite suffixes are already unreachable for users because the
+    cross-manifest retry dedup consults :func:`_base_job_id`."""
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
+        raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
+    if job_id.startswith("optimize.o"):
+        raise ValueError(
+            f"job_id {job_id!r} is in the reserved 'optimize.o' namespace "
+            "(used by optimize_versioned's rewritten jobs)"
+        )
+
+
 def _base_job_id(job: str) -> str:
     """Strip delete/merge rewrite suffixes (``<job>.d3.m7`` → ``<job>``)."""
     return _REWRITE_SUFFIX_RE.sub("", job)
@@ -438,10 +455,7 @@ def append_versioned(
     """
     if is_local_path(path):
         path = to_local_os_path(path)
-    import re
-
-    if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
-        raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
+    _validate_user_job_id(job_id)
     mio = _manifest_io(path)
     # Retry dedup BEFORE the data write: a job_id committed in ANY
     # manifest (possibly since rewritten by delete/merge) must not write
@@ -587,10 +601,7 @@ def merge_versioned(
     """
     if is_local_path(path):
         path = to_local_os_path(path)
-    import re
-
-    if not re.fullmatch(r"[A-Za-z0-9._-]+", job_id):
-        raise ValueError(f"job_id must be filesystem-safe: {job_id!r}")
+    _validate_user_job_id(job_id)
     mio = _manifest_io(path)
     versions = mio.list_versions()
     if not versions:
@@ -797,7 +808,15 @@ def optimize_versioned(
 
 
 def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[int, int]:
-    """Small-file compaction for an append-heavy parquet directory — the
+    """**DEPRECATED (round 12)** — prefer :func:`optimize_versioned`,
+    which is strictly better on every axis: atomic for readers
+    (manifest swap, not directory renames), object-store-capable (no
+    renames anywhere), and time-travel-preserving. This rename-swap
+    path is kept only for raw non-versioned parquet directories that
+    have no manifest chain; it is the last local-only versioned-IO-
+    adjacent entry point and has no non-test caller in the engine.
+
+    Small-file compaction for an append-heavy parquet directory — the
     maintenance pass the append_* sinks' docstrings promise ("one
     directory per ingest batch … compact periodically"). Reads the
     directory, rewrites it as ``ceil(bytes / target_mb)`` files, and
@@ -890,14 +909,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 def write_run_manifest(path: str, processed: Sequence[str], failed: Sequence[str]) -> str:
     """Run-log sink (R22): the reference writes processed/failed file
     lists as dated text blobs to S3 (``pasta1_etl/src/main.py:253-267``,
-    ``utils.py:69-84``); engine analog is a local JSON manifest.
-    (Remote run logs go through :func:`objectstore.save_text`.)"""
+    ``utils.py:69-84``). A local path writes a JSON manifest directly;
+    a remote URL (s3://…) routes through :func:`objectstore.save_text`
+    (round-11 ADVICE: the docstring promised this but an s3:// path
+    actually fell through to ``os.makedirs('s3://…')`` and wrote the
+    run log to a bogus local ``s3:`` directory — the half-working
+    class the file:// audit fixed everywhere else)."""
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+    body = json.dumps(
+        {"processed": list(processed), "failed": list(failed)}, indent=2
+    )
+    if not is_local_path(path):
+        from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+        return objectstore.save_text(path, f"run_{stamp}.json", body)
     path = to_local_os_path(path)
     os.makedirs(path, exist_ok=True)
-    stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
     out = os.path.join(path, f"run_{stamp}.json")
     with open(out, "w") as fh:
-        json.dump({"processed": list(processed), "failed": list(failed)}, fh, indent=2)
+        fh.write(body)
     return out
 
 

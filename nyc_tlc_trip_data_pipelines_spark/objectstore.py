@@ -40,7 +40,13 @@ class LocalStore:
     """Directory-tree backend with S3 listing semantics."""
 
     def __init__(self, root: str):
-        self.root = root
+        # Normalize away trailing separators (round-11 ADVICE): the
+        # delete_keys empty-parent pruning loop compares dirname-chain
+        # results against ``self.root``, and dirname never yields a
+        # trailing-slash form — an unnormalized 'file:///x/' root
+        # ('/x/') would never match and the loop would rmdir empty
+        # ancestors ABOVE the store root.
+        self.root = os.path.normpath(root)
 
     def iter_pages(self, prefix: str = "", page_size: int = PAGE_SIZE) -> Iterator[list[str]]:
         keys = []
@@ -205,7 +211,20 @@ class S3Store:
         would. A 409 ConditionalRequestConflict means ANOTHER
         conditional write on the same key was in flight — neither side
         knows who won yet, so the claim itself is retried (bounded)
-        rather than reported lost."""
+        rather than reported lost.
+
+        Self-claim detection (round-11 ADVICE): a 412 alone cannot
+        distinguish "a rival claimed the key" from "my OWN first PUT
+        succeeded but the response was lost and botocore's standard
+        retry re-sent it, hitting the key I just created". The second
+        case must report True — otherwise a writer whose commit LANDED
+        raises ConcurrentCommitError and a retry with a fresh job_id
+        would double-commit. So on 412 the object is read back and its
+        body compared to the payload (the read-back-and-compare Delta
+        Lake's S3 commit path uses): byte-equal means the claim is
+        ours (manifests embed the writer's unique job_id, so an
+        identical body from a genuinely distinct writer is the same
+        logical commit — idempotent either way)."""
         from botocore.exceptions import ClientError
 
         for _ in range(8):
@@ -220,7 +239,10 @@ class S3Store:
             except ClientError as exc:
                 code = exc.response.get("Error", {}).get("Code")
                 if code in ("PreconditionFailed", "412"):
-                    return False
+                    try:
+                        return self.get_text(key) == content
+                    except Exception:
+                        return False
                 if code in ("ConditionalRequestConflict", "409"):
                     continue
                 raise

@@ -95,9 +95,20 @@ def recover_partial_commits(bronze_path: str) -> list[str]:
     import json
 
     for name in sorted(os.listdir(bronze_path)):
-        if not name.startswith(_COMMIT_JOURNAL_PREFIX) or not name.endswith(".json"):
+        if not name.startswith(_COMMIT_JOURNAL_PREFIX):
             continue
         jpath = os.path.join(bronze_path, name)
+        if name.endswith(".tmp"):
+            # round-11 ADVICE: a crash between writing the journal tmp
+            # and its os.rename leaves '._commit.<uuid>.json.tmp'
+            # behind forever — it protects nothing (its renames never
+            # started; the journal only becomes authoritative once
+            # renamed into place), but it accumulates as litter this
+            # recovery pass exists to clean.
+            os.unlink(jpath)
+            continue
+        if not name.endswith(".json"):
+            continue
         try:
             with open(jpath) as fh:
                 dsts = json.load(fh)["dst_files"]

@@ -659,3 +659,183 @@ def test_s3_delete_keys_raises_on_partial_failure(monkeypatch):
         monkeypatch.setattr(store.client, "delete_objects", flaky)
         with _pytest.raises(RuntimeError, match="partially applied"):
             store.delete_keys(["a.txt"])
+
+
+# ---------------------------------------------------------------------------
+# Round-12: ADVICE fixes (round-11 advisor, all low) — each with the
+# failure mode it closes.
+# ---------------------------------------------------------------------------
+
+
+@s3_deps
+def test_put_text_if_absent_s3_self_claim_on_412(monkeypatch):
+    """Round-11 ADVICE: a 412 after botocore's standard-mode retry of a
+    LOST-RESPONSE successful PUT must read back and recognize the body
+    as its own (return True) — otherwise a committed manifest reports
+    False and the writer raises ConcurrentCommitError for a commit that
+    landed. A rival's different body still reports False."""
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        store = obs.S3Store("bkt", "tbl")
+        # simulate: first PUT succeeded but the response was lost, the
+        # retry hits 412 against our own object
+        assert store.put_text_if_absent("_manifests/v0.json", "mine") is True
+        assert store.put_text_if_absent("_manifests/v0.json", "mine") is True
+        # a genuinely rival claim still loses
+        assert store.put_text_if_absent("_manifests/v0.json", "rival") is False
+        assert store.get_text("_manifests/v0.json") == "mine"
+
+
+def test_local_store_root_trailing_slash_prune_stops_at_root(tmp_path):
+    """Round-11 ADVICE: delete_keys' empty-parent pruning compares the
+    dirname chain against self.root; an unnormalized trailing-slash
+    root ('/x/') never matched and the loop rmdir'd empty ancestors
+    ABOVE the store root. The root itself (and its parents) must
+    survive a delete that empties it."""
+    root = tmp_path / "store"
+    root.mkdir()
+    store = obs.LocalStore(str(root) + "/")
+    store.put_text("a/b/c.txt", "x")
+    assert store.delete_keys(["a/b/c.txt"]) == 1
+    assert not (root / "a").exists()  # empty subtree pruned
+    assert root.is_dir()  # store root survives
+    assert tmp_path.is_dir()
+
+
+def test_local_store_via_file_uri_trailing_slash(tmp_path):
+    """get_store('file:///x/') is the call shape the advisor flagged —
+    end-to-end through the scheme registry."""
+    root = tmp_path / "s2"
+    root.mkdir()
+    store = obs.get_store(f"file://{root}/")
+    store.put_text("only/key.txt", "x")
+    store.delete_keys(["only/key.txt"])
+    assert root.is_dir()
+
+
+@s3_deps
+def test_write_run_manifest_routes_s3_through_objectstore(monkeypatch, tmp_path):
+    """Round-11 ADVICE: an s3:// manifest_dir must go through
+    objectstore.save_text — previously it fell through to
+    os.makedirs('s3://…') and silently wrote the run log to a bogus
+    local 's3:' directory."""
+    _fake_aws(monkeypatch)
+    monkeypatch.chdir(tmp_path)  # any bogus local write would land here
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        out = eio.write_run_manifest("s3://bkt/logs", ["f1.parquet"], ["bad.parquet"])
+        assert out.startswith("s3://bkt/logs/run_")
+        keys = obs.list_objects("s3://bkt/logs")
+        assert len(keys) == 1 and keys[0].startswith("run_")
+        import json as _json
+
+        body = _json.loads(obs.get_store("s3://bkt/logs").get_text(keys[0]))
+        assert body == {"processed": ["f1.parquet"], "failed": ["bad.parquet"]}
+    assert not os.path.exists(tmp_path / "s3:")  # no bogus local dir
+
+
+def test_optimize_namespace_reserved_for_user_job_ids(tmp_path, spark):
+    """Round-11 ADVICE: optimize_versioned's idempotence check trusts
+    the 'optimize.o' prefix; a user append named inside that namespace
+    would make a later OPTIMIZE incorrectly no-op as 'already
+    compacted'. append/merge now reject it up front."""
+    import pytest as _pytest
+
+    df = spark.range(3).withColumnRenamed("id", "v")
+    with _pytest.raises(ValueError, match="reserved 'optimize.o' namespace"):
+        eio.append_versioned(df, str(tmp_path / "t"), "optimize.o7")
+    eio.append_versioned(df, str(tmp_path / "t"), "job0")
+    with _pytest.raises(ValueError, match="reserved 'optimize.o' namespace"):
+        eio.merge_versioned(spark, str(tmp_path / "t"), df, ["v"], "optimize.o9")
+    # adjacent names outside the namespace still work
+    assert eio.append_versioned(df, str(tmp_path / "t"), "optimize.x1") == 1
+
+
+@s3_deps
+def test_append_versioned_s3_n_way_contention(monkeypatch):
+    """Round-11 verdict item 4: the 2-writer race proves the claim
+    MECHANISM; a 100 TB deployment leans on the CONTENTION behavior.
+    N=8 uncoordinated appenders (thread pool, shared moto bucket) must
+    resolve to exactly one winner per version slot with no lost
+    job_ids anywhere in the final manifest chain, and every loser's
+    post-hoc retry must dedup to a no-op."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        url = "s3a://bkt/tbl"
+        writes: list[str] = []  # list.append is GIL-atomic
+
+        def appender(i):
+            return eio.append_versioned(_FakeDF(writes), url, f"job{i}")
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            versions = list(pool.map(appender, range(8)))
+
+        # exactly one winner per slot: the 8 returned versions are a
+        # permutation of 0..7 (every claim conflict forced a re-read
+        # and a fresh slot — nobody silently overwrote anybody)
+        assert sorted(versions) == list(range(8))
+        # one data write per job, each to its own partition directory
+        assert sorted(writes) == [f"{url}/__job_id=job{i}" for i in range(8)]
+        # the manifest chain is monotone: version n carries n+1 jobs,
+        # each job_id appears exactly once across the chain's additions
+        chain = eio.list_versions(url)
+        assert [v for v, _ in chain] == list(range(8))
+        seen: set[str] = set()
+        for n, jobs in chain:
+            assert len(jobs) == n + 1
+            added = set(jobs) - seen
+            assert len(added) == 1, f"v{n} added {added}"
+            seen = set(jobs)
+        assert seen == {f"job{i}" for i in range(8)}
+        # retry dedup across ALL committers (winners and losers): a
+        # re-append of any job_id is a no-op returning the tip version
+        n_writes = len(writes)
+        for i in range(8):
+            assert eio.append_versioned(_FakeDF(writes), url, f"job{i}") == 7
+        assert len(writes) == n_writes
+
+
+@s3_deps
+def test_append_versioned_s3_crash_before_commit_recovers(monkeypatch):
+    """Round-11 verdict item 4, recovery case: a writer that dies AFTER
+    its data write but BEFORE its manifest claim leaves an orphan
+    partition directory that no reader resolves (manifests are the
+    source of truth); retrying the SAME job_id must overwrite the
+    orphan and commit exactly once — no duplicate rows, no wasted
+    version slot."""
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        url = "s3a://bkt/tbl"
+        writes: list[str] = []
+        eio.append_versioned(_FakeDF(writes), url, "base")
+
+        real_try = eio._StoreManifestIO.try_commit
+        state = {"crash": True}
+
+        def crashing_try(self, n, payload):
+            if state["crash"]:
+                state["crash"] = False
+                raise OSError("process killed between data write and claim")
+            return real_try(self, n, payload)
+
+        monkeypatch.setattr(eio._StoreManifestIO, "try_commit", crashing_try)
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="process killed"):
+            eio.append_versioned(_FakeDF(writes), url, "job1")
+        # crash state: data written, nothing committed — readers of the
+        # manifest chain never see job1
+        assert writes == [f"{url}/__job_id=base", f"{url}/__job_id=job1"]
+        assert eio.list_versions(url) == [(0, ["base"])]
+        # retry (same job_id, as the journal/driver would): overwrites
+        # the orphan directory and commits exactly one new version
+        v = eio.append_versioned(_FakeDF(writes), url, "job1")
+        monkeypatch.undo()
+        assert v == 1
+        assert writes[-1] == f"{url}/__job_id=job1"  # mode=overwrite rewrite
+        assert eio.list_versions(url) == [(0, ["base"]), (1, ["base", "job1"])]

@@ -816,3 +816,21 @@ def test_optimize_versioned_detects_concurrent_commit(spark, tmp_path, monkeypat
     monkeypatch.undo()
     # the rival's append survived; the table is still consistent
     assert sorted(r.k for r in IO.read_version(spark, path).collect()) == [0, 1, 7]
+
+
+def test_recover_sweeps_orphan_journal_tmp(tmp_path):
+    """Round-11 ADVICE: a crash between writing the journal tmp and its
+    os.rename leaves '._commit.<uuid>.json.tmp' in bronze forever —
+    harmless to readers (its renames never started) but litter the
+    recovery pass exists to clean. recover_partial_commits must unlink
+    it without treating it as an authoritative journal."""
+    from nyc_tlc_trip_data_pipelines_spark.pipeline import recover_partial_commits
+
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    (bronze / "._commit.cafe.json.tmp").write_text('{"dst_files": ["x"]}')
+    (bronze / "part-keep.snappy.parquet").write_text("data")
+    removed = recover_partial_commits(str(bronze))
+    assert removed == []  # the tmp protected nothing — no rollbacks
+    assert not (bronze / "._commit.cafe.json.tmp").exists()
+    assert (bronze / "part-keep.snappy.parquet").exists()

@@ -56,9 +56,9 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-11 prefix is pure freshness rotation — it leads with the
-    13 round-4 ids at the 6-round horizon (deferred from the r10
-    prefix), then 37 of the 48 round-5 ids — has no duplicates, and
+    the round-12 prefix is pure freshness rotation — it leads with the
+    11 round-5 ids at the 6-round horizon (deferred from the r11
+    prefix), then 39 of the 48 round-6 ids — has no duplicates, and
     every prefix id has a DuckDB oracle (a prefix slot without an
     oracle wastes a driver window on a rows-only check)."""
     import __spark_entry__ as E
@@ -66,64 +66,7 @@ def test_prefix_50_rotation_contract():
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:13] == [
-        "q_anomaly_mad",
-        "q_cohort_retention",
-        "q_dq_validate",
-        "q_ohlc",
-        "q_pii_redact",
-        "q_quality_filter",
-        "q_repetition_profile",
-        "q_sample_weighted",
-        "q_sessionize",
-        "q_time_weighted_avg",
-        "q_unigram_logprob",
-        "q_vocab_build",
-        "q_window_time_range",
-    ]
-    assert "q_time_travel" in prefix and "q_graph_triangles" in prefix
-    assert "q_kmeans" in prefix
-    oracles = E.oracle_sql()
-    missing = [k for k in prefix if k not in oracles]
-    assert not missing, f"prefix ids without oracle: {missing}"
-
-
-def test_round12_rotation_queue_is_scheduled():
-    """Round-10 verdict item 7: the freshness cadence must not depend
-    on a mid-round scramble. Simulate the round-12 state (the r11
-    driver results landing) and pin that the ONLY ids that would then
-    sit past the horizon are the 11 round-5 leftovers explicitly
-    queued for the round-12 prefix in DESIGN.md — so the next rotation
-    is fully determined in advance and nothing else can age out."""
-    import glob
-    import json
-    import re
-
-    import __spark_entry__ as E
-
-    HORIZON = 6
-    latest = {}
-    rounds = []
-    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
-        if not m:
-            continue
-        r = int(m.group(1))
-        rounds.append(r)
-        for k in json.load(open(f)):
-            latest[k] = max(latest.get(k, 0), r)
-    keys = list(E.queries())
-    prefix = keys[:50]
-    # simulate: the current prefix gets driver rows at round max+1,
-    # making the upcoming round max+2
-    sim_round = max(rounds) + 1
-    for k in prefix:
-        latest[k] = max(latest.get(k, 0), sim_round)
-    upcoming = sim_round + 1
-    stale = sorted(
-        k for k in keys if latest.get(k, 0) < upcoming - HORIZON
-    )
-    R12_QUEUE = sorted([
+    assert prefix[:11] == [
         "q_date_extract2",
         "q_geo_binning",
         "q_json_flatten",
@@ -135,11 +78,96 @@ def test_round12_rotation_queue_is_scheduled():
         "q_text_normalize",
         "q_variant_json",
         "q_window_first_last",
-    ])
-    assert stale == R12_QUEUE, (
+    ]
+    assert "q_dedup_semantic" in prefix and "q_ks_test" in prefix
+    assert "q_partition_overwrite_dynamic" in prefix
+    oracles = E.oracle_sql()
+    missing = [k for k in prefix if k not in oracles]
+    assert not missing, f"prefix ids without oracle: {missing}"
+
+
+# The next-rotation queue, committed one round AHEAD (round-10 verdict
+# item 7 cadence): the ids that sit past the freshness horizon at
+# QUEUE_ROUND and therefore MUST lead that round's prefix-50. Round-12
+# rotation deferred these 9 round-6 ids (the simplest deterministic ops
+# in the tier) to round 13; DESIGN.md carries the same list.
+QUEUE_ROUND = 13
+NEXT_QUEUE = sorted([
+    "q_agg_collect_list",
+    "q_csv_inrow",
+    "q_ewma",
+    "q_feature_hash",
+    "q_fixed_width_ingest",
+    "q_html_strip",
+    "q_log_parse",
+    "q_markov_transitions",
+    "q_url_canonicalize",
+])
+
+
+def _latest_driver_rounds():
+    """(latest-round-per-id map, sorted list of recorded rounds,
+    key set of the newest CORRECTNESS file)."""
+    import glob
+    import json
+    import re
+
+    latest, rounds, by_round = {}, [], {}
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        try:
+            ids = set(json.load(open(f)).keys())
+        except Exception:
+            continue
+        by_round[r] = ids
+        for k in ids:
+            latest[k] = max(latest.get(k, 0), r)
+    rounds.sort()
+    newest_keys = by_round.get(rounds[-1], set()) if rounds else set()
+    return latest, rounds, newest_keys
+
+
+def test_next_rotation_queue_is_scheduled():
+    """Round-10 verdict item 7 cadence, made round-agnostic (the r11
+    verdict flagged the hard-coded ``max(rounds)+1`` — it broke the
+    moment the driver's results for the current prefix landed): bring
+    the current prefix's evidence up to date — simulating a driver
+    window for it ONLY if its results have not already landed — and
+    pin that the ids then past the horizon are exactly NEXT_QUEUE, so
+    the next rotation is fully determined in advance and nothing else
+    can age out."""
+    import __spark_entry__ as E
+
+    HORIZON = 6
+    latest, rounds, newest_keys = _latest_driver_rounds()
+    assert rounds, "no driver CORRECTNESS files found"
+    keys = list(E.queries())
+    prefix = keys[:50]
+    # If the newest CORRECTNESS file already covers the current prefix,
+    # the driver window happened at max(rounds); otherwise it is the
+    # upcoming window at max(rounds)+1.
+    sim_round = (
+        max(rounds) if newest_keys == set(prefix) else max(rounds) + 1
+    )
+    for k in prefix:
+        latest[k] = max(latest.get(k, 0), sim_round)
+    upcoming = sim_round + 1
+    assert upcoming == QUEUE_ROUND, (
+        f"NEXT_QUEUE is pinned for round {QUEUE_ROUND} but the next "
+        f"rotation to schedule is round {upcoming} — recompute the "
+        f"queue (DESIGN.md + this constant) for the new round"
+    )
+    stale = sorted(
+        k for k in keys if latest.get(k, 0) < upcoming - HORIZON
+    )
+    assert stale == NEXT_QUEUE, (
         f"simulated round-{upcoming} staleness does not match the "
-        f"queued round-12 rotation: extra={sorted(set(stale) - set(R12_QUEUE))}, "
-        f"missing={sorted(set(R12_QUEUE) - set(stale))}"
+        f"queued rotation: extra={sorted(set(stale) - set(NEXT_QUEUE))}, "
+        f"missing={sorted(set(NEXT_QUEUE) - set(stale))}"
     )
 
 
@@ -173,43 +201,83 @@ def test_freshness_horizon():
     re-accumulate. For every registry id, its freshest evidence — the
     latest recorded driver CORRECTNESS round, or the UPCOMING round if
     the id sits in the current prefix-50 — must be no more than
-    HORIZON rounds behind the upcoming round. At the round-9 state the
-    binding cases are the 13 round-3 ids deferred to the round-10
-    prefix (age exactly 6); if any of them is not rotated in next
-    round this test turns red there."""
-    import glob
-    import json
-    import re
+    HORIZON rounds behind the upcoming round.
 
+    Round-11 verdict item 1: the post-driver judged state ("results
+    for the current prefix just landed, next rotation not yet
+    committed" — the driver writes CORRECTNESS_r{N}.json AFTER the
+    builder's last commit, so every judged tree sits in this state)
+    gets exactly ONE round of grace: when the newest CORRECTNESS
+    file's key set equals the current prefix-50 AND the upcoming round
+    equals QUEUE_ROUND, ids in the committed NEXT_QUEUE count as
+    scheduled. The tripwire still fires if the rotation then does not
+    land — one round later the upcoming round moves past QUEUE_ROUND
+    and the grace no longer applies."""
     import __spark_entry__ as E
 
     HORIZON = 6
-    latest = {}
-    rounds = []
-    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
-        if not m:
-            continue
-        r = int(m.group(1))
-        rounds.append(r)
-        try:
-            ids = json.load(open(f)).keys()
-        except Exception:
-            continue
-        for k in ids:
-            latest[k] = max(latest.get(k, 0), r)
+    latest, rounds, newest_keys = _latest_driver_rounds()
     assert rounds, "no driver CORRECTNESS files found"
     upcoming = max(rounds) + 1
     keys = list(E.queries())
     prefix = set(keys[:50])
+    graced = (
+        set(NEXT_QUEUE)
+        if newest_keys == prefix and upcoming == QUEUE_ROUND
+        else set()
+    )
     stale = sorted(
         k for k in keys
-        if (upcoming if k in prefix else latest.get(k, 0)) < upcoming - HORIZON
+        if k not in graced
+        and (upcoming if k in prefix else latest.get(k, 0))
+        < upcoming - HORIZON
     )
     assert stale == [], (
         f"ids whose latest evidence is more than {HORIZON} rounds old "
-        f"and not scheduled in the current prefix: {stale}"
+        f"and not scheduled in the current prefix or the committed "
+        f"next-round queue: {stale}"
     )
+
+
+def test_post_driver_grace_semantics():
+    """Round-11 verdict item 1, encoded mechanically: (a) at the
+    post-driver state (newest CORRECTNESS keys == current prefix-50,
+    upcoming == QUEUE_ROUND) the grace leaves NOTHING stale; (b) one
+    round later WITHOUT a rotation the grace no longer applies and the
+    NEXT_QUEUE ids trip the horizon — i.e. the grace is exactly one
+    round wide and the tripwire still fires on a missed rotation."""
+    import __spark_entry__ as E
+
+    HORIZON = 6
+    latest, rounds, newest_keys = _latest_driver_rounds()
+    keys = list(E.queries())
+    prefix = set(keys[:50])
+
+    def stale_at(upcoming, newest_keys, latest):
+        graced = (
+            set(NEXT_QUEUE)
+            if newest_keys == prefix and upcoming == QUEUE_ROUND
+            else set()
+        )
+        return sorted(
+            k for k in keys
+            if k not in graced
+            and (upcoming if k in prefix else latest.get(k, 0))
+            < upcoming - HORIZON
+        )
+
+    # (a) post-driver state: CORRECTNESS_{landed} covers the prefix —
+    # already on disk if the driver ran, otherwise simulated.
+    sim = dict(latest)
+    landed = max(rounds) if newest_keys == prefix else max(rounds) + 1
+    for k in prefix:
+        sim[k] = max(sim.get(k, 0), landed)
+    assert landed + 1 == QUEUE_ROUND  # rotation cadence intact
+    assert stale_at(landed + 1, prefix, sim) == []
+    # (b) one more driver window on the SAME prefix (rotation missed):
+    for k in prefix:
+        sim[k] = landed + 1
+    assert stale_at(landed + 2, prefix, sim) != []
 
 
 def test_sf1_rotation_is_class_preserving_bijection():
