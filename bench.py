@@ -268,10 +268,19 @@ def _timed_pass(qs, names, spark, sf_dir, control=None, passes=None) -> dict[str
     MEAN — with the calm control cancelling drift, the third pass
     bought little, and a real creep raises both passes (and the
     mean) just as it raised the median. Even counts report the mean,
-    odd counts the median."""
+    odd counts the median.
+
+    ``passes`` may also be a callable ``name -> int`` (round-12 budget
+    fit, verdict item 8): the trend sections alternate mean-of-2 /
+    single-pass per query by round parity — see :func:`_trend_passes`."""
     timings: dict[str, float] = {}
-    n_passes = PASSES if passes is None else int(passes)
     for name in names:
+        if passes is None:
+            n_passes = PASSES
+        elif callable(passes):
+            n_passes = int(passes(name))
+        else:
+            n_passes = int(passes)
         if control is not None:
             _CONTROLS[name] = round(control(), 4)
         runs = []
@@ -293,6 +302,39 @@ def _timed_pass(qs, names, spark, sf_dir, control=None, passes=None) -> dict[str
 # per-query max/min pass ratio from the most recent _timed_pass calls
 # (retime passes overwrite — the freshest measurement wins)
 _SPREADS: dict[str, float] = {}
+
+
+def _upcoming_round() -> int:
+    """The next driver round, from the newest CORRECTNESS_r{N}.json —
+    the same convention tests/test_registry.py uses. 1 when no driver
+    results exist (fresh checkout)."""
+    import glob as _g
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in _g.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _trend_passes(name: str) -> int:
+    """Round-12 budget fit (verdict item 8): the full suite at
+    trend-sections-mean-of-2 ran ~490 s against the 570 s harness cap
+    (and over the 500 s headroom target) once q_compact moved to the
+    versioned OPTIMIZE path. Trim: each round, only HALF the trend
+    queries run mean-of-2; the other half run a single pass. The split
+    is a stable per-query hash XOR'd with the round parity, so it
+    alternates every round — the 2-pass half is always the half that
+    ran single-pass last round (the stalest measurements get the
+    better estimate). Noise cost is bounded: a spurious single-pass
+    flag triggers the existing retime pass (median-of-3, min-merged),
+    and the calm control still runs before EVERY query either way."""
+    import zlib as _z
+
+    return 2 if (_z.crc32(name.encode()) + _upcoming_round()) % 2 == 0 else 1
 
 
 def _spread_summary() -> dict[str, float]:
@@ -697,8 +739,9 @@ def main() -> None:
         section_timings[key] = _timed_pass(
             qs, names, spark, sf_dir, control=control,
             # headline keeps median-of-3 (cross-round baseline metric);
-            # trend sections run mean-of-2 to fit the harness budget
-            passes=PASSES if key == "queries" else 2,
+            # trend sections alternate mean-of-2 / single-pass per
+            # query by round parity (_trend_passes) to fit the budget
+            passes=PASSES if key == "queries" else _trend_passes,
         )
         _mark(f"timed:{key}")
     timings = section_timings["queries"]

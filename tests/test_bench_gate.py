@@ -267,3 +267,44 @@ def test_zero_control_rejected_explicitly(tmp_path, monkeypatch):
         b._CONTROLS.clear()
     assert [r["query"] for r in regs] == ["q_real"]
     assert "ratio_calm" not in regs[0]  # raw basis, no bogus calm math
+
+
+def test_trend_passes_alternates_by_round_parity(monkeypatch):
+    """Round-12 budget fit: the per-query 1/2-pass split must (a) be
+    deterministic within a round, (b) flip for every query between
+    consecutive rounds (so no query goes two rounds without a 2-pass
+    measurement), and (c) split the suite roughly in half."""
+    B = _bench()
+    monkeypatch.setattr(B, "_upcoming_round", lambda: 12)
+    sections = (B.EXTENDED + B.VERSIONED_IO + B.CORPUS_OPS
+                + B.ANALYTICS_OPS + B.MINING_OPS + B.MULTIMODAL_OPS
+                + B.ROUND6_OPS + B.ROUND7_OPS + B.ROUND8_OPS)
+    at12 = {q: B._trend_passes(q) for q in sections}
+    assert at12 == {q: B._trend_passes(q) for q in sections}  # stable
+    monkeypatch.setattr(B, "_upcoming_round", lambda: 13)
+    at13 = {q: B._trend_passes(q) for q in sections}
+    assert all(at12[q] != at13[q] for q in sections)  # full alternation
+    two_pass = sum(1 for v in at12.values() if v == 2)
+    assert 0.3 <= two_pass / len(sections) <= 0.7  # near-even split
+
+
+def test_timed_pass_accepts_per_query_callable():
+    B = _bench()
+
+    class _Q:
+        def __init__(self, log, name):
+            self.log, self.name = log, name
+
+        def __call__(self, spark, sf):
+            self.log.append(self.name)
+            return self
+
+        def count(self):
+            return 0
+
+    log = []
+    qs = {"q_a": _Q(log, "q_a"), "q_b": _Q(log, "q_b")}
+    out = B._timed_pass(qs, ["q_a", "q_b"], None, None,
+                        passes=lambda n: 2 if n == "q_a" else 1)
+    assert set(out) == {"q_a", "q_b"}
+    assert log.count("q_a") == 2 and log.count("q_b") == 1
