@@ -757,8 +757,66 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     return len(dropped), len(doomed_dirs)
 
 
+def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
+    """Z-order (Morton) clustering key over ``cols`` — the expression
+    behind ``optimize_versioned(cluster_by=...)``, the analog of Delta
+    Lake's ``OPTIMIZE ... ZORDER BY`` (public OSS feature; same
+    quantile-bucket-then-bit-interleave construction its
+    ``range_partition_id`` path uses).
+
+    Scale-safe by construction: per-column bucket boundaries come from
+    ``approxQuantile`` (Greenwald-Khanna sketch — one distributed pass,
+    driver holds only ``2^bits`` floats per column), bucketing is a
+    broadcast-literal array filter (whole-stage codegen, no join), and
+    the bit interleave is pure integer expressions. No window, no
+    serial stage, no Python UDF. Quantile buckets (not min/max range
+    splits) make the curve skew-resistant: each bucket holds ~1/2^bits
+    of the ROWS regardless of the value distribution.
+
+    Columns must be numeric/date/timestamp (cast to double for the
+    sketch); NULLs sort into bucket 0. Returns a Column producing a
+    ``bits * len(cols)``-bit integer.
+    """
+    from pyspark.sql import functions as F
+
+    if not (1 <= bits * len(cols) <= 60):
+        raise ValueError("bits * len(cols) must fit a 60-bit z-value")
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    buckets = []
+    for c in cols:
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"cluster_by column {c!r} not in DataFrame")
+        if dt in ("string", "binary") or dt.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"cluster_by column {c!r} has type {dt}; z-order clustering "
+                "needs a numeric/date/timestamp column (hash string keys to "
+                "a numeric surrogate first)"
+            )
+        num = F.col(c).cast("double")
+        probe = df.select(num.alias("__zq")).na.drop()
+        bl = probe.stat.approxQuantile("__zq", qs, 1.0 / (4 * n_buckets))
+        arr = F.array(*[F.lit(float(b)) for b in bl])
+        val = F.coalesce(num, F.lit(float("-inf")))
+        buckets.append(
+            F.size(F.filter(arr, lambda x: x < val)).cast("long")  # noqa: B023
+        )
+    # interleave: bit i of column j lands at position i*ncols + j
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(buckets) + j))
+    return z
+
+
 def optimize_versioned(
-    spark: SparkSession, path: str, target_mb: int = 128
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    cluster_by: Sequence[str] | None = None,
+    zorder_bits: int = 6,
 ) -> int:
     """Delta ``OPTIMIZE`` analog for versioned-append tables: rewrite
     the LATEST version's rows as one right-sized job partition and
@@ -784,8 +842,28 @@ def optimize_versioned(
     scan statistics of the version being rewritten (file bytes of the
     pruned directories) — the same ~128 MB-per-task sizing rationale
     as :func:`compact_dir`. Returns the new version number.
+
+    ``cluster_by`` (round 12): the ``OPTIMIZE ... ZORDER BY`` analog.
+    Rows are range-repartitioned and sorted on a :func:`_zorder_value`
+    Morton key over the given columns before the rewrite, so every
+    output file covers a tight min/max rectangle in ALL the clustered
+    dimensions at once — parquet row-group stats (and any zone-map
+    layer above them) then prune multi-predicate scans that a
+    single-column sort could only prune on its leading column. At
+    100 TB this is the difference between "skip 99% of files on
+    (pickup_time, zone) predicates" and "full scan unless the filter
+    hits the sort prefix". One extra distributed sketch pass per
+    clustered column; the clustering shuffle replaces (not adds to)
+    the plain ``repartition``. A deterministic hash of the cluster
+    columns tie-breaks the range partitioner so constant/low-card
+    z-values still spread across ``n_out`` writers (never one giant
+    task). Re-running on an already-optimized table stays a no-op
+    regardless of ``cluster_by`` — vacuum + re-append to re-cluster
+    with a different key.
     """
     import math
+
+    from pyspark.sql import functions as F
 
     if is_local_path(path):
         path = to_local_os_path(path)
@@ -801,7 +879,18 @@ def optimize_versioned(
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n_out = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
     new_job = f"optimize.o{cur_v + 1}"
-    df.repartition(n_out).write.mode("overwrite").parquet(
+    if cluster_by:
+        zcol = "__zorder"
+        tie = F.xxhash64(*[F.col(c) for c in cluster_by])
+        out = (
+            df.withColumn(zcol, _zorder_value(df, cluster_by, bits=zorder_bits))
+            .repartitionByRange(n_out, F.col(zcol), tie)
+            .sortWithinPartitions(zcol)
+            .drop(zcol)
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(
         os.path.join(path, f"{job_col}={new_job}")
     )
     return _commit_manifest(path, job_col, [new_job], base_version=cur_v)
