@@ -764,6 +764,12 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
     quantile-bucket-then-bit-interleave construction its
     ``range_partition_id`` path uses).
 
+    Sibling of :func:`operators.layout.zorder_key`, which interleaves
+    the RAW low bits of two already-bucketed non-negative integers
+    (and has a portable SQL twin for its oracle). This variant is the
+    production-rewrite key: N columns, quantile bucketing for skew
+    resistance, type validation, NULL handling.
+
     Scale-safe by construction: per-column bucket boundaries come from
     ``approxQuantile`` (Greenwald-Khanna sketch — one distributed pass,
     driver holds only ``2^bits`` floats per column), bucketing is a

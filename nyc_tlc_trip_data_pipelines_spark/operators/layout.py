@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
     """Morton interleave of the low ``bits`` bits of two non-negative
     integer columns: z = … y1 x1 y0 x0. Built as a fold of shift/mask
-    expressions — a flat codegen'd integer expression, no UDF."""
+    expressions — a flat codegen'd integer expression, no UDF.
+
+    The production OPTIMIZE-rewrite variant (N columns, quantile
+    bucketing for skew resistance, NULL handling) is
+    :func:`io._zorder_value`, used by
+    ``io.optimize_versioned(cluster_by=...)``."""
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i))
