@@ -278,6 +278,18 @@ class _LocalManifestIO:
                 out.append((int(m["version"]), list(m["job_ids"])))
         return sorted(out)
 
+    def list_version_numbers(self) -> list[int]:
+        """Version numbers from manifest FILE NAMES only — no bodies
+        read. The commit hot path needs just the tip (round 12)."""
+        if not os.path.isdir(self.mdir):
+            return []
+        return sorted(
+            int(name[1:-5])
+            for name in os.listdir(self.mdir)
+            if name.startswith("v") and name.endswith(".json")
+            and name[1:-5].isdigit()
+        )
+
     def read_meta(self, n: int) -> dict:
         with open(os.path.join(self.mdir, f"v{n}.json")) as fh:
             return json.load(fh)
@@ -328,6 +340,19 @@ class _StoreManifestIO:
                     out.append((int(m["version"]), list(m["job_ids"])))
         return sorted(out)
 
+    def list_version_numbers(self) -> list[int]:
+        """Version numbers from the LIST response alone — one paginated
+        LIST per 1000 versions, ZERO GETs. S3 listings are strongly
+        consistent (read-after-write since 2020), so the max is the
+        true tip. The commit hot path needs just this (round 12)."""
+        out = []
+        for page in self.store.iter_pages("_manifests/v"):
+            for key in page:
+                name = key.rsplit("/", 1)[-1]
+                if name.startswith("v") and name.endswith(".json") and name[1:-5].isdigit():
+                    out.append(int(name[1:-5]))
+        return sorted(out)
+
     def read_meta(self, n: int) -> dict:
         return json.loads(self.store.get_text(f"_manifests/v{n}.json"))
 
@@ -373,19 +398,38 @@ def _base_job_id(job: str) -> str:
     return _REWRITE_SUFFIX_RE.sub("", job)
 
 
-def _all_committed_job_ids(versions: list[tuple[int, list[str]]]) -> set[str]:
-    """Union of job_ids across EVERY manifest version in the given
-    ``list_versions`` snapshot, plus the base names of delete/merge
-    rewrites — the full set of jobs that have ever been committed to
-    this table, under any name. Takes the snapshot (not the path) so
-    callers make membership decisions and version arithmetic against
-    ONE consistent listing."""
-    out: set[str] = set()
-    for _v, jobs in versions:
-        for j in jobs:
-            out.add(j)
-            out.add(_base_job_id(j))
-    return out
+def _with_bases(raw: set[str]) -> set[str]:
+    """Raw job names plus their rewrite-stripped bases — the membership
+    set retry dedup consults."""
+    return raw | {_base_job_id(j) for j in raw}
+
+
+def _tip_state(mio) -> tuple[int | None, list[str], set[str]]:
+    """(tip version or None, tip job list, RAW ever-union of every
+    job_id ever committed) — the commit hot path's entire read.
+
+    Round 12: each manifest carries a cumulative ``ever`` field
+    (every job_id committed under any name up to that version), so
+    this is ONE name-only LIST plus ONE manifest GET regardless of
+    chain length — on S3 that turns an O(versions) GET storm per
+    append into O(1), the same scaling role as Delta's checkpoints.
+    It also makes retry dedup survive :func:`vacuum_versioned`:
+    vacuum deletes old manifests, and before ``ever`` the dedup union
+    forgot vacuumed job_ids — a crash-looped retry of an ancient job
+    could then re-append rows a DELETE had removed. The tip manifest
+    now remembers them forever. Pre-round-12 tables (no ``ever`` in
+    the tip) fall back to the full-chain scan once; their next commit
+    writes the field."""
+    nums = mio.list_version_numbers()
+    if not nums:
+        return None, [], set()
+    tip = max(nums)
+    meta = mio.read_meta(tip)
+    jobs = list(meta["job_ids"])
+    if "ever" in meta:
+        return tip, jobs, set(meta["ever"])
+    raw = {j for _v, js in mio.list_versions() for j in js}
+    return tip, jobs, raw
 
 
 def append_versioned(
@@ -415,8 +459,13 @@ def append_versioned(
       is a no-op returning the current version, like Delta's
       ``txnAppId`` dedup. In particular, retrying a job whose partition
       was later rewritten by :func:`delete_where` / :func:`merge_versioned`
-      does NOT resurrect the deleted rows: the dedup consults the union
-      of job ids across ALL manifests, not just the latest.
+      — or whose manifests were since reclaimed by
+      :func:`vacuum_versioned` — does NOT resurrect the deleted rows:
+      every manifest carries a cumulative ``ever`` field (all job ids
+      committed under any name up to that version, round 12), so the
+      dedup reads ONE manifest instead of the whole chain (O(1) GETs
+      on S3 — the scaling role of Delta's checkpoints) and remembers
+      vacuumed history forever.
     - **time travel**: :func:`read_version` resolves version N to its
       job set and reads exactly those partition directories (partition
       pruning makes the filter a directory selection, not a row scan).
@@ -458,22 +507,27 @@ def append_versioned(
     _validate_user_job_id(job_id)
     mio = _manifest_io(path)
     # Retry dedup BEFORE the data write: a job_id committed in ANY
-    # manifest (possibly since rewritten by delete/merge) must not write
-    # bytes — re-overwriting a directory that older manifests still
-    # reference, or re-appending rows a DELETE removed, both corrupt
-    # time travel.
-    versions = mio.list_versions()
-    if job_id in _all_committed_job_ids(versions):
-        return versions[-1][0]
+    # manifest (possibly since rewritten by delete/merge, possibly
+    # since VACUUMed away — the tip's cumulative ``ever`` field
+    # remembers both) must not write bytes — re-overwriting a
+    # directory that older manifests still reference, or re-appending
+    # rows a DELETE removed, both corrupt time travel.
+    tip, _jobs, raw = _tip_state(mio)
+    if job_id in _with_bases(raw):
+        return tip
     df.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
     while True:
-        versions = mio.list_versions()
-        jobs = versions[-1][1] if versions else []
-        if job_id in _all_committed_job_ids(versions):
+        tip, jobs, raw = _tip_state(mio)
+        if job_id in _with_bases(raw):
             # a concurrent retry of the same job_id won the race
-            return versions[-1][0]
-        n = versions[-1][0] + 1 if versions else 0
-        payload = {"version": n, "job_col": job_col, "job_ids": jobs + [job_id]}
+            return tip
+        n = tip + 1 if tip is not None else 0
+        payload = {
+            "version": n,
+            "job_col": job_col,
+            "job_ids": jobs + [job_id],
+            "ever": sorted(raw | {job_id}),
+        }
         if not mio.try_commit(n, payload):
             continue  # lost the race — re-read and claim the next version
         return n
@@ -503,10 +557,9 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
     if is_local_path(path):
         path = to_local_os_path(path)
     mio = _manifest_io(path)
-    versions = mio.list_versions()
-    if not versions:
+    cur_v, jobs, _raw = _tip_state(mio)
+    if cur_v is None:
         raise ValueError(f"no versions committed under {path}")
-    cur_v, jobs = versions[-1]
     job_col = mio.read_meta(cur_v)["job_col"]
     new_jobs: list[str] = []
     changed = False
@@ -554,15 +607,20 @@ def _commit_manifest(
     """
     mio = _manifest_io(path)
     while True:
-        versions = mio.list_versions()
-        latest = versions[-1][0] if versions else -1
+        tip, _jobs, raw = _tip_state(mio)
+        latest = tip if tip is not None else -1
         if base_version is not None and latest != base_version:
             raise ConcurrentCommitError(
                 f"{path}: version advanced {base_version} -> {latest} during "
                 "copy-on-write rewrite; re-run the operation against the new base"
             )
         n = latest + 1
-        payload = {"version": n, "job_col": job_col, "job_ids": job_ids}
+        payload = {
+            "version": n,
+            "job_col": job_col,
+            "job_ids": job_ids,
+            "ever": sorted(raw | set(job_ids)),
+        }
         if mio.try_commit(n, payload):
             return n
         if base_version is not None:
@@ -603,13 +661,12 @@ def merge_versioned(
         path = to_local_os_path(path)
     _validate_user_job_id(job_id)
     mio = _manifest_io(path)
-    versions = mio.list_versions()
-    if not versions:
+    cur_v, jobs, raw = _tip_state(mio)
+    if cur_v is None:
         raise ValueError(f"no versions committed under {path}")
-    cur_v, jobs = versions[-1]
     if job_id in jobs:
         return cur_v  # idempotent retry: this merge already committed
-    if job_id in _all_committed_job_ids(versions):
+    if job_id in _with_bases(raw):
         raise ValueError(
             f"job_id {job_id!r} was already committed to {path} in an earlier "
             "version; reusing it would overwrite a partition directory that "
@@ -874,10 +931,9 @@ def optimize_versioned(
     if is_local_path(path):
         path = to_local_os_path(path)
     mio = _manifest_io(path)
-    versions = mio.list_versions()
-    if not versions:
+    cur_v, jobs, _raw = _tip_state(mio)
+    if cur_v is None:
         raise ValueError(f"no versions committed under {path}")
-    cur_v, jobs = versions[-1]
     if len(jobs) == 1 and jobs[0].startswith("optimize.o"):
         return cur_v  # already compacted; re-run is a no-op
     job_col = mio.read_meta(cur_v)["job_col"]

@@ -839,3 +839,113 @@ def test_append_versioned_s3_crash_before_commit_recovers(monkeypatch):
         assert v == 1
         assert writes[-1] == f"{url}/__job_id=job1"  # mode=overwrite rewrite
         assert eio.list_versions(url) == [(0, ["base"]), (1, ["base", "job1"])]
+
+
+# ---------------------------------------------------------------------------
+# Round-12: cumulative `ever` manifests — O(1)-GET commits (the Delta-
+# checkpoint scaling role) + retry dedup that survives VACUUM.
+# ---------------------------------------------------------------------------
+
+
+def test_ever_field_tracks_full_chain_union(spark, tmp_path):
+    """Invariant: every manifest's `ever` equals the union of job_ids
+    across ALL manifests up to that version — across append, DELETE
+    rewrites, MERGE, and OPTIMIZE."""
+    import json as _json
+
+    t = str(tmp_path / "ever")
+    df = spark.range(6).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    eio.append_versioned(df, t, "a0")
+    eio.append_versioned(df.withColumn("v", F.col("v") + 10), t, "a1")
+    eio.delete_where(spark, t, F.col("v") == 0)
+    eio.merge_versioned(
+        spark, t, df.limit(2).withColumn("v", F.lit(99).cast("long")), ["k", "v"], "m0"
+    )
+    eio.optimize_versioned(spark, t)
+    mdir = os.path.join(t, "_manifests")
+    running: set[str] = set()
+    for n in sorted(int(f[1:-5]) for f in os.listdir(mdir) if f.endswith(".json")):
+        with open(os.path.join(mdir, f"v{n}.json")) as fh:
+            m = _json.load(fh)
+        running |= set(m["job_ids"])
+        assert set(m["ever"]) >= running, f"v{n} ever misses committed ids"
+        assert set(m["ever"]) <= running, f"v{n} ever has phantom ids"
+
+
+def test_retry_dedup_survives_vacuum(spark, tmp_path):
+    """Before `ever`, VACUUM deleted old manifests and the dedup union
+    forgot their job_ids — a crash-looped retry of an ancient job
+    could re-append rows a DELETE had removed. The tip manifest now
+    remembers vacuumed history: the retry must stay a no-op."""
+    t = str(tmp_path / "vac")
+    df = spark.range(4).select(F.col("id").alias("v"))
+    eio.append_versioned(df, t, "ancient")
+    eio.append_versioned(df.withColumn("v", F.col("v") + 10), t, "recent")
+    eio.delete_where(spark, t, F.col("v") < 2)  # rewrites 'ancient'
+    eio.vacuum_versioned(t, retain_last=1)
+    tip_before = eio.list_versions(t)[-1]
+    # the ancient job's manifests are gone; its retry must not commit
+    v = eio.append_versioned(df, t, "ancient")
+    assert v == tip_before[0]
+    assert eio.list_versions(t)[-1] == tip_before
+    back = eio.read_version(spark, t)
+    assert back.filter(F.col("v") < 2).count() == 0  # delete not undone
+
+
+@s3_deps
+def test_append_commit_is_o1_gets_on_s3(monkeypatch):
+    """The commit hot path must read ONE manifest body regardless of
+    chain length (name-only LIST for the tip + one GET) — on a 100 TB
+    table with thousands of commits, O(versions) GETs per append is
+    the difference between a working and a melting manifest store."""
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        url = "s3a://bkt/tbl"
+        writes: list[str] = []
+        for i in range(12):
+            eio.append_versioned(_FakeDF(writes), url, f"job{i}")
+        store = obs.S3Store("bkt", "tbl")
+        calls = {"get": 0}
+        mio = eio._manifest_io(url)
+        real_get = type(mio.store).get_text
+
+        def counting_get(self, key):
+            calls["get"] += 1
+            return real_get(self, key)
+
+        monkeypatch.setattr(type(mio.store), "get_text", counting_get)
+        assert eio.append_versioned(_FakeDF(writes), url, "job_new") == 12
+        assert calls["get"] <= 3, f"append read {calls['get']} manifest bodies"
+        calls["get"] = 0
+        assert eio.append_versioned(_FakeDF(writes), url, "job3") == 12  # dedup
+        assert calls["get"] <= 2
+        assert store.get_text  # silence unused warning paths
+
+
+def test_pre_round12_table_without_ever_still_works(spark, tmp_path):
+    """Back-compat: a table whose manifests predate `ever` (simulated
+    by stripping the field) must still dedup correctly via the
+    full-chain fallback, and its NEXT commit must write `ever`."""
+    import json as _json
+
+    t = str(tmp_path / "old")
+    df = spark.range(3).select(F.col("id").alias("v"))
+    eio.append_versioned(df, t, "j0")
+    eio.append_versioned(df, t, "j1")
+    mdir = os.path.join(t, "_manifests")
+    for f in os.listdir(mdir):
+        p = os.path.join(mdir, f)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("ever", None)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    # dedup falls back to the full-chain scan
+    assert eio.append_versioned(df, t, "j0") == 1
+    # a fresh commit reconstructs and persists ever
+    assert eio.append_versioned(df, t, "j2") == 2
+    with open(os.path.join(mdir, "v2.json")) as fh:
+        assert set(_json.load(fh)["ever"]) == {"j0", "j1", "j2"}
