@@ -711,19 +711,25 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     dropped by the default footer-on-faith schema (the exact trap
     :func:`read_parquet_merged`'s docstring warns about). At 100 TB
     scale cache the merged schema in a catalog rather than re-merging
-    footers per read."""
+    footers per read.
+
+    Round 12: resolves via a name-only manifest LIST plus ONE manifest
+    GET — the read analog of the ``ever`` commit-path fix; previously
+    every AS-OF read fetched EVERY manifest body just to look up one
+    version's job set."""
     if is_local_path(path):
         path = to_local_os_path(path)
     mio = _manifest_io(path)
-    versions = dict(mio.list_versions())
-    if not versions:
+    nums = mio.list_version_numbers()
+    if not nums:
         raise ValueError(f"no versions committed under {path}")
-    n = max(versions) if version is None else version
-    if n not in versions:
-        raise ValueError(f"version {n} not found under {path} (have {sorted(versions)})")
-    job_col = mio.read_meta(n)["job_col"]
+    n = max(nums) if version is None else version
+    if n not in set(nums):
+        raise ValueError(f"version {n} not found under {path} (have {nums})")
+    meta = mio.read_meta(n)
+    job_col = meta["job_col"]
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    return df.filter(df[job_col].isin(versions[n])).drop(job_col)
+    return df.filter(df[job_col].isin(list(meta["job_ids"]))).drop(job_col)
 
 
 def table_changes(
