@@ -287,7 +287,7 @@ class _LocalManifestIO:
             int(name[1:-5])
             for name in os.listdir(self.mdir)
             if name.startswith("v") and name.endswith(".json")
-            and name[1:-5].isdigit()
+            and name[1:-5].isdecimal()
         )
 
     def read_meta(self, n: int) -> dict:
@@ -349,7 +349,7 @@ class _StoreManifestIO:
         for page in self.store.iter_pages("_manifests/v"):
             for key in page:
                 name = key.rsplit("/", 1)[-1]
-                if name.startswith("v") and name.endswith(".json") and name[1:-5].isdigit():
+                if name.startswith("v") and name.endswith(".json") and name[1:-5].isdecimal():
                     out.append(int(name[1:-5]))
         return sorted(out)
 
