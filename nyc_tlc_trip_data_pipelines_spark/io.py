@@ -863,7 +863,16 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
                 "needs a numeric/date/timestamp column (hash string keys to "
                 "a numeric surrogate first)"
             )
-        num = F.col(c).cast("double")
+        # Quantile bucketing only needs a MONOTONE numeric image of the
+        # column, so temporal types map through their epoch counters
+        # (DATE has no direct DOUBLE cast in Spark — unix_date instead;
+        # TIMESTAMP_NTZ casts via TIMESTAMP, a monotone shift).
+        if dt == "date":
+            num = F.unix_date(F.col(c)).cast("double")
+        elif dt == "timestamp_ntz":
+            num = F.col(c).cast("timestamp").cast("double")
+        else:
+            num = F.col(c).cast("double")
         probe = df.select(num.alias("__zq")).na.drop()
         bl = probe.stat.approxQuantile("__zq", qs, 1.0 / (4 * n_buckets))
         arr = F.array(*[F.lit(float(b)) for b in bl])

@@ -117,6 +117,24 @@ def test_zorder_value_skew_and_nulls(spark):
     assert out.n == 10_000 and out.zmin >= 0
 
 
+def test_zorder_temporal_columns(spark):
+    """DATE has no direct DOUBLE cast in Spark (the docstring promises
+    date/timestamp support, so this was a real gap): date goes through
+    unix_date, timestamp_ntz through a timestamp cast — both monotone,
+    which is all quantile bucketing needs."""
+    df = spark.range(200).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        (F.col("id") % 7).alias("x"),
+    )
+    for pair in (["d", "x"], ["ts", "x"], ["d", "ts"]):
+        out = df.withColumn("z", eio._zorder_value(df, pair)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("z").alias("cells"),
+        ).collect()[0]
+        assert out.n == 200 and out.cells > 1, pair
+
+
 def test_zorder_rejects_unsupported_columns(spark):
     df = spark.range(10).select(
         F.col("id").alias("x"), F.lit("s").alias("name")
