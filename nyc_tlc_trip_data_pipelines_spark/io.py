@@ -834,8 +834,9 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
     resistance, type validation, NULL handling.
 
     Scale-safe by construction: per-column bucket boundaries come from
-    ``approxQuantile`` (Greenwald-Khanna sketch — one distributed pass,
-    driver holds only ``2^bits`` floats per column), bucketing is a
+    ``approxQuantile`` (Greenwald-Khanna sketch — ONE distributed pass
+    sketches every cluster column together; the driver holds only
+    ``2^bits`` floats per column), bucketing is a
     broadcast-literal array filter (whole-stage codegen, no join), and
     the bit interleave is pure integer expressions. No window, no
     serial stage, no Python UDF. Quantile buckets (not min/max range
@@ -852,9 +853,10 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
         raise ValueError("bits * len(cols) must fit a 60-bit z-value")
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    buckets = []
+    nums = []
+    dtypes = dict(df.dtypes)
     for c in cols:
-        dt = dict(df.dtypes).get(c)
+        dt = dtypes.get(c)
         if dt is None:
             raise ValueError(f"cluster_by column {c!r} not in DataFrame")
         if dt in ("string", "binary") or dt.startswith(("array", "map", "struct")):
@@ -868,13 +870,20 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
         # (DATE has no direct DOUBLE cast in Spark — unix_date instead;
         # TIMESTAMP_NTZ casts via TIMESTAMP, a monotone shift).
         if dt == "date":
-            num = F.unix_date(F.col(c)).cast("double")
+            nums.append(F.unix_date(F.col(c)).cast("double"))
         elif dt == "timestamp_ntz":
-            num = F.col(c).cast("timestamp").cast("double")
+            nums.append(F.col(c).cast("timestamp").cast("double"))
         else:
-            num = F.col(c).cast("double")
-        probe = df.select(num.alias("__zq")).na.drop()
-        bl = probe.stat.approxQuantile("__zq", qs, 1.0 / (4 * n_buckets))
+            nums.append(F.col(c).cast("double"))
+    # ONE sketch job for every column (approxQuantile takes a column
+    # list and ignores NULLs itself) — k cluster columns cost one pass
+    # over the data, not k.
+    probe = df.select(*[n.alias(f"__zq{i}") for i, n in enumerate(nums)])
+    bls = probe.stat.approxQuantile(
+        [f"__zq{i}" for i in range(len(nums))], qs, 1.0 / (4 * n_buckets)
+    )
+    buckets = []
+    for num, bl in zip(nums, bls):
         arr = F.array(*[F.lit(float(b)) for b in bl])
         val = F.coalesce(num, F.lit(float("-inf")))
         buckets.append(
