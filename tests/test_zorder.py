@@ -160,3 +160,40 @@ def test_zorder_constant_column_still_fans_out(spark, tmp_path):
     files = [f for f in os.listdir(job_dir) if f.endswith(".parquet")]
     assert eio.read_version(spark, t, v).count() == 200_000
     assert len(files) >= 1  # completes; no single giant straggler task
+
+
+def test_zonemap_prunes_hard_after_zorder_optimize(spark, tmp_path):
+    """The payoff the whole feature exists for: a zone map built over a
+    z-ordered table prunes point lookups on BOTH clustered columns to
+    a small fraction of the files, while the same zone map over a
+    plain-compacted table prunes (almost) nothing — stats on
+    round-robin files span the whole domain."""
+    from nyc_tlc_trip_data_pipelines_spark.operators.layout import (
+        write_zonemap,
+        zonemap_lookup,
+    )
+
+    df = _mk(spark)  # 1M rows -> ~7 files at target_mb=1
+    results = {}
+    for mode in ("plain", "zorder"):
+        t = str(tmp_path / f"t_{mode}")
+        eio.append_versioned(df.repartition(8), t, "b0")
+        v = eio.optimize_versioned(
+            spark, t, target_mb=1,
+            cluster_by=["x", "y"] if mode == "zorder" else None,
+        )
+        job_dir = os.path.join(t, f"__job_id=optimize.o{v}")
+        idx = str(tmp_path / f"zm_{mode}")
+        n_files = write_zonemap(spark, job_dir, ["x", "y"], idx)
+        assert n_files >= 4
+        fracs = []
+        for col, val in (("x", 500), ("y", 500), ("x", 7), ("y", 991)):
+            out, scanned, total = zonemap_lookup(spark, job_dir, idx, col, val)
+            assert out.count() == df.filter(F.col(col) == val).count()
+            fracs.append(scanned / total)
+        results[mode] = sum(fracs) / len(fracs)
+    # plain layout: every file spans the domain -> ~no pruning
+    assert results["plain"] > 0.9
+    # z-ordered layout: point lookups on EITHER dimension hit a minority
+    # of files (64 z-buckets per dim across >=4 files)
+    assert results["zorder"] < 0.7, results
