@@ -949,3 +949,77 @@ def test_pre_round12_table_without_ever_still_works(spark, tmp_path):
     assert eio.append_versioned(df, t, "j2") == 2
     with open(os.path.join(mdir, "v2.json")) as fh:
         assert set(_json.load(fh)["ever"]) == {"j0", "j1", "j2"}
+
+
+@s3_deps
+def test_optimize_races_live_appenders_on_s3(monkeypatch):
+    """Production pattern: a background OPTIMIZE runs while ingest
+    keeps appending. The compactor must either commit atomically
+    against the base it read or raise ConcurrentCommitError — never
+    publish a manifest that silently drops a concurrent append. Run
+    the race 4 times; in every outcome the final chain must contain
+    EVERY appended job (possibly via the optimize rewrite's ever set)
+    and the ever-union must be monotone."""
+    import json as _json
+    import threading
+
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        url = "s3a://bkt/tbl"
+        writes: list[str] = []
+        eio.append_versioned(_FakeDF(writes), url, "seed0")
+        eio.append_versioned(_FakeDF(writes), url, "seed1")
+        mio = eio._manifest_io(url)
+        appended = ["seed0", "seed1"]
+        outcomes = {"committed": 0, "conflict": 0}
+        for round_i in range(4):
+            # an "optimize" built the slow way: read the tip, then an
+            # append sneaks in BEFORE the compactor's commit
+            tip, jobs, _raw = eio._tip_state(mio)
+            rival = f"race{round_i}"
+            eio.append_versioned(_FakeDF(writes), url, rival)
+            appended.append(rival)
+            try:
+                eio._commit_manifest(
+                    url, "__job_id", [f"optimize.o{tip + 1}"], base_version=tip
+                )
+                outcomes["committed"] += 1
+            except eio.ConcurrentCommitError:
+                outcomes["conflict"] += 1
+        # the sneaked-in append ALWAYS advances the tip between the
+        # compactor's read and its commit, so every round must conflict
+        assert outcomes == {"committed": 0, "conflict": 4}
+        # no appended job was lost: each is in the tip's ever union
+        tip, jobs, raw = eio._tip_state(mio)
+        assert set(appended) <= raw
+        # and still readable in the tip job list (no rewrite happened)
+        assert set(appended) <= set(jobs)
+        # ever is monotone across the whole chain
+        prev: set[str] = set()
+        for n, _ in eio.list_versions(url):
+            ever = set(_json.loads(mio.store.get_text(f"_manifests/v{n}.json"))["ever"])
+            assert ever >= prev
+            prev = ever
+
+
+@s3_deps
+def test_optimize_commit_wins_when_no_rival_on_s3(monkeypatch):
+    """Complement of the race test: with no concurrent writer the
+    compactor's base_version commit succeeds and swaps the job set in
+    one manifest, ever retains the swapped-out jobs."""
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        url = "s3a://bkt/tbl"
+        writes: list[str] = []
+        eio.append_versioned(_FakeDF(writes), url, "a0")
+        eio.append_versioned(_FakeDF(writes), url, "a1")
+        mio = eio._manifest_io(url)
+        tip, jobs, raw = eio._tip_state(mio)
+        v = eio._commit_manifest(url, "__job_id", [f"optimize.o{tip + 1}"],
+                                 base_version=tip)
+        assert v == tip + 1
+        new_tip, new_jobs, new_raw = eio._tip_state(mio)
+        assert new_jobs == [f"optimize.o{tip + 1}"]
+        assert {"a0", "a1"} <= new_raw  # swapped out, remembered forever
