@@ -197,3 +197,33 @@ def test_zonemap_prunes_hard_after_zorder_optimize(spark, tmp_path):
     # z-ordered layout: point lookups on EITHER dimension hit a minority
     # of files (64 z-buckets per dim across >=4 files)
     assert results["zorder"] < 0.7, results
+
+
+def test_zorder_buckets_monotone_per_dimension(spark):
+    """Property behind the pruning claim: holding the other dimension
+    fixed, a column's quantile bucket (extracted from the z-value by
+    de-interleaving) is NON-DECREASING in the column's value — so a
+    range predicate on any single dimension maps to a contiguous
+    bucket range, which is what makes min/max file stats prunable."""
+    n, bits = 5_000, 6
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        (F.col("id") % 50).alias("y"),
+    )
+    z = eio._zorder_value(df, ["x", "y"], bits=bits)
+    # de-interleave x's bits (positions 0, 2, 4, ... for column 0 of 2)
+    xb = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.shiftright(z, 2 * i).bitwiseAND(F.lit(1))
+        xb = xb.bitwiseOR(F.shiftleft(bit, i))
+    rows = (
+        df.withColumn("xb", xb)
+        .groupBy("xb")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("xb")
+        .collect()
+    )
+    assert len(rows) > 16  # quantile buckets actually spread
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.xb == prev.xb + 1  # no bucket gaps on uniform data
+        assert cur.lo > prev.hi  # buckets are disjoint, ordered ranges
