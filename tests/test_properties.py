@@ -939,3 +939,81 @@ def test_recover_partial_commits_idempotent(kinds, runs):
             os.path.join(bronze, n) for n in os.listdir(bronze)
         )
         assert left == sorted(keep)
+
+
+_vop = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 3), st.integers(1, 5)),
+    st.tuples(st.just("retry"), st.integers(0, 3), st.integers(1, 5)),
+    st.tuples(st.just("delete"), st.integers(0, 40), st.just(0)),
+    st.tuples(st.just("merge"), st.integers(0, 3), st.integers(1, 4)),
+    st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+    st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+)
+
+
+@given(st.lists(_vop, min_size=2, max_size=6))
+@settings(max_examples=5, deadline=None)
+def test_versioned_lifecycle_matches_multiset_model(spark, tmp_path_factory, ops):
+    """Model-based property (round 12): ANY interleaving of
+    append / retried-append / DELETE / MERGE / OPTIMIZE / VACUUM must
+    leave read_version(latest) equal to a pure-Python multiset model,
+    with the tip's cumulative ever-union containing every job_id ever
+    issued — the whole-protocol invariant behind retry dedup, COW
+    rewrites, compaction idempotence, and vacuum survival at once."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path_factory.mktemp("vm") / "t")
+    model: list[tuple[int, int]] = []   # multiset of (k, v)
+    batches: dict[str, list[tuple[int, int]]] = {}
+    issued: set[str] = set()
+    next_k = 0
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    # seed so delete/merge/optimize always have a version to work on
+    seed = [(0, 0), (1, 1)]
+    IO.append_versioned(_df(seed), path, "seed")
+    model += seed
+    batches["seed"] = seed
+    issued.add("seed")
+    next_k = 2
+
+    for kind, a, b in ops:
+        if kind == "append":
+            j = f"a{len(issued)}"
+            rows = [(next_k + i, a) for i in range(b)]
+            next_k += b
+            IO.append_versioned(_df(rows), path, j)
+            model += rows
+            batches[j] = rows
+            issued.add(j)
+        elif kind == "retry":
+            done = sorted(issued)
+            j = done[a % len(done)]
+            # re-appending ANY previously issued job (original rows or
+            # arbitrary replacement rows) must be a pure no-op
+            IO.append_versioned(_df([(999, 999)] * b), path, j)
+        elif kind == "delete":
+            IO.delete_where(spark, path, F.col("k") < a)
+            model = [r for r in model if r[0] >= a]
+        elif kind == "merge":
+            j = f"m{len(issued)}"
+            keys = sorted({r[0] for r in model})[: b] or [next_k]
+            updates = [(k, 777) for k in keys]
+            IO.merge_versioned(spark, path, _df(updates), ["k"], j)
+            kept = [r for r in model if r[0] not in set(keys)]
+            model = kept + updates
+            batches[j] = updates
+            issued.add(j)
+        elif kind == "optimize":
+            IO.optimize_versioned(spark, path, target_mb=64)
+        elif kind == "vacuum":
+            IO.vacuum_versioned(path, retain_last=1)
+        got = sorted((r.k, r.v) for r in IO.read_version(spark, path).collect())
+        assert got == sorted(model), f"after {kind}: table != model"
+        mio = IO._manifest_io(path)
+        _tip, _jobs, raw = IO._tip_state(mio)
+        assert issued <= IO._with_bases(raw), f"after {kind}: ever lost a job"
