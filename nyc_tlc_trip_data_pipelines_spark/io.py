@@ -516,17 +516,24 @@ def append_versioned(
     if job_id in _with_bases(raw):
         return tip
     df.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
+    import uuid
+
     while True:
         tip, jobs, raw = _tip_state(mio)
         if job_id in _with_bases(raw):
             # a concurrent retry of the same job_id won the race
             return tip
         n = tip + 1 if tip is not None else 0
+        # the ``writer`` nonce keeps distinct writers from byte-colliding
+        # in the S3 412 self-claim compare (see _commit_manifest); the
+        # loser's False here just loops, re-reads, and hits the
+        # ever-union dedup above — idempotency is unaffected.
         payload = {
             "version": n,
             "job_col": job_col,
             "job_ids": jobs + [job_id],
             "ever": sorted(raw | {job_id}),
+            "writer": uuid.uuid4().hex,
         }
         if not mio.try_commit(n, payload):
             continue  # lost the race — re-read and claim the next version
@@ -604,7 +611,23 @@ def _commit_manifest(
     Scheme-aware since round 11: the exclusive claim goes through
     :func:`_manifest_io` (local ``os.link``; S3 conditional PUT), so
     delete/merge commit on object storage with the same semantics.
+
+    Round 13 (ADVICE): the payload embeds a per-writer ``writer`` nonce.
+    The S3 claim's 412 self-claim detection compares bytes, and
+    delete/optimize manifests are otherwise fully deterministic
+    (rewrite names derive from base job names + version; json key
+    order is stable) — two concurrent ``delete_where`` calls with
+    DIFFERENT conditions from the same base could byte-collide, both
+    "win" the claim, and silently ship whichever data rewrite landed
+    last. The nonce makes distinct writers never byte-equal, so the
+    loser gets ``False`` and correctly raises
+    :class:`ConcurrentCommitError`. The byte-compare path still
+    self-claims the case it exists for: botocore's transport-level
+    re-send of a lost response replays the SAME payload bytes, nonce
+    included.
     """
+    import uuid
+
     mio = _manifest_io(path)
     while True:
         tip, _jobs, raw = _tip_state(mio)
@@ -620,6 +643,7 @@ def _commit_manifest(
             "job_col": job_col,
             "job_ids": job_ids,
             "ever": sorted(raw | set(job_ids)),
+            "writer": uuid.uuid4().hex,
         }
         if mio.try_commit(n, payload):
             return n
@@ -786,7 +810,22 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     versions = mio.list_versions()
     if not versions:
         raise ValueError(f"no versions committed under {path}")
-    job_col = mio.read_meta(versions[-1][0])["job_col"]
+    tip_meta = mio.read_meta(versions[-1][0])
+    job_col = tip_meta["job_col"]
+    if "ever" not in tip_meta:
+        # Round-13 ADVICE: a pre-round-12 tip has no cumulative ``ever``
+        # field, and this function is about to delete the old manifests
+        # that _tip_state's full-chain fallback would need — vacuuming
+        # first would permanently lose the retry-dedup history, so a
+        # crash-looped retry of a vacuumed job_id could re-append rows a
+        # DELETE removed. Checkpoint the full-chain union into a fresh
+        # tip manifest (same job set; _commit_manifest derives ``ever``
+        # from _tip_state, whose fallback scans the still-intact chain)
+        # before dropping anything.
+        _commit_manifest(
+            path, job_col, list(tip_meta["job_ids"]), base_version=versions[-1][0]
+        )
+        versions = mio.list_versions()
     dropped = versions[:-retain_last]
     retained_jobs = {j for _v, jobs in versions[-retain_last:] for j in jobs}
     prefix = f"{job_col}="
@@ -884,10 +923,22 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
     )
     buckets = []
     for num, bl in zip(nums, bls):
+        if not bl:
+            # approxQuantile returns no boundaries for an all-NULL
+            # column — a zero-arg F.array() would be NullType and fail
+            # the lambda's analysis (round-13 ADVICE). Every row of
+            # this dimension belongs in bucket 0; emit the constant.
+            buckets.append(F.lit(0).cast("long"))
+            continue
         arr = F.array(*[F.lit(float(b)) for b in bl])
-        val = F.coalesce(num, F.lit(float("-inf")))
+        # NULL rows: ``boundary < NULL`` is NULL, F.filter drops the
+        # element, size()=0 → bucket 0 — no -inf sentinel needed (the
+        # sentinel conflated genuine -inf values with NULL; now -inf
+        # lands in bucket 0 because nothing compares below it, and
+        # NULL lands there by three-valued logic, each on its own
+        # terms).
         buckets.append(
-            F.size(F.filter(arr, lambda x: x < val)).cast("long")  # noqa: B023
+            F.size(F.filter(arr, lambda x: x < num)).cast("long")  # noqa: B023
         )
     # interleave: bit i of column j lands at position i*ncols + j
     z = F.lit(0).cast("long")

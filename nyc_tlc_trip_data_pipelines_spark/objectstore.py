@@ -222,9 +222,15 @@ class S3Store:
         would double-commit. So on 412 the object is read back and its
         body compared to the payload (the read-back-and-compare Delta
         Lake's S3 commit path uses): byte-equal means the claim is
-        ours (manifests embed the writer's unique job_id, so an
-        identical body from a genuinely distinct writer is the same
-        logical commit — idempotent either way)."""
+        ours. Soundness requires that DISTINCT writers never produce
+        byte-identical payloads — manifest commits guarantee this with
+        a per-writer ``writer`` nonce (round-13 ADVICE: delete/optimize
+        manifests are otherwise deterministic, so two racing
+        delete_where calls with different conditions used to
+        byte-collide and both "win" while one's data rewrite was
+        silently lost). A botocore transport retry re-sends the SAME
+        bytes, nonce included, so the lost-response self-claim still
+        reports True."""
         from botocore.exceptions import ClientError
 
         for _ in range(8):

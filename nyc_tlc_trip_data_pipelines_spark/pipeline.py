@@ -65,6 +65,10 @@ class RunResult:
 
 
 _COMMIT_JOURNAL_PREFIX = "._commit."
+# .tmp journals younger than this are presumed to belong to a live
+# writer mid-rename and are left alone (round-13 ADVICE); far above the
+# write-fsync-rename gap, far below any scheduling cadence.
+_TMP_JOURNAL_GRACE_SECONDS = 60.0
 
 
 def recover_partial_commits(bronze_path: str) -> list[str]:
@@ -104,8 +108,23 @@ def recover_partial_commits(bronze_path: str) -> list[str]:
             # behind forever — it protects nothing (its renames never
             # started; the journal only becomes authoritative once
             # renamed into place), but it accumulates as litter this
-            # recovery pass exists to clean.
-            os.unlink(jpath)
+            # recovery pass exists to clean. Round-13 ADVICE: only
+            # sweep tmps older than a grace window — a LIVE writer in
+            # another process sits between writing its tmp and the
+            # os.rename for milliseconds, and unlinking it there makes
+            # the writer's rename fail mid-commit. The single-owner
+            # assumption (docstring) already forbids that overlap, but
+            # the mtime check makes the sweep safe even when it is
+            # violated; a genuinely dead writer's tmp ages past the
+            # window and gets cleaned on the NEXT recovery pass.
+            import time
+
+            try:
+                age = time.time() - os.path.getmtime(jpath)
+            except OSError:
+                continue  # vanished under us — its owner is alive
+            if age >= _TMP_JOURNAL_GRACE_SECONDS:
+                os.unlink(jpath)
             continue
         if not name.endswith(".json"):
             continue

@@ -530,6 +530,68 @@ def test_cow_commit_on_s3_detects_concurrent_writer(monkeypatch, spark, tmp_path
             eio.delete_where(spark, url, F.col("k") == 2)
 
 
+@s3_deps
+def test_cow_commit_writer_nonce_defeats_byte_identical_rival(
+    monkeypatch, spark, tmp_path
+):
+    """Round-13 ADVICE (high): delete/optimize manifests are otherwise
+    fully deterministic — rewrite names derive from base job names +
+    version, json key order is stable — so two concurrent delete_where
+    calls with DIFFERENT conditions from the same base used to produce
+    byte-identical payloads; the 412 self-claim compare then told BOTH
+    writers their commit landed while their racing data rewrites of
+    the same .dN directory silently lost one condition's delete. The
+    per-writer ``writer`` nonce must make the loser's claim fail and
+    raise ConcurrentCommitError. The rival here commits a payload that
+    is IDENTICAL except for the nonce — exactly the logically-equal
+    body the old byte-compare mistook for a self-claim."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    url = "s3a://bkt/tbl3"
+    mirror = str(tmp_path / "mirror3")
+    real_r, real_w = DataFrameReader.parquet, DataFrameWriter.parquet
+    monkeypatch.setattr(
+        DataFrameReader,
+        "parquet",
+        lambda self, *ps: real_r(self, *[p.replace(url, mirror) for p in ps]),
+    )
+    monkeypatch.setattr(
+        DataFrameWriter,
+        "parquet",
+        lambda self, p: real_w(self, p.replace(url, mirror)),
+    )
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        eio.append_versioned(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), url, "j1"
+        )
+        rival = obs.S3Store("bkt", "tbl3")
+        real_try = eio._StoreManifestIO.try_commit
+        state = {"hit": False}
+
+        def racing_try(self, n, payload):
+            if not state["hit"]:
+                state["hit"] = True
+                assert "writer" in payload  # the nonce exists at all
+                rp = dict(payload)
+                rp["writer"] = "a-different-writer-nonce"
+                assert rival.put_text_if_absent(
+                    f"_manifests/v{n}.json", _json.dumps(rp)
+                )
+            return real_try(self, n, payload)
+
+        monkeypatch.setattr(eio._StoreManifestIO, "try_commit", racing_try)
+        with _pytest.raises(eio.ConcurrentCommitError):
+            eio.delete_where(spark, url, F.col("k") == 2)
+        # the rival's commit is the surviving v1 — nothing was silently lost
+        tip = _json.loads(rival.get_text("_manifests/v1.json"))
+        assert tip["writer"] == "a-different-writer-nonce"
+
+
 def test_local_store_delete_keys(tmp_path):
     store = obs.LocalStore(str(tmp_path))
     store.put_text("a/one.txt", "1")
@@ -562,16 +624,26 @@ def test_vacuum_versioned_on_s3(monkeypatch):
             store.put_text(f"__job_id={job}/part-0.parquet", "data")
             store.put_text(f"__job_id={job}/part-1.parquet", "data")
         dropped, dirs = eio.vacuum_versioned(url, retain_last=1)
-        assert (dropped, dirs) == (2, 1)  # v0+v1 manifests; j0's dir
+        # these hand-written manifests have no `ever` field, so vacuum
+        # first checkpoints the full-chain union into a fresh v3 tip
+        # (round-13 ADVICE), then drops v0..v2 — j0's dir is still the
+        # only unreferenced one
+        assert (dropped, dirs) == (3, 1)
         keys = obs.list_objects(url)
-        assert "_manifests/v2.json" in keys
-        assert not any(k.startswith("_manifests/v0") or k.startswith("_manifests/v1") for k in keys)
+        assert "_manifests/v3.json" in keys
+        assert not any(
+            k.startswith(("_manifests/v0", "_manifests/v1", "_manifests/v2"))
+            for k in keys
+        )
         # j0 (only referenced by vacuumed versions) is gone; the
         # retained manifest's jobs keep every object
         assert not any(k.startswith("__job_id=j0/") for k in keys)
         assert sum(k.startswith("__job_id=j0.d2/") for k in keys) == 2
         assert sum(k.startswith("__job_id=j1/") for k in keys) == 2
-        assert eio.list_versions(url) == [(2, ["j0.d2", "j1"])]
+        assert eio.list_versions(url) == [(3, ["j0.d2", "j1"])]
+        # the checkpoint tip remembers every job ever committed
+        tip_meta = _json.loads(store.get_text("_manifests/v3.json"))
+        assert set(tip_meta["ever"]) >= {"j0", "j1", "j0.d2"}
 
 
 @s3_deps
@@ -892,6 +964,43 @@ def test_retry_dedup_survives_vacuum(spark, tmp_path):
     assert eio.list_versions(t)[-1] == tip_before
     back = eio.read_version(spark, t)
     assert back.filter(F.col("v") < 2).count() == 0  # delete not undone
+
+
+def test_vacuum_checkpoints_ever_on_pre_r12_tables(spark, tmp_path):
+    """Round-13 ADVICE: on a pre-round-12 table (no cumulative ``ever``
+    in the tip manifest), VACUUM used to delete the old manifests that
+    the dedup's full-chain fallback needed — permanently losing the
+    vacuumed job_ids, so a crash-looped retry of an ancient job could
+    re-append rows a DELETE removed. vacuum_versioned must now commit
+    a checkpoint manifest carrying the full-chain union BEFORE
+    dropping anything."""
+    import json as _json
+
+    t = str(tmp_path / "prevac")
+    df = spark.range(4).select(F.col("id").alias("v"))
+    eio.append_versioned(df, t, "ancient")
+    eio.append_versioned(df.withColumn("v", F.col("v") + 10), t, "recent")
+    eio.delete_where(spark, t, F.col("v") < 2)  # rewrites 'ancient'
+    # simulate a pre-round-12 chain: strip 'ever' from every manifest
+    mdir = os.path.join(t, "_manifests")
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("ever", None)
+        m.pop("writer", None)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    eio.vacuum_versioned(t, retain_last=1)
+    tip_v, tip_jobs = eio.list_versions(t)[-1]
+    # the checkpoint tip must carry the reconstructed union
+    with open(os.path.join(mdir, f"v{tip_v}.json")) as fh:
+        tip_meta = _json.load(fh)
+    assert "ancient" in tip_meta["ever"]
+    # and the ancient retry stays a no-op — the delete is not undone
+    assert eio.append_versioned(df, t, "ancient") == tip_v
+    assert eio.list_versions(t)[-1] == (tip_v, tip_jobs)
+    assert eio.read_version(spark, t).filter(F.col("v") < 2).count() == 0
 
 
 @s3_deps

@@ -7,6 +7,7 @@ against a pandas recomputation.
 """
 
 import os
+import time
 from datetime import datetime, timedelta
 
 import pytest
@@ -828,9 +829,29 @@ def test_recover_sweeps_orphan_journal_tmp(tmp_path):
 
     bronze = tmp_path / "bronze"
     bronze.mkdir()
-    (bronze / "._commit.cafe.json.tmp").write_text('{"dst_files": ["x"]}')
+    tmp = bronze / "._commit.cafe.json.tmp"
+    tmp.write_text('{"dst_files": ["x"]}')
     (bronze / "part-keep.snappy.parquet").write_text("data")
+    # age it past the round-13 grace window — an orphan, not a live writer
+    old = time.time() - 3600
+    os.utime(tmp, (old, old))
     removed = recover_partial_commits(str(bronze))
     assert removed == []  # the tmp protected nothing — no rollbacks
-    assert not (bronze / "._commit.cafe.json.tmp").exists()
+    assert not tmp.exists()
     assert (bronze / "part-keep.snappy.parquet").exists()
+
+
+def test_recover_spares_fresh_journal_tmp(tmp_path):
+    """Round-13 ADVICE: a .tmp journal YOUNGER than the grace window may
+    belong to a live writer between its tmp write and the os.rename —
+    unlinking it would make that rename fail mid-commit. The sweep must
+    leave it alone (it gets cleaned on a later pass once it has aged)."""
+    from nyc_tlc_trip_data_pipelines_spark.pipeline import recover_partial_commits
+
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    tmp = bronze / "._commit.beef.json.tmp"
+    tmp.write_text('{"dst_files": ["x"]}')
+    removed = recover_partial_commits(str(bronze))
+    assert removed == []
+    assert tmp.exists()  # fresh → presumed live → spared

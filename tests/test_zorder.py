@@ -117,6 +117,44 @@ def test_zorder_value_skew_and_nulls(spark):
     assert out.n == 10_000 and out.zmin >= 0
 
 
+def test_zorder_all_null_column(spark):
+    """Round-13 ADVICE: approxQuantile of an all-NULL column returns an
+    EMPTY boundary list — a zero-arg F.array() would be NullType and
+    fail the filter lambda's analysis. The dimension must degrade to a
+    constant bucket 0 (its bits contribute nothing; the other columns
+    still cluster) and the z expression must stay well-defined."""
+    df = spark.range(5_000).select(
+        (F.col("id") % 100).alias("x"),
+        F.lit(None).cast("double").alias("dead"),
+    )
+    out = df.withColumn("z", eio._zorder_value(df, ["x", "dead"])).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("z").alias("zmin"),
+        F.countDistinct("z").alias("cells"),
+    ).collect()[0]
+    assert out.n == 5_000 and out.zmin >= 0
+    assert out.cells > 1  # the live dimension still buckets
+
+
+def test_zorder_null_vs_negative_infinity(spark):
+    """NULL bucketing no longer routes through a -inf sentinel: NULLs
+    land in bucket 0 by three-valued logic (boundary < NULL is NULL →
+    filtered out → size 0), and a genuine -inf value lands in bucket 0
+    because nothing compares below it — each on its own terms, no
+    sentinel collision in the expression."""
+    df = spark.range(1_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .when(F.col("id") % 7 == 0, F.lit(float("-inf")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("x"),
+        (F.col("id") % 3).alias("y"),
+    )
+    out = df.withColumn("z", eio._zorder_value(df, ["x", "y"])).agg(
+        F.count(F.lit(1)).alias("n"), F.min("z").alias("zmin")
+    ).collect()[0]
+    assert out.n == 1_000 and out.zmin >= 0
+
+
 def test_zorder_temporal_columns(spark):
     """DATE has no direct DOUBLE cast in Spark (the docstring promises
     date/timestamp support, so this was a real gap): date goes through
