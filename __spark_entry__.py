@@ -2413,6 +2413,56 @@ def q_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_versioned_zone_skip(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-13 engine feature: manifest-level data skipping on
+    versioned tables. ``optimize_versioned(cluster_by=...)`` records
+    per-file min/max ``zones`` for the cluster columns in the manifest
+    it commits (the Delta-log ``add``-action stats analog), and
+    ``read_version(prune=...)`` drops files whose zone disproves a
+    predicate BEFORE Spark opens a single footer — the read-path payoff
+    of the round-12 Z-ORDER layout. Events appended as one versioned
+    job, z-order-optimized on (user_id, value); a 3-conjunct range read
+    must return exactly the plain-filter rows (full DuckDB oracle).
+    The file-skipping booleans follow the q_zonemap_prune SF-robust
+    convention: ``pruned`` is asserted strictly only when the rewrite
+    produced >=4 files (tiny SFs legitimately compact to fewer); the
+    strict skip-count proofs live in tests/test_zorder.py on a
+    controlled 1M-row fixture."""
+    from nyc_tlc_trip_data_pipelines_spark.io import (
+        append_versioned,
+        optimize_versioned,
+        read_version,
+        zone_prune_stats,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    P = [("user_id", ">=", 10), ("user_id", "<", 40), ("value", "<", 250.0)]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "versioned_z")
+        append_versioned(ev.repartition(8), path, "batch0")
+        optimize_versioned(spark, path, target_mb=1, cluster_by=["user_id", "value"])
+        st = zone_prune_stats(path, prune=P)
+        row = read_version(spark, path, prune=P).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(row.n_rows),
+                float(row.sum_value),
+                int(row.n_users),
+                bool(st["has_zones"]),
+                0 < st["files_kept"]
+                and (st["files_kept"] < st["files_total"] or st["files_total"] < 4),
+            )
+        ],
+        "n_rows bigint, sum_value double, n_users bigint, "
+        "zones_recorded boolean, pruned boolean",
+    )
+
+
 def q_sample_es(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-curation staple (round 5): weighted sampling WITHOUT
     replacement via Efraimidis-Spirakis exponential keys — 100 docs
@@ -6264,6 +6314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_changes": q_table_changes,
         "q_ann_index_probe": q_ann_index_probe,
         "q_zonemap_prune": q_zonemap_prune,
+        "q_versioned_zone_skip": q_versioned_zone_skip,
         "q_custom_datasource": q_custom_datasource,
         "q_file_provenance": q_file_provenance,
         "q_dq_observe": q_dq_observe,
@@ -6575,58 +6626,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tier; the freshness-horizon test makes that deferral
     # self-enforcing — at round 13 they age out unless rotated in.
     prefix = [
-        # ---- (a) must-rotate tier: round-5 ids at the horizon ----
-        "q_date_extract2",
-        "q_geo_binning",
-        "q_json_flatten",
-        "q_sample_per_group",
-        "q_set_ops_all",
-        "q_sink_json",
-        "q_sink_orc",
-        "q_string_funcs2",
-        "q_text_normalize",
-        "q_variant_json",
-        "q_window_first_last",
-        # ---- (b) refresh tier: round-6 driver rows ----
-        "q_attribution",
-        "q_audio_dedup",
-        "q_bitmap_rollup",
-        "q_collated_group",
-        "q_collocations_pmi",
-        "q_curation_pipeline",
-        "q_custom_sink",
-        "q_dedup_index_probe",
-        "q_dedup_semantic",
-        "q_dedup_span",
-        "q_domain_mixture",
-        "q_geo_radius_join",
-        "q_grouped_arrow",
-        "q_heavy_hitters_cms",
-        "q_image_dedup",
-        "q_join_bloom_prefilter",
-        "q_join_interval_bucket",
-        "q_ks_test",
-        "q_minhash_accuracy",
-        "q_multimodal_features",
-        "q_multimodal_scene_detect",
-        "q_multimodal_silence_trim",
-        "q_mutual_info",
-        "q_partition_overwrite_dynamic",
-        "q_pca_power",
-        "q_psi_drift",
-        "q_session_window_native",
-        "q_simhash_hamming",
-        "q_sketch_intersection",
-        "q_sketch_rollup",
-        "q_sql_parameterized",
-        "q_stream_drift",
-        "q_stream_source_custom",
-        "q_table_diff",
-        "q_time_interpolate",
-        "q_token_entropy",
-        "q_train_shuffle",
-        "q_udf_arrow",
-        "q_xml_ingest",
+        # ---- (a) must-rotate tier: the committed round-13 queue —
+        # the 9 r06 leftovers at the freshness horizon ----
+        "q_agg_collect_list",
+        "q_csv_inrow",
+        "q_ewma",
+        "q_feature_hash",
+        "q_fixed_width_ingest",
+        "q_html_strip",
+        "q_log_parse",
+        "q_markov_transitions",
+        "q_url_canonicalize",
+        # ---- (b) refresh tier: 41 of the 47 round-7 driver rows
+        # (the 6 simplest deterministic ops deferred to round 14:
+        # q_agg_maxby, q_benford, q_ddl_create, q_join_nullsafe,
+        # q_sink_csv, q_streaks — the horizon test enforces that
+        # rotation once r13's results land) ----
+        "q_abtest_welch",
+        "q_ann_ivfpq",
+        "q_ann_pq",
+        "q_anomaly_seasonal",
+        "q_attribution_decay",
+        "q_bootstrap_ci",
+        "q_changepoint_cusum",
+        "q_classifier_eval",
+        "q_corr_group",
+        "q_crosstab_chi2",
+        "q_dedup_savings",
+        "q_dedup_semantic_scaled",
+        "q_doremi_step",
+        "q_dp_release",
+        "q_dsir_select",
+        "q_event_pattern",
+        "q_forecast_backtest",
+        "q_forecast_conformal",
+        "q_group_regress",
+        "q_hard_negatives",
+        "q_jackknife",
+        "q_knn_label_noise",
+        "q_lateral_topk",
+        "q_mixture_concentration",
+        "q_nb_classify",
+        "q_nb_cross_validate",
+        "q_percentile_weighted",
+        "q_phrase_search",
+        "q_quantile_rollup",
+        "q_random_projection",
+        "q_retrieval_eval",
+        "q_rolling_distinct",
+        "q_rolling_median",
+        "q_rrf_fusion",
+        "q_skyline",
+        "q_sql_tpch_q1",
+        "q_stats_equidepth",
+        "q_stl_decompose",
+        "q_topic_keywords",
+        "q_winsorize",
+        # round-13 engine feature, scheduled for a real driver row this
+        # round; the displaced q_zipf_fit joins the round-14 queue
+        "q_versioned_zone_skip",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}
@@ -10666,6 +10724,18 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS index_complete,
                    TRUE AS pruned
             FROM events WHERE user_id = 7
+        """,
+        # round 13: versioned-manifest zone skipping — rows must equal
+        # the plain filter; the file-skip booleans are engine-side
+        # invariants (TRUE under the documented SF guard)
+        "q_versioned_zone_skip": """
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS zones_recorded,
+                   TRUE AS pruned
+            FROM events
+            WHERE user_id >= 10 AND user_id < 40 AND value < 250.0
         """,
         # round 5: Efraimidis-Spirakis replay — same md5 u-draw, same
         # ln(u)/w keys, same (key DESC, id) order, same LIMIT

@@ -18,10 +18,11 @@ optimize_versioned, read_version, table_changes, vacuum_versioned) is
 SCHEME-AWARE since round 11: its JSON manifests go through
 ``_manifest_io`` — local ``os`` calls (write-fsync-link O_EXCL claim)
 on local paths, the :mod:`objectstore` layer (S3 conditional-PUT
-claim, batched deletes) on ``s3://``/``s3a://``. Only ``compact_dir``
-(directory-rename swap, no object-store analog) remains local-only
-behind the loud ``_ensure_local`` guard; unknown schemes
-(``hdfs://``) fail loudly in ``objectstore.get_store``. A real Delta
+claim, batched deletes) on ``s3://``/``s3a://``; unknown schemes
+(``hdfs://``) fail loudly in ``objectstore.get_store``. (The old
+``compact_dir`` rename-swap path was deleted in round 13 — it was
+deprecated in round 12 with zero non-test callers and is strictly
+dominated by ``optimize_versioned``.) A real Delta
 deployment can still point the same call sites at delta-spark
 (deltastore.py, import-guarded).
 
@@ -221,7 +222,7 @@ def to_local_os_path(path: str) -> str:
     the UNSTRIPPED URI — ``os.path.join('file:///tmp/t', '_manifests')``
     is a bogus relative path, so manifests landed under cwd while Spark
     wrote parquet to the real location (the exact half-working class
-    ``_ensure_local`` exists to prevent). Every ``is_local_path``-gated
+    this helper exists to prevent). Every ``is_local_path``-gated
     os/shutil consumer must route through this helper first.
 
     A ``file://host/p`` URI with a real (non-``localhost``) authority
@@ -237,26 +238,6 @@ def to_local_os_path(path: str) -> str:
             f"accessed via local os calls: {path!r}"
         )
     return m.group("path")
-
-
-def _ensure_local(path: str, op: str) -> str:
-    """The versioned parquet+manifest family keeps its JSON manifests
-    with local ``os`` calls — fail LOUDLY on a remote URI instead of
-    half-working (the round-9 pipeline ADVICE class of bug). Real
-    deployments use delta-spark (deltastore.py) for remote tables.
-
-    Returns the path normalized for os-level access (``file:`` URIs
-    stripped to plain OS paths via :func:`to_local_os_path`) — callers
-    MUST use the returned value for both os and Spark calls so the two
-    layers can never address different locations."""
-    if not is_local_path(path):
-        raise ValueError(
-            f"{op} is a LOCAL-filesystem Delta analog (JSON manifests via "
-            f"os calls) and cannot operate on remote-scheme paths "
-            f"({path!r}); use the delta-spark backend (deltastore.py) "
-            "for remote tables"
-        )
-    return to_local_os_path(path)
 
 
 class _LocalManifestIO:
@@ -404,9 +385,12 @@ def _with_bases(raw: set[str]) -> set[str]:
     return raw | {_base_job_id(j) for j in raw}
 
 
-def _tip_state(mio) -> tuple[int | None, list[str], set[str]]:
+def _tip_state(mio) -> tuple[int | None, list[str], set[str], dict]:
     """(tip version or None, tip job list, RAW ever-union of every
-    job_id ever committed) — the commit hot path's entire read.
+    job_id ever committed, tip manifest dict) — the commit hot path's
+    entire read. The meta dict rides along (round 13) so commit paths
+    can carry the cumulative ``zones`` file-stats forward without a
+    second GET; it is ``{}`` on an empty table.
 
     Round 12: each manifest carries a cumulative ``ever`` field
     (every job_id committed under any name up to that version), so
@@ -422,18 +406,94 @@ def _tip_state(mio) -> tuple[int | None, list[str], set[str]]:
     writes the field."""
     nums = mio.list_version_numbers()
     if not nums:
-        return None, [], set()
+        return None, [], set(), {}
     tip = max(nums)
     meta = mio.read_meta(tip)
     jobs = list(meta["job_ids"])
     if "ever" in meta:
-        return tip, jobs, set(meta["ever"])
+        return tip, jobs, set(meta["ever"]), meta
     raw = {j for _v, js in mio.list_versions() for j in js}
-    return tip, jobs, raw
+    return tip, jobs, raw, meta
+
+
+def _zone_json(v):
+    """Canonical JSON-safe encoding for zone-map bounds: numbers and
+    strings as-is, date/timestamp as ISO strings (lexicographic order
+    == chronological order at fixed format, so pruning compares
+    strings). Returns ``NotImplemented`` for types without an
+    order-preserving JSON form (Decimal, binary, nested) — the caller
+    then records NO stats for that column, which disables pruning on
+    it but never threatens correctness."""
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _date):
+        return v.isoformat()
+    return NotImplemented
+
+
+def _collect_zone_stats(spark: SparkSession, job_dir: str, cols: Sequence[str]) -> dict:
+    """Per-file min/max/rows for ``cols`` over one job's partition
+    directory — the stats a manifest commit embeds (Delta keeps the
+    same per-file stats in its log's ``add`` actions). ONE distributed
+    scan groups by ``input_file_name``; the driver collects one row per
+    FILE (bounded metadata, never table rows). Returns
+    ``{file_basename: {"rows": n, col: [lo, hi], ...}}``; columns whose
+    bounds don't JSON-encode order-preservingly are silently omitted
+    (no stats → no pruning on them)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(job_dir)
+    present = [c for c in cols if c in df.columns]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in present:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    rows = (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        fname = r["__file"].rsplit("/", 1)[-1]
+        entry: dict = {"rows": int(r["__rows"])}
+        for c in present:
+            lo, hi = _zone_json(r[f"__min_{c}"]), _zone_json(r[f"__max_{c}"])
+            if lo is NotImplemented or hi is NotImplemented:
+                continue
+            entry[c] = [lo, hi]
+        out[fname] = entry
+    return out
+
+
+def _carry_zones(tip_meta: dict, job_ids: Sequence[str], new_zones: dict | None) -> dict:
+    """The next manifest's ``zones``: the tip's per-job file stats
+    restricted to jobs that survive into ``job_ids`` (delete/merge
+    rewrites mint NEW job names, so their stale stats drop out by
+    construction), plus this commit's freshly-computed stats. Zones are
+    carried forward like ``ever`` so the tip manifest alone answers
+    pruning — no chain walk."""
+    zones = {
+        j: z
+        for j, z in (tip_meta.get("zones") or {}).items()
+        if j in set(job_ids)
+    }
+    if new_zones:
+        zones.update(new_zones)
+    return zones
 
 
 def append_versioned(
-    df: DataFrame, path: str, job_id: str, job_col: str = "__job_id"
+    df: DataFrame,
+    path: str,
+    job_id: str,
+    job_col: str = "__job_id",
+    zone_stats: Sequence[str] | None = None,
 ) -> int:
     """Time-travel-lite: :func:`append_idempotent` plus a version-stamped
     commit manifest — the plain-parquet analog of the reference's Delta
@@ -498,8 +558,8 @@ def append_versioned(
     Hadoop FS layer either way. :func:`delete_where` and
     :func:`merge_versioned` are scheme-aware the same way (their COW
     rewrites WRITE new directories, never remove old ones);
-    :func:`vacuum_versioned` and :func:`compact_dir` remain local-only
-    — they physically remove/rename directories with os/shutil calls.
+    :func:`vacuum_versioned` is scheme-aware too since round 11
+    (batched DeleteObjects on object stores, os/shutil locally).
     See DESIGN.md "Versioned-commit S3 boundary".
     """
     if is_local_path(path):
@@ -512,14 +572,20 @@ def append_versioned(
     # remembers both) must not write bytes — re-overwriting a
     # directory that older manifests still reference, or re-appending
     # rows a DELETE removed, both corrupt time travel.
-    tip, _jobs, raw = _tip_state(mio)
+    tip, _jobs, raw, _meta = _tip_state(mio)
     if job_id in _with_bases(raw):
         return tip
-    df.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
+    job_dir = os.path.join(path, f"{job_col}={job_id}")
+    df.write.mode("overwrite").parquet(job_dir)
+    new_zones = (
+        {job_id: _collect_zone_stats(df.sparkSession, job_dir, zone_stats)}
+        if zone_stats
+        else None
+    )
     import uuid
 
     while True:
-        tip, jobs, raw = _tip_state(mio)
+        tip, jobs, raw, tip_meta = _tip_state(mio)
         if job_id in _with_bases(raw):
             # a concurrent retry of the same job_id won the race
             return tip
@@ -535,6 +601,9 @@ def append_versioned(
             "ever": sorted(raw | {job_id}),
             "writer": uuid.uuid4().hex,
         }
+        zones = _carry_zones(tip_meta, payload["job_ids"], new_zones)
+        if zones:
+            payload["zones"] = zones
         if not mio.try_commit(n, payload):
             continue  # lost the race — re-read and claim the next version
         return n
@@ -564,7 +633,7 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
     if is_local_path(path):
         path = to_local_os_path(path)
     mio = _manifest_io(path)
-    cur_v, jobs, _raw = _tip_state(mio)
+    cur_v, jobs, _raw, _meta = _tip_state(mio)
     if cur_v is None:
         raise ValueError(f"no versions committed under {path}")
     job_col = mio.read_meta(cur_v)["job_col"]
@@ -594,7 +663,11 @@ class ConcurrentCommitError(RuntimeError):
 
 
 def _commit_manifest(
-    path: str, job_col: str, job_ids: list[str], base_version: int | None = None
+    path: str,
+    job_col: str,
+    job_ids: list[str],
+    base_version: int | None = None,
+    new_zones: dict | None = None,
 ) -> int:
     """Atomically commit the next manifest version (write-fsync-link
     optimistic claim shared by append/delete/merge).
@@ -630,7 +703,7 @@ def _commit_manifest(
 
     mio = _manifest_io(path)
     while True:
-        tip, _jobs, raw = _tip_state(mio)
+        tip, _jobs, raw, _meta = _tip_state(mio)
         latest = tip if tip is not None else -1
         if base_version is not None and latest != base_version:
             raise ConcurrentCommitError(
@@ -645,6 +718,9 @@ def _commit_manifest(
             "ever": sorted(raw | set(job_ids)),
             "writer": uuid.uuid4().hex,
         }
+        zones = _carry_zones(_meta, job_ids, new_zones)
+        if zones:
+            payload["zones"] = zones
         if mio.try_commit(n, payload):
             return n
         if base_version is not None:
@@ -685,7 +761,7 @@ def merge_versioned(
         path = to_local_os_path(path)
     _validate_user_job_id(job_id)
     mio = _manifest_io(path)
-    cur_v, jobs, raw = _tip_state(mio)
+    cur_v, jobs, raw, _meta = _tip_state(mio)
     if cur_v is None:
         raise ValueError(f"no versions committed under {path}")
     if job_id in jobs:
@@ -723,7 +799,88 @@ def list_versions(path: str) -> list[tuple[int, list[str]]]:
     return _manifest_io(path).list_versions()
 
 
-def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _zone_may_match(bounds: list, op: str, val) -> bool:
+    """Can a file whose column spans ``[lo, hi]`` contain a row
+    satisfying ``col <op> val``? False means the zone DISPROVES the
+    predicate and the file is skipped without opening its footer.
+    ``lo``/``hi`` of None means every row is NULL in that column — no
+    comparison predicate can select it (SQL three-valued logic), so
+    such files always prune. A bounds/value type mismatch keeps the
+    file (pruning must only ever under-prune); the row-level filter
+    then surfaces the real error Spark-side."""
+    lo, hi = bounds
+    if lo is None or hi is None:
+        return False
+    try:
+        if op in ("=", "=="):
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        return hi >= val  # ">="
+    except TypeError:
+        return True
+
+
+def _zone_select(path: str, meta: dict, conj: list) -> tuple[list[str] | None, int, int]:
+    """Resolve a version's scan set under conjunctive predicates using
+    the manifest's per-file zones: (paths or None when the manifest has
+    no zones at all, zone-covered files kept, zone-covered files
+    total). Jobs without zone entries contribute their whole directory
+    (correct, just unpruned)."""
+    zones = meta.get("zones") or {}
+    if not zones:
+        return None, 0, 0
+    job_col = meta["job_col"]
+    selected: list[str] = []
+    kept = total = 0
+    for job in meta["job_ids"]:
+        job_dir = os.path.join(path, f"{job_col}={job}")
+        zmap = zones.get(job)
+        if zmap is None:
+            selected.append(job_dir)
+            continue
+        for fname in sorted(zmap):
+            entry = zmap[fname]
+            total += 1
+            ok = all(
+                c not in entry or _zone_may_match(entry[c], op, v)
+                for c, op, v in conj
+            )
+            if ok:
+                kept += 1
+                selected.append(os.path.join(job_dir, fname))
+    return selected, kept, total
+
+
+def _normalize_prune(prune) -> list:
+    """Validate the prune spec — conjuncts of ``(col, op, value)`` with
+    op in ``=,==,<,<=,>,>=`` — and pre-normalize each value into the
+    zone-bound comparison domain (:func:`_zone_json`)."""
+    conj = []
+    for item in prune or ():
+        c, op, v = item
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r} (have {_PRUNE_OPS})")
+        nv = _zone_json(v)
+        if nv is NotImplemented or nv is None:
+            raise ValueError(f"prune value for {c!r} has unsupported type: {v!r}")
+        conj.append((c, op, nv, v))
+    return conj
+
+
+def read_version(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: Sequence[tuple] | None = None,
+) -> DataFrame:
     """Read a versioned-append table AS OF ``version`` (default: latest).
     The manifest's job set becomes an IN-filter on the partition column —
     pure directory pruning, so reading v1 of a 1000-version table scans
@@ -740,7 +897,22 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     Round 12: resolves via a name-only manifest LIST plus ONE manifest
     GET — the read analog of the ``ever`` commit-path fix; previously
     every AS-OF read fetched EVERY manifest body just to look up one
-    version's job set."""
+    version's job set.
+
+    ``prune`` (round 13): conjunctive simple predicates
+    ``[(col, op, value), ...]`` with op in ``=,==,<,<=,>,>=``. Each is
+    ALWAYS applied as a row-level filter (so the result is exactly the
+    unpruned read plus those filters — the oracle invariant), and when
+    the manifest carries per-file ``zones`` stats (written by
+    ``optimize_versioned(cluster_by=...)`` / ``zone_stats=...``), files
+    whose min/max interval disproves a predicate are dropped from the
+    SCAN SET before Spark ever opens them — manifest-level data
+    skipping, the Delta-log stats-pruning analog that makes a Z-ORDERed
+    layout pay off at read time. On a 100 TB table a point/range query
+    on the clustered dimensions then lists and footers a few files
+    instead of every part file in the version."""
+    from pyspark.sql import functions as F
+
     if is_local_path(path):
         path = to_local_os_path(path)
     mio = _manifest_io(path)
@@ -752,8 +924,65 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
         raise ValueError(f"version {n} not found under {path} (have {nums})")
     meta = mio.read_meta(n)
     job_col = meta["job_col"]
-    df = spark.read.option("mergeSchema", "true").parquet(path)
-    return df.filter(df[job_col].isin(list(meta["job_ids"]))).drop(job_col)
+    conj = _normalize_prune(prune)
+    df = None
+    if conj:
+        paths, _kept, _total = _zone_select(path, meta, [c[:3] for c in conj])
+        if paths is not None:
+            if paths:
+                df = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", path)
+                    .parquet(*paths)
+                )
+            else:
+                # every zone-covered file disproved the predicate and no
+                # unzoned job remains — empty result, full-table schema
+                df = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(path)
+                    .filter(F.lit(False))
+                )
+    if df is None:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    out = df.filter(df[job_col].isin(list(meta["job_ids"]))).drop(job_col)
+    for c, op, _nv, v in conj:
+        col = out[c]
+        if op in ("=", "=="):
+            out = out.filter(col == F.lit(v))
+        elif op == "<":
+            out = out.filter(col < F.lit(v))
+        elif op == "<=":
+            out = out.filter(col <= F.lit(v))
+        elif op == ">":
+            out = out.filter(col > F.lit(v))
+        else:
+            out = out.filter(col >= F.lit(v))
+    return out
+
+
+def zone_prune_stats(
+    path: str, version: int | None = None, prune: Sequence[tuple] | None = None
+) -> dict:
+    """Planning-time diagnostics for :func:`read_version`'s zone
+    pruning — how many zone-covered files the manifest stats keep vs
+    hold, without touching any data. Returns ``{"files_total",
+    "files_kept", "has_zones"}``; reads ONE manifest."""
+    if is_local_path(path):
+        path = to_local_os_path(path)
+    mio = _manifest_io(path)
+    nums = mio.list_version_numbers()
+    if not nums:
+        raise ValueError(f"no versions committed under {path}")
+    n = max(nums) if version is None else version
+    meta = mio.read_meta(n)
+    conj = _normalize_prune(prune)
+    paths, kept, total = _zone_select(path, meta, [c[:3] for c in conj])
+    return {
+        "files_total": total,
+        "files_kept": kept,
+        "has_zones": paths is not None,
+    }
 
 
 def table_changes(
@@ -859,7 +1088,9 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     return len(dropped), len(doomed_dirs)
 
 
-def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
+def _zorder_value(
+    df: DataFrame, cols: Sequence[str], bits: int = 6, hash_strings: bool = False
+):
     """Z-order (Morton) clustering key over ``cols`` — the expression
     behind ``optimize_versioned(cluster_by=...)``, the analog of Delta
     Lake's ``OPTIMIZE ... ZORDER BY`` (public OSS feature; same
@@ -885,6 +1116,17 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
     Columns must be numeric/date/timestamp (cast to double for the
     sketch); NULLs sort into bucket 0. Returns a Column producing a
     ``bits * len(cols)``-bit integer.
+
+    ``hash_strings`` (round 13, opt-in): string columns map through
+    ``xxhash64`` — uniform by construction, so FIXED-WIDTH bucketing
+    (the hash's top ``bits`` bits) replaces the quantile sketch for
+    those dimensions; they cost no sketch pass at all. The trade-off
+    is documented, not hidden: a hash surrogate preserves EQUALITY
+    locality (all files holding key K share K's hash bucket → point
+    lookups skip files) but destroys ORDER, so range predicates on a
+    hashed string dimension prune nothing. Off by default so the loud
+    type error keeps telling users who expected range skipping why
+    strings differ.
     """
     from pyspark.sql import functions as F
 
@@ -892,37 +1134,60 @@ def _zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 6):
         raise ValueError("bits * len(cols) must fit a 60-bit z-value")
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    nums = []
+    plans: list[tuple[str, object]] = []  # ("sketch", numcol) | ("hash", name)
     dtypes = dict(df.dtypes)
     for c in cols:
         dt = dtypes.get(c)
         if dt is None:
             raise ValueError(f"cluster_by column {c!r} not in DataFrame")
+        if dt == "string" and hash_strings:
+            plans.append(("hash", c))
+            continue
         if dt in ("string", "binary") or dt.startswith(("array", "map", "struct")):
+            hint = (
+                "pass hash_strings=True for xxhash64 surrogate bucketing "
+                "(point-lookup skipping only — hashing destroys range order)"
+                if dt == "string"
+                else "hash to a numeric surrogate first"
+            )
             raise ValueError(
                 f"cluster_by column {c!r} has type {dt}; z-order clustering "
-                "needs a numeric/date/timestamp column (hash string keys to "
-                "a numeric surrogate first)"
+                f"needs a numeric/date/timestamp column ({hint})"
             )
         # Quantile bucketing only needs a MONOTONE numeric image of the
         # column, so temporal types map through their epoch counters
         # (DATE has no direct DOUBLE cast in Spark — unix_date instead;
         # TIMESTAMP_NTZ casts via TIMESTAMP, a monotone shift).
         if dt == "date":
-            nums.append(F.unix_date(F.col(c)).cast("double"))
+            plans.append(("sketch", F.unix_date(F.col(c)).cast("double")))
         elif dt == "timestamp_ntz":
-            nums.append(F.col(c).cast("timestamp").cast("double"))
+            plans.append(("sketch", F.col(c).cast("timestamp").cast("double")))
         else:
-            nums.append(F.col(c).cast("double"))
-    # ONE sketch job for every column (approxQuantile takes a column
-    # list and ignores NULLs itself) — k cluster columns cost one pass
-    # over the data, not k.
-    probe = df.select(*[n.alias(f"__zq{i}") for i, n in enumerate(nums)])
-    bls = probe.stat.approxQuantile(
-        [f"__zq{i}" for i in range(len(nums))], qs, 1.0 / (4 * n_buckets)
-    )
+            plans.append(("sketch", F.col(c).cast("double")))
+    # ONE sketch job for every sketched column (approxQuantile takes a
+    # column list and ignores NULLs itself) — k cluster columns cost one
+    # pass over the data, not k. Hash-bucketed strings need no pass.
+    nums = [p[1] for p in plans if p[0] == "sketch"]
+    bls = []
+    if nums:
+        probe = df.select(*[n.alias(f"__zq{i}") for i, n in enumerate(nums)])
+        bls = probe.stat.approxQuantile(
+            [f"__zq{i}" for i in range(len(nums))], qs, 1.0 / (4 * n_buckets)
+        )
     buckets = []
-    for num, bl in zip(nums, bls):
+    bl_iter = iter(bls)
+    for kind, spec in plans:
+        if kind == "hash":
+            # top `bits` bits of xxhash64 → uniform fixed-width buckets
+            # in [0, 2^bits); NULL keeps the bucket-0 convention (the
+            # hash of NULL would otherwise be a constant mid-range).
+            buckets.append(
+                F.when(F.col(spec).isNull(), F.lit(0))
+                .otherwise(F.shiftrightunsigned(F.xxhash64(F.col(spec)), 64 - bits))
+                .cast("long")
+            )
+            continue
+        num, bl = spec, next(bl_iter)
         if not bl:
             # approxQuantile returns no boundaries for an all-NULL
             # column — a zero-arg F.array() would be NullType and fail
@@ -955,12 +1220,15 @@ def optimize_versioned(
     target_mb: int = 128,
     cluster_by: Sequence[str] | None = None,
     zorder_bits: int = 6,
+    zone_stats: Sequence[str] | None = None,
+    hash_strings: bool = False,
 ) -> int:
     """Delta ``OPTIMIZE`` analog for versioned-append tables: rewrite
     the LATEST version's rows as one right-sized job partition and
     commit a single manifest that swaps every current job for it — the
-    manifest-native compaction that, unlike :func:`compact_dir`'s
-    rename swap, is ATOMIC (readers resolve manifests, so they see the
+    manifest-native compaction that — unlike a directory rename swap
+    (the round-12-deprecated, round-13-deleted ``compact_dir``) — is
+    ATOMIC (readers resolve manifests, so they see the
     old file set or the new one, never a mix), works on object storage
     (no renames — only a data write plus the conditional-PUT manifest
     claim), and PRESERVES time travel (old versions still resolve to
@@ -978,8 +1246,8 @@ def optimize_versioned(
 
     Output file count is ``ceil(bytes / target_mb)`` from Catalyst's
     scan statistics of the version being rewritten (file bytes of the
-    pruned directories) — the same ~128 MB-per-task sizing rationale
-    as :func:`compact_dir`. Returns the new version number.
+    pruned directories) — ~128 MB per scan task, one HDFS block / S3
+    range request each. Returns the new version number.
 
     ``cluster_by`` (round 12): the ``OPTIMIZE ... ZORDER BY`` analog.
     Rows are range-repartitioned and sorted on a :func:`_zorder_value`
@@ -998,6 +1266,15 @@ def optimize_versioned(
     task). Re-running on an already-optimized table stays a no-op
     regardless of ``cluster_by`` — vacuum + re-append to re-cluster
     with a different key.
+
+    Round 13: the rewrite also records per-file min/max ``zones`` for
+    the cluster columns (or an explicit ``zone_stats`` list) in the
+    manifest it commits — the Delta-log stats analog that
+    ``read_version(prune=...)`` consumes to SKIP files whose zone
+    disproves a predicate, closing the loop from layout to read-path
+    data skipping. ``hash_strings=True`` opts string cluster columns
+    into xxhash64 surrogate bucketing (equality/point-lookup skipping
+    only — the hash destroys range order; see ``_zorder_value``).
     """
     import math
 
@@ -1006,7 +1283,7 @@ def optimize_versioned(
     if is_local_path(path):
         path = to_local_os_path(path)
     mio = _manifest_io(path)
-    cur_v, jobs, _raw = _tip_state(mio)
+    cur_v, jobs, _raw, _meta = _tip_state(mio)
     if cur_v is None:
         raise ValueError(f"no versions committed under {path}")
     if len(jobs) == 1 and jobs[0].startswith("optimize.o"):
@@ -1020,70 +1297,33 @@ def optimize_versioned(
         zcol = "__zorder"
         tie = F.xxhash64(*[F.col(c) for c in cluster_by])
         out = (
-            df.withColumn(zcol, _zorder_value(df, cluster_by, bits=zorder_bits))
+            df.withColumn(
+                zcol,
+                _zorder_value(
+                    df, cluster_by, bits=zorder_bits, hash_strings=hash_strings
+                ),
+            )
             .repartitionByRange(n_out, F.col(zcol), tie)
             .sortWithinPartitions(zcol)
             .drop(zcol)
         )
     else:
         out = df.repartition(n_out)
-    out.write.mode("overwrite").parquet(
-        os.path.join(path, f"{job_col}={new_job}")
+    job_dir = os.path.join(path, f"{job_col}={new_job}")
+    out.write.mode("overwrite").parquet(job_dir)
+    # Record per-file min/max for the cluster columns (or an explicit
+    # list) in the manifest — the Delta-log-style stats that make the
+    # Z-ORDER layout pay off: read_version(prune=...) skips files whose
+    # zone disproves the predicate without opening a single footer.
+    stat_cols = list(zone_stats) if zone_stats else list(cluster_by or ())
+    new_zones = (
+        {new_job: _collect_zone_stats(spark, job_dir, stat_cols)}
+        if stat_cols
+        else None
     )
-    return _commit_manifest(path, job_col, [new_job], base_version=cur_v)
-
-
-def compact_dir(spark: SparkSession, path: str, target_mb: int = 128) -> tuple[int, int]:
-    """**DEPRECATED (round 12)** — prefer :func:`optimize_versioned`,
-    which is strictly better on every axis: atomic for readers
-    (manifest swap, not directory renames), object-store-capable (no
-    renames anywhere), and time-travel-preserving. This rename-swap
-    path is kept only for raw non-versioned parquet directories that
-    have no manifest chain; it is the last local-only versioned-IO-
-    adjacent entry point and has no non-test caller in the engine.
-
-    Small-file compaction for an append-heavy parquet directory — the
-    maintenance pass the append_* sinks' docstrings promise ("one
-    directory per ingest batch … compact periodically"). Reads the
-    directory, rewrites it as ``ceil(bytes / target_mb)`` files, and
-    swaps the result in via two directory renames. The swap is
-    NEAR-atomic, not atomic: between the two renames ``path`` briefly
-    does not exist, and removing the old directory races readers still
-    in their listing phase — schedule compaction in a maintenance
-    window, or use the versioned sinks (manifest-pointer commit) when
-    readers must never block.
-
-    Returns (files_before, files_after). 100 TB notes: run per
-    partition directory (so compaction parallelism = partitions and a
-    failure affects one partition), size by the PARQUET bytes on disk —
-    row-count heuristics drift with encoding; target ~128 MB keeps
-    scan tasks near one HDFS block / S3 range request each.
-    """
-    path = _ensure_local(path, "compact_dir")
-    import math
-    import shutil
-    import uuid
-
-    def _leaf_files(p: str) -> list[str]:
-        out = []
-        for dirpath, _dirs, files in os.walk(p):
-            out += [
-                os.path.join(dirpath, f)
-                for f in files
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            ]
-        return out
-
-    before = _leaf_files(path)
-    total_bytes = sum(os.path.getsize(f) for f in before)
-    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
-    tmp = f"{path}.__compact.{uuid.uuid4().hex}"
-    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old.{uuid.uuid4().hex}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return len(before), len(_leaf_files(path))
+    return _commit_manifest(
+        path, job_col, [new_job], base_version=cur_v, new_zones=new_zones
+    )
 
 
 def write_partitioned(

@@ -1085,7 +1085,7 @@ def test_optimize_races_live_appenders_on_s3(monkeypatch):
         for round_i in range(4):
             # an "optimize" built the slow way: read the tip, then an
             # append sneaks in BEFORE the compactor's commit
-            tip, jobs, _raw = eio._tip_state(mio)
+            tip, jobs, _raw, _m = eio._tip_state(mio)
             rival = f"race{round_i}"
             eio.append_versioned(_FakeDF(writes), url, rival)
             appended.append(rival)
@@ -1100,7 +1100,7 @@ def test_optimize_races_live_appenders_on_s3(monkeypatch):
         # compactor's read and its commit, so every round must conflict
         assert outcomes == {"committed": 0, "conflict": 4}
         # no appended job was lost: each is in the tip's ever union
-        tip, jobs, raw = eio._tip_state(mio)
+        tip, jobs, raw, _m = eio._tip_state(mio)
         assert set(appended) <= raw
         # and still readable in the tip job list (no rewrite happened)
         assert set(appended) <= set(jobs)
@@ -1125,10 +1125,10 @@ def test_optimize_commit_wins_when_no_rival_on_s3(monkeypatch):
         eio.append_versioned(_FakeDF(writes), url, "a0")
         eio.append_versioned(_FakeDF(writes), url, "a1")
         mio = eio._manifest_io(url)
-        tip, jobs, raw = eio._tip_state(mio)
+        tip, jobs, raw, _m = eio._tip_state(mio)
         v = eio._commit_manifest(url, "__job_id", [f"optimize.o{tip + 1}"],
                                  base_version=tip)
         assert v == tip + 1
-        new_tip, new_jobs, new_raw = eio._tip_state(mio)
+        new_tip, new_jobs, new_raw, _m2 = eio._tip_state(mio)
         assert new_jobs == [f"optimize.o{tip + 1}"]
         assert {"a0", "a1"} <= new_raw  # swapped out, remembered forever

@@ -183,34 +183,6 @@ def test_versioned_append_loses_race_and_advances(spark, tmp_path):
     assert IO.list_versions(path)[-1] == (2, ["job-a", "job-x", "job-b"])
 
 
-def test_compact_dir_preserves_data_and_reduces_files(spark, tmp_path):
-    from nyc_tlc_trip_data_pipelines_spark.io import compact_dir
-
-    path = str(tmp_path / "small_files")
-    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
-    df.repartition(24).write.parquet(path)
-    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
-    n_before, n_after = compact_dir(spark, path, target_mb=128)
-    assert n_before >= 24 and n_after == 1
-    after = spark.read.parquet(path)
-    assert sorted(r.id for r in after.collect()) == before_rows
-    assert after.filter(F.col("v") != F.col("id") * 2).count() == 0
-
-
-def test_compact_dir_respects_size_target(spark, tmp_path):
-    from nyc_tlc_trip_data_pipelines_spark.io import compact_dir
-
-    path = str(tmp_path / "sized")
-    spark.range(0, 50000).withColumn("pad", F.sha2(F.col("id").cast("string"), 256)).repartition(16).write.parquet(path)
-    import glob as g
-    import os as o
-
-    total_mb = sum(o.path.getsize(f) for f in g.glob(path + "/*.parquet")) / 1e6
-    # a tiny target must produce multiple output files
-    _, n_after = compact_dir(spark, path, target_mb=1)
-    assert n_after >= max(2, int(total_mb // 1.2))
-
-
 def test_read_parquet_merged_schema_evolution(spark, tmp_path):
     from nyc_tlc_trip_data_pipelines_spark.io import read_parquet_merged
 
@@ -560,18 +532,16 @@ def test_parallel_ingest_commit_rolls_back_partial_moves(
 
 def test_versioned_family_remote_scheme_guards():
     """Loud-failure contracts for paths this environment can't serve:
-    compact_dir stays LOCAL-only (directory renames — no object-store
-    analog), and any versioned op on a scheme with no registered
-    object store (hdfs://) fails in get_store rather than half-working
-    (the round-9 ADVICE class). The s3/s3a paths are scheme-aware
-    since round 11 and covered by the moto tests in
-    test_objectstore.py."""
+    any versioned op on a scheme with no registered object store
+    (hdfs://) fails in get_store rather than half-working (the round-9
+    ADVICE class). The s3/s3a paths are scheme-aware since round 11
+    and covered by the moto tests in test_objectstore.py.
+    (compact_dir, the last local-only entry point, was deleted in
+    round 13.)"""
     import pytest as _pytest
 
     from nyc_tlc_trip_data_pipelines_spark import io as IO
 
-    with _pytest.raises(ValueError, match="LOCAL-filesystem"):
-        IO.compact_dir(None, "s3a://bucket/tbl")
     with _pytest.raises(NotImplementedError, match="no registered object store"):
         IO.vacuum_versioned("hdfs://nn/tbl")
     with _pytest.raises(NotImplementedError, match="no registered object store"):
@@ -803,13 +773,15 @@ def test_optimize_versioned_detects_concurrent_commit(spark, tmp_path, monkeypat
     real_commit = IO._commit_manifest
     state = {"hit": False}
 
-    def racing_commit(p, job_col, job_ids, base_version=None):
+    def racing_commit(p, job_col, job_ids, base_version=None, new_zones=None):
         if not state["hit"]:
             state["hit"] = True
             IO.append_versioned(
                 spark.createDataFrame([(7, "rival")], "k long, s string"), p, "rival"
             )
-        return real_commit(p, job_col, job_ids, base_version=base_version)
+        return real_commit(
+            p, job_col, job_ids, base_version=base_version, new_zones=new_zones
+        )
 
     monkeypatch.setattr(IO, "_commit_manifest", racing_commit)
     with _pytest.raises(IO.ConcurrentCommitError):

@@ -1015,5 +1015,5 @@ def test_versioned_lifecycle_matches_multiset_model(spark, tmp_path_factory, ops
         got = sorted((r.k, r.v) for r in IO.read_version(spark, path).collect())
         assert got == sorted(model), f"after {kind}: table != model"
         mio = IO._manifest_io(path)
-        _tip, _jobs, raw = IO._tip_state(mio)
+        _tip, _jobs, raw, _m = IO._tip_state(mio)
         assert issued <= IO._with_bases(raw), f"after {kind}: ever lost a job"

@@ -56,31 +56,33 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-12 prefix is pure freshness rotation — it leads with the
-    11 round-5 ids at the 6-round horizon (deferred from the r11
-    prefix), then 39 of the 48 round-6 ids — has no duplicates, and
-    every prefix id has a DuckDB oracle (a prefix slot without an
+    the round-13 prefix is pure freshness rotation — it leads with the
+    9 round-6 leftovers at the 6-round horizon (the committed r12
+    NEXT_QUEUE), then 41 of the 47 round-7 ids — has no duplicates,
+    and every prefix id has a DuckDB oracle (a prefix slot without an
     oracle wastes a driver window on a rows-only check)."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:11] == [
-        "q_date_extract2",
-        "q_geo_binning",
-        "q_json_flatten",
-        "q_sample_per_group",
-        "q_set_ops_all",
-        "q_sink_json",
-        "q_sink_orc",
-        "q_string_funcs2",
-        "q_text_normalize",
-        "q_variant_json",
-        "q_window_first_last",
+    assert prefix[:9] == [
+        "q_agg_collect_list",
+        "q_csv_inrow",
+        "q_ewma",
+        "q_feature_hash",
+        "q_fixed_width_ingest",
+        "q_html_strip",
+        "q_log_parse",
+        "q_markov_transitions",
+        "q_url_canonicalize",
     ]
-    assert "q_dedup_semantic" in prefix and "q_ks_test" in prefix
-    assert "q_partition_overwrite_dynamic" in prefix
+    assert "q_sql_tpch_q1" in prefix and "q_classifier_eval" in prefix
+    assert "q_dedup_savings" in prefix and "q_knn_label_noise" in prefix
+    # the 6 ids deferred to the round-14 queue are NOT in this prefix
+    for k in ("q_agg_maxby", "q_benford", "q_ddl_create",
+              "q_join_nullsafe", "q_sink_csv", "q_streaks"):
+        assert k not in prefix, k
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
     assert not missing, f"prefix ids without oracle: {missing}"
@@ -88,20 +90,20 @@ def test_prefix_50_rotation_contract():
 
 # The next-rotation queue, committed one round AHEAD (round-10 verdict
 # item 7 cadence): the ids that sit past the freshness horizon at
-# QUEUE_ROUND and therefore MUST lead that round's prefix-50. Round-12
-# rotation deferred these 9 round-6 ids (the simplest deterministic ops
-# in the tier) to round 13; DESIGN.md carries the same list.
-QUEUE_ROUND = 13
+# QUEUE_ROUND and therefore MUST lead that round's prefix-50. Round-13
+# rotation deferred these 6 round-7 ids (the simplest deterministic ops
+# in the tier) to round 14, plus q_zipf_fit — displaced from the r13
+# prefix by the new q_versioned_zone_skip (the round-13 engine
+# feature, which needs a real driver row); DESIGN.md carries the list.
+QUEUE_ROUND = 14
 NEXT_QUEUE = sorted([
-    "q_agg_collect_list",
-    "q_csv_inrow",
-    "q_ewma",
-    "q_feature_hash",
-    "q_fixed_width_ingest",
-    "q_html_strip",
-    "q_log_parse",
-    "q_markov_transitions",
-    "q_url_canonicalize",
+    "q_agg_maxby",
+    "q_benford",
+    "q_ddl_create",
+    "q_join_nullsafe",
+    "q_sink_csv",
+    "q_streaks",
+    "q_zipf_fit",
 ])
 
 

@@ -265,3 +265,126 @@ def test_zorder_buckets_monotone_per_dimension(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.xb == prev.xb + 1  # no bucket gaps on uniform data
         assert cur.lo > prev.hi  # buckets are disjoint, ordered ranges
+
+
+def test_read_version_zone_pruning_identical_and_skips_files(spark, tmp_path):
+    """Round-13 engine feature: OPTIMIZE ZORDER records per-file
+    min/max `zones` in the manifest and read_version(prune=...)
+    consumes them — (a) results are byte-identical with pruning on vs
+    a plain read + filters (the oracle invariant), (b) the scan set
+    actually shrinks on clustered dimensions, (c) a version whose jobs
+    carry no zones reads whole directories, still correct."""
+    df = _mk(spark)
+    t = str(tmp_path / "zp")
+    eio.append_versioned(df.repartition(8), t, "b0")
+    eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    P = [("x", ">=", 100), ("x", "<", 120), ("y", ">=", 500), ("y", "<", 520)]
+    st = eio.zone_prune_stats(t, prune=P)
+    assert st["has_zones"] and st["files_total"] >= 4
+    assert 0 < st["files_kept"] < st["files_total"]  # real skipping
+    pruned = _checksum(eio.read_version(spark, t, prune=P))
+    full = _checksum(
+        eio.read_version(spark, t).filter(
+            (F.col("x") >= 100) & (F.col("x") < 120)
+            & (F.col("y") >= 500) & (F.col("y") < 520)
+        )
+    )
+    assert pruned == full and pruned.n > 0
+    # point lookup on either single dimension also skips files
+    for col in ("x", "y"):
+        s1 = eio.zone_prune_stats(t, prune=[(col, "=", 7)])
+        assert s1["files_kept"] < s1["files_total"], (col, s1)
+        n1 = eio.read_version(spark, t, prune=[(col, "=", 7)]).count()
+        assert n1 == df.filter(F.col(col) == 7).count()
+    # v0 predates the zones — prune must fall back to full scan, same rows
+    v0 = eio.read_version(spark, t, 0, prune=[("x", "=", 7)]).count()
+    assert v0 == df.filter(F.col("x") == 7).count()
+    # a disprovable predicate yields an empty frame with the full schema
+    e = eio.read_version(spark, t, prune=[("x", ">", 10_000)])
+    assert e.count() == 0 and set(e.columns) == {"x", "y", "pad"}
+
+
+def test_append_versioned_zone_stats_prune_across_jobs(spark, tmp_path):
+    """zone_stats on append_versioned: two disjoint-range jobs; an
+    equality prune must keep only the matching job's files, and zones
+    must CARRY FORWARD through later commits like `ever` does."""
+    df = _mk(spark, n=100_000)
+    t = str(tmp_path / "az")
+    eio.append_versioned(
+        df.filter(F.col("x") < 500).repartition(3), t, "low", zone_stats=["x"]
+    )
+    eio.append_versioned(
+        df.filter(F.col("x") >= 500).repartition(3), t, "high", zone_stats=["x"]
+    )
+    st = eio.zone_prune_stats(t, prune=[("x", "=", 700)])
+    assert st["has_zones"] and st["files_total"] == 6
+    assert st["files_kept"] <= 3  # the 'low' job's files all disproved
+    got = eio.read_version(spark, t, prune=[("x", "=", 700)]).count()
+    assert got == df.filter(F.col("x") == 700).count()
+    # a further append WITHOUT zone_stats must not lose the older zones
+    eio.append_versioned(
+        df.limit(10).withColumn("x", F.lit(2000).cast("long")), t, "later"
+    )
+    st2 = eio.zone_prune_stats(t, prune=[("x", "=", 700)])
+    assert st2["has_zones"] and st2["files_total"] == 6
+    got2 = eio.read_version(spark, t, prune=[("x", "=", 700)]).count()
+    assert got2 == got  # 'later' has no x=700 rows and no zones — read whole
+
+
+def test_zone_pruning_survives_delete_where(spark, tmp_path):
+    """delete_where rewrites jobs under NEW names (.dN) — their stale
+    zones must drop out (rewritten files differ) while untouched jobs
+    keep theirs; pruned reads stay exactly correct after the delete."""
+    df = _mk(spark, n=100_000)
+    t = str(tmp_path / "zd")
+    eio.append_versioned(
+        df.filter(F.col("x") < 500).repartition(3), t, "low", zone_stats=["x"]
+    )
+    eio.append_versioned(
+        df.filter(F.col("x") >= 500).repartition(3), t, "high", zone_stats=["x"]
+    )
+    eio.delete_where(spark, t, F.col("x") == 700)  # rewrites 'high' only
+    import json
+
+    with open(
+        os.path.join(t, "_manifests", f"v{eio.list_versions(t)[-1][0]}.json")
+    ) as fh:
+        zones = json.load(fh).get("zones") or {}
+    assert "low" in zones and "high" not in zones  # stale stats dropped
+    got = eio.read_version(spark, t, prune=[("x", "=", 300)]).count()
+    assert got == df.filter(F.col("x") == 300).count()
+    assert eio.read_version(spark, t, prune=[("x", "=", 700)]).count() == 0
+
+
+def test_zorder_hash_strings_point_lookup_skipping(spark, tmp_path):
+    """Round-13: string cluster keys via xxhash64 surrogate bucketing
+    (opt-in hash_strings=True). Equality locality holds — all rows of
+    one key land in few files, so zone stats on the RAW string column
+    prune point lookups — and the loud type error still fires without
+    the opt-in."""
+    df = spark.range(700_000).select(
+        F.concat(F.lit("user_"), (F.col("id") % 500).cast("string")).alias("uid"),
+        (F.col("id") % 1000).cast("long").alias("x"),
+        F.xxhash64("id").alias("pad"),
+    )
+    t = str(tmp_path / "hs")
+    eio.append_versioned(df.repartition(8), t, "b0")
+    with pytest.raises(ValueError, match="hash_strings"):
+        eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["uid", "x"])
+    v = eio.optimize_versioned(
+        spark, t, target_mb=1, cluster_by=["uid", "x"],
+        hash_strings=True, zone_stats=["uid", "x"],
+    )
+    assert eio.read_version(spark, t, v).count() == 700_000
+    # numeric dimension keeps RANGE skipping
+    sr = eio.zone_prune_stats(t, prune=[("x", ">=", 0), ("x", "<", 50)])
+    assert sr["files_kept"] < sr["files_total"]
+    # string point lookups: rows for one uid concentrate in few files,
+    # verified end-to-end (pruned read == plain filtered read)
+    for uid in ("user_7", "user_432"):
+        n = eio.read_version(spark, t, prune=[("uid", "=", uid)]).count()
+        assert n == df.filter(F.col("uid") == uid).count()
+    # hash buckets are well-typed: z-value distributes rows over files
+    job_dir = os.path.join(t, f"__job_id=optimize.o{v}")
+    files = [f for f in os.listdir(job_dir) if f.endswith(".parquet")]
+    assert len(files) >= 4
