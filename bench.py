@@ -54,6 +54,10 @@ VERSIONED_IO = [
     "q_time_travel",
     "q_merge_versioned",
     "q_compact",
+    # round-13: manifest zone-map skipping (OPTIMIZE ZORDER write path
+    # + pruned read) — tracked so a regression in the stats-collection
+    # scan or the pruned-read planning shows up before a driver round
+    "q_versioned_zone_skip",
 ]
 
 # round-5 second wave: the LLM-corpus / retrieval / iterative additions
@@ -320,18 +324,60 @@ def _upcoming_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+# This run's 2-pass half, resolved once per run by _resolve_two_pass():
+# the COMPLEMENT of the half the committed baseline RECORDED as 2-pass
+# (round-13 verdict item 6 — the round-parity hash assumed consecutive
+# runs see consecutive _upcoming_round values, which the r12 history
+# could not confirm: the driver's refresh and the builder's quiet run
+# can land at the same round number. Recording the half and taking its
+# complement makes two-consecutive-runs coverage hold by construction,
+# with no cadence assumption). None until resolved → parity fallback.
+_TWO_PASS_SET: set | None = None
+
+
+def _resolve_two_pass(trend_names: list) -> list:
+    """Fix this run's 2-pass half: queries NOT in the baseline's
+    recorded ``trend_two_pass`` (so the halves alternate run-over-run
+    and a brand-new query starts with the better estimate); parity-hash
+    split when the baseline predates the field."""
+    global _TWO_PASS_SET
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    prev_two: list | None = None
+    try:
+        with open(path) as fh:
+            prev_two = json.load(fh).get("trend_two_pass")
+    except (OSError, ValueError):
+        prev_two = None
+    if isinstance(prev_two, list):
+        _TWO_PASS_SET = {q for q in trend_names if q not in set(prev_two)}
+    else:
+        import zlib as _z
+
+        r = _upcoming_round()
+        _TWO_PASS_SET = {
+            q for q in trend_names if (_z.crc32(q.encode()) + r) % 2 == 0
+        }
+    return sorted(_TWO_PASS_SET)
+
+
 def _trend_passes(name: str) -> int:
     """Round-12 budget fit (verdict item 8): the full suite at
     trend-sections-mean-of-2 ran ~490 s against the 570 s harness cap
     (and over the 500 s headroom target) once q_compact moved to the
     versioned OPTIMIZE path. Trim: each round, only HALF the trend
-    queries run mean-of-2; the other half run a single pass. The split
-    is a stable per-query hash XOR'd with the round parity, so it
-    alternates every round — the 2-pass half is always the half that
-    ran single-pass last round (the stalest measurements get the
-    better estimate). Noise cost is bounded: a spurious single-pass
-    flag triggers the existing retime pass (median-of-3, min-merged),
-    and the calm control still runs before EVERY query either way."""
+    queries run mean-of-2; the other half run a single pass, so every
+    query gets a 2-pass estimate at least every other run. The half is
+    the complement of the baseline's recorded half when available
+    (:func:`_resolve_two_pass`); otherwise a stable per-query hash
+    XOR'd with the round parity. Noise cost is bounded: a spurious
+    single-pass flag triggers the existing retime pass (median-of-3,
+    min-merged), and the calm control still runs before EVERY query
+    either way."""
+    if _TWO_PASS_SET is not None:
+        return 2 if name in _TWO_PASS_SET else 1
     import zlib as _z
 
     return 2 if (_z.crc32(name.encode()) + _upcoming_round()) % 2 == 0 else 1
@@ -734,6 +780,9 @@ def main() -> None:
     control_sec = round(control_runs[len(control_runs) // 2], 4)
 
     _CONTROLS.clear()
+    trend_two_pass = _resolve_two_pass(
+        [n for key, names in sections if key != "queries" for n in names]
+    )
     section_timings = {}
     for key, names in sections:
         section_timings[key] = _timed_pass(
@@ -813,6 +862,12 @@ def main() -> None:
                 "retimes": retimes,
                 "ambient_spread": _spread_summary(),
                 "passes": {"headline": PASSES, "sections": 2, "retime": PASSES},
+                # the half that ran mean-of-2 this run; the next run
+                # takes the complement (round-13 verdict item 6), so
+                # two consecutive runs cover the full trend set by
+                # construction — auditable here, no cadence assumption
+                "trend_two_pass": trend_two_pass,
+                "trend_round": _upcoming_round(),
                 "control_sec": control_sec,
                 "normalized_total": normalized_total,
                 "sf": sf_label,

@@ -269,12 +269,50 @@ def test_zero_control_rejected_explicitly(tmp_path, monkeypatch):
     assert "ratio_calm" not in regs[0]  # raw basis, no bogus calm math
 
 
+def test_trend_two_pass_complement_of_recorded_half(monkeypatch, tmp_path):
+    """Round-13 verdict item 6: the parity-hash split assumed
+    consecutive runs see consecutive _upcoming_round values, which the
+    r12 history could not confirm (driver refresh + builder quiet run
+    can land at the same round number). The split now records the
+    2-pass half in the payload and the next run takes the COMPLEMENT
+    of the recorded half — two consecutive runs cover the full trend
+    set by construction, regardless of round-number cadence. New
+    queries (absent from the recorded half) start with 2 passes."""
+    import json as _json
+
+    B = _bench()
+    trend = ["q_a", "q_b", "q_c", "q_new"]
+    base = tmp_path / "BENCH_LOCAL.json"
+    base.write_text(_json.dumps({"trend_two_pass": ["q_a", "q_c"]}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASELINE", str(base))
+    try:
+        got = B._resolve_two_pass(trend)
+        assert got == ["q_b", "q_new"]  # complement; new query included
+        assert {q: B._trend_passes(q) for q in trend} == {
+            "q_a": 1, "q_b": 2, "q_c": 1, "q_new": 2,
+        }
+        # run N+1 on N's recorded half → back to the other half: the
+        # union of any two consecutive runs is the full trend set
+        base.write_text(_json.dumps({"trend_two_pass": got}))
+        nxt = B._resolve_two_pass(trend)
+        assert sorted(set(nxt) | set(got)) == sorted(trend)
+        assert set(nxt) & set(got) == set()
+        # baseline without the field → parity fallback, near-even split
+        base.write_text(_json.dumps({"queries": {}}))
+        monkeypatch.setattr(B, "_upcoming_round", lambda: 13)
+        fallback = B._resolve_two_pass([f"q_{i}" for i in range(40)])
+        assert 10 <= len(fallback) <= 30
+    finally:
+        B._TWO_PASS_SET = None  # module is cached in sys.modules
+
+
 def test_trend_passes_alternates_by_round_parity(monkeypatch):
     """Round-12 budget fit: the per-query 1/2-pass split must (a) be
     deterministic within a round, (b) flip for every query between
     consecutive rounds (so no query goes two rounds without a 2-pass
     measurement), and (c) split the suite roughly in half."""
     B = _bench()
+    B._TWO_PASS_SET = None  # exercise the parity fallback path
     monkeypatch.setattr(B, "_upcoming_round", lambda: 12)
     sections = (B.EXTENDED + B.VERSIONED_IO + B.CORPUS_OPS
                 + B.ANALYTICS_OPS + B.MINING_OPS + B.MULTIMODAL_OPS
