@@ -636,8 +636,10 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
     cur_v, jobs, _raw, _meta = _tip_state(mio)
     if cur_v is None:
         raise ValueError(f"no versions committed under {path}")
-    job_col = mio.read_meta(cur_v)["job_col"]
+    job_col = _meta["job_col"]
+    tip_zones = _meta.get("zones") or {}
     new_jobs: list[str] = []
+    new_zones: dict = {}
     changed = False
     for job in jobs:
         part = os.path.join(path, f"{job_col}={job}")
@@ -647,13 +649,24 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
             continue
         changed = True
         new_job = f"{job}.d{cur_v + 1}"
-        dfj.filter(~condition).write.mode("overwrite").parquet(
-            os.path.join(path, f"{job_col}={new_job}")
-        )
+        new_dir = os.path.join(path, f"{job_col}={new_job}")
+        dfj.filter(~condition).write.mode("overwrite").parquet(new_dir)
         new_jobs.append(new_job)
+        # A rewritten job inherits its base job's zone-stat column set
+        # (round 13): without the recompute, a DELETE dropped the
+        # rewritten job's zones — losing read-path data skipping on
+        # exactly the jobs big enough to have been OPTIMIZEd. One
+        # extra file-stats scan of the directory just written.
+        zcols = sorted(
+            {c for f in (tip_zones.get(job) or {}).values() for c in f if c != "rows"}
+        )
+        if zcols:
+            new_zones[new_job] = _collect_zone_stats(spark, new_dir, zcols)
     if not changed:
         return cur_v
-    return _commit_manifest(path, job_col, new_jobs, base_version=cur_v)
+    return _commit_manifest(
+        path, job_col, new_jobs, base_version=cur_v, new_zones=new_zones or None
+    )
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -772,11 +785,13 @@ def merge_versioned(
             "version; reusing it would overwrite a partition directory that "
             "older manifests still reference — pick a fresh job_id"
         )
-    job_col = mio.read_meta(cur_v)["job_col"]
+    job_col = _meta["job_col"]
+    tip_zones = _meta.get("zones") or {}
     from pyspark.sql import functions as F
 
     keyset = updates.select(*keys).distinct()
     new_jobs: list[str] = []
+    new_zones: dict = {}
     for job in jobs:
         part = os.path.join(path, f"{job_col}={job}")
         dfj = spark.read.parquet(part)
@@ -784,12 +799,27 @@ def merge_versioned(
             new_jobs.append(job)  # no matched keys — reuse as-is
             continue
         new_job = f"{job}.m{cur_v + 1}"
+        new_dir = os.path.join(path, f"{job_col}={new_job}")
         dfj.join(F.broadcast(keyset), list(keys), "left_anti").write.mode(
             "overwrite"
-        ).parquet(os.path.join(path, f"{job_col}={new_job}"))
+        ).parquet(new_dir)
         new_jobs.append(new_job)
+        # rewritten jobs inherit their base's zone-stat columns — same
+        # rationale as delete_where (round 13): MERGE must not erode
+        # the table's data-skipping coverage
+        zcols = sorted(
+            {c for f in (tip_zones.get(job) or {}).values() for c in f if c != "rows"}
+        )
+        if zcols:
+            new_zones[new_job] = _collect_zone_stats(spark, new_dir, zcols)
     updates.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
-    return _commit_manifest(path, job_col, new_jobs + [job_id], base_version=cur_v)
+    return _commit_manifest(
+        path,
+        job_col,
+        new_jobs + [job_id],
+        base_version=cur_v,
+        new_zones=new_zones or None,
+    )
 
 
 def list_versions(path: str) -> list[tuple[int, list[str]]]:

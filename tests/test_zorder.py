@@ -332,9 +332,12 @@ def test_append_versioned_zone_stats_prune_across_jobs(spark, tmp_path):
 
 
 def test_zone_pruning_survives_delete_where(spark, tmp_path):
-    """delete_where rewrites jobs under NEW names (.dN) — their stale
-    zones must drop out (rewritten files differ) while untouched jobs
-    keep theirs; pruned reads stay exactly correct after the delete."""
+    """delete_where rewrites jobs under NEW names (.dN): the base
+    job's STALE zones must drop out (rewritten files differ), and the
+    rewritten job must inherit the base's zone-stat column set with
+    FRESH stats (round 13 — without the recompute a DELETE eroded
+    data skipping on exactly the jobs big enough to matter); untouched
+    jobs keep theirs; pruned reads stay exactly correct throughout."""
     df = _mk(spark, n=100_000)
     t = str(tmp_path / "zd")
     eio.append_versioned(
@@ -343,17 +346,47 @@ def test_zone_pruning_survives_delete_where(spark, tmp_path):
     eio.append_versioned(
         df.filter(F.col("x") >= 500).repartition(3), t, "high", zone_stats=["x"]
     )
-    eio.delete_where(spark, t, F.col("x") == 700)  # rewrites 'high' only
+    v = eio.delete_where(spark, t, F.col("x") == 700)  # rewrites 'high' only
     import json
 
-    with open(
-        os.path.join(t, "_manifests", f"v{eio.list_versions(t)[-1][0]}.json")
-    ) as fh:
+    with open(os.path.join(t, "_manifests", f"v{v}.json")) as fh:
         zones = json.load(fh).get("zones") or {}
     assert "low" in zones and "high" not in zones  # stale stats dropped
+    rewritten = f"high.d{v}"
+    assert rewritten in zones  # fresh stats inherited for the rewrite
+    assert all("x" in f for f in zones[rewritten].values())
+    # the rewritten job's files still prune: full zone coverage means
+    # a point lookup keeps a strict subset of the 6 files
+    st = eio.zone_prune_stats(t, prune=[("x", "=", 300)])
+    assert st["files_total"] == 6 and st["files_kept"] < 6
     got = eio.read_version(spark, t, prune=[("x", "=", 300)]).count()
     assert got == df.filter(F.col("x") == 300).count()
     assert eio.read_version(spark, t, prune=[("x", "=", 700)]).count() == 0
+
+
+def test_zone_pruning_survives_merge(spark, tmp_path):
+    """merge_versioned rewrites matched jobs under .mN names — same
+    inheritance contract as delete_where; the updates partition itself
+    has no zone basis (no inherited column set) and reads whole."""
+    df = _mk(spark, n=100_000)
+    t = str(tmp_path / "zm")
+    eio.append_versioned(
+        df.filter(F.col("x") < 500).repartition(3), t, "low", zone_stats=["x"]
+    )
+    ups = (
+        df.filter(F.col("x") == 300)
+        .select("x", "y")
+        .distinct()
+        .withColumn("pad", F.lit(0).cast("long"))
+    )
+    v = eio.merge_versioned(spark, t, ups, keys=["x", "y"], job_id="fix1")
+    import json
+
+    with open(os.path.join(t, "_manifests", f"v{v}.json")) as fh:
+        zones = json.load(fh).get("zones") or {}
+    assert f"low.m{v}" in zones  # rewrite inherited the stats
+    n = eio.read_version(spark, t, prune=[("x", "=", 300)]).count()
+    assert n == eio.read_version(spark, t).filter(F.col("x") == 300).count()
 
 
 def test_zorder_hash_strings_point_lookup_skipping(spark, tmp_path):
@@ -388,3 +421,51 @@ def test_zorder_hash_strings_point_lookup_skipping(spark, tmp_path):
     job_dir = os.path.join(t, f"__job_id=optimize.o{v}")
     files = [f for f in os.listdir(job_dir) if f.endswith(".parquet")]
     assert len(files) >= 4
+
+
+def test_zone_bounds_contain_file_stats_across_types(spark, tmp_path):
+    """Soundness anchor for pruning: the manifest's recorded [lo, hi]
+    per file must equal the file's true min/max under the canonical
+    JSON encoding for every supported type (long, double, string,
+    date, timestamp) — a serialization bug here (e.g. a timestamp
+    format whose lexicographic order diverges from time order) would
+    silently prune live files. Unsupported types (here: the binary
+    column) must be OMITTED, never mis-encoded."""
+    import json
+
+    from datetime import datetime
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") * 0.5 - 3000).alias("v"),
+        F.concat(F.lit("s"), F.lpad((F.col("id") % 313).cast("string"), 4, "0")).alias("s"),
+        F.date_add(F.lit("2023-05-01").cast("date"), (F.col("id") % 400).cast("int")).alias("d"),
+        F.timestamp_seconds(F.col("id") * 977).alias("ts"),
+        F.col("id").cast("string").cast("binary").alias("raw"),
+    )
+    t = str(tmp_path / "types")
+    eio.append_versioned(
+        df.repartition(4), t, "b0", zone_stats=["k", "v", "s", "d", "ts", "raw"]
+    )
+    with open(os.path.join(t, "_manifests", "v0.json")) as fh:
+        zones = json.load(fh)["zones"]["b0"]
+    job_dir = os.path.join(t, "__job_id=b0")
+    files = [f for f in os.listdir(job_dir) if f.endswith(".parquet")]
+    assert set(zones) == set(files) and len(files) >= 2
+    for fname, entry in zones.items():
+        assert "raw" not in entry  # binary: no order-preserving JSON form
+        row = spark.read.parquet(os.path.join(job_dir, fname)).agg(
+            *[x for c in ("k", "v", "s", "d", "ts")
+              for x in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        assert entry["rows"] == row["n"]
+        for c in ("k", "v", "s", "d", "ts"):
+            lo, hi = entry[c]
+            assert lo == eio._zone_json(row[f"lo_{c}"]), (fname, c)
+            assert hi == eio._zone_json(row[f"hi_{c}"]), (fname, c)
+    # and a timestamp-range prune round-trips correctly end-to-end
+    cut = datetime(2023, 5, 10)
+    n1 = eio.read_version(spark, t, prune=[("ts", "<", cut)]).count()
+    n2 = eio.read_version(spark, t).filter(F.col("ts") < F.lit(cut)).count()
+    assert n1 == n2 > 0
