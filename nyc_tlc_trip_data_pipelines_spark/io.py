@@ -444,7 +444,17 @@ def _collect_zone_stats(spark: SparkSession, job_dir: str, cols: Sequence[str]) 
     FILE (bounded metadata, never table rows). Returns
     ``{file_basename: {"rows": n, col: [lo, hi], ...}}``; columns whose
     bounds don't JSON-encode order-preservingly are silently omitted
-    (no stats → no pruning on them)."""
+    (no stats → no pruning on them).
+
+    Size boundary at 100 TB, stated honestly: zones live in the JSON
+    manifest, so the tip manifest grows O(files × stat-columns). An
+    OPTIMIZEd table is right-sized (~128 MB files), so 100 TB ≈ 800k
+    files ≈ tens of MB of manifest — one GET, the same order as a
+    Delta parquet checkpoint, but JSON-parsed on the driver. Past
+    that, the next step is Delta's actual move (columnar checkpoint
+    files readable by Spark itself); this engine keeps the JSON form
+    because its manifests are the commit protocol and must stay
+    byte-comparable under the conditional-PUT claim."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(job_dir)
