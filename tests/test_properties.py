@@ -3,9 +3,12 @@ equivalences (SURVEY.md §5.2 item 4)."""
 
 from datetime import datetime, timedelta
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
+from nyc_tlc_trip_data_pipelines_spark import io as IO
 from nyc_tlc_trip_data_pipelines_spark.io import prune_files_by_month
 from nyc_tlc_trip_data_pipelines_spark.pipeline import month_bounds
 
@@ -1017,3 +1020,68 @@ def test_versioned_lifecycle_matches_multiset_model(spark, tmp_path_factory, ops
         mio = IO._manifest_io(path)
         _tip, _jobs, raw, _m = IO._tip_state(mio)
         assert issued <= IO._with_bases(raw), f"after {kind}: ever lost a job"
+
+
+@pytest.fixture(scope="module")
+def zoned_table(spark, tmp_path_factory):
+    """A versioned table mixing a zone-covered OPTIMIZE job (z-ordered
+    on x,y; per-file min/max in the manifest) with a later UNZONED
+    append, plus NULLs in both dimensions — the full surface
+    read_version's pruning has to stay sound over."""
+    t = str(tmp_path_factory.mktemp("zp") / "tbl")
+    df = spark.range(120_000).select(
+        F.when(F.col("id") % 19 == 0, F.lit(None))
+        .otherwise(F.col("id") % 1000).cast("long").alias("x"),
+        F.when(F.col("id") % 23 == 0, F.lit(None))
+        .otherwise((F.col("id") * 2654435761) % 1000).cast("long").alias("y"),
+        F.xxhash64("id").alias("pad"),
+    )
+    IO.append_versioned(df.repartition(6), t, "b0")
+    IO.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    IO.append_versioned(
+        df.limit(5_000).withColumn("x", F.col("x") + 5), t, "late"
+    )  # no zone_stats: this job must always read whole
+    return t
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    conj=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(-50, 1100),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_zone_prune_soundness_random_predicates(spark, zoned_table, conj):
+    """THE pruning invariant, adversarially sampled: for ANY
+    conjunction of simple predicates — including ones that select
+    nothing, everything, or straddle NULL-bearing files — the pruned
+    read must equal the plain read plus the same filters. Pruning may
+    only ever skip files the zones PROVE empty for the predicate;
+    hypothesis hunts the boundary mistakes (off-by-one at bucket
+    edges, NULL three-valued logic, lo==hi files)."""
+    pruned = IO.read_version(spark, zoned_table, prune=conj)
+    full = IO.read_version(spark, zoned_table)
+    for c, op, v in conj:
+        col = full[c]
+        full = full.filter(
+            col == v if op in ("=", "==") else
+            col < v if op == "<" else
+            col <= v if op == "<=" else
+            col > v if op == ">" else col >= v
+        )
+
+    def _ck(d):
+        r = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.avg(F.xxhash64("x", "y", "pad")).alias("h"),
+        ).collect()[0]
+        return (r.n, r.sx, r.sy, r.h)
+
+    assert _ck(pruned) == _ck(full), conj
