@@ -295,7 +295,7 @@ def test_cow_commit_detects_concurrent_writer(spark, tmp_path):
     # claim the v1 slot out from under the COW commit
     orig = IO._commit_manifest
 
-    def _race_then_commit(p, job_col, job_ids, base_version=None):
+    def _race_then_commit(p, job_col, job_ids, base_version=None, new_zones=None):
         mdir = _os.path.join(p, "_manifests")
         slot = _os.path.join(mdir, "v1.json")
         if not _os.path.exists(slot):
@@ -303,7 +303,7 @@ def test_cow_commit_detects_concurrent_writer(spark, tmp_path):
                 _json.dump(
                     {"version": 1, "job_col": job_col, "job_ids": ["b1", "b9"]}, fh
                 )
-        return orig(p, job_col, job_ids, base_version)
+        return orig(p, job_col, job_ids, base_version, new_zones=new_zones)
 
     IO._commit_manifest = _race_then_commit
     try:
