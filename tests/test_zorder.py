@@ -469,3 +469,22 @@ def test_zone_bounds_contain_file_stats_across_types(spark, tmp_path):
     n1 = eio.read_version(spark, t, prune=[("ts", "<", cut)]).count()
     n2 = eio.read_version(spark, t).filter(F.col("ts") < F.lit(cut)).count()
     assert n1 == n2 > 0
+
+
+def test_pruned_read_pushes_filters_to_parquet_scan(spark, tmp_path):
+    """The skipping story composes across three levels: the manifest
+    zones drop whole FILES before planning; within the surviving
+    files, the same predicates must reach the parquet scan as
+    PushedFilters so row-group stats prune further; and the plan must
+    stay whole-stage-codegen with no Python. Pin the middle level —
+    a pruned read whose filters stopped reaching the scan would
+    silently decay to post-scan filtering."""
+    df = _mk(spark, n=200_000)
+    t = str(tmp_path / "pf")
+    eio.append_versioned(df.repartition(4), t, "b0")
+    eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    out = eio.read_version(spark, t, prune=[("x", ">=", 100), ("x", "<", 120)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(x,100)" in plan and "LessThan(x,120)" in plan
+    assert "PushedFilters: []" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
