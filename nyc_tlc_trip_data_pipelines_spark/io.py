@@ -1262,6 +1262,7 @@ def optimize_versioned(
     zorder_bits: int = 6,
     zone_stats: Sequence[str] | None = None,
     hash_strings: bool = False,
+    only_small_mb: float | None = None,
 ) -> int:
     """Delta ``OPTIMIZE`` analog for versioned-append tables: rewrite
     the LATEST version's rows as one right-sized job partition and
@@ -1315,6 +1316,21 @@ def optimize_versioned(
     data skipping. ``hash_strings=True`` opts string cluster columns
     into xxhash64 surrogate bucketing (equality/point-lookup skipping
     only — the hash destroys range order; see ``_zorder_value``).
+
+    ``only_small_mb`` (round 13): INCREMENTAL compaction — the move
+    that makes OPTIMIZE affordable at 100 TB, where "rewrite the whole
+    latest version" is a full-table rewrite every run. Only jobs whose
+    directory is smaller than this threshold are compacted (into one
+    ``optimize.o{N}`` job); right-sized jobs keep their directories
+    byte-identical and their manifest zones. Cost becomes proportional
+    to the SMALL-FILE TAIL, not the table — the same contract as
+    Delta's OPTIMIZE, which only rewrites files under its
+    min-file-size. Needs at least TWO sub-threshold jobs to mint a
+    version (compacting one buys nothing — no-op returns the current
+    version). Sizes come from Catalyst's per-directory scan statistics
+    (footer reads at planning time, scheme-agnostic). Converges: the
+    compacted job usually crosses the threshold, so a re-run no-ops
+    once the tail is gone.
     """
     import math
 
@@ -1328,8 +1344,24 @@ def optimize_versioned(
         raise ValueError(f"no versions committed under {path}")
     if len(jobs) == 1 and jobs[0].startswith("optimize.o"):
         return cur_v  # already compacted; re-run is a no-op
-    job_col = mio.read_meta(cur_v)["job_col"]
-    df = read_version(spark, path, cur_v)
+    job_col = _meta["job_col"]
+
+    def _dir_bytes(job: str) -> int:
+        d = spark.read.parquet(os.path.join(path, f"{job_col}={job}"))
+        return int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+    keep_jobs: list[str] = []
+    if only_small_mb is not None:
+        cut = only_small_mb * 1024 * 1024
+        small = [j for j in jobs if _dir_bytes(j) < cut]
+        if len(small) < 2:
+            return cur_v  # no tail to fold — nothing to gain, mint nothing
+        keep_jobs = [j for j in jobs if j not in set(small)]
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f"{job_col}={j}") for j in small]
+        )
+    else:
+        df = read_version(spark, path, cur_v)
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n_out = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
     new_job = f"optimize.o{cur_v + 1}"
@@ -1361,8 +1393,11 @@ def optimize_versioned(
         if stat_cols
         else None
     )
+    # incremental mode keeps the right-sized jobs (their directories
+    # untouched; _carry_zones keeps their manifest stats); full mode
+    # swaps everything for the one compacted job
     return _commit_manifest(
-        path, job_col, [new_job], base_version=cur_v, new_zones=new_zones
+        path, job_col, keep_jobs + [new_job], base_version=cur_v, new_zones=new_zones
     )
 
 

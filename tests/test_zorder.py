@@ -488,3 +488,51 @@ def test_pruned_read_pushes_filters_to_parquet_scan(spark, tmp_path):
     assert "GreaterThanOrEqual(x,100)" in plan and "LessThan(x,120)" in plan
     assert "PushedFilters: []" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_optimize_incremental_compacts_only_small_tail(spark, tmp_path):
+    """only_small_mb (round 13): at 100 TB a full-version rewrite per
+    OPTIMIZE is untenable — incremental mode folds only the
+    sub-threshold jobs into one compacted job and must leave
+    right-sized jobs' directories byte-identical (same file set), keep
+    their manifest zones, preserve rows and time travel, and converge
+    to a no-op once the tail is gone."""
+    big = _mk(spark, n=400_000)  # ~several MB with the incompressible pad
+    t = str(tmp_path / "inc")
+    eio.append_versioned(big.repartition(4), t, "bulk", zone_stats=["x"])
+    for i in range(3):  # the small-file tail: three tiny appends
+        eio.append_versioned(
+            _mk(spark, n=2_000).withColumn("x", F.col("x") + i), t, f"tail{i}"
+        )
+    before = _checksum(eio.read_version(spark, t))
+    bulk_dir = os.path.join(t, "__job_id=bulk")
+    bulk_files = sorted(os.listdir(bulk_dir))
+    v = eio.optimize_versioned(spark, t, target_mb=64, only_small_mb=1.0)
+    assert v == 4  # a real commit happened
+    tip_v, tip_jobs = eio.list_versions(t)[-1]
+    assert tip_jobs == ["bulk", f"optimize.o{v}"]  # big job kept, tail folded
+    assert sorted(os.listdir(bulk_dir)) == bulk_files  # untouched on disk
+    assert _checksum(eio.read_version(spark, t)) == before  # rows identical
+    assert eio.read_version(spark, t, 0).count() == 400_000  # time travel
+    import json
+
+    with open(os.path.join(t, "_manifests", f"v{v}.json")) as fh:
+        zones = json.load(fh).get("zones") or {}
+    assert "bulk" in zones  # the kept job's stats carried forward
+    # pruning still exact across kept + compacted jobs
+    n = eio.read_version(spark, t, prune=[("x", "=", 7)]).count()
+    assert n == eio.read_version(spark, t).filter(F.col("x") == 7).count()
+    # convergence: the folded tail is one job; a re-run finds <2 small
+    # jobs (or none) and must NOT mint a version
+    assert eio.optimize_versioned(spark, t, target_mb=64, only_small_mb=1.0) == v
+
+
+def test_optimize_incremental_noop_without_tail(spark, tmp_path):
+    """Fewer than two sub-threshold jobs: compacting buys nothing —
+    no version minted, table untouched."""
+    t = str(tmp_path / "noop")
+    eio.append_versioned(_mk(spark, n=300_000).repartition(2), t, "a")
+    eio.append_versioned(_mk(spark, n=300_000).repartition(2), t, "b")
+    v0 = eio.list_versions(t)[-1][0]
+    assert eio.optimize_versioned(spark, t, only_small_mb=0.001) == v0
+    assert eio.list_versions(t)[-1][0] == v0
