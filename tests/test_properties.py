@@ -950,6 +950,7 @@ _vop = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 40), st.just(0)),
     st.tuples(st.just("merge"), st.integers(0, 3), st.integers(1, 4)),
     st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+    st.tuples(st.just("optimize_small"), st.just(0), st.just(0)),
     st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
 )
 
@@ -957,8 +958,9 @@ _vop = st.one_of(
 @given(st.lists(_vop, min_size=2, max_size=6))
 @settings(max_examples=5, deadline=None)
 def test_versioned_lifecycle_matches_multiset_model(spark, tmp_path_factory, ops):
-    """Model-based property (round 12): ANY interleaving of
-    append / retried-append / DELETE / MERGE / OPTIMIZE / VACUUM must
+    """Model-based property (round 12; incremental OPTIMIZE added
+    round 13): ANY interleaving of append / retried-append / DELETE /
+    MERGE / OPTIMIZE (full or small-tail) / VACUUM must
     leave read_version(latest) equal to a pure-Python multiset model,
     with the tip's cumulative ever-union containing every job_id ever
     issued — the whole-protocol invariant behind retry dedup, COW
@@ -1013,6 +1015,10 @@ def test_versioned_lifecycle_matches_multiset_model(spark, tmp_path_factory, ops
             issued.add(j)
         elif kind == "optimize":
             IO.optimize_versioned(spark, path, target_mb=64)
+        elif kind == "optimize_small":
+            # round 13: incremental compaction — rows must be invariant
+            # whether it minted a version (folded a tail) or no-op'd
+            IO.optimize_versioned(spark, path, target_mb=64, only_small_mb=64.0)
         elif kind == "vacuum":
             IO.vacuum_versioned(path, retain_last=1)
         got = sorted((r.k, r.v) for r in IO.read_version(spark, path).collect())
