@@ -1015,6 +1015,8 @@ def zone_prune_stats(
     if not nums:
         raise ValueError(f"no versions committed under {path}")
     n = max(nums) if version is None else version
+    if n not in set(nums):
+        raise ValueError(f"version {n} not found under {path} (have {nums})")
     meta = mio.read_meta(n)
     conj = _normalize_prune(prune)
     paths, kept, total = _zone_select(path, meta, [c[:3] for c in conj])
