@@ -1193,3 +1193,53 @@ def test_zone_pruning_on_s3_manifests(monkeypatch, spark, tmp_path):
         store = obs.S3Store("bkt", "ztbl")
         tip = _json.loads(store.get_text("_manifests/v1.json"))
         assert set(tip["zones"]) == {"low", "high"}
+
+
+@s3_deps
+def test_optimize_incremental_on_s3(monkeypatch, spark, tmp_path):
+    """only_small_mb on an object-store table: the size probe is
+    Catalyst scan statistics (no filesystem walk), so the small-tail
+    selection must work through the mirrored reader; the kept job's
+    objects stay untouched, and the manifest swap is the same single
+    conditional PUT as full OPTIMIZE."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    url = "s3a://bkt/tblinc"
+    mirror = str(tmp_path / "mirror_inc")
+    real_r, real_w = DataFrameReader.parquet, DataFrameWriter.parquet
+    monkeypatch.setattr(
+        DataFrameReader,
+        "parquet",
+        lambda self, *ps: real_r(self, *[p.replace(url, mirror) for p in ps]),
+    )
+    monkeypatch.setattr(
+        DataFrameWriter,
+        "parquet",
+        lambda self, p: real_w(self, p.replace(url, mirror)),
+    )
+    _fake_aws(monkeypatch)
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        bulk = spark.range(200_000).select(
+            F.col("id").alias("k"), F2.xxhash64("id").alias("pad")
+        )
+        eio.append_versioned(bulk.repartition(2), url, "bulk")
+        for i in range(2):
+            eio.append_versioned(
+                spark.createDataFrame([(10_000_000 + i, 0)], "k long, pad long"),
+                url,
+                f"tiny{i}",
+            )
+        import os as _os
+
+        bulk_files = sorted(_os.listdir(_os.path.join(mirror, "__job_id=bulk")))
+        v = eio.optimize_versioned(spark, url, only_small_mb=0.5)
+        assert v == 3
+        assert eio.list_versions(url)[-1] == (3, ["bulk", "optimize.o3"])
+        assert sorted(
+            _os.listdir(_os.path.join(mirror, "__job_id=bulk"))
+        ) == bulk_files  # kept job untouched on disk
+        got = eio.read_version(spark, url)
+        assert got.count() == 200_002
+        assert got.filter(F.col("k") >= 10_000_000).count() == 2
