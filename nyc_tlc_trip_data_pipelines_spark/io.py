@@ -839,7 +839,7 @@ def list_versions(path: str) -> list[tuple[int, list[str]]]:
     return _manifest_io(path).list_versions()
 
 
-_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
 
 
 def _zone_may_match(bounds: list, op: str, val) -> bool:
@@ -848,13 +848,18 @@ def _zone_may_match(bounds: list, op: str, val) -> bool:
     predicate and the file is skipped without opening its footer.
     ``lo``/``hi`` of None means every row is NULL in that column — no
     comparison predicate can select it (SQL three-valued logic), so
-    such files always prune. A bounds/value type mismatch keeps the
-    file (pruning must only ever under-prune); the row-level filter
-    then surfaces the real error Spark-side."""
+    such files always prune. For ``in``, ``val`` is the normalized
+    value list: the file survives if ANY member can fall in its span —
+    the point-set lookup zone maps serve best on clustered keys. A
+    bounds/value type mismatch keeps the file (pruning must only ever
+    under-prune); the row-level filter then surfaces the real error
+    Spark-side."""
     lo, hi = bounds
     if lo is None or hi is None:
         return False
     try:
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
         if op in ("=", "=="):
             return lo <= val <= hi
         if op == "<":
@@ -901,13 +906,25 @@ def _zone_select(path: str, meta: dict, conj: list) -> tuple[list[str] | None, i
 
 def _normalize_prune(prune) -> list:
     """Validate the prune spec — conjuncts of ``(col, op, value)`` with
-    op in ``=,==,<,<=,>,>=`` — and pre-normalize each value into the
-    zone-bound comparison domain (:func:`_zone_json`)."""
+    op in ``=,==,<,<=,>,>=,in`` (``in`` takes a non-empty list of
+    scalars) — and pre-normalize each value into the zone-bound
+    comparison domain (:func:`_zone_json`)."""
     conj = []
     for item in prune or ():
         c, op, v = item
         if op not in _PRUNE_OPS:
             raise ValueError(f"unsupported prune op {op!r} (have {_PRUNE_OPS})")
+        if op == "in":
+            vals = list(v)
+            if not vals:
+                raise ValueError(f"'in' prune for {c!r} needs a non-empty list")
+            nvs = [_zone_json(x) for x in vals]
+            if any(x is NotImplemented or x is None for x in nvs):
+                raise ValueError(
+                    f"'in' prune values for {c!r} have unsupported types: {v!r}"
+                )
+            conj.append((c, op, nvs, vals))
+            continue
         nv = _zone_json(v)
         if nv is NotImplemented or nv is None:
             raise ValueError(f"prune value for {c!r} has unsupported type: {v!r}")
@@ -940,7 +957,9 @@ def read_version(
     version's job set.
 
     ``prune`` (round 13): conjunctive simple predicates
-    ``[(col, op, value), ...]`` with op in ``=,==,<,<=,>,>=``. Each is
+    ``[(col, op, value), ...]`` with op in ``=,==,<,<=,>,>=,in``
+    (``in`` takes a non-empty scalar list — the point-set lookup a
+    clustered key serves best). Each is
     ALWAYS applied as a row-level filter (so the result is exactly the
     unpruned read plus those filters — the oracle invariant), and when
     the manifest carries per-file ``zones`` stats (written by
@@ -988,7 +1007,9 @@ def read_version(
     out = df.filter(df[job_col].isin(list(meta["job_ids"]))).drop(job_col)
     for c, op, _nv, v in conj:
         col = out[c]
-        if op in ("=", "=="):
+        if op == "in":
+            out = out.filter(col.isin(list(v)))
+        elif op in ("=", "=="):
             out = out.filter(col == F.lit(v))
         elif op == "<":
             out = out.filter(col < F.lit(v))

@@ -1053,10 +1053,17 @@ def zoned_table(spark, tmp_path_factory):
 @settings(max_examples=12, deadline=None)
 @given(
     conj=st.lists(
-        st.tuples(
-            st.sampled_from(["x", "y"]),
-            st.sampled_from(["=", "<", "<=", ">", ">="]),
-            st.integers(-50, 1100),
+        st.one_of(
+            st.tuples(
+                st.sampled_from(["x", "y"]),
+                st.sampled_from(["=", "<", "<=", ">", ">="]),
+                st.integers(-50, 1100),
+            ),
+            st.tuples(
+                st.sampled_from(["x", "y"]),
+                st.just("in"),
+                st.lists(st.integers(-50, 1100), min_size=1, max_size=4),
+            ),
         ),
         min_size=1,
         max_size=3,
@@ -1075,6 +1082,7 @@ def test_zone_prune_soundness_random_predicates(spark, zoned_table, conj):
     for c, op, v in conj:
         col = full[c]
         full = full.filter(
+            col.isin(list(v)) if op == "in" else
             col == v if op in ("=", "==") else
             col < v if op == "<" else
             col <= v if op == "<=" else

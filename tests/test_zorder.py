@@ -536,3 +536,20 @@ def test_optimize_incremental_noop_without_tail(spark, tmp_path):
     v0 = eio.list_versions(t)[-1][0]
     assert eio.optimize_versioned(spark, t, only_small_mb=0.001) == v0
     assert eio.list_versions(t)[-1][0] == v0
+
+
+def test_zone_prune_in_op_point_set_lookup(spark, tmp_path):
+    """The 'in' prune op: a point-set lookup keeps exactly the files
+    whose span covers ANY member; rows equal the plain isin filter;
+    an empty value list is rejected loudly."""
+    df = _mk(spark)  # 1M rows → ~7 files at target_mb=1
+    t = str(tmp_path / "inop")
+    eio.append_versioned(df.repartition(4), t, "b0")
+    eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    keys = [7, 991]
+    st = eio.zone_prune_stats(t, prune=[("x", "in", keys)])
+    assert st["files_kept"] < st["files_total"]
+    n = eio.read_version(spark, t, prune=[("x", "in", keys)]).count()
+    assert n == df.filter(F.col("x").isin(keys)).count() > 0
+    with pytest.raises(ValueError, match="non-empty"):
+        eio.read_version(spark, t, prune=[("x", "in", [])])
