@@ -9810,19 +9810,33 @@ def oracle_sql() -> dict[str, str]:
             ), lagged AS (
                 SELECT bucket, y, LAG(y, 24) OVER (ORDER BY bucket) AS f FROM hourly
             ), scored AS (
-                SELECT bucket, ROUND(f - y, 6) AS err,
+                -- residual quantized straight to micro-units in ONE
+                -- rounding (round 14; the old 6-dp-then-micro stacking
+                -- could land on an exact .5 tie — see
+                -- seasonal_naive_backtest's docstring)
+                SELECT bucket,
+                       CAST(ROUND((f - y) * 1000000.0, 0) AS BIGINT) AS err_q,
                        ROUND(CASE WHEN ABS(f) + ABS(y) <> 0
                                   THEN 2.0 * ABS(f - y) / (ABS(f) + ABS(y))
                                   ELSE 0.0 END, 6) AS smape_t
                 FROM lagged WHERE f IS NOT NULL
             )
-            SELECT CAST(DATE_TRUNC('day', bucket) AS DATE) AS day,
-                   CAST(COUNT(*) AS INT) AS n_hours,
-                   ROUND(CAST(SUM(CAST(ROUND(smape_t * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-                         / COUNT(*) / 1000000.0, 6) AS smape,
-                   ROUND(CAST(SUM(CAST(ROUND(err * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-                         / COUNT(*) / 1000000.0, 6) AS bias
-            FROM scored GROUP BY day ORDER BY day
+            , daily AS (
+                SELECT CAST(DATE_TRUNC('day', bucket) AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n_hours,
+                       SUM(CAST(ROUND(smape_t * 1000000.0, 0) AS BIGINT)) AS sq,
+                       SUM(err_q) AS eq
+                FROM scored GROUP BY day
+            )
+            -- integer half-away-from-zero means in micro-units: exact
+            -- in every engine, no float .5 rounding ties (round 14)
+            SELECT day, CAST(n_hours AS INT) AS n_hours,
+                   ((2 * sq + n_hours) // (2 * n_hours)) / 1000000.0 AS smape,
+                   (CASE WHEN eq >= 0
+                         THEN (2 * eq + n_hours) // (2 * n_hours)
+                         ELSE -((2 * (-eq) + n_hours) // (2 * n_hours))
+                    END) / 1000000.0 AS bias
+            FROM daily ORDER BY day
         """,
         # round 7: Zipf fit — identical sufficient-statistics
         # expression tree over micro-quantized ln values

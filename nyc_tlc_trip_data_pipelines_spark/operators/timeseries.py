@@ -666,10 +666,17 @@ def seasonal_naive_backtest(
 
     Per-bucket sMAPE terms 2|ŷ−y|/(|ŷ|+|y|) are rounded to 6 dp, then
     the per-day mean reduces exact integer micro-units (the stl/ewma
-    contract); bias = mean(ŷ−y) the same way. Buckets without a
-    period-old predecessor are excluded (the first day). Returns
-    (day, n_hours, smape, bias) ordered by day — the
-    backtest table a forecast monitor alerts on.
+    contract); bias = mean(ŷ−y) the same way, with the residual
+    quantized straight to integer micro-units in one step. The daily
+    MEANS themselves are integer half-away-from-zero division —
+    ``sign(S)·((2|S| + n) div 2n)`` micro-units — not a float
+    ``ROUND(S/n/1e6, 6)`` (round 14: when S/n lands on an exact half
+    micro-unit, Spark's HALF_UP and DuckDB's banker's rounding split
+    to opposite sides — a one-micro-unit bias tie observed at
+    sf0.001; integer division is tie-free and engine-exact by
+    construction). Buckets without a period-old predecessor are
+    excluded (the first day). Returns (day, n_hours, smape, bias)
+    ordered by day — the backtest table a forecast monitor alerts on.
 
     Scale shape: identical to :func:`stl_decompose` — one corpus-sized
     hash aggregate to the hourly grain, then a LAG window and a daily
@@ -692,7 +699,7 @@ def seasonal_naive_backtest(
     scored = (
         hourly.withColumn("f", F.lag("y", period).over(w))
         .filter(F.col("f").isNotNull())
-        .withColumn("err", F.round(F.col("f") - F.col("y"), 6))
+        .withColumn("err_q", micro(F.col("f") - F.col("y")))
         .withColumn(
             "smape_t",
             F.round(
@@ -705,16 +712,25 @@ def seasonal_naive_backtest(
             ),
         )
     )
+    # integer half-away-from-zero mean in micro-units: exact in every
+    # engine, no float .5 ties (sMAPE sums are non-negative; bias needs
+    # the sign branch)
+    half_up = "(2 * {s} + n_hours) DIV (2 * cast(n_hours as bigint))"
     return (
         scored.groupBy(F.to_date("bucket").alias("day"))
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_hours"),
-            F.round(
-                F.sum(micro(F.col("smape_t"))) / F.count(F.lit(1)) / F.lit(1000000.0),
-                6,
-            ).alias("smape"),
-            F.round(
-                F.sum(micro(F.col("err"))) / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            F.sum(micro(F.col("smape_t"))).alias("sq"),
+            F.sum("err_q").alias("eq"),
+        )
+        .select(
+            "day",
+            "n_hours",
+            (F.expr(half_up.format(s="sq")) / F.lit(1000000.0)).alias("smape"),
+            (
+                F.when(F.col("eq") >= 0, F.expr(half_up.format(s="eq")))
+                .otherwise(-F.expr(half_up.format(s="(-eq)")))
+                / F.lit(1000000.0)
             ).alias("bias"),
         )
         .orderBy("day")
