@@ -6602,92 +6602,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_srm": q_abtest_srm,
         "q_abtest_did": q_abtest_did,
     }
-    # Round-12 prefix-50 rotation (the driver checks the FIRST 50 keys).
-    # No new registry ids (registry closed at 306 per the round-8
-    # verdict); every slot is freshness, per the DESIGN.md round-12
-    # rotation queue committed (and pre-validated 59/59 green at
-    # sf0.01) in round 11: (a) the 11 round-5 ids deferred from the
-    # r11 prefix (age 7 at round 12 — past the 6-round horizon, so
-    # tests/test_registry.py::test_freshness_horizon turns red if any
-    # is missing here); (b) 39 of the 48 ids whose latest driver row
-    # is round 6 (age 6, at the boundary) — dedup/text (semantic,
-    # span, simhash_hamming, index_probe, minhash_accuracy,
-    # collocations_pmi, token_entropy), sketches (heavy_hitters_cms,
-    # sketch_rollup, sketch_intersection, bitmap_rollup), joins
-    # (bloom_prefilter, interval_bucket, geo_radius), multimodal
-    # (features, scene_detect, silence_trim, image_dedup, audio_dedup),
-    # statistics (ks_test, psi_drift, mutual_info, pca_power),
-    # streaming (stream_drift, stream_source_custom,
-    # session_window_native), versioned/IO (partition_overwrite_dynamic,
-    # custom_sink, table_diff, xml_ingest), curation (curation_pipeline,
-    # domain_mixture, train_shuffle, attribution, grouped_arrow,
-    # udf_arrow, sql_parameterized, time_interpolate, collated_group).
-    # The 9 r06 ids deferred to the round-13 prefix (q_agg_collect_list,
-    # q_csv_inrow, q_ewma, q_feature_hash, q_fixed_width_ingest,
-    # q_html_strip, q_log_parse, q_markov_transitions,
-    # q_url_canonicalize) are the simplest deterministic ops in the
-    # tier; the freshness-horizon test makes that deferral
-    # self-enforcing — at round 13 they age out unless rotated in.
+    # Round-14 prefix-50 rotation (the driver checks the FIRST 50 keys).
+    # Pure freshness, exactly the plan pinned in round 13 (DESIGN.md
+    # "Round-14 prefix fully pinned"; all 57 candidates were validated
+    # green at BOTH sf0.01 and sf0.1 by round 13's two full-registry
+    # oracle sweeps): (a) the committed round-14 queue — the 6 r07 ids
+    # deferred by the r13 rotation plus q_zipf_fit (displaced from the
+    # r13 prefix by q_versioned_zone_skip); (b) 43 of the 50 round-8
+    # driver rows. The 7 deferred to the round-15 queue (q_count,
+    # q_project_drop, q_project_case, q_filter_predicates,
+    # q_cast_schema, q_derive_year_month, q_null_funcs — the simplest
+    # deterministic relational staples in the tier) hit the 6-round
+    # horizon at round 15; tests/test_registry.py pins that queue and
+    # its freshness tripwire enforces the deferral once r14's results
+    # land.
     prefix = [
-        # ---- (a) must-rotate tier: the committed round-13 queue —
-        # the 9 r06 leftovers at the freshness horizon ----
-        "q_agg_collect_list",
-        "q_csv_inrow",
-        "q_ewma",
-        "q_feature_hash",
-        "q_fixed_width_ingest",
-        "q_html_strip",
-        "q_log_parse",
-        "q_markov_transitions",
-        "q_url_canonicalize",
-        # ---- (b) refresh tier: 41 of the 47 round-7 driver rows
-        # (the 6 simplest deterministic ops deferred to round 14:
-        # q_agg_maxby, q_benford, q_ddl_create, q_join_nullsafe,
-        # q_sink_csv, q_streaks — the horizon test enforces that
-        # rotation once r13's results land) ----
-        "q_abtest_welch",
-        "q_ann_ivfpq",
-        "q_ann_pq",
-        "q_anomaly_seasonal",
-        "q_attribution_decay",
-        "q_bootstrap_ci",
-        "q_changepoint_cusum",
-        "q_classifier_eval",
-        "q_corr_group",
-        "q_crosstab_chi2",
-        "q_dedup_savings",
-        "q_dedup_semantic_scaled",
-        "q_doremi_step",
-        "q_dp_release",
-        "q_dsir_select",
-        "q_event_pattern",
-        "q_forecast_backtest",
-        "q_forecast_conformal",
-        "q_group_regress",
-        "q_hard_negatives",
-        "q_jackknife",
-        "q_knn_label_noise",
-        "q_lateral_topk",
-        "q_mixture_concentration",
-        "q_nb_classify",
-        "q_nb_cross_validate",
-        "q_percentile_weighted",
-        "q_phrase_search",
-        "q_quantile_rollup",
-        "q_random_projection",
-        "q_retrieval_eval",
-        "q_rolling_distinct",
-        "q_rolling_median",
-        "q_rrf_fusion",
-        "q_skyline",
-        "q_sql_tpch_q1",
-        "q_stats_equidepth",
-        "q_stl_decompose",
-        "q_topic_keywords",
-        "q_winsorize",
-        # round-13 engine feature, scheduled for a real driver row this
-        # round; the displaced q_zipf_fit joins the round-14 queue
-        "q_versioned_zone_skip",
+        # ---- (a) must-rotate tier: the committed round-14 queue ----
+        "q_agg_maxby",
+        "q_benford",
+        "q_ddl_create",
+        "q_join_nullsafe",
+        "q_sink_csv",
+        "q_streaks",
+        "q_zipf_fit",
+        # ---- (b) refresh tier: 43 of the 50 round-8 driver rows ----
+        "q_abtest_cuped",
+        "q_abtest_did",
+        "q_abtest_sprt",
+        "q_abtest_srm",
+        "q_acf",
+        "q_agg_basic",
+        "q_agg_count_distinct",
+        "q_agg_having",
+        "q_agg_rollup",
+        "q_array_explode",
+        "q_array_posexplode",
+        "q_assoc_rules",
+        "q_calibration",
+        "q_ccf",
+        "q_date_arithmetic",
+        "q_date_funcs",
+        "q_dedup_exact",
+        "q_filter_time_range",
+        "q_gini",
+        "q_graph_jaccard",
+        "q_graph_kcore",
+        "q_graph_labelprop",
+        "q_groupby_avg_orderby",
+        "q_item_cf",
+        "q_join_broadcast",
+        "q_join_cross",
+        "q_join_inner",
+        "q_join_outer",
+        "q_join_range",
+        "q_join_semi",
+        "q_join_star",
+        "q_json_extract",
+        "q_mannwhitney",
+        "q_map_funcs",
+        "q_math_funcs",
+        "q_mmr_diversify",
+        "q_partition_prune",
+        "q_path_mining",
+        "q_sample_negatives",
+        "q_seq_pairs",
+        "q_spearman",
+        "q_survival_km",
+        "q_survival_logrank",
     ]
     assert len(prefix) == 50 and len(set(prefix)) == 50
     out = {k: base[k] for k in prefix}

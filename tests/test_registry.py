@@ -56,32 +56,32 @@ def test_oracle_sql_is_plain_select():
 
 def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
-    the round-13 prefix is pure freshness rotation — it leads with the
-    9 round-6 leftovers at the 6-round horizon (the committed r12
-    NEXT_QUEUE), then 41 of the 47 round-7 ids — has no duplicates,
-    and every prefix id has a DuckDB oracle (a prefix slot without an
-    oracle wastes a driver window on a rows-only check)."""
+    the round-14 prefix is pure freshness rotation — it leads with the
+    committed r13 NEXT_QUEUE (the 6 deferred round-7 ids plus the
+    displaced q_zipf_fit, all at the 6-round horizon), then 43 of the
+    50 round-8 ids — has no duplicates, and every prefix id has a
+    DuckDB oracle (a prefix slot without an oracle wastes a driver
+    window on a rows-only check)."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
     prefix = keys[:50]
     assert len(set(prefix)) == 50
-    assert prefix[:9] == [
-        "q_agg_collect_list",
-        "q_csv_inrow",
-        "q_ewma",
-        "q_feature_hash",
-        "q_fixed_width_ingest",
-        "q_html_strip",
-        "q_log_parse",
-        "q_markov_transitions",
-        "q_url_canonicalize",
+    assert prefix[:7] == [
+        "q_agg_maxby",
+        "q_benford",
+        "q_ddl_create",
+        "q_join_nullsafe",
+        "q_sink_csv",
+        "q_streaks",
+        "q_zipf_fit",
     ]
-    assert "q_sql_tpch_q1" in prefix and "q_classifier_eval" in prefix
-    assert "q_dedup_savings" in prefix and "q_knn_label_noise" in prefix
-    # the 6 ids deferred to the round-14 queue are NOT in this prefix
-    for k in ("q_agg_maxby", "q_benford", "q_ddl_create",
-              "q_join_nullsafe", "q_sink_csv", "q_streaks"):
+    assert "q_agg_basic" in prefix and "q_join_star" in prefix
+    assert "q_survival_km" in prefix and "q_graph_kcore" in prefix
+    # the 7 ids deferred to the round-15 queue are NOT in this prefix
+    for k in ("q_count", "q_project_drop", "q_project_case",
+              "q_filter_predicates", "q_cast_schema",
+              "q_derive_year_month", "q_null_funcs"):
         assert k not in prefix, k
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
@@ -90,20 +90,19 @@ def test_prefix_50_rotation_contract():
 
 # The next-rotation queue, committed one round AHEAD (round-10 verdict
 # item 7 cadence): the ids that sit past the freshness horizon at
-# QUEUE_ROUND and therefore MUST lead that round's prefix-50. Round-13
-# rotation deferred these 6 round-7 ids (the simplest deterministic ops
-# in the tier) to round 14, plus q_zipf_fit — displaced from the r13
-# prefix by the new q_versioned_zone_skip (the round-13 engine
-# feature, which needs a real driver row); DESIGN.md carries the list.
-QUEUE_ROUND = 14
+# QUEUE_ROUND and therefore MUST lead that round's prefix-50. The
+# round-14 rotation deferred these 7 round-8 ids — the simplest
+# deterministic relational staples in the tier — to round 15, where
+# they hit the 6-round horizon; DESIGN.md carries the list.
+QUEUE_ROUND = 15
 NEXT_QUEUE = sorted([
-    "q_agg_maxby",
-    "q_benford",
-    "q_ddl_create",
-    "q_join_nullsafe",
-    "q_sink_csv",
-    "q_streaks",
-    "q_zipf_fit",
+    "q_count",
+    "q_project_drop",
+    "q_project_case",
+    "q_filter_predicates",
+    "q_cast_schema",
+    "q_derive_year_month",
+    "q_null_funcs",
 ])
 
 
