@@ -41,6 +41,7 @@ import glob as _glob
 import json
 import os
 import re
+import time
 from collections.abc import Sequence
 from datetime import datetime, timezone
 
@@ -537,6 +538,87 @@ def _carry_zones(tip_meta: dict, job_ids: Sequence[str], new_zones: dict | None)
     return zones
 
 
+# Per-job zone maps larger than this go to a content-addressed SIDECAR
+# file instead of inline manifest JSON (round-14 verdict item 3). The
+# measured inline boundary (tools/zone_boundary.py): ~16 MB manifest /
+# ~1.1 s parse+plan at 100k file entries, ~128 MB / ~9 s at the 800k
+# files of a right-sized 100 TB table — and EVERY commit re-uploads the
+# whole manifest, because the conditional-PUT claim byte-compares it.
+# Sidecars restore O(small) commits: the manifest carries only
+# ``{"sidecar": "zstats/<job>.<sha12>.json", "files": N}`` per big job,
+# each sidecar is written ONCE per job (job names are unique per
+# rewrite), and the content-addressed name makes concurrent same-job
+# retries collision-free — a loser's sidecar is an orphan, never an
+# overwrite. Reads resolve markers lazily, one small GET per
+# zone-carrying job (an OPTIMIZEd table has few). A missing sidecar
+# (vacuumed orphan, racing retry) degrades that job to an unpruned
+# whole-directory read — never an error.
+ZONE_SIDECAR_MIN_FILES = 512
+
+
+def _zone_sidecar_put(path: str, relkey: str, text: str) -> None:
+    """Write a sidecar under ``<path>/_manifests/<relkey>`` (local
+    tmp+rename; object-store put_text — idempotent, content-addressed
+    names make overwrites byte-identical)."""
+    if is_local_path(path):
+        base = os.path.join(to_local_os_path(path), "_manifests")
+        full = os.path.join(base, relkey)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        tmp = full + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, full)
+        return
+    from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+    objectstore.get_store(path).put_text(f"_manifests/{relkey}", text)
+
+
+def _zone_sidecar_get(path: str, relkey: str) -> str | None:
+    """Read a sidecar; None when absent (callers degrade to unpruned)."""
+    try:
+        if is_local_path(path):
+            full = os.path.join(to_local_os_path(path), "_manifests", relkey)
+            with open(full) as fh:
+                return fh.read()
+        from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+        return objectstore.get_store(path).get_text(f"_manifests/{relkey}")
+    except Exception:
+        return None
+
+
+def _pack_zones(path: str, job: str, zmap: dict) -> dict:
+    """Inline a small per-job zone map; spill a big one to a sidecar
+    and return its manifest marker."""
+    if len(zmap) < ZONE_SIDECAR_MIN_FILES:
+        return zmap
+    import hashlib
+
+    text = json.dumps(zmap, sort_keys=True)
+    h = hashlib.sha256(text.encode()).hexdigest()[:12]
+    relkey = f"zstats/{job}.{h}.json"
+    _zone_sidecar_put(path, relkey, text)
+    return {"sidecar": relkey, "files": len(zmap)}
+
+
+def _resolve_zmap(path: str, z) -> dict | None:
+    """A manifest ``zones`` value → the actual per-file map: inline
+    dicts pass through; sidecar markers load their file; a missing
+    sidecar (or no entry) resolves to None = job unzoned."""
+    if not isinstance(z, dict):
+        return None
+    if isinstance(z.get("sidecar"), str):
+        text = _zone_sidecar_get(path, z["sidecar"])
+        if text is None:
+            return None
+        try:
+            return json.loads(text)
+        except ValueError:
+            return None
+    return z
+
+
 def append_versioned(
     df: DataFrame,
     path: str,
@@ -627,7 +709,11 @@ def append_versioned(
     job_dir = os.path.join(path, f"{job_col}={job_id}")
     df.write.mode("overwrite").parquet(job_dir)
     new_zones = (
-        {job_id: _collect_zone_stats(df.sparkSession, job_dir, zone_stats)}
+        {
+            job_id: _pack_zones(
+                path, job_id, _collect_zone_stats(df.sparkSession, job_dir, zone_stats)
+            )
+        }
         if zone_stats
         else None
     )
@@ -710,11 +796,12 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
         # rewritten job's zones — losing read-path data skipping on
         # exactly the jobs big enough to have been OPTIMIZEd. One
         # extra file-stats scan of the directory just written.
-        zcols = sorted(
-            {c for f in (tip_zones.get(job) or {}).values() for c in f if c != "rows"}
-        )
+        base_zmap = _resolve_zmap(path, tip_zones.get(job)) or {}
+        zcols = sorted({c for f in base_zmap.values() for c in f if c != "rows"})
         if zcols:
-            new_zones[new_job] = _collect_zone_stats(spark, new_dir, zcols)
+            new_zones[new_job] = _pack_zones(
+                path, new_job, _collect_zone_stats(spark, new_dir, zcols)
+            )
     if not changed:
         return cur_v
     return _commit_manifest(
@@ -871,11 +958,12 @@ def merge_versioned(
         # rewritten jobs inherit their base's zone-stat columns — same
         # rationale as delete_where (round 13): MERGE must not erode
         # the table's data-skipping coverage
-        zcols = sorted(
-            {c for f in (tip_zones.get(job) or {}).values() for c in f if c != "rows"}
-        )
+        base_zmap = _resolve_zmap(path, tip_zones.get(job)) or {}
+        zcols = sorted({c for f in base_zmap.values() for c in f if c != "rows"})
         if zcols:
-            new_zones[new_job] = _collect_zone_stats(spark, new_dir, zcols)
+            new_zones[new_job] = _pack_zones(
+                path, new_job, _collect_zone_stats(spark, new_dir, zcols)
+            )
     updates.write.mode("overwrite").parquet(os.path.join(path, f"{job_col}={job_id}"))
     return _commit_manifest(
         path,
@@ -975,7 +1063,7 @@ def _zone_select(path: str, meta: dict, conj: list) -> tuple[list[str] | None, i
     kept = total = 0
     for job in meta["job_ids"]:
         job_dir = os.path.join(path, f"{job_col}={job}")
-        zmap = zones.get(job)
+        zmap = _resolve_zmap(path, zones.get(job))
         if zmap is None:
             selected.append(job_dir)
             continue
@@ -1238,6 +1326,11 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     store's key listing (a bucket has no directories — a partition
     dir is the set of keys under its prefix). Same return value,
     counting distinct partition prefixes removed.
+
+    Round 14: also sweeps orphaned zone-stat SIDECARS — zstats files
+    no retained manifest references (vacuumed jobs, losing retries'
+    never-referenced uploads), with a 60 s mtime grace for in-flight
+    writers between sidecar PUT and commit.
     """
     retain_last = max(1, retain_last)
     mio = _manifest_io(path)
@@ -1263,6 +1356,25 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
     dropped = versions[:-retain_last]
     retained_jobs = {j for _v, jobs in versions[-retain_last:] for j in jobs}
     prefix = f"{job_col}="
+    # Round-14 (sidecar follow-through): sweep orphaned zone-stat
+    # sidecars (`_manifests/zstats/<job>.<sha12>.json`, _pack_zones).
+    # Vacuumed jobs — and the never-referenced sidecars of losing
+    # same-job retries — leave orphans that would otherwise accumulate
+    # forever (one per rewrite). Referenced = named by ANY retained
+    # manifest's marker; the content-addressed name means a marker
+    # carried forward across manifests stays the same string, so the
+    # retained union is exact. A 60 s mtime grace (same window as the
+    # journal-tmp sweep) spares an in-flight writer between its
+    # sidecar PUT and its commit; a sidecar swept anyway because its
+    # writer stalled past the window degrades that job to an unpruned
+    # read — correct, just unskipped — per the documented
+    # missing-sidecar contract (_resolve_zmap).
+    referenced: set[str] = set()
+    for v, _jobs in versions[-retain_last:]:
+        m = mio.read_meta(v)
+        for z in (m.get("zones") or {}).values():
+            if isinstance(z, dict) and isinstance(z.get("sidecar"), str):
+                referenced.add(z["sidecar"])
 
     if is_local_path(path):
         import shutil
@@ -1275,6 +1387,17 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
             if name.startswith(prefix) and name[len(prefix):] not in retained_jobs:
                 shutil.rmtree(os.path.join(path, name))
                 n_dirs += 1
+        zdir = os.path.join(path, "_manifests", "zstats")
+        if os.path.isdir(zdir):
+            now = time.time()
+            for name in os.listdir(zdir):
+                full = os.path.join(zdir, name)
+                try:
+                    age = now - os.path.getmtime(full)
+                except FileNotFoundError:
+                    continue
+                if f"zstats/{name}" not in referenced and age >= 60:
+                    os.unlink(full)
         return len(dropped), n_dirs
 
     from nyc_tlc_trip_data_pipelines_spark import objectstore
@@ -1290,6 +1413,21 @@ def vacuum_versioned(path: str, retain_last: int = 1) -> tuple[int, int]:
                 doomed.append(key)
                 doomed_dirs.add(seg)
     store.delete_keys(doomed)
+    orphans: list[str] = []
+    now = time.time()
+    for page in store.iter_pages("_manifests/zstats/"):
+        for key in page:
+            if key[len("_manifests/"):] in referenced:
+                continue
+            try:
+                # one HEAD per already-unreferenced candidate (rare),
+                # never per listed key
+                if now - store.mtime(key) >= 60:
+                    orphans.append(key)
+            except FileNotFoundError:
+                continue
+    if orphans:
+        store.delete_keys(orphans)
     return len(dropped), len(doomed_dirs)
 
 
@@ -1579,19 +1717,22 @@ def optimize_versioned(
     # Z-ORDER layout pay off: read_version(prune=...) skips files whose
     # zone disproves the predicate without opening a single footer.
     stat_cols = list(zone_stats) if zone_stats else list(cluster_by or ())
-    if not stat_cols and only_small_mb is not None:
-        # Round-14 ADVICE: folding zone-carrying small jobs without any
-        # stat spec must not strip their data-skipping coverage —
-        # inherit the union of stat columns from the folded jobs' tip
-        # zones (mirrors the delete/merge inheritance).
+    if not stat_cols:
+        # Round-14 ADVICE (extended to full mode): folding
+        # zone-carrying jobs without any stat spec must not strip
+        # their data-skipping coverage — inherit the union of stat
+        # columns from the folded jobs' tip zones (mirrors the
+        # delete/merge inheritance). Incremental folds inherit from
+        # the small tail; a full rewrite from every folded job.
+        folded = small if only_small_mb is not None else jobs
         tip_zones = _meta.get("zones") or {}
         inherited: set[str] = set()
-        for j in small:
-            for entry in (tip_zones.get(j) or {}).values():
+        for j in folded:
+            for entry in (_resolve_zmap(path, tip_zones.get(j)) or {}).values():
                 inherited.update(k for k in entry if k != "rows")
         stat_cols = sorted(inherited)
     new_zones = (
-        {new_job: _collect_zone_stats(spark, job_dir, stat_cols)}
+        {new_job: _pack_zones(path, new_job, _collect_zone_stats(spark, job_dir, stat_cols))}
         if stat_cols
         else None
     )

@@ -73,6 +73,12 @@ class LocalStore:
         with open(os.path.join(self.root, *key.split("/"))) as fh:
             return fh.read()
 
+    def mtime(self, key: str) -> float:
+        """Last-modified epoch seconds — the age signal VACUUM's
+        orphaned-sidecar sweep uses for its in-flight-writer grace
+        window (io.py). Raises FileNotFoundError for absent keys."""
+        return os.path.getmtime(os.path.join(self.root, *key.split("/")))
+
     def delete_keys(self, keys: Sequence[str]) -> int:
         """Delete keys (missing ones ignored, S3-style); empty parent
         directories are pruned so the tree mirrors a bucket where no
@@ -168,6 +174,18 @@ class S3Store:
     def get_text(self, key: str) -> str:
         obj = self.client.get_object(Bucket=self.bucket, Key=self._full(key))
         return obj["Body"].read().decode("utf-8")
+
+    def mtime(self, key: str) -> float:
+        """Last-modified epoch seconds via ``HeadObject`` — one HEAD
+        per key, so callers (VACUUM's orphaned-sidecar grace check)
+        only ask about the few already-unreferenced candidates, never
+        the full listing. boto3 surfaces a missing key as ClientError
+        404 — mapped to FileNotFoundError to match LocalStore."""
+        try:
+            resp = self.client.head_object(Bucket=self.bucket, Key=self._full(key))
+        except self.client.exceptions.ClientError as exc:  # pragma: no cover
+            raise FileNotFoundError(key) from exc
+        return resp["LastModified"].timestamp()
 
     def delete_keys(self, keys: Sequence[str]) -> int:
         """Batch object delete (``DeleteObjects``, 1000-key pages —

@@ -751,3 +751,147 @@ def test_read_version_where_is_single_source(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_zone_sidecar_spills_resolves_and_degrades(spark, tmp_path, monkeypatch):
+    """Round-14 verdict item 3: per-job zone maps past the threshold
+    spill to a content-addressed sidecar file — the manifest carries a
+    tiny marker and stays byte-comparable under the conditional-PUT
+    claim (measured inline boundary: ~16 MB manifest at 100k files,
+    ~128 MB at the 800k of a 100 TB table, re-uploaded EVERY commit).
+    Pruning through the marker is identical to inline; later appends
+    carry the marker; a deleted sidecar degrades that job to an
+    unpruned read, never an error."""
+    import json
+
+    monkeypatch.setattr(eio, "ZONE_SIDECAR_MIN_FILES", 3)
+    df = _mk(spark, n=400_000)
+    t = str(tmp_path / "sc")
+    eio.append_versioned(df.repartition(4), t, "b0")
+    eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    with open(os.path.join(t, "_manifests", "v1.json")) as fh:
+        meta = json.load(fh)
+    marker = meta["zones"]["optimize.o1"]
+    assert set(marker) == {"sidecar", "files"} and marker["files"] >= 3
+    side = os.path.join(t, "_manifests", marker["sidecar"])
+    assert os.path.exists(side)
+    zmap = json.loads(open(side).read())
+    assert len(zmap) == marker["files"]
+    assert all("x" in e and "y" in e for e in zmap.values())
+    # pruning through the sidecar: identical rows, real skipping
+    P = [("x", ">=", 100), ("x", "<", 120)]
+    st = eio.zone_prune_stats(t, prune=P)
+    assert st["has_zones"] and 0 < st["files_kept"] < st["files_total"]
+    assert st["files_total"] == marker["files"]
+    pruned = _checksum(eio.read_version_where(spark, t, P))
+    full = _checksum(
+        eio.read_version(spark, t).filter((F.col("x") >= 100) & (F.col("x") < 120))
+    )
+    assert pruned == full and pruned.n > 0
+    # a later append carries the marker forward untouched
+    eio.append_versioned(df.limit(1_000), t, "late")
+    with open(os.path.join(t, "_manifests", "v2.json")) as fh:
+        assert json.load(fh)["zones"]["optimize.o1"] == marker
+    # a missing sidecar (vacuumed orphan / racing retry) degrades to an
+    # unpruned read of that job — same rows, no error
+    os.unlink(side)
+    st2 = eio.zone_prune_stats(t, version=1, prune=P)
+    assert st2["files_total"] == 0  # job now counts as unzoned
+    p2 = eio.read_version_where(spark, t, P, version=1)
+    assert _checksum(p2) == full
+
+
+def test_zone_sidecar_on_s3_manifest_stays_small(spark, tmp_path, monkeypatch):
+    """The sidecar's point on object storage: the manifest the
+    conditional-PUT byte-compares stays tiny while the per-job stats
+    live in their own content-addressed object; pruned reads resolve
+    the marker through the store."""
+    boto3 = pytest.importorskip("boto3")
+    from moto import mock_aws
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    import json
+
+    monkeypatch.setattr(eio, "ZONE_SIDECAR_MIN_FILES", 2)
+    url = "s3a://bkt/tblsc"
+    mirror = str(tmp_path / "mirror_sc")
+    real_r, real_w = DataFrameReader.parquet, DataFrameWriter.parquet
+    monkeypatch.setattr(
+        DataFrameReader,
+        "parquet",
+        lambda self, *ps: real_r(self, *[p.replace(url, mirror) for p in ps]),
+    )
+    monkeypatch.setattr(
+        DataFrameWriter,
+        "parquet",
+        lambda self, p: real_w(self, p.replace(url, mirror)),
+    )
+    # the pruned read passes the table root as the basePath OPTION, not
+    # a .parquet() argument — mirror that too or the s3a URL reaches
+    # the JVM (no S3AFileSystem on the test classpath)
+    real_o = DataFrameReader.option
+    monkeypatch.setattr(
+        DataFrameReader,
+        "option",
+        lambda self, k, v: real_o(
+            self, k, v.replace(url, mirror) if isinstance(v, str) else v
+        ),
+    )
+    for k in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+        monkeypatch.setenv(k, "testing")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        df = _mk(spark, n=50_000)
+        eio.append_versioned(df.repartition(3), url, "b0", zone_stats=["x"])
+        from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+        store = objectstore.get_store(url)
+        meta = json.loads(store.get_text("_manifests/v0.json"))
+        marker = meta["zones"]["b0"]
+        assert set(marker) == {"sidecar", "files"} and marker["files"] == 3
+        zmap = json.loads(store.get_text(f"_manifests/{marker['sidecar']}"))
+        assert len(zmap) == 3 and all("x" in e for e in zmap.values())
+        n1 = eio.read_version_where(spark, url, [("x", "<", 100)]).count()
+        n2 = eio.read_version(spark, url).filter(F.col("x") < 100).count()
+        assert n1 == n2 > 0
+
+
+def test_vacuum_sweeps_orphaned_sidecars_with_grace(spark, tmp_path, monkeypatch):
+    """Round-14 sidecar follow-through: VACUUM deletes zstats sidecars
+    no retained manifest references (vacuumed history, losing retries'
+    never-referenced uploads) — otherwise one orphan accumulates per
+    rewrite forever — while (a) the sidecar the tip references
+    survives, and (b) an unreferenced-but-FRESH sidecar (an in-flight
+    writer between its PUT and its commit) is spared by the 60 s
+    mtime grace, mirroring the journal-tmp sweep."""
+    import json
+    import time as _time
+
+    monkeypatch.setattr(eio, "ZONE_SIDECAR_MIN_FILES", 2)
+    df = _mk(spark, n=400_000)
+    t = str(tmp_path / "vs")
+    eio.append_versioned(df.repartition(3), t, "b0", zone_stats=["x"])  # v0: sidecar A
+    eio.optimize_versioned(spark, t, target_mb=1)  # v1: sidecar B (A now unreferenced)
+    zdir = os.path.join(t, "_manifests", "zstats")
+    before = sorted(os.listdir(zdir))
+    assert len(before) == 2
+    with open(os.path.join(t, "_manifests", "v1.json")) as fh:
+        live = json.load(fh)["zones"]["optimize.o1"]["sidecar"]
+    # a never-referenced upload from a losing retry: fresh → spared
+    eio._zone_sidecar_put(t, "zstats/loser.deadbeef0000.json", "{}")
+    # age everything EXCEPT the fresh loser past the grace window
+    old = _time.time() - 120
+    for name in before:
+        os.utime(os.path.join(zdir, name), (old, old))
+    eio.vacuum_versioned(t, retain_last=1)
+    after = set(os.listdir(zdir))
+    assert os.path.basename(live) in {os.path.basename(a) for a in after}
+    assert "loser.deadbeef0000.json" in after  # grace spared it
+    assert len(after) == 2  # b0's orphaned sidecar is gone
+    # the swept table still prunes and reads correctly
+    st = eio.zone_prune_stats(t, prune=[("x", "<", 100)])
+    assert st["has_zones"]
+    n1 = eio.read_version_where(spark, t, [("x", "<", 100)]).count()
+    n2 = eio.read_version(spark, t).filter(F.col("x") < 100).count()
+    assert n1 == n2 > 0
