@@ -2466,6 +2466,78 @@ def q_versioned_zone_skip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_versioned_sidecar(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-14 engine feature: zone-stat SIDECARS. Inline manifest
+    zones are measured-wrong past ~30k file entries (tools/
+    zone_boundary.py: 16 MB re-uploaded AND byte-compared per commit
+    at 100k files, 128 MB at a 100 TB table's 800k), so a per-job
+    zone map past ``ZONE_SIDECAR_MIN_FILES`` spills to a
+    content-addressed ``_manifests/zstats/<job>.<sha12>.json`` and the
+    manifest carries only a tiny marker. This query forces the spill
+    at fixture scale (threshold lowered to 2, restored in a finally),
+    OPTIMIZEs clustered so the rewrite records a sidecar-backed zone
+    map, checks the manifest holds a MARKER exactly when the packing
+    rule says so, and reads through the marker with
+    ``read_version_where`` — the rows must equal the plain filter
+    (full DuckDB oracle). ``spill_rule_ok`` asserts marker-present ==
+    (file count >= threshold) so the column is SF-robust (a tiny SF
+    that compacts to one file legitimately stays inline); ``pruned``
+    follows the q_zonemap_prune >=4-files convention. Strict
+    spill/resolve/degrade/vacuum-sweep proofs live in
+    tests/test_zorder.py."""
+    import json as _json
+
+    from nyc_tlc_trip_data_pipelines_spark import io as _io
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    P = [("user_id", ">=", 5), ("user_id", "<", 12), ("value", "<", 280.0)]
+    saved = _io.ZONE_SIDECAR_MIN_FILES
+    _io.ZONE_SIDECAR_MIN_FILES = 2
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "versioned_sc")
+            _io.append_versioned(ev.repartition(8), path, "batch0")
+            v = _io.optimize_versioned(
+                spark, path, target_mb=1, cluster_by=["user_id", "value"]
+            )
+            with open(os.path.join(path, "_manifests", f"v{v}.json")) as fh:
+                meta = _json.load(fh)
+            job_dir = os.path.join(path, f"__job_id=optimize.o{v}")
+            n_files = len(
+                [
+                    f
+                    for f in os.listdir(job_dir)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+            )
+            z = (meta.get("zones") or {}).get(f"optimize.o{v}")
+            marker = isinstance(z, dict) and isinstance(z.get("sidecar"), str)
+            spill_rule_ok = marker == (n_files >= _io.ZONE_SIDECAR_MIN_FILES)
+            st = _io.zone_prune_stats(path, prune=P)
+            row = _io.read_version_where(spark, path, P).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            ).collect()[0]
+    finally:
+        _io.ZONE_SIDECAR_MIN_FILES = saved
+    return spark.createDataFrame(
+        [
+            (
+                int(row.n_rows),
+                float(row.sum_value),
+                int(row.n_users),
+                bool(spill_rule_ok),
+                bool(st["has_zones"]),
+                0 < st["files_kept"]
+                and (st["files_kept"] < st["files_total"] or st["files_total"] < 4),
+            )
+        ],
+        "n_rows bigint, sum_value double, n_users bigint, "
+        "spill_rule_ok boolean, zones_recorded boolean, pruned boolean",
+    )
+
+
 def q_sample_es(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-curation staple (round 5): weighted sampling WITHOUT
     replacement via Efraimidis-Spirakis exponential keys — 100 docs
@@ -6318,6 +6390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_index_probe": q_ann_index_probe,
         "q_zonemap_prune": q_zonemap_prune,
         "q_versioned_zone_skip": q_versioned_zone_skip,
+        "q_versioned_sidecar": q_versioned_sidecar,
         "q_custom_datasource": q_custom_datasource,
         "q_file_provenance": q_file_provenance,
         "q_dq_observe": q_dq_observe,
@@ -6608,14 +6681,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green at BOTH sf0.01 and sf0.1 by round 13's two full-registry
     # oracle sweeps): (a) the committed round-14 queue — the 6 r07 ids
     # deferred by the r13 rotation plus q_zipf_fit (displaced from the
-    # r13 prefix by q_versioned_zone_skip); (b) 43 of the 50 round-8
-    # driver rows. The 7 deferred to the round-15 queue (q_count,
-    # q_project_drop, q_project_case, q_filter_predicates,
-    # q_cast_schema, q_derive_year_month, q_null_funcs — the simplest
-    # deterministic relational staples in the tier) hit the 6-round
-    # horizon at round 15; tests/test_registry.py pins that queue and
-    # its freshness tripwire enforces the deferral once r14's results
-    # land.
+    # r13 prefix by q_versioned_zone_skip); (b) 42 of the 50 round-8
+    # driver rows, plus the new round-14 engine feature
+    # q_versioned_sidecar (needs a real driver row this round; the
+    # displaced q_math_funcs joins the round-15 queue — the same swap
+    # q_versioned_zone_skip made in round 13). The 8 deferred to the
+    # round-15 queue (q_count, q_project_drop, q_project_case,
+    # q_filter_predicates, q_cast_schema, q_derive_year_month,
+    # q_null_funcs, q_math_funcs — the simplest deterministic
+    # relational staples in the tier) hit the 6-round horizon at round
+    # 15; tests/test_registry.py pins that queue and its freshness
+    # tripwire enforces the deferral once r14's results land.
     prefix = [
         # ---- (a) must-rotate tier: the committed round-14 queue ----
         "q_agg_maxby",
@@ -6660,7 +6736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract",
         "q_mannwhitney",
         "q_map_funcs",
-        "q_math_funcs",
+        # round-14 engine feature, scheduled for a real driver row this
+        # round; the displaced q_math_funcs joins the round-15 queue
+        "q_versioned_sidecar",
         "q_mmr_diversify",
         "q_partition_prune",
         "q_path_mining",
@@ -10734,6 +10812,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS pruned
             FROM events
             WHERE user_id >= 10 AND user_id < 40 AND value < 250.0
+        """,
+        # round 14: sidecar-backed zones — same shape as zone_skip (the
+        # engine-side booleans are invariants, TRUE at every SF by the
+        # SF-robust conventions documented on the query)
+        "q_versioned_sidecar": """
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS spill_rule_ok,
+                   TRUE AS zones_recorded,
+                   TRUE AS pruned
+            FROM events
+            WHERE user_id >= 5 AND user_id < 12 AND value < 280.0
         """,
         # round 5: Efraimidis-Spirakis replay — same md5 u-draw, same
         # ln(u)/w keys, same (key DESC, id) order, same LIMIT

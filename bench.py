@@ -58,6 +58,10 @@ VERSIONED_IO = [
     # + pruned read) — tracked so a regression in the stats-collection
     # scan or the pruned-read planning shows up before a driver round
     "q_versioned_zone_skip",
+    # round-14: sidecar-backed zones (spill + marker resolution on the
+    # pruned read); no committed baseline yet — the gate skips
+    # missing-baseline ids, so this starts trending next round
+    "q_versioned_sidecar",
 ]
 
 # round-5 second wave: the LLM-corpus / retrieval / iterative additions

@@ -78,10 +78,13 @@ def test_prefix_50_rotation_contract():
     ]
     assert "q_agg_basic" in prefix and "q_join_star" in prefix
     assert "q_survival_km" in prefix and "q_graph_kcore" in prefix
-    # the 7 ids deferred to the round-15 queue are NOT in this prefix
+    # the new round-14 engine feature gets a real driver row (the
+    # q_versioned_zone_skip swap pattern from round 13)
+    assert "q_versioned_sidecar" in prefix
+    # the 8 ids deferred to the round-15 queue are NOT in this prefix
     for k in ("q_count", "q_project_drop", "q_project_case",
               "q_filter_predicates", "q_cast_schema",
-              "q_derive_year_month", "q_null_funcs"):
+              "q_derive_year_month", "q_null_funcs", "q_math_funcs"):
         assert k not in prefix, k
     oracles = E.oracle_sql()
     missing = [k for k in prefix if k not in oracles]
@@ -93,7 +96,9 @@ def test_prefix_50_rotation_contract():
 # QUEUE_ROUND and therefore MUST lead that round's prefix-50. The
 # round-14 rotation deferred these 7 round-8 ids — the simplest
 # deterministic relational staples in the tier — to round 15, where
-# they hit the 6-round horizon; DESIGN.md carries the list.
+# they hit the 6-round horizon, plus q_math_funcs, displaced from the
+# r14 prefix by the new q_versioned_sidecar (the round-14 engine
+# feature, which needs a real driver row); DESIGN.md carries the list.
 QUEUE_ROUND = 15
 NEXT_QUEUE = sorted([
     "q_count",
@@ -103,6 +108,7 @@ NEXT_QUEUE = sorted([
     "q_cast_schema",
     "q_derive_year_month",
     "q_null_funcs",
+    "q_math_funcs",
 ])
 
 
