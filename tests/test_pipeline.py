@@ -773,15 +773,16 @@ def test_optimize_versioned_detects_concurrent_commit(spark, tmp_path, monkeypat
     real_commit = IO._commit_manifest
     state = {"hit": False}
 
-    def racing_commit(p, job_col, job_ids, base_version=None, new_zones=None):
+    def racing_commit(p, job_col, job_ids, **kw):
+        # **kw: stay signature-compatible as _commit_manifest grows
+        # (new_zones round 13, clustering round 14 — each addition
+        # broke a pinned arg list here)
         if not state["hit"]:
             state["hit"] = True
             IO.append_versioned(
                 spark.createDataFrame([(7, "rival")], "k long, s string"), p, "rival"
             )
-        return real_commit(
-            p, job_col, job_ids, base_version=base_version, new_zones=new_zones
-        )
+        return real_commit(p, job_col, job_ids, **kw)
 
     monkeypatch.setattr(IO, "_commit_manifest", racing_commit)
     with _pytest.raises(IO.ConcurrentCommitError):
