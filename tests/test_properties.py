@@ -1050,25 +1050,26 @@ def zoned_table(spark, tmp_path_factory):
     return t
 
 
-@settings(max_examples=12, deadline=None)
-@given(
-    conj=st.lists(
-        st.one_of(
-            st.tuples(
-                st.sampled_from(["x", "y"]),
-                st.sampled_from(["=", "<", "<=", ">", ">="]),
-                st.integers(-50, 1100),
-            ),
-            st.tuples(
-                st.sampled_from(["x", "y"]),
-                st.just("in"),
-                st.lists(st.integers(-50, 1100), min_size=1, max_size=4),
-            ),
+_CONJ_STRATEGY = st.lists(
+    st.one_of(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(-50, 1100),
         ),
-        min_size=1,
-        max_size=3,
-    )
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.just("in"),
+            st.lists(st.integers(-50, 1100), min_size=1, max_size=4),
+        ),
+    ),
+    min_size=1,
+    max_size=3,
 )
+
+
+@settings(max_examples=12, deadline=None)
+@given(conj=_CONJ_STRATEGY)
 def test_zone_prune_soundness_random_predicates(spark, zoned_table, conj):
     """THE pruning invariant, adversarially sampled: for ANY
     conjunction of simple predicates — including ones that select
@@ -1081,6 +1082,76 @@ def test_zone_prune_soundness_random_predicates(spark, zoned_table, conj):
     conjunct list drives both the skip and the residual filters)."""
     pruned = IO.read_version_where(spark, zoned_table, conj)
     full = IO.read_version(spark, zoned_table)
+    for c, op, v in conj:
+        col = full[c]
+        full = full.filter(
+            col.isin(list(v)) if op == "in" else
+            col == v if op in ("=", "==") else
+            col < v if op == "<" else
+            col <= v if op == "<=" else
+            col > v if op == ">" else col >= v
+        )
+
+    def _ck(d):
+        r = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.avg(F.xxhash64("x", "y", "pad")).alias("h"),
+        ).collect()[0]
+        return (r.n, r.sx, r.sy, r.h)
+
+    assert _ck(pruned) == _ck(full), conj
+
+
+@pytest.fixture(scope="module")
+def zoned_table_sidecar(spark, tmp_path_factory):
+    """The zoned_table surface rebuilt with ZONE_SIDECAR_MIN_FILES=1,
+    so EVERY zone map spills to a content-addressed sidecar and all
+    pruning resolves through manifest markers (round 14) — the read
+    path a 100 TB table actually takes."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    t = str(tmp_path_factory.mktemp("zps") / "tbl")
+    saved = IO.ZONE_SIDECAR_MIN_FILES
+    IO.ZONE_SIDECAR_MIN_FILES = 1
+    try:
+        df = spark.range(120_000).select(
+            F.when(F.col("id") % 19 == 0, F.lit(None))
+            .otherwise(F.col("id") % 1000).cast("long").alias("x"),
+            F.when(F.col("id") % 23 == 0, F.lit(None))
+            .otherwise((F.col("id") * 2654435761) % 1000).cast("long").alias("y"),
+            F.xxhash64("id").alias("pad"),
+        )
+        IO.append_versioned(df.repartition(6), t, "b0")
+        IO.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+        IO.append_versioned(
+            df.limit(5_000).withColumn("x", F.col("x") + 5), t, "late"
+        )  # no zone_stats: this job must always read whole
+    finally:
+        IO.ZONE_SIDECAR_MIN_FILES = saved
+    # the fixture only tests what it claims if the zones really did
+    # spill: the tip manifest must carry a MARKER, not inline stats
+    tip = sorted(_glob.glob(_os.path.join(t, "_manifests", "v*.json")))[-1]
+    zones = _json.load(open(tip)).get("zones") or {}
+    assert any(
+        isinstance(z, dict) and isinstance(z.get("sidecar"), str)
+        for z in zones.values()
+    ), "expected at least one sidecar marker in the tip manifest"
+    return t
+
+
+@settings(max_examples=8, deadline=None)
+@given(conj=_CONJ_STRATEGY)
+def test_zone_prune_soundness_through_sidecars(spark, zoned_table_sidecar, conj):
+    """The same pruning invariant, adversarially sampled THROUGH the
+    sidecar layer: every zone map is a marker the read path must
+    resolve (one extra GET) before it can skip anything — pruned read
+    ≡ plain read + filters must survive the indirection byte-exactly."""
+    pruned = IO.read_version_where(spark, zoned_table_sidecar, conj)
+    full = IO.read_version(spark, zoned_table_sidecar)
     for c, op, v in conj:
         col = full[c]
         full = full.filter(
