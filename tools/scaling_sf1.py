@@ -68,6 +68,8 @@ QUERIES = [
     ("q_sql_tpch_q6", "scan-heavy filter + agg (linear anchor)"),
     # round 13
     ("q_versioned_zone_skip", "versioned append + ZORDER rewrite + zone-pruned read (IO-bound linear)"),
+    # round 14
+    ("q_versioned_sidecar", "sidecar-spilled zones: rewrite + marker-resolved pruned read (IO-bound linear)"),
 ]
 
 PASSES = 3  # min-of-2 let one ambient outlier inflate geo 19.8x vs a
