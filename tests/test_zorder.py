@@ -899,3 +899,73 @@ def test_vacuum_sweeps_orphaned_sidecars_with_grace(spark, tmp_path, monkeypatch
     n1 = eio.read_version_where(spark, t, [("x", "<", 100)]).count()
     n2 = eio.read_version(spark, t).filter(F.col("x") < 100).count()
     assert n1 == n2 > 0
+
+
+def test_vacuum_sweeps_orphaned_sidecars_on_s3(spark, tmp_path, monkeypatch):
+    """Store-parity for the round-14 orphan sweep: on S3 the sweep
+    lists `_manifests/zstats/`, HEADs only the already-unreferenced
+    candidates for the 60 s grace, and batch-deletes the orphans —
+    the referenced sidecar survives. The grace clock is shifted via
+    the io module's time handle (moto objects are always fresh)."""
+    import time as _time
+    import types
+
+    boto3 = pytest.importorskip("boto3")
+    from moto import mock_aws
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    import json
+
+    monkeypatch.setattr(eio, "ZONE_SIDECAR_MIN_FILES", 2)
+    url = "s3a://bkt/tblvs"
+    mirror = str(tmp_path / "mirror_vs")
+    real_r, real_w = DataFrameReader.parquet, DataFrameWriter.parquet
+    monkeypatch.setattr(
+        DataFrameReader,
+        "parquet",
+        lambda self, *ps: real_r(self, *[p.replace(url, mirror) for p in ps]),
+    )
+    monkeypatch.setattr(
+        DataFrameWriter,
+        "parquet",
+        lambda self, p: real_w(self, p.replace(url, mirror)),
+    )
+    real_o = DataFrameReader.option
+    monkeypatch.setattr(
+        DataFrameReader,
+        "option",
+        lambda self, k, v: real_o(
+            self, k, v.replace(url, mirror) if isinstance(v, str) else v
+        ),
+    )
+    for k in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+        monkeypatch.setenv(k, "testing")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    with mock_aws():
+        boto3.client("s3").create_bucket(Bucket="bkt")
+        from nyc_tlc_trip_data_pipelines_spark import objectstore
+
+        df = _mk(spark, n=400_000)
+        eio.append_versioned(df.repartition(3), url, "b0", zone_stats=["x"])
+        eio.optimize_versioned(spark, url, target_mb=1, cluster_by=["x", "y"])
+        store = objectstore.get_store(url)
+        v1 = json.loads(store.get_text("_manifests/v1.json"))
+        live = v1["zones"]["optimize.o1"]["sidecar"]
+        zkeys = sorted(
+            k for page in store.iter_pages("_manifests/zstats/") for k in page
+        )
+        assert len(zkeys) == 2  # b0's (now orphaned) + optimize.o1's
+        # everything in moto is fresh — shift the sweep's clock past
+        # the grace window instead of waiting
+        monkeypatch.setattr(
+            eio, "time", types.SimpleNamespace(time=lambda: _time.time() + 120)
+        )
+        eio.vacuum_versioned(url, retain_last=1)
+        after = sorted(
+            k for page in store.iter_pages("_manifests/zstats/") for k in page
+        )
+        assert after == [f"_manifests/{live}"]
+        # the surviving table still prunes through its sidecar
+        n1 = eio.read_version_where(spark, url, [("x", "<", 100)]).count()
+        n2 = eio.read_version(spark, url).filter(F.col("x") < 100).count()
+        assert n1 == n2 > 0
