@@ -561,10 +561,17 @@ def _zone_sidecar_put(path: str, relkey: str, text: str) -> None:
     tmp+rename; object-store put_text — idempotent, content-addressed
     names make overwrites byte-identical)."""
     if is_local_path(path):
+        import uuid as _uuid
+
         base = os.path.join(to_local_os_path(path), "_manifests")
         full = os.path.join(base, relkey)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        tmp = full + ".tmp"
+        # unique tmp per writer (round-14 review): two concurrent
+        # writers of the SAME content-addressed key share `full`, and
+        # a shared tmp name let the loser's os.replace race a path the
+        # winner already moved (FileNotFoundError on a commit that
+        # should have resolved as a harmless duplicate)
+        tmp = f"{full}.tmp.{_uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(text)
         os.replace(tmp, full)
@@ -590,7 +597,10 @@ def _zone_sidecar_get(path: str, relkey: str) -> str | None:
 
 def _pack_zones(path: str, job: str, zmap: dict) -> dict:
     """Inline a small per-job zone map; spill a big one to a sidecar
-    and return its manifest marker."""
+    and return its manifest marker. The marker carries the stat-column
+    NAMES (round-14 review) so the rewrite-inheritance paths
+    (delete/merge/optimize stat_cols) answer from the marker alone —
+    never a multi-MB sidecar GET just to learn two column names."""
     if len(zmap) < ZONE_SIDECAR_MIN_FILES:
         return zmap
     import hashlib
@@ -599,7 +609,24 @@ def _pack_zones(path: str, job: str, zmap: dict) -> dict:
     h = hashlib.sha256(text.encode()).hexdigest()[:12]
     relkey = f"zstats/{job}.{h}.json"
     _zone_sidecar_put(path, relkey, text)
-    return {"sidecar": relkey, "files": len(zmap)}
+    return {
+        "sidecar": relkey,
+        "files": len(zmap),
+        "cols": sorted({c for f in zmap.values() for c in f if c != "rows"}),
+    }
+
+
+def _zone_stat_cols(path: str, z) -> set[str]:
+    """Stat-column names of a manifest ``zones`` value. Markers answer
+    from their embedded ``cols`` list without touching the sidecar
+    (pre-round-14-review markers lack it — those fall back to one
+    resolve); inline maps scan their entries."""
+    if isinstance(z, dict) and isinstance(z.get("sidecar"), str):
+        cols = z.get("cols")
+        if isinstance(cols, list):
+            return {c for c in cols if isinstance(c, str)}
+    zmap = _resolve_zmap(path, z) or {}
+    return {c for f in zmap.values() for c in f if c != "rows"}
 
 
 def _resolve_zmap(path: str, z) -> dict | None:
@@ -796,8 +823,7 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
         # rewritten job's zones — losing read-path data skipping on
         # exactly the jobs big enough to have been OPTIMIZEd. One
         # extra file-stats scan of the directory just written.
-        base_zmap = _resolve_zmap(path, tip_zones.get(job)) or {}
-        zcols = sorted({c for f in base_zmap.values() for c in f if c != "rows"})
+        zcols = sorted(_zone_stat_cols(path, tip_zones.get(job)))
         if zcols:
             new_zones[new_job] = _pack_zones(
                 path, new_job, _collect_zone_stats(spark, new_dir, zcols)
@@ -958,8 +984,7 @@ def merge_versioned(
         # rewritten jobs inherit their base's zone-stat columns — same
         # rationale as delete_where (round 13): MERGE must not erode
         # the table's data-skipping coverage
-        base_zmap = _resolve_zmap(path, tip_zones.get(job)) or {}
-        zcols = sorted({c for f in base_zmap.values() for c in f if c != "rows"})
+        zcols = sorted(_zone_stat_cols(path, tip_zones.get(job)))
         if zcols:
             new_zones[new_job] = _pack_zones(
                 path, new_job, _collect_zone_stats(spark, new_dir, zcols)
@@ -1562,9 +1587,9 @@ def optimize_versioned(
     path: str,
     target_mb: int = 128,
     cluster_by: Sequence[str] | None = None,
-    zorder_bits: int = 6,
+    zorder_bits: int | None = None,
     zone_stats: Sequence[str] | None = None,
-    hash_strings: bool = False,
+    hash_strings: bool | None = None,
     only_small_mb: float | None = None,
 ) -> int:
     """Delta ``OPTIMIZE`` analog for versioned-append tables: rewrite
@@ -1640,8 +1665,13 @@ def optimize_versioned(
     manifest, and append/delete/merge carry it forward like ``ever`` —
     so a later maintenance run called with ``cluster_by=None`` (e.g. a
     cron incremental compaction) DEFAULTS to the recorded layout
-    instead of silently folding the tail unclustered and zone-blind.
-    Pass ``cluster_by=[]`` to explicitly rewrite unclustered. In the
+    instead of silently folding the tail unclustered and zone-blind;
+    explicitly-passed ``zorder_bits``/``hash_strings`` still beat the
+    recorded values (recall fills only what the caller omitted).
+    Pass ``cluster_by=[]`` to explicitly rewrite unclustered — the
+    opt-out PERSISTS (an empty layout record replaces the old one, so
+    later default runs stay unclustered until a new ``cluster_by`` is
+    recorded). In the
     same spirit (round-14 ADVICE), an incremental run with no stat
     columns at all inherits the union of stat columns found in the
     folded jobs' tip zones — compaction must never erode data-skipping
@@ -1661,18 +1691,33 @@ def optimize_versioned(
         return cur_v  # already compacted; re-run is a no-op
     job_col = _meta["job_col"]
     recorded = _meta.get("clustering") or {}
+    explicit_unclustered = cluster_by is not None and not list(cluster_by)
     if cluster_by is None and recorded.get("cluster_by"):
         cluster_by = list(recorded["cluster_by"])
-        hash_strings = bool(recorded.get("hash_strings", False))
-        zorder_bits = int(recorded.get("zorder_bits", zorder_bits))
+        # recall fills only what the caller did NOT pass — an explicit
+        # zorder_bits/hash_strings beats the record (round-14 review:
+        # the record always carries both keys, so unconditional recall
+        # silently discarded explicit args)
+        if hash_strings is None:
+            hash_strings = bool(recorded.get("hash_strings", False))
+        if zorder_bits is None:
+            zorder_bits = int(recorded.get("zorder_bits", 6))
+    zorder_bits = 6 if zorder_bits is None else int(zorder_bits)
+    hash_strings = bool(hash_strings) if hash_strings is not None else False
     clustering = (
         {
             "cluster_by": list(cluster_by),
-            "hash_strings": bool(hash_strings),
-            "zorder_bits": int(zorder_bits),
+            "hash_strings": hash_strings,
+            "zorder_bits": zorder_bits,
         }
         if cluster_by
-        else None
+        # an explicit [] must PERSIST the opt-out: record an empty
+        # layout (falsy cluster_by → never recalled) instead of None,
+        # which _commit_manifest reads as "carry the tip's record
+        # forward" — otherwise the old record survived the unclustered
+        # rewrite and the next default run silently re-clustered
+        # (round-14 review)
+        else ({"cluster_by": []} if explicit_unclustered else None)
     )
 
     def _dir_bytes(job: str) -> int:
@@ -1728,8 +1773,7 @@ def optimize_versioned(
         tip_zones = _meta.get("zones") or {}
         inherited: set[str] = set()
         for j in folded:
-            for entry in (_resolve_zmap(path, tip_zones.get(j)) or {}).values():
-                inherited.update(k for k in entry if k != "rows")
+            inherited |= _zone_stat_cols(path, tip_zones.get(j))
         stat_cols = sorted(inherited)
     new_zones = (
         {new_job: _pack_zones(path, new_job, _collect_zone_stats(spark, job_dir, stat_cols))}

@@ -58,8 +58,8 @@ def test_prefix_50_rotation_contract():
     """The driver checks exactly the FIRST 50 registry keys; pin that
     the round-14 prefix is pure freshness rotation — it leads with the
     committed r13 NEXT_QUEUE (the 6 deferred round-7 ids plus the
-    displaced q_zipf_fit, all at the 6-round horizon), then 43 of the
-    50 round-8 ids — has no duplicates, and every prefix id has a
+    displaced q_zipf_fit, all at the 6-round horizon), then 42 of the
+    50 round-8 ids plus the new engine-feature id q_versioned_sidecar — has no duplicates, and every prefix id has a
     DuckDB oracle (a prefix slot without an oracle wastes a driver
     window on a rows-only check)."""
     import __spark_entry__ as E

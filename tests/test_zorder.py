@@ -776,7 +776,8 @@ def test_zone_sidecar_spills_resolves_and_degrades(spark, tmp_path, monkeypatch)
     with open(os.path.join(t, "_manifests", "v1.json")) as fh:
         meta = json.load(fh)
     marker = meta["zones"]["optimize.o1"]
-    assert set(marker) == {"sidecar", "files"} and marker["files"] >= 3
+    assert set(marker) == {"sidecar", "files", "cols"} and marker["files"] >= 3
+    assert marker["cols"] == ["x", "y"]
     side = os.path.join(t, "_manifests", marker["sidecar"])
     assert os.path.exists(side)
     zmap = json.loads(open(side).read())
@@ -853,7 +854,8 @@ def test_zone_sidecar_on_s3_manifest_stays_small(spark, tmp_path, monkeypatch):
         store = objectstore.get_store(url)
         meta = json.loads(store.get_text("_manifests/v0.json"))
         marker = meta["zones"]["b0"]
-        assert set(marker) == {"sidecar", "files"} and marker["files"] == 3
+        assert set(marker) == {"sidecar", "files", "cols"} and marker["files"] == 3
+        assert marker["cols"] == ["x"]
         zmap = json.loads(store.get_text(f"_manifests/{marker['sidecar']}"))
         assert len(zmap) == 3 and all("x" in e for e in zmap.values())
         n1 = eio.read_version_where(spark, url, [("x", "<", 100)]).count()
@@ -969,3 +971,36 @@ def test_vacuum_sweeps_orphaned_sidecars_on_s3(spark, tmp_path, monkeypatch):
         n1 = eio.read_version_where(spark, url, [("x", "<", 100)]).count()
         n2 = eio.read_version(spark, url).filter(F.col("x") < 100).count()
         assert n1 == n2 > 0
+
+
+def test_optimize_cluster_optout_persists_and_explicit_args_win(spark, tmp_path):
+    """Round-14 review fixes on the clustering record: (a) an explicit
+    ``cluster_by=[]`` PERSISTS — it replaces the record with an empty
+    layout, so a later default (cron) run stays unclustered instead of
+    silently re-clustering on the removed layout; (b) recall fills
+    only what the caller omitted — an explicit zorder_bits beats the
+    recorded value while the recorded columns are still recalled."""
+    df = _mk(spark, n=200_000)
+    t = str(tmp_path / "opt_out")
+    eio.append_versioned(df.repartition(4), t, "b0")
+    v1 = eio.optimize_versioned(spark, t, target_mb=1, cluster_by=["x", "y"])
+    mio = eio._manifest_io(t)
+    assert mio.read_meta(v1)["clustering"]["cluster_by"] == ["x", "y"]
+    # (b) explicit zorder_bits with cluster_by=None: columns recalled,
+    # bits taken from the call, and the new config re-recorded
+    eio.append_versioned(df.limit(2_000), t, "mid")
+    v2 = eio.optimize_versioned(spark, t, target_mb=1, zorder_bits=4)
+    rec = mio.read_meta(v2)["clustering"]
+    assert rec == {"cluster_by": ["x", "y"], "hash_strings": False, "zorder_bits": 4}
+    # (a) explicit [] clears: empty layout recorded, and a later
+    # default run does NOT re-cluster (its manifest keeps the empty
+    # record rather than resurrecting x,y)
+    eio.append_versioned(df.limit(2_000), t, "late")
+    v3 = eio.optimize_versioned(spark, t, target_mb=1, cluster_by=[])
+    assert mio.read_meta(v3)["clustering"] == {"cluster_by": []}
+    eio.append_versioned(df.limit(2_000), t, "later")
+    v4 = eio.optimize_versioned(spark, t, target_mb=1)
+    meta4 = mio.read_meta(v4)
+    assert meta4["clustering"] == {"cluster_by": []}
+    # rows survive every rewrite
+    assert eio.read_version(spark, t).count() == 206_000
