@@ -53,9 +53,31 @@ def _ensure_compat(spark: SparkSession) -> None:
     ensure_package_on_executors(spark)
 
 
+# Analyzed-DataFrame handle memo, keyed (applicationId, sf_dir, name).
+# Metadata-only reuse (optimization r14, guide §1.5/§6 planning overhead):
+# ``spark.read.parquet`` launches a footer schema-inference job on EVERY
+# call (~0.1-0.16 s of job latency at local[32]), so a workload invoking
+# N queries pays N redundant footer jobs per table. The driver fixture
+# tables are immutable for the life of a run, and a DataFrame handle is
+# an immutable logical plan — reusing it re-executes the scan from the
+# parquet bytes every action, so NO result or data caching is involved
+# (the file listing itself is snapshotted per handle, same as any
+# long-lived table handle in a real deployment's catalog).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+# register_views memo: session -> the sf_dir its views CURRENTLY point
+# at. Re-registering the same dir is a no-op; a different dir always
+# re-points (sessions alternating scale factors stay correct).
+_VIEWS_MEMO: dict[str, str] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one driver table (reference R3)."""
     _ensure_compat(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
@@ -73,10 +95,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _TABLE_MEMO[key] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view for the SQL surface."""
+    app = spark.sparkContext.applicationId
+    cur = os.path.abspath(sf_dir)
+    if tables is TABLES and _VIEWS_MEMO.get(app) == cur:
+        return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if tables is TABLES:
+        _VIEWS_MEMO[app] = cur
