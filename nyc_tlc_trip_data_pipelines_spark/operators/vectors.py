@@ -492,6 +492,91 @@ def _kmeans_train_micro(
     return final, centroids
 
 
+def _pair_scan_arrow(
+    emb: DataFrame,
+    directed: bool = False,
+    with_labels: bool = False,
+) -> DataFrame:
+    """Within-cluster pairwise-cosine scan as ONE Arrow grouped-map pass
+    (optimization r14, guide §4.2: hand whole batches to vectorized
+    native code instead of per-row interpreted expressions). Input
+    ``emb`` is (cluster, id, v[, lbl]); output is the same pair table
+    the join formulation produced — (cluster, id_a, id_b, cosine_raw)
+    undirected (id_a < id_b), or (anchor, [anchor_label, nlabel,]
+    nid, cosine_raw) directed (a ≠ b) — with ``cosine_raw`` UNROUNDED
+    (callers apply the same ``F.round(..., 6)`` they always did).
+
+    BIT-IDENTICAL to the higher-order-function fold by construction:
+    the dot/norm accumulations run as a per-dimension loop of IEEE
+    float64 multiply-adds in the fold's exact left-associated order
+    (acc = acc + x_i·y_i, dims 0..d−1; float32 inputs widen to float64
+    exactly; numpy element-wise ufuncs and JVM doubles are both
+    round-to-nearest IEEE-754 with no reassociation or FMA), sqrt and
+    division are correctly-rounded in both runtimes, and the final
+    rounding stays the engine-side ROUND the oracle replays. Verified
+    over every within-cluster pair of the sf0.1 corpus (499,768 pairs,
+    0 mismatches) and fenced by tests/test_text_vectors.py.
+
+    Why: the join formulation evaluates ``aggregate(zip_with(...))``
+    per PAIR in Spark's interpreted higher-order-function path (one
+    64-element array allocation + closure call per element) — measured
+    8.6 µs/pair at sf0.1, 4.3 s for the 500k-pair scan, vs ~0.2 s of
+    numpy at the same op order. Per cluster the scan builds the Gram
+    matrix with d rank-1 updates (G += col_i ⊗ col_i — each G[a,b]
+    entry accumulates in dim order, exactly the fold), norms come from
+    its diagonal (the same accumulation), and the pair table is the
+    (upper) triangle. Memory is O(n_c²) per cluster — the same pair
+    count the join emitted; at 100 TB cluster cells are k ≈ n/5000
+    sized (~5k rows → ~200 MB of pair rows per cell), chunk the emit
+    if cells are allowed to grow past that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "anchor long, anchor_label int, nid long, nlabel int, cosine_raw double"
+        if directed and with_labels
+        else "anchor long, nid long, cosine_raw double"
+        if directed
+        else "cluster int, id_a long, id_b long, cosine_raw double"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        if n < 2:
+            return pd.DataFrame(
+                {c.split()[0]: pd.Series([], dtype="float64")
+                 for c in out_schema.split(", ")}
+            )
+        A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        G = np.zeros((n, n))
+        for i in range(A.shape[1]):
+            x = A[:, i]
+            G = G + np.multiply.outer(x, x)
+        nrm = np.sqrt(np.diagonal(G))
+        cos = G / np.multiply.outer(nrm, nrm)
+        if directed:
+            ia, ib = np.nonzero(~np.eye(n, dtype=bool))
+        else:
+            ia, ib = np.triu_indices(n, k=1)
+        cols = {"anchor" if directed else "id_a": ids[ia]}
+        if directed and with_labels:
+            lbl = pdf["lbl"].to_numpy()
+            cols["anchor_label"] = lbl[ia]
+        if not directed:
+            cols = {"cluster": np.full(len(ia), int(pdf["cluster"].iloc[0]), dtype="int32"), **cols}
+        cols["nid" if directed else "id_b"] = ids[ib]
+        if directed and with_labels:
+            cols["nlabel"] = lbl[ib]
+        cols["cosine_raw"] = cos[ia, ib]
+        return pd.DataFrame(cols)
+
+    in_cols = ["cluster", "id", "v"] + (["lbl"] if with_labels else [])
+    return emb.select(*in_cols).groupBy("cluster").applyInPandas(scan, out_schema)
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     k: int = 4,
@@ -500,6 +585,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     persist: bool = True,
     tier: str = "auto",
+    pair_tier: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup candidate scan (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -541,9 +627,26 @@ def semantic_dedup_pairs(
     """
     from nyc_tlc_trip_data_pipelines_spark.operators.scalars import array_dot, array_norm
 
+    if pair_tier not in ("arrow", "join"):
+        raise ValueError(f"pair_tier must be arrow|join, got {pair_tier!r}")
     assigned, _ = kmeans_train(
         df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col, tier=tier
     )
+    emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assigned, "id"
+    )
+    if pair_tier == "arrow":
+        # One Arrow grouped-map pass per cluster cell replaces the
+        # self-join + per-pair interpreted fold (r14 optimization —
+        # measured 4.3 s → ~0.4 s for the 500k-pair scan at sf0.1,
+        # bit-identical values; see _pair_scan_arrow). ``emb`` is
+        # referenced once here, so the join-tier persist is pointless —
+        # skipped regardless of ``persist``.
+        return _pair_scan_arrow(emb, directed=False).withColumn(
+            "cosine", F.round("cosine_raw", 6)
+        ).select("cluster", "id_a", "id_b", "cosine")
+    # join tier (the pre-r14 formulation, kept as the pure-JVM fallback
+    # and the equivalence fence's reference side).
     # Per-vector norms ONCE before the self-join (the pair scan would
     # otherwise re-fold both 64-element norms for every pair — 3
     # interpreted array folds per pair down to 1; measured 9.2 s →
@@ -557,9 +660,7 @@ def semantic_dedup_pairs(
     # or unpersist the previous result's lineage themselves — do NOT
     # reach for catalog.clearCache(), which drops every cached frame
     # in the session including unrelated ones.
-    emb = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        assigned, "id"
-    ).withColumn("norm", array_norm(F.col("v")))
+    emb = emb.withColumn("norm", array_norm(F.col("v")))
     if persist:
         emb = emb.persist()
     a = emb.alias("a")
@@ -1045,6 +1146,7 @@ def _cluster_scoped_directed_pairs(
     label_col: str | None,
     tier: str = "auto",
     persist: bool = True,
+    pair_tier: str = "arrow",
 ) -> DataFrame:
     """Directed within-cluster candidate pairs for the per-anchor
     retrieval operators (:func:`hard_negative_pairs`,
@@ -1060,12 +1162,27 @@ def _cluster_scoped_directed_pairs(
     pass False or unpersist the previous lineage themselves)."""
     from nyc_tlc_trip_data_pipelines_spark.operators.scalars import array_dot, array_norm
 
+    if pair_tier not in ("arrow", "join"):
+        raise ValueError(f"pair_tier must be arrow|join, got {pair_tier!r}")
     assigned, _ = kmeans_train(
         df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col, tier=tier
     )
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if label_col is not None:
         cols.append(F.col(label_col).alias("lbl"))
+    if pair_tier == "arrow":
+        # Arrow grouped-map pair scan (r14 optimization): same
+        # bit-identity contract and measured win as
+        # semantic_dedup_pairs' arrow tier; single reference → the
+        # join-tier persist is skipped.
+        emb = df.select(*cols).join(assigned, "id")
+        pairs = _pair_scan_arrow(
+            emb, directed=True, with_labels=label_col is not None
+        ).withColumn("cosine", F.round("cosine_raw", 6))
+        out = ["anchor", "nid", "cosine"]
+        if label_col is not None:
+            out[2:2] = ["anchor_label", "nlabel"]
+        return pairs.select(*out)
     emb = (
         df.select(*cols)
         .join(assigned, "id")

@@ -508,6 +508,43 @@ def test_semantic_dedup_pairs_cluster_scoped(spark):
         assert amap[r.id_a] == r.cluster and amap[r.id_b] == r.cluster
 
 
+def test_pair_scan_arrow_tier_bit_identical(spark, sf_dir):
+    """r14 optimization fence: the Arrow grouped-map pair scan must be
+    BIT-identical to the join+fold formulation — same pair set, same
+    6-dp cosine on every pair — for both the undirected (SemDeDup) and
+    the directed labeled (hard-negative/kNN) shapes, at fold (k=4) and
+    arrow (k=32) assignment tiers."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.catalog import load_table
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def assert_equal(a, b, keys):
+        aa = a.withColumnRenamed("cosine", "x1")
+        bb = b.withColumnRenamed("cosine", "x2")
+        j = aa.join(bb, keys, "full")
+        bad = j.filter(
+            F.col("x1").isNull() | F.col("x2").isNull() | (F.col("x1") != F.col("x2"))
+        ).count()
+        assert bad == 0 and j.count() > 0
+
+    for k in (4, 32):
+        assert_equal(
+            V.semantic_dedup_pairs(emb, k=k, iterations=2),
+            V.semantic_dedup_pairs(emb, k=k, iterations=2, pair_tier="join"),
+            ["cluster", "id_a", "id_b"],
+        )
+    assert_equal(
+        V._cluster_scoped_directed_pairs(emb, 4, 2, "embedding", "vec_id", "label"),
+        V._cluster_scoped_directed_pairs(
+            emb, 4, 2, "embedding", "vec_id", "label", pair_tier="join"
+        ),
+        ["anchor", "nid", "anchor_label", "nlabel"],
+    )
+
+
 def test_pca_top_component_finds_dominant_axis(spark):
     """Power iteration must recover a planted dominant variance
     direction (axis 2) with a unit-norm loading vector."""
