@@ -440,16 +440,20 @@ def k_core(
     alive = sym
     for _ in range(rounds):
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        # Checkpointed: `keep` feeds BOTH semi-joins — without
-        # materialization the degree aggregate executes once per
-        # reference each round (same duplicate-subtree class as the
-        # labelprop votes / components prop fixes this round).
-        keep = deg.filter(F.col("deg") >= k).select("u").localCheckpoint()
+        # r14 optimization: the peel loop is LAZY — no per-round
+        # localCheckpoint (2 actions/round saved, measured 1.98 s →
+        # 1.74 s end-to-end on q_graph_kcore). `keep` still feeds both
+        # semi-joins, but its duplicated subtree canonicalizes to the
+        # SAME exchange, so ReuseExchange executes the degree aggregate
+        # once per round anyway; with fixed small `rounds` the plan
+        # grows a few joins per round (bounded — the convergence-check
+        # variant at diameter scale should reintroduce per-round
+        # checkpoints alongside its count action).
+        keep = deg.filter(F.col("deg") >= k).select("u")
         alive = (
             alive.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
         )
     return (
         alive.groupBy(F.col("u").alias("node"))
