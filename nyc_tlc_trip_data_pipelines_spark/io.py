@@ -804,15 +804,34 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
         raise ValueError(f"no versions committed under {path}")
     job_col = _meta["job_col"]
     tip_zones = _meta.get("zones") or {}
+    # Affected-job discovery in ONE pass (r14 optimization): the
+    # per-job ``read + filter + limit(1).count()`` probe cost one
+    # schema-inference job plus one probe action PER committed job; a
+    # single partition-aware scan over every current directory finds
+    # all touched jobs in one action (same bytes read — each file is
+    # still scanned at most once — but job-count no longer grows with
+    # the table's job count).
+    from pyspark.sql import functions as F
+
+    probe = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f"{job_col}={j}") for j in jobs]
+    )
+    affected = {
+        r[0]
+        for r in probe.filter(condition)
+        .select(F.regexp_extract(F.input_file_name(), f"{job_col}=([^/]+)/", 1).alias("__job"))
+        .distinct()
+        .collect()
+    }
     new_jobs: list[str] = []
     new_zones: dict = {}
     changed = False
     for job in jobs:
         part = os.path.join(path, f"{job_col}={job}")
-        dfj = spark.read.parquet(part)
-        if dfj.filter(condition).limit(1).count() == 0:
+        if job not in affected:
             new_jobs.append(job)  # untouched — directory reused as-is
             continue
+        dfj = spark.read.parquet(part)
         changed = True
         new_job = f"{job}.d{cur_v + 1}"
         new_dir = os.path.join(path, f"{job_col}={new_job}")
@@ -967,14 +986,28 @@ def merge_versioned(
     from pyspark.sql import functions as F
 
     keyset = updates.select(*keys).distinct()
+    # One-pass affected-job discovery (r14 optimization — same move and
+    # rationale as delete_where's): a single partition-aware scan
+    # replaces the per-job semi-join probe, so matched-job discovery is
+    # one action regardless of how many jobs the tip holds.
+    probe = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f"{job_col}={j}") for j in jobs]
+    )
+    affected = {
+        r[0]
+        for r in probe.join(F.broadcast(keyset), list(keys), "left_semi")
+        .select(F.regexp_extract(F.input_file_name(), f"{job_col}=([^/]+)/", 1).alias("__job"))
+        .distinct()
+        .collect()
+    }
     new_jobs: list[str] = []
     new_zones: dict = {}
     for job in jobs:
         part = os.path.join(path, f"{job_col}={job}")
-        dfj = spark.read.parquet(part)
-        if dfj.join(F.broadcast(keyset), list(keys), "left_semi").limit(1).count() == 0:
+        if job not in affected:
             new_jobs.append(job)  # no matched keys — reuse as-is
             continue
+        dfj = spark.read.parquet(part)
         new_job = f"{job}.m{cur_v + 1}"
         new_dir = os.path.join(path, f"{job_col}={new_job}")
         dfj.join(F.broadcast(keyset), list(keys), "left_anti").write.mode(
@@ -1563,7 +1596,21 @@ def _zorder_value(
             # this dimension belongs in bucket 0; emit the constant.
             buckets.append(F.lit(0).cast("long"))
             continue
-        arr = F.array(*[F.lit(float(b)) for b in bl])
+        # Boundary array as ONE SQL-parsed literal (r14 optimization:
+        # 2^bits-1 F.lit py4j round-trips per column dominated the
+        # OPTIMIZE call's plan-construction time; repr round-trips
+        # doubles exactly). approxQuantile reports actual data values,
+        # which CAN be ±inf (planted-infinity columns are tested) — SQL
+        # has no inf double literal, so those fall back to per-element
+        # F.lit.
+        import math as _math
+
+        if all(_math.isfinite(float(b)) for b in bl):
+            arr = F.expr(
+                "array(" + ",".join(repr(float(b)) + "D" for b in bl) + ")"
+            )
+        else:
+            arr = F.array(*[F.lit(float(b)) for b in bl])
         # NULL rows: ``boundary < NULL`` is NULL, F.filter drops the
         # element, size()=0 → bucket 0 — no -inf sentinel needed (the
         # sentinel conflated genuine -inf values with NULL; now -inf
@@ -1573,12 +1620,26 @@ def _zorder_value(
         buckets.append(
             F.size(F.filter(arr, lambda x: x < num)).cast("long")  # noqa: B023
         )
-    # interleave: bit i of column j lands at position i*ncols + j
+    # Interleave via per-column Morton spread tables (r14 optimization):
+    # bit i of column j lands at position i*ncols + j, so
+    # z = OR_j (spread(b_j) << j) with spread(b) = Σ_i ((b>>i)&1)·2^(i·ncols)
+    # — the identical value the old bits×ncols shift/AND/OR expression
+    # chain produced, but the 2^bits-entry spread table is precomputed
+    # in Python and the per-row work is ONE array lookup per column
+    # (codegen element_at) instead of `bits` shift/mask/or triples.
+    ncols = len(buckets)
+    spread = [
+        sum(((b >> i) & 1) << (i * ncols) for i in range(bits))
+        for b in range(1 << bits)
+    ]
+    spread_arr = F.expr(
+        "array(" + ",".join(f"{s}L" for s in spread) + ")"
+    )
     z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, b in enumerate(buckets):
-            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * len(buckets) + j))
+    for j, b in enumerate(buckets):
+        z = z.bitwiseOR(
+            F.shiftleft(F.element_at(spread_arr, b.cast("int") + 1), j)
+        )
     return z
 
 
