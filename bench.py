@@ -876,21 +876,36 @@ def main() -> None:
                 "normalized_total": normalized_total,
                 "sf": sf_label,
     })
-    # full copy on disk: the driver keeps only the stdout TAIL in
-    # BENCH_r{N}.json, which truncated away round 6's headline section;
-    # BENCH_LOCAL.json preserves every number for the next baseline.
-    # --headline-only runs never write it: a 13-query quick loop must
-    # not replace the full-registry baseline the calm gate reads.
-    if headline_only:
-        print(json.dumps(payload))
-        return
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
-            json.dump(payload, fh, indent=1)
-    except OSError:
-        pass  # read-only checkout must not break the stdout contract
-    print(json.dumps(payload))
+    # Stdout contract (r15 fix, round-14 verdict item 2): the driver
+    # json-parses the LAST stdout line and keeps only a ~2000-char
+    # stdout tail, so the full multi-KB payload printed here in rounds
+    # 6-14 was always truncated mid-object and the driver scored
+    # `parsed: null` every round. The final stdout line is now a
+    # COMPACT summary — metric/value/unit/headline queries/sf, well
+    # under 1500 chars — while the full payload (trend sections,
+    # controls, regression gate, dismissals) goes to BENCH_LOCAL.json
+    # as before and to stderr for human tail-reading.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": timings,
+        "control_sec": control_sec,
+        "normalized_total": normalized_total,
+        "sf": sf_label,
+    }
+    print(json.dumps(payload), file=sys.stderr)
+    # --headline-only runs never write BENCH_LOCAL.json: a 13-query
+    # quick loop must not replace the full-registry baseline the calm
+    # gate reads.
+    if not headline_only:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+                json.dump(payload, fh, indent=1)
+        except OSError:
+            pass  # read-only checkout must not break the stdout contract
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

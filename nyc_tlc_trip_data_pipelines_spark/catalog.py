@@ -53,7 +53,13 @@ def _ensure_compat(spark: SparkSession) -> None:
     ensure_package_on_executors(spark)
 
 
-# Analyzed-DataFrame handle memo, keyed (applicationId, sf_dir, name).
+# Analyzed-DataFrame handle memo, keyed per SESSION (r15 advisor fix:
+# DataFrame handles and temp views are per-SparkSession, and one
+# SparkContext/applicationId can host several sessions via
+# newSession() — an applicationId key would hand session B a DataFrame
+# bound to session A and silently no-op B's register_views. id(spark)
+# is paired with the applicationId so a recycled id() of a collected
+# session object can never alias a live entry from another app).
 # Metadata-only reuse (optimization r14, guide §1.5/§6 planning overhead):
 # ``spark.read.parquet`` launches a footer schema-inference job on EVERY
 # call (~0.1-0.16 s of job latency at local[32]), so a workload invoking
@@ -67,14 +73,20 @@ _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 # register_views memo: session -> the sf_dir its views CURRENTLY point
 # at. Re-registering the same dir is a no-op; a different dir always
-# re-points (sessions alternating scale factors stay correct).
-_VIEWS_MEMO: dict[str, str] = {}
+# re-points (sessions alternating scale factors stay correct). Keyed
+# per session like _TABLE_MEMO (temp views are session-scoped).
+_VIEWS_MEMO: dict[tuple[int, str], str] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one driver table (reference R3)."""
     _ensure_compat(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    key = (
+        id(spark),
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+    )
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
@@ -101,11 +113,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view for the SQL surface."""
-    app = spark.sparkContext.applicationId
+    skey = (id(spark), spark.sparkContext.applicationId)
     cur = os.path.abspath(sf_dir)
-    if tables is TABLES and _VIEWS_MEMO.get(app) == cur:
+    if tables is TABLES and _VIEWS_MEMO.get(skey) == cur:
         return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     if tables is TABLES:
-        _VIEWS_MEMO[app] = cur
+        _VIEWS_MEMO[skey] = cur

@@ -816,10 +816,15 @@ def delete_where(spark: SparkSession, path: str, condition: Column) -> int:
     probe = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f"{job_col}={j}") for j in jobs]
     )
+    # Anchor the job extraction to the LEAF directory (r15, advisor
+    # fix): matching the first `{job_col}=` anywhere in the URI breaks
+    # when a parent path segment happens to look like one (e.g.
+    # /data/__job_id=archive/tbl), and job_col must be regex-escaped.
+    job_rx = re.escape(job_col) + "=([^/]+)/[^/]*$"
     affected = {
         r[0]
         for r in probe.filter(condition)
-        .select(F.regexp_extract(F.input_file_name(), f"{job_col}=([^/]+)/", 1).alias("__job"))
+        .select(F.regexp_extract(F.input_file_name(), job_rx, 1).alias("__job"))
         .distinct()
         .collect()
     }
@@ -993,10 +998,20 @@ def merge_versioned(
     probe = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f"{job_col}={j}") for j in jobs]
     )
+    # `input_file_name()` is only legal over a plan with ONE file
+    # source, so the job id must be extracted from the single-source
+    # probe BEFORE the semi-join (r15 fix — the r14 ordering selected
+    # it after the join and threw MULTI_SOURCES_UNSUPPORTED_FOR_
+    # EXPRESSION whenever `updates` itself came from a file source).
+    # Regex anchored to the leaf directory + escaped, as delete_where's.
+    job_rx = re.escape(job_col) + "=([^/]+)/[^/]*$"
     affected = {
         r[0]
-        for r in probe.join(F.broadcast(keyset), list(keys), "left_semi")
-        .select(F.regexp_extract(F.input_file_name(), f"{job_col}=([^/]+)/", 1).alias("__job"))
+        for r in probe.select(
+            *keys, F.regexp_extract(F.input_file_name(), job_rx, 1).alias("__job")
+        )
+        .join(F.broadcast(keyset), list(keys), "left_semi")
+        .select("__job")
         .distinct()
         .collect()
     }

@@ -405,6 +405,12 @@ def label_propagation(
     return labels
 
 
+# Lazy k-core peel rounds between lineage cuts: 3^4 = 81 logical
+# subtree copies is still millisecond-scale analysis; one more lazy
+# round would cross into visible planning time.
+_KCORE_CKPT_EVERY = 4
+
+
 def k_core(
     edges: DataFrame,
     src: str = "src",
@@ -428,8 +434,13 @@ def k_core(
 
     Scale shape: per round one degree hash-aggregate + two semi-joins
     of the edge set against the (broadcastable-when-small) survivor
-    set; lineage cut per round with localCheckpoint. Undirected:
-    edges are symmetrized and deduped first.
+    set. The peel loop is LAZY (r14): no per-round materialization —
+    ReuseExchange dedupes the double-referenced degree aggregate — but
+    because each round references the previous ``alive`` three times,
+    the LOGICAL plan grows ~3^rounds, so a localCheckpoint is
+    reintroduced every ``_KCORE_CKPT_EVERY`` rounds to bound analysis
+    cost for callers peeling past the default bound (r15, advisor
+    item). Undirected: edges are symmetrized and deduped first.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -438,7 +449,13 @@ def k_core(
         .localCheckpoint()
     )
     alive = sym
-    for _ in range(rounds):
+    for r in range(rounds):
+        # Bound the lazy loop's ~3^rounds logical-plan growth: fine at
+        # the default rounds=3 (≤27 subtree copies), exponential
+        # analysis blowup for a caller passing rounds≈12+ — cut lineage
+        # every few rounds, keeping the common case checkpoint-free.
+        if r and r % _KCORE_CKPT_EVERY == 0:
+            alive = alive.localCheckpoint()
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         # r14 optimization: the peel loop is LAZY — no per-round
         # localCheckpoint (2 actions/round saved, measured 1.98 s →

@@ -522,6 +522,14 @@ def _kmeans_train_micro(
     return final, centroids
 
 
+# Per-block float64 budget for the _pair_scan_arrow Gram buffers:
+# 4M doubles = 32 MB per (rows_per_block × n_c) block matrix, two live
+# at once (GB + cosB). Cells up to 2048 rows run single-block (the
+# common SemDeDup cell is ~n/k ≈ 1k rows); tests shrink this to force
+# the multi-block path on small fixtures.
+_PAIR_SCAN_BLOCK_FLOATS = 4 << 20
+
+
 def _pair_scan_arrow(
     emb: DataFrame,
     directed: bool = False,
@@ -555,10 +563,20 @@ def _pair_scan_arrow(
     matrix with d rank-1 updates (G += col_i ⊗ col_i — each G[a,b]
     entry accumulates in dim order, exactly the fold), norms come from
     its diagonal (the same accumulation), and the pair table is the
-    (upper) triangle. Memory is O(n_c²) per cluster — the same pair
-    count the join emitted; at 100 TB cluster cells are k ≈ n/5000
-    sized (~5k rows → ~200 MB of pair rows per cell), chunk the emit
-    if cells are allowed to grow past that.
+    (upper) triangle.
+
+    Memory bound (r15, round-14 verdict item 7): the Gram/cosine
+    matrices are computed in ROW BLOCKS of ≤ ``_PAIR_SCAN_BLOCK_FLOATS
+    / n_c`` anchors, so the O(n_c²) full-matrix temporaries of the r14
+    version never materialize — peak per-cell memory is the emitted
+    pair arrays themselves (~24 B/pair, the same rows the join tier
+    would shuffle) plus two bounded ~32 MB block buffers. A skewed
+    5×-oversized cell now costs memory proportional to its pair count,
+    not 2·n_c² doubles of dense scratch on top. Block boundaries do
+    not change a single bit: each cosine's accumulation order is
+    per-ENTRY (dims 0..d−1), untouched by which block the entry lands
+    in, and blocks walk anchors in ascending order so the emitted row
+    order stays exactly the old row-major triangle/off-diagonal order.
     """
     import numpy as np
     import pandas as pd
@@ -570,6 +588,7 @@ def _pair_scan_arrow(
         if directed
         else "cluster int, id_a long, id_b long, cosine_raw double"
     )
+    block_floats = _PAIR_SCAN_BLOCK_FLOATS
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -581,26 +600,59 @@ def _pair_scan_arrow(
                  for c in out_schema.split(", ")}
             )
         A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        G = np.zeros((n, n))
-        for i in range(A.shape[1]):
+        d = A.shape[1]
+        # norms first: nrm2[j] accumulates x_j·x_j over dims 0..d−1 —
+        # the identical per-entry sequence the full Gram's diagonal ran
+        nrm2 = np.zeros(n)
+        for i in range(d):
             x = A[:, i]
-            G = G + np.multiply.outer(x, x)
-        nrm = np.sqrt(np.diagonal(G))
-        cos = G / np.multiply.outer(nrm, nrm)
-        if directed:
-            ia, ib = np.nonzero(~np.eye(n, dtype=bool))
-        else:
-            ia, ib = np.triu_indices(n, k=1)
+            nrm2 = nrm2 + x * x
+        nrm = np.sqrt(nrm2)
+        rows_per_block = max(1, min(n, block_floats // n))
+        col_idx = np.arange(n)
+        lbl = pdf["lbl"].to_numpy() if (directed and with_labels) else None
+        parts_a, parts_b, parts_v, parts_z = [], [], [], []
+        for lo in range(0, n, rows_per_block):
+            hi = min(lo + rows_per_block, n)
+            GB = np.zeros((hi - lo, n))
+            for i in range(d):
+                GB = GB + np.multiply.outer(A[lo:hi, i], A[:, i])
+            cosB = GB / np.multiply.outer(nrm[lo:hi], nrm)
+            anchor_idx = np.arange(lo, hi)[:, None]
+            if directed:
+                ra, ib = np.nonzero(col_idx[None, :] != anchor_idx)
+            else:
+                ra, ib = np.nonzero(col_idx[None, :] > anchor_idx)
+            ia = ra + lo
+            parts_a.append(ia)
+            parts_b.append(ib)
+            parts_v.append(cosB[ra, ib])
+            parts_z.append((nrm[ia] == 0.0) | (nrm[ib] == 0.0))
+        ia = np.concatenate(parts_a)
+        ib = np.concatenate(parts_b)
+        vals = np.concatenate(parts_v)
+        zmask = np.concatenate(parts_z)
         cols = {"anchor" if directed else "id_a": ids[ia]}
-        if directed and with_labels:
-            lbl = pdf["lbl"].to_numpy()
+        if lbl is not None:
             cols["anchor_label"] = lbl[ia]
         if not directed:
             cols = {"cluster": np.full(len(ia), int(pdf["cluster"].iloc[0]), dtype="int32"), **cols}
         cols["nid" if directed else "id_b"] = ids[ib]
-        if directed and with_labels:
+        if lbl is not None:
             cols["nlabel"] = lbl[ib]
-        cols["cosine_raw"] = cos[ia, ib]
+        if zmask.any():
+            # Zero-norm (all-zero) vectors: numpy's 0/0 is NaN, but the
+            # join tier's Spark Divide returns NULL on a zero divisor —
+            # and NaN compares GREATER than any threshold in Spark, so
+            # the tiers would diverge on every cosine>=t filter (r15
+            # advisor fix). Mask exactly the zero-norm pairs to NULL via
+            # a pandas masked float array (Arrow converts mask -> null);
+            # a NaN from a NaN-valued input vector has a NaN (non-zero)
+            # norm and stays NaN in both tiers, so only zmask is masked.
+            vals = pd.arrays.FloatingArray(
+                np.where(zmask, 0.0, vals), zmask.copy()
+            )
+        cols["cosine_raw"] = vals
         return pd.DataFrame(cols)
 
     in_cols = ["cluster", "id", "v"] + (["lbl"] if with_labels else [])

@@ -238,6 +238,32 @@ def test_merge_versioned_single_commit_upsert(spark, tmp_path):
     assert IO.list_versions(path)[-1][1] == ["b1.m2", "b2.m2", "u1"]
 
 
+def test_merge_versioned_with_parquet_sourced_updates(spark, tmp_path):
+    """r15 regression: the affected-job probe extracts the job id via
+    input_file_name(), which is illegal over a plan with more than one
+    file source — the r14 probe joined `updates` (a file source in any
+    realistic caller) BEFORE extracting and threw
+    MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION. `updates` here MUST come
+    from parquet, not createDataFrame, to exercise that path."""
+    from nyc_tlc_trip_data_pipelines_spark import io as IO
+
+    path = str(tmp_path / "versioned")
+    base = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    IO.append_versioned(base.filter("k < 5"), path, "b1")
+    IO.append_versioned(base.filter("k >= 5"), path, "b2")
+    upd_path = str(tmp_path / "updates_src")
+    spark.createDataFrame(
+        [(3, 300.0), (100, 1.0)], "k long, v double"
+    ).write.parquet(upd_path)
+    updates = spark.read.parquet(upd_path)
+    v = IO.merge_versioned(spark, path, updates, ["k"], "u1")
+    assert v == 2
+    latest = {r.k: r.v for r in IO.read_version(spark, path).collect()}
+    assert latest[3] == 300.0 and latest[100] == 1.0 and len(latest) == 11
+    # only b1 held k=3; b2 untouched, updates landed as their own job
+    assert IO.list_versions(path)[-1][1] == ["b1.m2", "b2", "u1"]
+
+
 def test_append_retry_after_delete_does_not_resurrect(spark, tmp_path):
     """Round-5 advice: retry dedup must consult ALL manifests — a job_id
     whose partition was rewritten by delete_where is still committed

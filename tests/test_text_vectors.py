@@ -545,6 +545,67 @@ def test_pair_scan_arrow_tier_bit_identical(spark, sf_dir):
     )
 
 
+def test_pair_scan_arrow_blocked_emit_bit_identical(spark, monkeypatch):
+    """r15 memory bound (round-14 verdict item 7): the pair scan now
+    computes the Gram/cosine matrices in bounded row blocks instead of
+    one O(n_c²) dense scratch pair. Shrinking the block budget to a few
+    floats forces every cluster through the multi-block path, which
+    must stay BIT-identical to the join+fold tier (the accumulation
+    order is per-entry, so block boundaries cannot change any value)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    # 48 floats // n_c(≈15 rows/cluster) = 3 anchors per block → ~5
+    # blocks per cluster cell
+    monkeypatch.setattr(V, "_PAIR_SCAN_BLOCK_FLOATS", 48)
+    rng = np.random.RandomState(7)
+    rows = [(i, (rng.randn(6) * 0.3 + (i % 4)).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = V.semantic_dedup_pairs(df, k=4, iterations=2).withColumnRenamed(
+        "cosine", "x1"
+    )
+    b = V.semantic_dedup_pairs(
+        df, k=4, iterations=2, pair_tier="join"
+    ).withColumnRenamed("cosine", "x2")
+    j = a.join(b, ["cluster", "id_a", "id_b"], "full")
+    bad = j.filter(
+        F.col("x1").isNull() | F.col("x2").isNull() | (F.col("x1") != F.col("x2"))
+    ).count()
+    assert bad == 0 and j.count() > 60  # every cell is multi-block and equal
+
+
+def test_pair_scan_arrow_zero_norm_matches_join_tier(spark):
+    """r15 advisor fix: an all-zero vector's cosine is NULL in the join
+    tier (Spark Divide by zero) but was NaN in the arrow tier (numpy
+    0/0) — and NaN > any threshold in Spark, so the tiers diverged on
+    cosine>=t filters. Both tiers must now emit NULL for zero-norm
+    pairs and identical values elsewhere."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import vectors as V
+
+    rng = np.random.RandomState(11)
+    rows = [(i, (rng.randn(6) * 0.2 + (i % 2)).tolist()) for i in range(1, 24)]
+    rows.append((0, [0.0] * 6))  # zero-norm vector, id 0 seeds cluster 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = V.semantic_dedup_pairs(df, k=2, iterations=2).withColumnRenamed(
+        "cosine", "x1"
+    )
+    b = V.semantic_dedup_pairs(
+        df, k=2, iterations=2, pair_tier="join"
+    ).withColumnRenamed("cosine", "x2")
+    j = a.join(b, ["cluster", "id_a", "id_b"], "full").collect()
+    assert j and any(r.id_a == 0 or r.id_b == 0 for r in j)
+    for r in j:
+        if r.id_a == 0 or r.id_b == 0:
+            assert r.x1 is None and r.x2 is None  # zero-norm pair: NULL both
+        else:
+            assert r.x1 is not None and r.x1 == r.x2
+
+
 def test_pca_top_component_finds_dominant_axis(spark):
     """Power iteration must recover a planted dominant variance
     direction (axis 2) with a unit-norm loading vector."""
