@@ -695,6 +695,30 @@ def poisson1_cdf_thresholds(n_terms: int = 8) -> list[float]:
     return out
 
 
+def _u_threshold_to_h(t: float) -> int:
+    """Minimal integer h ∈ [0, 2⁶⁰] with (double(h) + 0.5) / 2⁶⁰ ≥ t,
+    by binary search over the monotone predicate. Python floats are
+    IEEE-754 doubles with the same long→double rounding, addition and
+    exact power-of-two division the JVM runs, so this is the exact
+    flip point of the engine-side comparison the pre-r15 plan
+    evaluated per draw (see poisson_bootstrap_ci's draw-pass note)."""
+    denom = float(1 << 60)
+
+    def pred(h: int) -> bool:
+        return (float(h) + 0.5) / denom >= t
+
+    if pred(0):
+        return 0
+    lo, hi = 0, 1 << 60  # u(2⁶⁰) > 1 ≥ every CDF threshold
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if pred(mid):
+            hi = mid
+        else:
+            lo = mid
+    return hi
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     keys: Sequence[str],
@@ -759,7 +783,13 @@ def poisson_bootstrap_ci(
         .cast("long")
         .alias("__pe_micro"),
     )
-    rep_rows = rows.withColumn(
+    # r15: spread the single-partition scan across cores before the B×
+    # explode + per-draw md5 (guide §2.5 — the fixture files are one
+    # row group, so the whole draw pass ran serially). Replicate cell
+    # sums are exact integer reductions, so the spread is value-exact.
+    from .joins import fanout_repartition
+
+    rep_rows = fanout_repartition(rows, "__id").withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
     )
     # hash tiers (the simhash portable/xxhash pattern): "portable" is
@@ -773,18 +803,52 @@ def poisson_bootstrap_ci(
     draw_input = F.concat_ws(
         "\x1f", F.col("__id"), F.col("b").cast("string"), F.lit(str(seed))
     )
+    # r15 draw-pass optimization (guide §1.2 per-task work, measured
+    # with the noop sink at sf0.1): of the exploded pass's ~4.1 s,
+    # md5 cost 1.2 s and the hex→bigint ``conv`` another 2.2 s. The
+    # integer hash is only ever COMPARED against the 8 CDF thresholds,
+    # and h ↦ u = (double(h)+0.5)/2⁶⁰ is monotone non-decreasing
+    # (long→double rounding, +0.5 and the exact power-of-two scaling
+    # are each monotone), so every u-threshold t has a minimal integer
+    # h* with u(h*) ≥ t — computed driver-side by binary search with
+    # the SAME IEEE-754 double ops the engine would run. And because
+    # md5's 15-char slice is fixed-width lowercase hex, h ≥ h* is
+    # exactly a lexicographic string comparison against hex15(h*). The
+    # portable tier therefore skips conv/cast entirely: per draw, one
+    # md5 + a short-circuiting CASE ladder over the 8 sorted flip
+    # points. __w is bit-identical (the
+    # fence test replays the old conv formulation pairwise); the
+    # oracle twin still replays the documented hex→int→u→threshold
+    # chain and matches because the WEIGHTS are equal, which is all
+    # that leaves this operator.
     if hash_tier == "portable":
-        from .text import portable_hash60
-
-        h = portable_hash60(draw_input)
+        # Two more per-draw cuts, both value-preserving: (a) compare
+        # the FULL 32-char md5 against the 15-char boundary — for
+        # fixed-width lowercase hex, s ≥ b over the longer string
+        # decides on the first 15 chars and an equal prefix makes the
+        # longer string greater, exactly hex15 ≥ b — skipping a
+        # UTF8String substring alloc per draw; (b) the 8 independent
+        # ≥-comparisons collapse into one ascending CASE ladder
+        # (w = rank of the hash among the sorted flip points), which
+        # short-circuits after ~2 comparisons for Poisson(1) draws
+        # instead of always running all 8.
+        bounds = [format(_u_threshold_to_h(t), "015x") for t in thresholds]
+        drawn = rep_rows.select(
+            *keys, "__vm", "b", F.md5(draw_input).alias("__hx")
+        )
+        w = F.when(F.col("__hx") < bounds[0], 0)
+        for i in range(1, len(bounds)):
+            w = w.when(F.col("__hx") < bounds[i], i)
+        w = w.otherwise(len(bounds)).cast("long")
     else:
         h = F.xxhash64(draw_input).bitwiseAND(F.lit((1 << 60) - 1))
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
-    w = None
-    for t in thresholds:
-        term = (u >= F.lit(t)).cast("long")
-        w = term if w is None else w + term
-    cells = rep_rows.withColumn("__w", w).groupBy(*keys, "b").agg(
+        drawn = rep_rows.select(*keys, "__vm", "b", h.alias("__h"))
+        u = (F.col("__h").cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+        w = None
+        for t in thresholds:
+            term = (u >= F.lit(t)).cast("long")
+            w = term if w is None else w + term
+    cells = drawn.withColumn("__w", w).groupBy(*keys, "b").agg(
         F.sum("__w").alias("__n_b"),
         F.sum(F.col("__w") * F.col("__vm")).alias("__s_b"),
     )

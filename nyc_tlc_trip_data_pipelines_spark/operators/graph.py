@@ -305,17 +305,28 @@ def bfs_hops(
     frontier = sources.toDF("node").distinct().localCheckpoint()
     visited = frontier.withColumn("hops", F.lit(0).cast("int")).localCheckpoint()
     for h in range(1, max_hops + 1):
+        # ONE materialization per hop (r15, guide §5 — remove unneeded
+        # actions): the pre-r15 loop checkpointed `nxt`, ran a
+        # limit(1).count() emptiness probe, and then checkpointed the
+        # cumulative union — two materializations of the expansion
+        # join plus three actions per hop. Folding the expansion into
+        # the union checkpoint computes the join once; the new
+        # frontier and the emptiness probe both read hop-h rows back
+        # from the checkpointed blocks. Value-identical: a drained
+        # frontier unions zero rows, so `visited` is unchanged when
+        # the loop breaks.
         nxt = (
             frontier.join(e, frontier.node == e.u)
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
         )
-        if nxt.limit(1).count() == 0:
+        visited = visited.union(
+            nxt.withColumn("hops", F.lit(h).cast("int"))
+        ).localCheckpoint()
+        frontier = visited.filter(F.col("hops") == h).select("node")
+        if frontier.limit(1).count() == 0:
             break
-        visited = visited.union(nxt.withColumn("hops", F.lit(h).cast("int"))).localCheckpoint()
-        frontier = nxt
     return visited
 
 

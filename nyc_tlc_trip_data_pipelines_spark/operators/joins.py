@@ -104,6 +104,39 @@ def size_gated_broadcast(df: DataFrame, max_bytes: int = 64 << 20) -> DataFrame:
     return df
 
 
+def fanout_repartition(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread an under-partitioned input across the cluster BEFORE a
+    heavy per-row fan-out stage (r15, guide §2.5 "input skew: one huge
+    unsplittable file … repartition immediately after the read").
+
+    The driver fixtures are single-row-group parquet files, so every
+    scan plans as ONE partition and every downstream map stage — the
+    shingle explodes, the per-draw md5 passes, the token fan-outs —
+    ran serially on one core until its first exchange. A deterministic
+    hash repartition on the row id (never ``rand()`` — re-run tasks
+    would redraw and duplicate/lose rows, SPARK-38388) spreads that
+    work across ``defaultParallelism`` cores for one tiny shuffle of
+    the pre-fan-out rows.
+
+    Scale-adaptive, not a local[32] constant: when the input already
+    carries at least ``defaultParallelism`` partitions (any real
+    multi-file table at 100 TB), this is a NO-OP — no exchange is
+    added. Callers must only use it where downstream aggregation is
+    order-independent (integer min/max/count/sum, or exact micro-unit
+    sums): a float-sum whose partial-aggregation order changes can
+    flip the last ulp.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — planning failure falls through
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def star_join(fact: DataFrame, dims: Sequence[tuple[DataFrame, JoinOn]], broadcast_dims: bool = True) -> DataFrame:
     """Chained fact ⋈ dim1 ⋈ dim2 ... (E7). Dims broadcast by default so
     the fact table is never shuffled for the dimension lookups."""

@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .joins import size_gated_broadcast
+from .joins import fanout_repartition, size_gated_broadcast
 
 TOKEN_PATTERN = "\\s+"
 
@@ -136,6 +136,9 @@ def token_ngram_rows(
     base = df.select(F.col(id_col), toks.alias("__t")).filter(
         (F.size("__t") >= n) & (F.element_at("__t", 1) != "")
     )
+    # r15: spread the single-partition scan before the gram fan-out
+    # (see shingle_hashes) — downstream consumers aggregate counts.
+    base = fanout_repartition(base, id_col)
     pos = base.select(
         id_col, "__t", F.explode(F.sequence(F.lit(1), F.size("__t") - n + 1)).alias("__p")
     )
@@ -164,6 +167,9 @@ def char_shingle_rows(
     lc = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], F.lower(F.col(text_col)).alias("__t")).filter(
         F.length("__t") >= k
     )
+    # r15: spread before the shingle fan-out (see shingle_hashes);
+    # output feeds distinct/count set arithmetic — order-independent.
+    lc = fanout_repartition(lc, id_col)
     pos = lc.select(
         id_col,
         *extra_cols,
@@ -309,6 +315,7 @@ def shingle_hashes(
     shingle_k: int = 5,
     portable: bool = False,
     mod_prime: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, h) rows — char-k-shingle hashes mod the Mersenne prime, the
     ONE copy of the shingle-hash contract every MinHash consumer builds
@@ -332,6 +339,16 @@ def shingle_hashes(
     lc = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t")).filter(
         F.length("__t") >= shingle_k
     )
+    # r15: single-row-group inputs scan as ONE partition, so the ~300×
+    # shingle fan-out + hash ran on one core (measured 1.7 s for 1.5 M
+    # shingles at sf0.1, ~0.15 s spread). Hash min/count aggregation
+    # downstream is order-independent, so the spread is value-exact.
+    # ``spread=False`` for callers whose input is already candidate-
+    # pruned to a few hundred docs — there the 32-task × multi-stage
+    # scheduling overhead of the exchange exceeds the serial fan-out
+    # cost (measured +1.2 s on the verified-pairs shset build).
+    if spread:
+        lc = fanout_repartition(lc, id_col)
     pos = lc.select(
         id_col,
         "__t",
@@ -602,7 +619,9 @@ def minhash_verified_pairs(
     # whole operator at sf0.1 (5.39 s vs 6.84 s uncached), and it reuses
     # the one shingle-hash contract every MinHash consumer shares.
     shset = (
-        shingle_hashes(docs_c, id_col, text_col, shingle_k, mod_prime=False)
+        shingle_hashes(
+            docs_c, id_col, text_col, shingle_k, mod_prime=False, spread=False
+        )
         .distinct()
         .groupBy(id_col)
         .agg(F.collect_list("h").alias("shset"))
@@ -718,6 +737,10 @@ def simhash_signatures(
     replayed by the DuckDB oracle instead of settling for a rows-only
     check.
     """
+    # r15 note: a fanout_repartition before this explode was measured
+    # and REVERTED — the token fan-out is small (~50 tokens/doc) and
+    # the extra exchange + 32-task stages cost 1.4 s against a ~0.15 s
+    # serial map stage at sf0.1 (fresh-process A/B, median of 3).
     tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
     if portable:
         assert bits <= 60, "portable hash provides 60 bits"

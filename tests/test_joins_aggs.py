@@ -432,6 +432,50 @@ def test_poisson_bootstrap_ci_constant_and_spread(spark):
     assert 0.5 < s["se_boot"] < 3.0
 
 
+def test_poisson_weight_string_thresholds_match_conv_formulation(spark):
+    """r15 optimization fence: the portable bootstrap weight now counts
+    CDF thresholds by comparing md5's 15-char hex slice against
+    precomputed hex flip points, replacing the per-draw conv→bigint→
+    double→compare chain. Replaying the OLD formulation next to the
+    new one over a dense draw grid must give identical weights for
+    every (id, b) — including draws landing exactly on a flip point."""
+    from pyspark.sql import functions as F
+
+    from nyc_tlc_trip_data_pipelines_spark.operators import aggregates as agg
+
+    ts = agg.poisson1_cdf_thresholds()
+    # every flip point's neighborhood: u(h*−1) < t <= u(h*)
+    for t in ts:
+        hstar = agg._u_threshold_to_h(t)
+        assert (float(hstar) + 0.5) / float(1 << 60) >= t
+        assert hstar == 0 or (float(hstar - 1) + 0.5) / float(1 << 60) < t
+
+    df = spark.range(0, 3000).select(
+        F.col("id").cast("string").alias("__id"),
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
+    )
+    ci = F.concat_ws(
+        "\x1f", F.col("__id"), F.col("b").cast("string"), F.lit("17")
+    )
+    h_old = F.conv(F.substring(F.md5(ci), 1, 15), 16, 10).cast("long")
+    u_old = (h_old.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    w_old = None
+    for t in ts:
+        term = (u_old >= F.lit(t)).cast("long")
+        w_old = term if w_old is None else w_old + term
+    # the production shape: full-md5 compare + ascending CASE ladder
+    bounds = [format(agg._u_threshold_to_h(t), "015x") for t in ts]
+    hx = F.md5(ci)
+    w_new = F.when(hx < bounds[0], 0)
+    for i in range(1, len(bounds)):
+        w_new = w_new.when(hx < bounds[i], i)
+    w_new = w_new.otherwise(len(bounds)).cast("long")
+    bad = df.select(w_old.alias("a"), w_new.alias("b")).filter(
+        F.col("a") != F.col("b")
+    ).count()
+    assert bad == 0
+
+
 def test_equidepth_histogram_uniform_and_skewed(spark):
     """Uniform 1..80 over 8 bins -> each bin holds exactly 10 rows with
     boundaries at multiples of 10; a heavy-hitter value collapses its
