@@ -364,11 +364,19 @@ def minhash_perm_aggs(num_hashes: int) -> list[Column]:
     """The affine-permutation MIN aggregates ``mh_0 … mh_{n-1}`` over a
     :func:`shingle_hashes` column ``h`` — the one copy of the
     ``(a_i·h + b_i) mod p`` permutation contract (p prime, a_i odd ⇒
-    each permutation is a bijection of Z_p)."""
+    each permutation is a bijection of Z_p).
+
+    Built as ONE SQL-parsed expression per permutation (r15): the
+    Column-builder form cost ~6 py4j round trips per permutation, and
+    this sandbox's gateway RTT (~1-3 ms) made the 32-permutation list
+    ~1.3 s of pure plan-construction time per query invocation. The
+    parsed tree is identical — integer literals parse to the same
+    int32 types `F.lit` produced, `pmod`/`min` are the same functions."""
     return [
-        F.min(
-            F.pmod(F.col("h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_PRIME))
-        ).alias(f"mh_{i}")
+        F.expr(
+            f"min(pmod(h * {_MINHASH_A[i]} + {_MINHASH_B[i]}, "
+            f"{_MINHASH_PRIME})) AS mh_{i}"
+        )
         for i in range(num_hashes)
     ]
 
@@ -747,18 +755,27 @@ def simhash_signatures(
         h = tok.select(id_col, portable_hash60(F.col("tok")).alias("h"))
     else:
         h = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    # One SQL-parsed expression per vote / one for the packer (r15):
+    # the Column-builder loops cost ~8 py4j round trips per bit — with
+    # this sandbox's ~1-3 ms gateway RTT, ~1.4 s of plan construction
+    # per invocation at bits=60. Parsed trees are identical (same
+    # functions, same literal types: CASE THEN 1 ELSE -1 are the int32
+    # literals F.lit produced; CAST(x AS BIGINT) matches .cast("long");
+    # `^` parses to the same left-associative bitwiseXOR chain).
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v_{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS v_{i}"
+        )
         for i in range(bits)
     ]
     agged = h.groupBy(id_col).agg(*votes)
-    packed = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed.bitwiseXOR(bit)
-    return agged.select(id_col, packed.alias("simhash"))
+    packed = " ^ ".join(
+        f"(CASE WHEN v_{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return agged.select(id_col, F.expr(f"({packed}) AS simhash"))
 
 
 def pack_documents(
