@@ -305,28 +305,25 @@ def bfs_hops(
     frontier = sources.toDF("node").distinct().localCheckpoint()
     visited = frontier.withColumn("hops", F.lit(0).cast("int")).localCheckpoint()
     for h in range(1, max_hops + 1):
-        # ONE materialization per hop (r15, guide §5 — remove unneeded
-        # actions): the pre-r15 loop checkpointed `nxt`, ran a
-        # limit(1).count() emptiness probe, and then checkpointed the
-        # cumulative union — two materializations of the expansion
-        # join plus three actions per hop. Folding the expansion into
-        # the union checkpoint computes the join once; the new
-        # frontier and the emptiness probe both read hop-h rows back
-        # from the checkpointed blocks. Value-identical: a drained
-        # frontier unions zero rows, so `visited` is unchanged when
-        # the loop breaks.
+        # r15 note: folding the expansion into the visited-union
+        # checkpoint (one materialization per hop, frontier and
+        # emptiness probe read back from the cumulative blocks) was
+        # measured and REVERTED — the driver-methodology bench showed
+        # 3.42 s → 4.59 s (ratio_calm 1.5, reproduced on retime): the
+        # per-hop probe and next-hop expansion then re-scan the FULL
+        # visited block set instead of a tiny dedicated nxt
+        # checkpoint, which outweighs the action saved.
         nxt = (
             frontier.join(e, frontier.node == e.u)
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
         )
-        visited = visited.union(
-            nxt.withColumn("hops", F.lit(h).cast("int"))
-        ).localCheckpoint()
-        frontier = visited.filter(F.col("hops") == h).select("node")
-        if frontier.limit(1).count() == 0:
+        if nxt.limit(1).count() == 0:
             break
+        visited = visited.union(nxt.withColumn("hops", F.lit(h).cast("int"))).localCheckpoint()
+        frontier = nxt
     return visited
 
 

@@ -136,9 +136,12 @@ def token_ngram_rows(
     base = df.select(F.col(id_col), toks.alias("__t")).filter(
         (F.size("__t") >= n) & (F.element_at("__t", 1) != "")
     )
-    # r15: spread the single-partition scan before the gram fan-out
-    # (see shingle_hashes) — downstream consumers aggregate counts.
-    base = fanout_repartition(base, id_col)
+    # r15 note: a fanout_repartition here was measured and REVERTED —
+    # token n-grams fan out only ~100×/doc with a cheap concat (no
+    # per-gram hash), so the heavy consumer (q_dedup_ngram_jaccard)
+    # was a wash while light consumers regressed ~1.4× on the probe +
+    # exchange overhead (q_decontaminate 0.39 s → 0.56 s in the
+    # driver-methodology bench, reproduced on retime).
     pos = base.select(
         id_col, "__t", F.explode(F.sequence(F.lit(1), F.size("__t") - n + 1)).alias("__p")
     )
