@@ -238,6 +238,13 @@ def grid_radius_pairs(
     boundary nondeterministic) — for geodesic semantics pre-project
     coordinates to planar meters, then call this.
     """
+    from .joins import fanout_repartition
+
+    # r15: both join sides derive from `points`; on a single-row-group
+    # scan the 9× neighbor explode and the join's map side ran on one
+    # core (guide §2.5). Exact-comparison re-check downstream — no
+    # float-sum aggregation — so the spread is value-exact.
+    points = fanout_repartition(points, id_col)
     cx = F.floor(F.col(x_col) / radius).cast("long")
     cy = F.floor(F.col(y_col) / radius).cast("long")
     home = points.select(
